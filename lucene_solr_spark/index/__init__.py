@@ -1,0 +1,7 @@
+from lucene_solr_spark.index.builder import (  # noqa: F401
+    CollectionStats,
+    IndexTables,
+    assign_doc_ids,
+    build_tables,
+    invert,
+)

@@ -1,0 +1,198 @@
+"""Inverted-index construction as DataFrame dataflow.
+
+The write path of the reference (index/DefaultIndexingChain.java:371-790:
+analyze → invert → per-term postings hash → sorted flush) becomes:
+
+    corpus ─ mapInPandas(tokenize+invert) ─→ postings(term, doc_id, tf, positions)
+           ├ groupBy(term)   ─→ term_stats(term, df, ttf)        [global stats]
+           └ groupBy(doc_id) ─→ doc_norms(doc_id, length, norm_byte)
+
+Design notes for 100 TB:
+
+- The analyze+invert step is ONE Arrow-batched pandas pass per input
+  partition; the per-(doc, term) aggregation happens inside the kernel
+  (numpy sort + run-length reduce), so no exploded per-token rows ever
+  cross a shuffle — only already-aggregated (doc, term, tf, positions)
+  rows do.  This replaces TermsHashPerField's in-memory hash
+  (index/TermsHashPerField.java) with a per-batch sort, exactly like the
+  reference's flush sorts terms (index/FreqProxTermsWriter.java:81-117).
+- Global statistics (df/ttf/docCount/avgdl) are full-table aggregates —
+  per-partition stats would break rank-identity (Solr ExactStatsCache,
+  solr/core/.../search/stats/ExactStatsCache.java:56).
+- docIDs are assigned deterministically from xxhash64(repo,path,commit)
+  bucket + in-bucket rank (never monotonically_increasing_id — it is not
+  stable across retries).  Ref analog: doc routing by murmur hash
+  (solr/solrj/.../CompositeIdRouter.java:35-87).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from lucene_solr_spark.analysis import analyze_batch
+from lucene_solr_spark.scoring.bm25 import encode_norm
+
+POSTINGS_SCHEMA = "doc_id long, term string, tf int, positions array<int>"
+
+
+def invert(df: DataFrame, id_col: str = "doc_id", text_col: str = "content") -> DataFrame:
+    """corpus(id, text) → postings(doc_id, term, tf, positions).
+
+    One vectorized pass; output is pre-aggregated per (doc, term).
+    """
+    src = df.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("content"))
+
+    def kernel(batches):
+        for pdf in batches:
+            res = analyze_batch(pdf["content"])
+            lens = res["length"].to_numpy()
+            if lens.sum() == 0:
+                yield pd.DataFrame(
+                    {
+                        "doc_id": pd.Series([], dtype="int64"),
+                        "term": pd.Series([], dtype="object"),
+                        "tf": pd.Series([], dtype="int32"),
+                        "positions": pd.Series([], dtype="object"),
+                    }
+                )
+                continue
+            doc_ids = np.repeat(pdf["doc_id"].to_numpy(), lens)
+            terms = np.concatenate([np.asarray(t, dtype=object) for t in res["terms"]])
+            positions = np.concatenate(
+                [np.asarray(p, dtype=np.int32) for p in res["positions"]]
+            )
+            # sort by (doc, term) then run-length reduce → (doc, term, tf, pos[])
+            order = np.lexsort((terms, doc_ids))
+            doc_ids, terms, positions = doc_ids[order], terms[order], positions[order]
+            boundary = np.ones(doc_ids.size, dtype=bool)
+            boundary[1:] = (doc_ids[1:] != doc_ids[:-1]) | (terms[1:] != terms[:-1])
+            starts = np.flatnonzero(boundary)
+            tfs = np.diff(np.append(starts, doc_ids.size)).astype(np.int32)
+            pos_lists = np.split(positions, starts[1:])
+            yield pd.DataFrame(
+                {
+                    "doc_id": doc_ids[starts],
+                    "term": terms[starts],
+                    "tf": tfs,
+                    "positions": [p for p in pos_lists],
+                }
+            )
+
+    return src.mapInPandas(kernel, schema=POSTINGS_SCHEMA)
+
+
+def term_stats_of(postings: DataFrame) -> DataFrame:
+    """Global per-term stats — the term dictionary analog
+    (codecs/blocktree/BlockTreeTermsWriter.java's docFreq/totalTermFreq)."""
+    return postings.groupBy("term").agg(
+        F.count("*").alias("df"), F.sum("tf").alias("ttf")
+    )
+
+
+def doc_norms_of(postings: DataFrame) -> DataFrame:
+    """Per-doc field length (= Σtf, kept tokens) + byte315 norm.
+
+    Ref: BM25Similarity.computeNorm (:147-150) via
+    DefaultIndexingChain.java:694.  The lossy byte MUST be kept for
+    rank-identity.
+    """
+    lengths = postings.groupBy("doc_id").agg(F.sum("tf").alias("length"))
+
+    @F.pandas_udf("int")
+    def norm_byte(length: pd.Series) -> pd.Series:
+        return pd.Series(
+            encode_norm(length.to_numpy()).astype(np.int32), index=length.index
+        )
+
+    return lengths.withColumn("norm_byte", norm_byte("length"))
+
+
+@dataclass
+class CollectionStats:
+    """CollectionStatistics analog (search/CollectionStatistics.java:29-34)."""
+
+    doc_count: int
+    sum_total_term_freq: int
+    sum_doc_freq: int
+
+    @property
+    def max_doc(self) -> int:
+        return self.doc_count
+
+
+@dataclass
+class IndexTables:
+    """The logical index: everything the query layer needs."""
+
+    postings: DataFrame
+    term_stats: DataFrame
+    doc_norms: DataFrame
+    stats: CollectionStats
+
+
+def assign_doc_ids(
+    corpus: DataFrame,
+    key_cols: tuple[str, ...] = ("repo", "path", "commit"),
+    buckets: int = 256,
+) -> DataFrame:
+    """Stable, retry-safe docID assignment (SURVEY §7 hard part d).
+
+    doc_key = xxhash64(key cols); docID = bucket offset + rank within
+    bucket.  Both are pure functions of the data, so a re-run (resume)
+    reproduces identical ids.  Scales: the only coordination is a
+    ``buckets``-row count exchange.
+    """
+    from pyspark.sql import Window
+
+    keyed = corpus.withColumn("doc_key", F.xxhash64(*[F.col(c) for c in key_cols]))
+    keyed = keyed.withColumn("bucket", F.pmod(F.col("doc_key"), F.lit(buckets)))
+    counts = keyed.groupBy("bucket").count().collect()
+    offsets = {}
+    acc = 0
+    for row in sorted(counts, key=lambda r: r["bucket"]):
+        offsets[row["bucket"]] = acc
+        acc += row["count"]
+    spark = corpus.sparkSession
+    off_df = spark.createDataFrame(
+        [(int(b), int(o)) for b, o in offsets.items()], "bucket long, offset long"
+    )
+    w = Window.partitionBy("bucket").orderBy("doc_key", *key_cols)
+    return (
+        keyed.join(F.broadcast(off_df), "bucket")
+        .withColumn("doc_id", F.col("offset") + F.row_number().over(w) - 1)
+        .drop("bucket", "offset")
+    )
+
+
+def build_tables(
+    corpus: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "content",
+    cache: bool = True,
+) -> IndexTables:
+    """Build the logical index tables from a corpus DataFrame.
+
+    ``cache=True`` persists postings (they feed three downstream aggs).
+    """
+    postings = invert(corpus, id_col, text_col)
+    if cache:
+        postings = postings.persist()
+    term_stats = term_stats_of(postings)
+    doc_norms = doc_norms_of(postings)
+    # docCount = docs with ≥1 posting for the field, matching Lucene's
+    # Terms.getDocCount() semantics (all-stopword docs don't count).
+    doc_count = doc_norms.count()
+    agg = term_stats.agg(
+        F.sum("ttf").alias("sttf"), F.sum("df").alias("sdf")
+    ).collect()[0]
+    stats = CollectionStats(
+        doc_count=doc_count,
+        sum_total_term_freq=int(agg["sttf"] or 0),
+        sum_doc_freq=int(agg["sdf"] or 0),
+    )
+    return IndexTables(postings, term_stats, doc_norms, stats)
