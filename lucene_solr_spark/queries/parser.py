@@ -1,0 +1,183 @@
+"""Classic query-parser subset (recursive descent).
+
+Covers the named subset of the reference grammar
+(lucene/queryparser/.../classic/QueryParser.jj:78-226,299-313):
+terms, AND/OR/NOT/&&/||/!, +/- modifiers, "quoted phrases", grouping
+parens, ^boost, trailing-* prefix, ?/* wildcards, [a TO b] / {a TO b}
+term ranges, fuzzy~N.  Default operator is OR (SHOULD), like the
+reference.  Query-side text runs through the same analyzer as the index
+(Lucene analyzes query terms too); a term that analyzes to multiple
+tokens becomes a phrase, a stopword term is dropped.
+"""
+
+from __future__ import annotations
+
+import re
+from collections.abc import Callable
+
+from lucene_solr_spark.analysis import analyze_text
+from lucene_solr_spark.queries.query import (
+    BooleanClause,
+    BooleanQuery,
+    BoostQuery,
+    FuzzyQuery,
+    MatchNoDocsQuery,
+    Occur,
+    PhraseQuery,
+    PrefixQuery,
+    Query,
+    TermQuery,
+    TermRangeQuery,
+    WildcardQuery,
+)
+
+_TOKEN_RE = re.compile(
+    r"""
+    \s*(
+      \(|\)                              # grouping
+    | "(?:[^"\\]|\\.)*"                  # quoted phrase
+    | \[[^\]]*\]|\{[^}]*\}               # term range
+    | \&\&|\|\||!                        # symbolic operators
+    | \^[0-9.]+                          # boost
+    | [+\-]                              # modifiers
+    | [^\s()^"]+                         # term (may contain * ?)
+    )""",
+    re.VERBOSE,
+)
+
+
+def _lex(text: str) -> list[str]:
+    out, i = [], 0
+    while i < len(text):
+        m = _TOKEN_RE.match(text, i)
+        if not m:
+            break
+        out.append(m.group(1))
+        i = m.end()
+    return out
+
+
+class _Parser:
+    def __init__(self, tokens: list[str], analyze: Callable[[str], tuple[list[str], list[int]]]):
+        self.toks = tokens
+        self.i = 0
+        self.analyze = analyze
+
+    def peek(self) -> str | None:
+        return self.toks[self.i] if self.i < len(self.toks) else None
+
+    def next(self) -> str:
+        tok = self.toks[self.i]
+        self.i += 1
+        return tok
+
+    # ------------------------------------------------------------- grammar
+    def parse(self) -> Query:
+        q = self.query()
+        return q
+
+    def query(self) -> Query:
+        """Clause list with Lucene's addClause conjunction semantics
+        (queryparser/classic/QueryParserBase.java addClause)."""
+        clauses: list[BooleanClause] = []
+        conj = None  # None | "AND" | "OR"
+        while True:
+            tok = self.peek()
+            if tok is None or tok == ")":
+                break
+            if tok in ("AND", "&&"):
+                self.next()
+                conj = "AND"
+                continue
+            if tok in ("OR", "||"):
+                self.next()
+                conj = "OR"
+                continue
+            occur = Occur.SHOULD
+            if tok in ("NOT", "!"):
+                self.next()
+                occur = Occur.MUST_NOT
+                tok = self.peek()
+            elif tok == "+":
+                self.next()
+                occur = Occur.MUST
+                tok = self.peek()
+            elif tok == "-":
+                self.next()
+                occur = Occur.MUST_NOT
+                tok = self.peek()
+            if tok is None or tok == ")":
+                break
+            sub = self.atom()
+            # boost suffix
+            nxt = self.peek()
+            if nxt and nxt.startswith("^"):
+                self.next()
+                sub = BoostQuery(sub, float(nxt[1:]))
+            if conj == "AND":
+                if occur == Occur.SHOULD:
+                    occur = Occur.MUST
+                # promote the previous SHOULD clause to MUST (Lucene does this)
+                if clauses and clauses[-1].occur == Occur.SHOULD:
+                    clauses[-1] = BooleanClause(Occur.MUST, clauses[-1].query)
+            conj = None
+            if sub is not None:
+                clauses.append(BooleanClause(occur, sub))
+        if not clauses:
+            return MatchNoDocsQuery("empty query")
+        if len(clauses) == 1 and clauses[0].occur in (Occur.SHOULD, Occur.MUST):
+            return clauses[0].query
+        return BooleanQuery(tuple(clauses))
+
+    def atom(self) -> Query | None:
+        tok = self.next()
+        if tok == "(":
+            q = self.query()
+            if self.peek() == ")":
+                self.next()
+            return q
+        if tok.startswith('"'):
+            text = tok[1:-1]
+            terms, positions = self.analyze(text)
+            if not terms:
+                return None
+            if len(terms) == 1:
+                return TermQuery(terms[0])
+            return PhraseQuery(tuple(terms), tuple(positions))
+        if tok.startswith("[") or tok.startswith("{"):
+            inc_lo = tok.startswith("[")
+            inc_hi = tok.endswith("]")
+            body = tok[1:-1].strip()
+            m = re.match(r"(\S+)\s+TO\s+(\S+)", body, re.IGNORECASE)
+            if not m:
+                return None
+            lo = None if m.group(1) == "*" else m.group(1).lower()
+            hi = None if m.group(2) == "*" else m.group(2).lower()
+            return TermRangeQuery(lo, hi, inc_lo, inc_hi)
+        # field:term syntax — single indexed field, so strip the prefix
+        if ":" in tok and not tok.startswith("http"):
+            tok = tok.split(":", 1)[1]
+        # fuzzy
+        m = re.match(r"(.+)~(\d*)$", tok)
+        if m and "*" not in tok and "?" not in tok:
+            base = m.group(1).lower()
+            edits = int(m.group(2)) if m.group(2) else 2
+            return FuzzyQuery(base, edits)
+        if tok.endswith("*") and "*" not in tok[:-1] and "?" not in tok:
+            return PrefixQuery(tok[:-1].lower())
+        if "*" in tok or "?" in tok:
+            return WildcardQuery(tok.lower())
+        terms, positions = self.analyze(tok)
+        if not terms:
+            return None  # stopword-only term drops out
+        if len(terms) == 1:
+            return TermQuery(terms[0])
+        return PhraseQuery(tuple(terms), tuple(positions))
+
+
+def parse_query(
+    text: str,
+    analyze: Callable[[str], tuple[list[str], list[int]]] = analyze_text,
+) -> Query:
+    """Parse classic query syntax → Query tree (not yet rewritten)."""
+    return _Parser(_lex(text), analyze).parse()

@@ -1,0 +1,138 @@
+"""Immutable Query trees — the reference's first IR.
+
+Ref: org.apache.lucene.search.Query subclasses (TermQuery.java,
+BooleanQuery.java, PhraseQuery.java, ...).  Queries are frozen
+dataclasses so rewrites build new trees (Lucene queries are likewise
+immutable; rewrite() returns new instances — IndexSearcher.java:671-676).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from enum import Enum
+
+
+class Occur(Enum):
+    """BooleanClause.Occur (search/BooleanClause.java:26-46)."""
+
+    MUST = "MUST"
+    FILTER = "FILTER"        # required, does not score
+    SHOULD = "SHOULD"
+    MUST_NOT = "MUST_NOT"
+
+
+class Query:
+    """Marker base class."""
+
+    __slots__ = ()
+
+
+@dataclass(frozen=True)
+class TermQuery(Query):
+    term: str
+
+
+@dataclass(frozen=True)
+class BooleanClause:
+    occur: Occur
+    query: Query
+
+
+# Max clause count, ref: search/BooleanQuery.java:43
+MAX_CLAUSE_COUNT = 1024
+
+
+@dataclass(frozen=True)
+class BooleanQuery(Query):
+    clauses: tuple[BooleanClause, ...]
+    minimum_number_should_match: int = 0
+
+    def __post_init__(self) -> None:
+        if len(self.clauses) > MAX_CLAUSE_COUNT:
+            raise ValueError("maxClauseCount is set to 1024")
+
+    def with_occur(self, occur: Occur) -> tuple[Query, ...]:
+        return tuple(c.query for c in self.clauses if c.occur == occur)
+
+
+@dataclass(frozen=True)
+class PhraseQuery(Query):
+    """Exact phrase (slop=0) with explicit per-term positions —
+    PhraseQuery.Builder.add(term, position) semantics, which is how
+    stop-gap phrases are expressed (ref: search/PhraseQuery.java)."""
+
+    terms: tuple[str, ...]
+    positions: tuple[int, ...] = ()
+
+    def __post_init__(self) -> None:
+        if not self.positions:
+            object.__setattr__(self, "positions", tuple(range(len(self.terms))))
+        if len(self.positions) != len(self.terms):
+            raise ValueError("terms and positions must align")
+
+
+@dataclass(frozen=True)
+class SynonymQuery(Query):
+    """Terms scored as one pseudo-term (search/SynonymQuery.java:233 LoC:
+    summed tf, max df)."""
+
+    terms: tuple[str, ...]
+
+
+@dataclass(frozen=True)
+class MatchAllDocsQuery(Query):
+    pass
+
+
+@dataclass(frozen=True)
+class MatchNoDocsQuery(Query):
+    reason: str = ""
+
+
+@dataclass(frozen=True)
+class BoostQuery(Query):
+    query: Query
+    boost: float
+
+
+@dataclass(frozen=True)
+class ConstantScoreQuery(Query):
+    query: Query
+    score: float = 1.0
+
+
+@dataclass(frozen=True)
+class PrefixQuery(Query):
+    """Term-expansion query; rewritten against the term dictionary with
+    CONSTANT_SCORE_REWRITE like the reference's MultiTermQuery default."""
+
+    prefix: str
+
+
+@dataclass(frozen=True)
+class WildcardQuery(Query):
+    pattern: str  # '*' any, '?' one — ref: search/WildcardQuery.java
+
+
+@dataclass(frozen=True)
+class TermRangeQuery(Query):
+    lower: str | None
+    upper: str | None
+    include_lower: bool = True
+    include_upper: bool = True
+
+
+@dataclass(frozen=True)
+class FuzzyQuery(Query):
+    term: str
+    max_edits: int = 2  # ref: search/FuzzyQuery.java defaultMaxEdits
+
+
+def boolean(
+    *clauses: tuple[Occur, Query], min_should_match: int = 0
+) -> BooleanQuery:
+    """Convenience builder."""
+    return BooleanQuery(
+        tuple(BooleanClause(o, q) for o, q in clauses),
+        minimum_number_should_match=min_should_match,
+    )

@@ -1,0 +1,516 @@
+"""Query execution over the index tables — the read path.
+
+The reference's scorer algebra (DocIdSetIterator trees,
+search/ConjunctionDISI.java / DisjunctionSumScorer.java / ReqExclScorer
+/ ExactPhraseScorer.java) is re-expressed as relational algebra on the
+postings DataFrame:
+
+- TermQuery        → filter(term = t) + BM25 column kernel
+- MUST / FILTER    → inner joins on doc_id, ordered rarest-first
+                     (ConjunctionDISI sorts iterators by cost();
+                     we sort by docFreq from term_stats — §4.2)
+- SHOULD           → unionByName + groupBy(doc_id).sum / count
+- MUST_NOT         → left_anti join (ReqExclScorer)
+- minShouldMatch   → HAVING count ≥ m (MinShouldMatchSumScorer)
+- PhraseQuery      → docID conjunction first, then position verification
+                     as chained JVM-side array_intersect over
+                     offset-shifted position arrays — the two-phase
+                     pattern (TwoPhaseIterator.java, ExactPhraseScorer:60-171)
+                     with zero Python in the verify step
+- Prefix/Wildcard/Range/Fuzzy → dictionary expansion against term_stats,
+                     capped at 1024 (BooleanQuery.java:43), rewritten to
+                     a constant-score disjunction like the reference's
+                     MultiTermQuery CONSTANT_SCORE_REWRITE
+
+Scoring modes:
+- ``lucene`` (default): float32 arithmetic + byte315-quantized norms,
+  rank-identical to the reference (BM25Similarity.java:213-254).
+- ``exact``: double precision with exact field lengths — fully
+  ANSI-SQL-expressible, used for external SQL-oracle cross-checks.
+
+Top-k: ORDER BY score DESC, doc_id ASC LIMIT k — Spark's
+TakeOrderedAndProject implements exactly the per-partition bounded heap
++ driver merge of TopScoreDocCollector/TopDocs.merge, including the
+tie-break (HitQueue.java:76-81).
+"""
+
+from __future__ import annotations
+
+import math
+from functools import reduce
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from lucene_solr_spark.index.builder import IndexTables
+from lucene_solr_spark.queries.query import (
+    BooleanQuery,
+    BoostQuery,
+    ConstantScoreQuery,
+    FuzzyQuery,
+    MatchAllDocsQuery,
+    MatchNoDocsQuery,
+    Occur,
+    PhraseQuery,
+    PrefixQuery,
+    Query,
+    SynonymQuery,
+    TermQuery,
+    TermRangeQuery,
+    WildcardQuery,
+)
+from lucene_solr_spark.queries.rewriter import rewrite
+from lucene_solr_spark.scoring.bm25 import BM25, idf as idf32
+
+MAX_EXPANSION_TERMS = 1024  # ref: BooleanQuery.java:43
+
+
+class IndexSearcher:
+    """IndexSearcher analog (search/IndexSearcher.java)."""
+
+    def __init__(
+        self,
+        tables: IndexTables,
+        k1: float = 1.2,
+        b: float = 0.75,
+        scoring: str = "lucene",
+        cache_postings: bool = True,
+    ) -> None:
+        if scoring not in ("lucene", "exact"):
+            raise ValueError(f"unknown scoring mode {scoring!r}")
+        self.tables = tables
+        self.bm25 = BM25(k1=k1, b=b)
+        self.scoring = scoring
+        self.stats = tables.stats
+        # Denormalize norms onto postings once (the per-segment norms file
+        # read of the reference); at scale this join happens at build time.
+        cols = ["doc_id", "term", "tf", "positions"]
+        existing = set(tables.postings.columns)
+        if {"norm_byte", "length"} <= existing:
+            self._postings = tables.postings
+        else:
+            self._postings = tables.postings.select(*cols).join(
+                tables.doc_norms, "doc_id"
+            )
+        if cache_postings:
+            self._postings = self._postings.persist()
+        # float64 avgdl for exact mode; float32 path uses bm25.avgdl
+        self._avgdl32 = self.bm25.avgdl(
+            self.stats.sum_total_term_freq, self.stats.doc_count
+        )
+        self._cache32 = self.bm25.cache(self._avgdl32)
+        self._avgdl64 = (
+            self.stats.sum_total_term_freq / float(self.stats.doc_count)
+            if self.stats.doc_count
+            else 1.0
+        )
+        self._stats_cache: dict[str, tuple[int, int]] = {}
+
+    # ------------------------------------------------------------ stats
+    def term_statistics(self, terms: list[str]) -> dict[str, tuple[int, int]]:
+        """Global (docFreq, totalTermFreq) per term — the stats round of
+        a distributed query (ExactStatsCache; QueryComponent.java:313-319)."""
+        missing = [t for t in terms if t not in self._stats_cache]
+        if missing:
+            rows = (
+                self.tables.term_stats.filter(F.col("term").isin(missing))
+                .select("term", "df", "ttf")
+                .collect()
+            )
+            found = {r["term"]: (int(r["df"]), int(r["ttf"])) for r in rows}
+            for t in missing:
+                self._stats_cache[t] = found.get(t, (0, 0))
+        return {t: self._stats_cache[t] for t in terms}
+
+    # ------------------------------------------------------------ public
+    def search(self, query: Query | str, k: int = 10) -> DataFrame:
+        """Top-k (doc_id, score), tie-break score DESC then doc_id ASC
+        (HitQueue.java:76-81)."""
+        df = self.docs(query)
+        return df.orderBy(F.col("score").desc(), F.col("doc_id").asc()).limit(k)
+
+    def search_after(
+        self, query: Query | str, after_score: float, after_doc: int, k: int = 10
+    ) -> DataFrame:
+        """Paging cursor (IndexSearcher.searchAfter, :411-446)."""
+        df = self.docs(query)
+        cond = (F.col("score") < F.lit(after_score)) | (
+            (F.col("score") == F.lit(after_score)) & (F.col("doc_id") > F.lit(after_doc))
+        )
+        return df.filter(cond).orderBy(
+            F.col("score").desc(), F.col("doc_id").asc()
+        ).limit(k)
+
+    def docs(self, query: Query | str) -> DataFrame:
+        """All matching (doc_id, score) — exhaustive scoring."""
+        if isinstance(query, str):
+            from lucene_solr_spark.queries.parser import parse_query
+
+            query = parse_query(query)
+        query = rewrite(query)
+        return self._exec(query, boost=1.0)
+
+    def count(self, query: Query | str) -> int:
+        """TotalHitCountCollector analog."""
+        if isinstance(query, str):
+            from lucene_solr_spark.queries.parser import parse_query
+
+            query = parse_query(query)
+        return self._match(rewrite(query)).count()
+
+    # ------------------------------------------------------- score kernels
+    def _score_col(self, weight: float, df_in: DataFrame) -> DataFrame:
+        """Append ``score`` given per-row freq/norm columns.
+
+        ``weight`` is boost·idf (already float32 in lucene mode)."""
+        if self.scoring == "lucene":
+            cache = self._cache32
+            w32 = np.float32(weight) * np.float32(self.bm25.k1 + 1)
+
+            @F.pandas_udf("float")
+            def bm25_kernel(freq: pd.Series, norm_byte: pd.Series) -> pd.Series:
+                f = freq.to_numpy(dtype=np.float32)
+                norm = cache[norm_byte.to_numpy(dtype=np.int64) & 0xFF]
+                return pd.Series((np.float32(w32) * f / (f + norm)).astype(np.float32))
+
+            return df_in.withColumn("score", bm25_kernel(F.col("freq"), F.col("norm_byte")))
+        # exact mode: pure JVM double expression (whole-stage codegen)
+        k1, b = float(self.bm25.k1), float(self.bm25.b)
+        return df_in.withColumn(
+            "score",
+            F.lit(float(weight) * (k1 + 1))
+            * F.col("freq").cast("double")
+            / (
+                F.col("freq").cast("double")
+                + F.lit(k1)
+                * (
+                    F.lit(1.0 - b)
+                    + F.lit(b) * F.col("length").cast("double") / F.lit(self._avgdl64)
+                )
+            ),
+        )
+
+    def _idf(self, doc_freq: int) -> float:
+        if self.scoring == "lucene":
+            return float(idf32(doc_freq, self.stats.doc_count))
+        n = self.stats.doc_count
+        return math.log(1.0 + (n - doc_freq + 0.5) / (doc_freq + 0.5))
+
+    def _sum_scores(self, col):
+        """float32(Σ_double subscores) in lucene mode (DisjunctionSumScorer
+        sums in double, casts to float); plain double in exact mode."""
+        expr = F.sum(col.cast("double"))
+        return expr.cast("float") if self.scoring == "lucene" else expr
+
+    # ------------------------------------------------------------ executors
+    def _term_postings(self, term: str) -> DataFrame:
+        return self._postings.filter(F.col("term") == term)
+
+    def _exec(self, q: Query, boost: float) -> DataFrame:
+        """Scored execution → DataFrame(doc_id, score)."""
+        if isinstance(q, MatchNoDocsQuery):
+            return self._empty_scored()
+        if isinstance(q, MatchAllDocsQuery):
+            return self.tables.doc_norms.select(
+                "doc_id", F.lit(float(np.float32(boost))).alias("score")
+            )
+        if isinstance(q, BoostQuery):
+            return self._exec(q.query, boost * q.boost)
+        if isinstance(q, ConstantScoreQuery):
+            score = float(np.float32(boost * q.score)) if self.scoring == "lucene" else boost * q.score
+            return self._match(q.query).select(
+                "doc_id", F.lit(score).alias("score")
+            )
+        if isinstance(q, TermQuery):
+            df_, _ttf = self.term_statistics([q.term])[q.term]
+            if df_ == 0:
+                return self._empty_scored()
+            weight = (
+                float(self.bm25.weight(self._idf(df_), boost))
+                if self.scoring == "lucene"
+                else boost * self._idf(df_)
+            )
+            pl = self._term_postings(q.term).select(
+                "doc_id",
+                F.col("tf").alias("freq"),
+                "norm_byte",
+                "length",
+            )
+            return self._score_col(weight, pl).select("doc_id", "score")
+        if isinstance(q, SynonymQuery):
+            return self._exec_synonym(q, boost)
+        if isinstance(q, PhraseQuery):
+            return self._exec_phrase(q, boost)
+        if isinstance(q, (PrefixQuery, WildcardQuery, TermRangeQuery, FuzzyQuery)):
+            # CONSTANT_SCORE_REWRITE (MultiTermQuery.java default)
+            return self._exec(ConstantScoreQuery(q, 1.0), boost)
+        if isinstance(q, BooleanQuery):
+            return self._exec_boolean(q, boost)
+        raise TypeError(f"cannot execute {type(q).__name__}")
+
+    def _empty_scored(self) -> DataFrame:
+        spark = self.tables.postings.sparkSession
+        return spark.createDataFrame([], "doc_id long, score float" if self.scoring == "lucene" else "doc_id long, score double")
+
+    # cost estimate for conjunction ordering (rarest-first lead,
+    # ConjunctionDISI.java:185)
+    def _cost(self, q: Query) -> int:
+        if isinstance(q, TermQuery):
+            return self.term_statistics([q.term])[q.term][0]
+        if isinstance(q, PhraseQuery):
+            stats = self.term_statistics(list(set(q.terms)))
+            return min(s[0] for s in stats.values()) if stats else 0
+        if isinstance(q, (BoostQuery, ConstantScoreQuery)):
+            return self._cost(q.query)
+        if isinstance(q, BooleanQuery):
+            musts = [c.query for c in q.clauses if c.occur in (Occur.MUST, Occur.FILTER)]
+            if musts:
+                return min(self._cost(m) for m in musts)
+            return sum(self._cost(c.query) for c in q.clauses if c.occur == Occur.SHOULD)
+        if isinstance(q, MatchNoDocsQuery):
+            return 0
+        return 1 << 31
+
+    def _exec_boolean(self, q: BooleanQuery, boost: float) -> DataFrame:
+        musts = [c.query for c in q.clauses if c.occur == Occur.MUST]
+        filters = [c.query for c in q.clauses if c.occur == Occur.FILTER]
+        shoulds = [c.query for c in q.clauses if c.occur == Occur.SHOULD]
+        must_nots = [c.query for c in q.clauses if c.occur == Occur.MUST_NOT]
+        msm = q.minimum_number_should_match
+
+        required: DataFrame | None = None
+        if musts or filters:
+            # rarest-first conjunction (our df-ordered join plan, §4.2)
+            scored = sorted(musts, key=self._cost)
+            unscored = sorted(filters, key=self._cost)
+            parts: list[DataFrame] = []
+            for i, m in enumerate(scored):
+                parts.append(
+                    self._exec(m, boost).withColumnRenamed("score", f"_s{i}")
+                )
+            base = parts[0] if parts else None
+            for p in parts[1:]:
+                base = base.join(p, "doc_id", "inner")
+            for f_ in unscored:
+                fdf = self._match(f_)
+                base = fdf if base is None else base.join(fdf, "doc_id", "left_semi")
+            score_cols = [F.col(f"_s{i}").cast("double") for i in range(len(scored))]
+            if score_cols:
+                total = reduce(lambda a, b: a + b, score_cols)
+                if self.scoring == "lucene":
+                    total = total.cast("float")
+                required = base.select("doc_id", total.alias("score"))
+            else:
+                required = base.select(
+                    "doc_id", F.lit(0.0).cast(
+                        "float" if self.scoring == "lucene" else "double"
+                    ).alias("score")
+                )
+
+        should_agg: DataFrame | None = None
+        if shoulds:
+            union = reduce(
+                DataFrame.unionByName, (self._exec(s, boost) for s in shoulds)
+            )
+            should_agg = union.groupBy("doc_id").agg(
+                self._sum_scores(F.col("score")).alias("_should"),
+                F.count("*").alias("_cnt"),
+            )
+
+        if required is not None:
+            out = required
+            if should_agg is not None:
+                out = out.join(should_agg, "doc_id", "left")
+                if msm > 0:
+                    out = out.filter(F.coalesce(F.col("_cnt"), F.lit(0)) >= msm)
+                total = (
+                    F.col("score").cast("double")
+                    + F.coalesce(F.col("_should").cast("double"), F.lit(0.0))
+                )
+                if self.scoring == "lucene":
+                    total = total.cast("float")
+                out = out.select("doc_id", total.alias("score"))
+        elif should_agg is not None:
+            out = should_agg.filter(F.col("_cnt") >= max(msm, 1)).select(
+                "doc_id", F.col("_should").alias("score")
+            )
+        else:
+            return self._empty_scored()
+
+        for mn in must_nots:
+            out = out.join(self._match(mn), "doc_id", "left_anti")
+        return out
+
+    def _exec_synonym(self, q: SynonymQuery, boost: float) -> DataFrame:
+        """SynonymQuery: summed tf scored as one pseudo-term with
+        df = max(df_i) (search/SynonymQuery.java)."""
+        stats = self.term_statistics(list(q.terms))
+        df_max = max((s[0] for s in stats.values()), default=0)
+        if df_max == 0:
+            return self._empty_scored()
+        weight = (
+            float(self.bm25.weight(self._idf(df_max), boost))
+            if self.scoring == "lucene"
+            else boost * self._idf(df_max)
+        )
+        pl = (
+            self._postings.filter(F.col("term").isin(list(q.terms)))
+            .groupBy("doc_id")
+            .agg(
+                F.sum("tf").alias("freq"),
+                F.first("norm_byte").alias("norm_byte"),
+                F.first("length").alias("length"),
+            )
+        )
+        return self._score_col(weight, pl).select("doc_id", "score")
+
+    def _exec_phrase(self, q: PhraseQuery, boost: float) -> DataFrame:
+        """Two-phase exact phrase: docID conjunction, then JVM-side
+        position verification (ExactPhraseScorer.java:60-171).
+
+        phraseFreq = |∩_i (positions_i − offset_i)|, computed with
+        chained array_intersect over offset-shifted arrays — stays in
+        whole-stage codegen."""
+        uniq = list(dict.fromkeys(q.terms))
+        stats = self.term_statistics(uniq)
+        if any(stats[t][0] == 0 for t in uniq):
+            return self._empty_scored()
+        # weight: summed idf over ALL phrase terms incl. repeats, summed in
+        # double then cast (BM25Similarity.idfExplain(termStats[]):196-205)
+        idf_sum = sum(self._idf(stats[t][0]) for t in q.terms)
+        weight = (
+            float(self.bm25.weight(np.float32(idf_sum), boost))
+            if self.scoring == "lucene"
+            else boost * idf_sum
+        )
+        # join rarest-first
+        order = sorted(range(len(uniq)), key=lambda i: stats[uniq[i]][0])
+        base: DataFrame | None = None
+        for rank, i in enumerate(order):
+            t = uniq[i]
+            pl = self._term_postings(t).select(
+                "doc_id",
+                F.col("positions").alias(f"_p{i}"),
+                *(["norm_byte", "length"] if rank == 0 else []),
+            )
+            base = pl if base is None else base.join(pl, "doc_id", "inner")
+        # offset-shift each term's positions by its query offset(s) and
+        # intersect.  A term repeated at several offsets intersects once
+        # per offset.
+        def _shift(col_name: str, off: int):
+            # NB: F.transform dispatches on lambda arity — a 2-arg lambda
+            # would receive (element, index), so bind the offset via closure.
+            return F.transform(F.col(col_name), lambda x: x - F.lit(off))
+
+        shifted = [
+            _shift(f"_p{uniq.index(term)}", off)
+            for term, off in zip(q.terms, q.positions)
+        ]
+        inter = reduce(lambda a, b: F.array_intersect(a, b), shifted)
+        out = base.withColumn("freq", F.size(inter)).filter(F.col("freq") > 0)
+        return self._score_col(weight, out).select("doc_id", "score")
+
+    # --------------------------------------------------------- match-only
+    def _expand_terms(self, q: Query) -> list[str]:
+        """Dictionary expansion for multi-term queries (MultiTermQuery
+        rewrites against the term dictionary)."""
+        ts = self.tables.term_stats
+        if isinstance(q, PrefixQuery):
+            cond = F.col("term").startswith(q.prefix)
+        elif isinstance(q, WildcardQuery):
+            pat = "^" + "".join(
+                ".*" if ch == "*" else "." if ch == "?" else re_escape(ch)
+                for ch in q.pattern
+            ) + "$"
+            cond = F.col("term").rlike(pat)
+        elif isinstance(q, TermRangeQuery):
+            cond = F.lit(True)
+            if q.lower is not None:
+                cond = cond & (
+                    F.col("term") >= q.lower if q.include_lower else F.col("term") > q.lower
+                )
+            if q.upper is not None:
+                cond = cond & (
+                    F.col("term") <= q.upper if q.include_upper else F.col("term") < q.upper
+                )
+        elif isinstance(q, FuzzyQuery):
+            cond = F.levenshtein(F.col("term"), F.lit(q.term)) <= q.max_edits
+        else:
+            raise TypeError(type(q).__name__)
+        rows = (
+            ts.filter(cond)
+            .select("term")
+            .orderBy("term")
+            .limit(MAX_EXPANSION_TERMS)
+            .collect()
+        )
+        return [r["term"] for r in rows]
+
+    def _match(self, q: Query) -> DataFrame:
+        """Non-scoring doc-set execution → DataFrame(doc_id)."""
+        if isinstance(q, MatchNoDocsQuery):
+            spark = self.tables.postings.sparkSession
+            return spark.createDataFrame([], "doc_id long")
+        if isinstance(q, MatchAllDocsQuery):
+            return self.tables.doc_norms.select("doc_id")
+        if isinstance(q, (BoostQuery, ConstantScoreQuery)):
+            return self._match(q.query)
+        if isinstance(q, TermQuery):
+            return self._term_postings(q.term).select("doc_id")
+        if isinstance(q, SynonymQuery):
+            return (
+                self._postings.filter(F.col("term").isin(list(q.terms)))
+                .select("doc_id")
+                .distinct()
+            )
+        if isinstance(q, (PrefixQuery, WildcardQuery, TermRangeQuery, FuzzyQuery)):
+            terms = self._expand_terms(q)
+            if not terms:
+                spark = self.tables.postings.sparkSession
+                return spark.createDataFrame([], "doc_id long")
+            return (
+                self._postings.filter(F.col("term").isin(terms))
+                .select("doc_id")
+                .distinct()
+            )
+        if isinstance(q, PhraseQuery):
+            return self._exec_phrase(q, 1.0).select("doc_id")
+        if isinstance(q, BooleanQuery):
+            musts = [
+                c.query for c in q.clauses if c.occur in (Occur.MUST, Occur.FILTER)
+            ]
+            shoulds = [c.query for c in q.clauses if c.occur == Occur.SHOULD]
+            must_nots = [c.query for c in q.clauses if c.occur == Occur.MUST_NOT]
+            msm = q.minimum_number_should_match
+            base: DataFrame | None = None
+            for m in sorted(musts, key=self._cost):
+                mdf = self._match(m)
+                base = mdf if base is None else base.join(mdf, "doc_id", "left_semi")
+            if shoulds:
+                union = reduce(
+                    DataFrame.unionByName, (self._match(s) for s in shoulds)
+                )
+                agg = union.groupBy("doc_id").agg(F.count("*").alias("_cnt"))
+                if base is None:
+                    base = agg.filter(F.col("_cnt") >= max(msm, 1)).select("doc_id")
+                elif msm > 0:
+                    base = base.join(
+                        agg.filter(F.col("_cnt") >= msm).select("doc_id"),
+                        "doc_id",
+                        "left_semi",
+                    )
+            if base is None:
+                spark = self.tables.postings.sparkSession
+                return spark.createDataFrame([], "doc_id long")
+            for mn in must_nots:
+                base = base.join(self._match(mn), "doc_id", "left_anti")
+            return base.select("doc_id")
+        raise TypeError(f"cannot match {type(q).__name__}")
+
+
+def re_escape(ch: str) -> str:
+    import re
+
+    return re.escape(ch)

@@ -1,0 +1,93 @@
+"""Top-k semantics: tie-break, paging, expansion queries
+(mirrors CheckHits + TopDocs.merge tie-break tests)."""
+
+from conftest import assert_rank_identical
+from lucene_solr_spark.queries import PrefixQuery, TermRangeQuery, WildcardQuery, FuzzyQuery
+
+
+def test_tie_break_score_desc_docid_asc(searcher, oracle):
+    # equal float32 scores must order by doc_id ascending (HitQueue.java:76-81)
+    top = searcher.search("table", 50).collect()
+    scores = [r["score"] for r in top]
+    for i in range(1, len(top)):
+        if scores[i] == scores[i - 1]:
+            assert top[i]["doc_id"] > top[i - 1]["doc_id"]
+    assert_rank_identical(
+        searcher.search("table", 50), oracle.top_k(oracle.term_scores("table"), 50)
+    )
+
+
+def test_search_after_paging(searcher, oracle):
+    page1 = searcher.search("table", 10).collect()
+    last = page1[-1]
+    page2 = searcher.search_after("table", last["score"], last["doc_id"], 10).collect()
+    want = oracle.top_k(oracle.term_scores("table"), 20)[10:20]
+    got = [(r["doc_id"], r["score"]) for r in page2]
+    assert [g[0] for g in got] == [w[0] for w in want]
+
+
+def test_prefix_query(searcher, oracle):
+    want = set()
+    for t, pl in oracle.postings.items():
+        if t.startswith("wind"):
+            want |= set(pl)
+    got = {r["doc_id"] for r in searcher.docs(PrefixQuery("wind")).collect()}
+    assert got == want
+
+
+def test_wildcard_query(searcher, oracle):
+    import re
+
+    pat = re.compile(r"^w.ndow$")
+    want = set()
+    for t, pl in oracle.postings.items():
+        if pat.match(t):
+            want |= set(pl)
+    got = {r["doc_id"] for r in searcher.docs(WildcardQuery("w?ndow")).collect()}
+    assert got == want
+
+
+def test_term_range_query(searcher, oracle):
+    want = set()
+    for t, pl in oracle.postings.items():
+        if "table" <= t <= "tables":
+            want |= set(pl)
+    got = {
+        r["doc_id"]
+        for r in searcher.docs(TermRangeQuery("table", "tables")).collect()
+    }
+    assert got == want
+
+
+def test_fuzzy_query(searcher, oracle):
+    # levenshtein ≤ 1 from 'tble' should reach 'table'
+    got = {r["doc_id"] for r in searcher.docs(FuzzyQuery("tble", 1)).collect()}
+    assert set(oracle.term_docs("table")) <= got
+
+
+def test_exact_mode_matches_double_precision_oracle(tables, oracle):
+    """Exact scoring mode (double precision, unquantized norms) must match
+    an independent double-precision computation — this is the mode the
+    external SQL oracle cross-checks."""
+    import math
+
+    from lucene_solr_spark.queries import IndexSearcher
+
+    s2 = IndexSearcher(tables, scoring="exact", cache_postings=False)
+    n = oracle.doc_count
+    avgdl = oracle.sum_ttf / n
+    k1, b = 1.2, 0.75
+    term = "spark"
+    pl = oracle.postings[term]
+    idf = math.log(1.0 + (n - len(pl) + 0.5) / (len(pl) + 0.5))
+    want = {
+        d: idf * (k1 + 1) * len(p) / (
+            len(p) + k1 * (1 - b + b * oracle.lengths[d] / avgdl)
+        )
+        for d, p in pl.items()
+    }
+    top = sorted(want.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
+    got = [(r["doc_id"], r["score"]) for r in s2.search(term, 10).collect()]
+    assert [g[0] for g in got] == [w[0] for w in top]
+    for (gd, gs), (wd, ws) in zip(got, top):
+        assert abs(gs - ws) < 1e-12
