@@ -1,0 +1,232 @@
+"""Deduplication operators: exact, n-gram Jaccard, MinHash+LSH, SimHash.
+
+Scale notes (the whole point of these implementations):
+
+- exact: one hash-groupBy — Spark's partial+final agg handles any size.
+- n-gram Jaccard: shingle-explode + self-join on shingle.  The join is
+  shuffle-on-shingle; hot shingles are capped by a document-frequency
+  filter (a shingle in >max_df docs carries no dedup signal — standard
+  suffix-array-dedup trick) so the join never degenerates quadratically.
+- MinHash+LSH: signatures via xxhash64(shingle, seed_i) min-aggregated
+  per doc — one pass, no UDF; banding → bucket join on (band, band_hash)
+  → candidate pairs → exact-Jaccard verification of candidates only.
+- SimHash: 64-bit sign-aggregated token hashes via bit arithmetic in
+  column expressions; near-dups = hamming ≤ k via bucket join on
+  16-bit chunks (pigeonhole: hamming ≤ 3 ⇒ some chunk equal).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _tokens(text_col: str):
+    return F.split(F.lower(F.trim(F.col(text_col))), " +")
+
+
+def _shingles(text_col: str, n: int):
+    """Word n-gram shingles as strings (distinct per doc).
+
+    Docs with fewer than n tokens produce no shingles (guarded —
+    F.sequence(0, negative) would generate a descending range)."""
+    toks = _tokens(text_col)
+    if n == 1:
+        return F.array_distinct(toks)
+    idx = F.sequence(F.lit(1), F.size(toks) - n + 1)
+    grams = F.array_distinct(
+        F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i, n)))
+    )
+    return F.when(F.size(toks) >= n, grams).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+def exact_dedup(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Exact duplicate groups by content hash → (rep_id, dup_count, members)."""
+    return (
+        df.select(F.col(id_col).alias("doc_id"), F.sha2(F.col(text_col), 256).alias("h"))
+        .groupBy("h")
+        .agg(
+            F.min("doc_id").alias("rep_id"),
+            F.count("*").alias("dup_count"),
+            F.sort_array(F.collect_list("doc_id")).alias("members"),
+        )
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    n: int = 3,
+    threshold: float = 0.8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_shingle_df: int = 10000,
+) -> DataFrame:
+    """All (a, b) doc pairs with word-n-gram Jaccard ≥ threshold.
+
+    Shingles occurring in more than ``max_shingle_df`` docs are dropped
+    from pair generation (hot-key guard) but still counted in set sizes.
+    """
+    sh = df.select(
+        F.col(id_col).alias("doc_id"), F.explode(_shingles(text_col, n)).alias("s")
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("size"))
+    hot = sh.groupBy("s").agg(F.count("*").alias("sdf")).filter(
+        F.col("sdf") > max_shingle_df
+    )
+    sh_cold = sh.join(F.broadcast(hot.select("s")), "s", "left_anti")
+    a = sh_cold.alias("a")
+    b = sh_cold.alias("b")
+    common = (
+        a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("ida"), F.col("b.doc_id").alias("idb"))
+        .agg(F.count("*").alias("common"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("ida"), F.col("size").alias("size_a"))
+    sb = sizes.select(F.col("doc_id").alias("idb"), F.col("size").alias("size_b"))
+    return (
+        common.join(sa, "ida")
+        .join(sb, "idb")
+        .withColumn(
+            "jaccard",
+            F.col("common") / (F.col("size_a") + F.col("size_b") - F.col("common")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("ida", "idb", "common", "size_a", "size_b", "jaccard")
+    )
+
+
+def minhash_signatures(
+    df: DataFrame,
+    num_hashes: int = 16,
+    n: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """MinHash signature per doc: sig_i = min over shingles of
+    xxhash64(shingle, seed=i).  One exploded agg, no UDF."""
+    sh = df.select(
+        F.col(id_col).alias("doc_id"), F.explode(_shingles(text_col, n)).alias("s")
+    )
+    aggs = [
+        F.min(F.xxhash64(F.col("s"), F.lit(i))).alias(f"mh{i}")
+        for i in range(num_hashes)
+    ]
+    return sh.groupBy("doc_id").agg(*aggs)
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    num_hashes: int = 16,
+    bands: int = 4,
+    n: int = 2,
+    threshold: float = 0.5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Near-dup pairs via banded MinHash-LSH, verified with exact Jaccard.
+
+    bands × rows layout: a pair is a candidate if any band's row-hashes
+    all collide (bucket join on (band_id, band_hash)); candidates are
+    then verified against the true n-gram Jaccard — no false positives
+    survive, recall is the standard LSH S-curve.
+    """
+    assert num_hashes % bands == 0
+    rows = num_hashes // bands
+    sig = minhash_signatures(df, num_hashes, n, id_col, text_col)
+    band_cols = [
+        F.struct(
+            F.lit(bi).alias("band"),
+            F.xxhash64(*[F.col(f"mh{bi * rows + r}") for r in range(rows)]).alias("bh"),
+        )
+        for bi in range(bands)
+    ]
+    buckets = sig.select(
+        "doc_id", F.explode(F.array(*band_cols)).alias("b")
+    ).select("doc_id", F.col("b.band").alias("band"), F.col("b.bh").alias("bh"))
+    a, b = buckets.alias("a"), buckets.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bh") == F.col("b.bh"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("ida"), F.col("b.doc_id").alias("idb"))
+        .distinct()
+    )
+    exact = ngram_jaccard_pairs(
+        df, n=n, threshold=threshold, id_col=id_col, text_col=text_col
+    ).select("ida", "idb", "jaccard")
+    return cand.join(exact, ["ida", "idb"], "inner")
+
+
+def simhash(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", bits: int = 64
+) -> DataFrame:
+    """64-bit SimHash per doc from token xxhash64s, all column expressions.
+
+    For each bit b: sign = Σ_tokens (bit_b(hash) ? +1 : −1); simhash bit
+    b = sign > 0.
+    """
+    tok = df.select(
+        F.col(id_col).alias("doc_id"), F.explode(_tokens(text_col)).alias("t")
+    ).withColumn("h", F.xxhash64("t"))
+    aggs = [
+        F.sum(
+            F.when(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"b{b}")
+        for b in range(bits)
+    ]
+    votes = tok.groupBy("doc_id").agg(*aggs)
+    sig = F.lit(0).cast("long")
+    for b in range(bits):
+        sig = sig + F.when(F.col(f"b{b}") > 0, F.lit(1).cast("long") * (1 << b) if b < 63 else F.lit(-(1 << 63))).otherwise(0)
+    return votes.select("doc_id", sig.alias("simhash"))
+
+
+def simhash_near_dups(
+    df: DataFrame,
+    max_hamming: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Pairs with hamming(simhash_a, simhash_b) ≤ max_hamming.
+
+    Pigeonhole bucket join: split 64 bits into (max_hamming+1) chunks;
+    any pair within distance k agrees on ≥1 chunk → join per chunk,
+    verify with bit_count(xor)."""
+    chunks = max_hamming + 1
+    width = 64 // chunks
+    sig = simhash(df, id_col, text_col)
+    chunk_cols = [
+        F.struct(
+            F.lit(c).alias("chunk"),
+            F.shiftrightunsigned(F.col("simhash"), c * width)
+            .bitwiseAND(F.lit((1 << width) - 1))
+            .alias("key"),
+        )
+        for c in range(chunks)
+    ]
+    keyed = sig.select(
+        "doc_id", "simhash", F.explode(F.array(*chunk_cols)).alias("c")
+    ).select("doc_id", "simhash", F.col("c.chunk").alias("chunk"), F.col("c.key").alias("key"))
+    a, b = keyed.alias("a"), keyed.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.chunk") == F.col("b.chunk"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("ida"),
+            F.col("b.doc_id").alias("idb"),
+            F.bit_count(
+                F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
+            ).alias("hamming"),
+        )
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
+    )

@@ -1,0 +1,149 @@
+"""Similarity search over embedding columns (array<float>).
+
+- ``cosine_topk``: brute-force exact top-k — JVM-side dot product via
+  zip_with + aggregate (whole-stage codegen, no UDF), the correctness
+  baseline and the right plan when the query set is small.
+- ``lsh_ann_topk``: random-hyperplane LSH buckets → candidate set →
+  exact rerank.  The scale path: at 10^12 vectors the bucket join
+  prunes the candidate set by ~2^num_planes before any dot product.
+- ``embedding_near_dups``: all-pairs cosine ≥ τ via LSH-bucketed join.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _dot(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0).cast("double"),
+        lambda acc, v: acc + v,
+    )
+
+
+def _norm(a):
+    return F.sqrt(
+        F.aggregate(
+            F.transform(a, lambda x: x * x),
+            F.lit(0.0).cast("double"),
+            lambda acc, v: acc + v,
+        )
+    )
+
+
+def cosine_topk(
+    df: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k by cosine similarity to ``query_vec`` (brute force).
+
+    Tie-break: cosine DESC, id ASC — same discipline as search top-k.
+    """
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    qn = float(np.linalg.norm(np.asarray(query_vec, dtype=np.float64)))
+    if qn == 0.0:
+        raise ValueError("query vector has zero norm")
+    v = F.col(vec_col)
+    nrm = _norm(v)
+    cos = _dot(v, q) / (nrm * F.lit(qn))
+    return (
+        df.select(F.col(id_col).alias("vec_id"), cos.alias("cosine"), nrm.alias("_n"))
+        .filter(F.col("_n") > 0)  # zero-norm rows can't rank (ANSI /0 guard)
+        .drop("_n")
+        .orderBy(F.col("cosine").desc(), F.col("vec_id").asc())
+        .limit(k)
+    )
+
+
+def _hyperplanes(dim: int, num_planes: int, seed: int = 42) -> np.ndarray:
+    rng = np.random.default_rng(seed)
+    return rng.standard_normal((num_planes, dim))
+
+
+def _lsh_bucket(vec_col: str, planes: np.ndarray):
+    """Sign-bit bucket id from ``num_planes`` random hyperplanes."""
+    bucket = F.lit(0).cast("long")
+    for i, plane in enumerate(planes):
+        p = F.array(*[F.lit(float(x)) for x in plane])
+        bit = F.when(_dot(F.col(vec_col), p) > 0, F.lit(1 << i)).otherwise(0)
+        bucket = bucket + bit
+    return bucket
+
+
+def lsh_ann_topk(
+    df: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    num_planes: int = 8,
+    probe_hamming: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate top-k: random-hyperplane LSH bucket + multiprobe.
+
+    Scans only vectors whose bucket is within ``probe_hamming`` bit flips
+    of the query's bucket, then reranks those exactly.  Recall/latency
+    knob = (num_planes, probe_hamming).
+    """
+    dim = len(query_vec)
+    planes = _hyperplanes(dim, num_planes, seed)
+    qv = np.asarray(query_vec, dtype=np.float64)
+    qbucket = sum(1 << i for i, p in enumerate(planes) if float(p @ qv) > 0)
+    # enumerate probe buckets within the hamming radius (small: C(p, h))
+    probes = {qbucket}
+    if probe_hamming >= 1:
+        probes |= {qbucket ^ (1 << i) for i in range(num_planes)}
+    if probe_hamming >= 2:
+        probes |= {
+            qbucket ^ (1 << i) ^ (1 << j)
+            for i in range(num_planes)
+            for j in range(i + 1, num_planes)
+        }
+    bucketed = df.withColumn("_bucket", _lsh_bucket(vec_col, planes))
+    cand = bucketed.filter(F.col("_bucket").isin([int(x) for x in probes]))
+    return cosine_topk(cand, query_vec, k, id_col, vec_col)
+
+
+def embedding_near_dups(
+    df: DataFrame,
+    threshold: float = 0.95,
+    num_planes: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+) -> DataFrame:
+    """All (a, b) pairs with cosine ≥ threshold, LSH-bucketed.
+
+    Exact within buckets; near-identical vectors land in the same
+    bucket with high probability (sign-LSH collision prob =
+    1 − θ/π per plane)."""
+    dim = len(df.select(vec_col).first()[0])
+    planes = _hyperplanes(dim, num_planes, seed)
+    bucketed = df.select(
+        F.col(id_col).alias("vec_id"),
+        F.col(vec_col).alias("v"),
+        _lsh_bucket(vec_col, planes).alias("bucket"),
+        _norm(F.col(vec_col)).alias("nrm"),
+    )
+    a, b = bucketed.alias("a"), bucketed.alias("b")
+    cos = _dot(F.col("a.v"), F.col("b.v")) / (F.col("a.nrm") * F.col("b.nrm"))
+    return (
+        a.join(
+            b,
+            (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(
+            F.col("a.vec_id").alias("ida"),
+            F.col("b.vec_id").alias("idb"),
+            cos.alias("cosine"),
+        )
+        .filter(F.col("cosine") >= threshold)
+    )
