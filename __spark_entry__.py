@@ -1,38 +1,1129 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` runs the flagship BM25 boolean top-k on sf0.001.
+``queries()`` exposes one callable per implemented operator from
+SURVEY.md §2; ``oracle_sql()`` gives the DuckDB-equivalent ANSI SQL.
+
+Oracle discipline: the search queries run the engine in ``exact``
+scoring mode (double-precision BM25 over exact field lengths — the
+fully SQL-expressible variant; SURVEY §2.4's byte315-quantized float32
+``lucene`` mode is covered by the pytest golden/rank-identity suite
+against a pure-Python Lucene-faithful oracle instead, plus rows-only
+entries here).  Every float column is rounded to 4 decimals on BOTH
+sides and every top-k orders by (rounded score DESC, doc_id ASC) on
+BOTH sides, so ranking ties resolve identically in the two engines.
 """
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
 
+from lucene_solr_spark.functions import dedup, similarity, textstats
+from lucene_solr_spark.index.builder import IndexTables, build_tables
+from lucene_solr_spark.queries.parser import parse_query
+from lucene_solr_spark.queries.query import (
+    BooleanClause,
+    BooleanQuery,
+    FuzzyQuery,
+    MatchAllDocsQuery,
+    Occur,
+    PhraseQuery,
+    PrefixQuery,
+    SynonymQuery,
+    TermQuery,
+    TermRangeQuery,
+    WildcardQuery,
+)
+from lucene_solr_spark.queries.searcher import IndexSearcher
+
+# --------------------------------------------------------------------------
+# shared plumbing
+# --------------------------------------------------------------------------
+
+_TABLES: dict[tuple[str, str], IndexTables] = {}
+_SEARCHERS: dict[tuple[str, str, str], IndexSearcher] = {}
+
+
+def _table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+def _index_tables(spark: SparkSession, sf_dir: str) -> IndexTables:
+    key = (spark.sparkContext.applicationId, sf_dir)
+    t = _TABLES.get(key)
+    if t is None:
+        docs = _table(spark, sf_dir, "documents")
+        t = build_tables(docs, id_col="doc_id", text_col="text")
+        _TABLES[key] = t
+    return t
+
+
+def _searcher(
+    spark: SparkSession, sf_dir: str, scoring: str = "exact"
+) -> IndexSearcher:
+    key = (spark.sparkContext.applicationId, sf_dir, scoring)
+    s = _SEARCHERS.get(key)
+    if s is None:
+        s = IndexSearcher(_index_tables(spark, sf_dir), scoring=scoring)
+        _SEARCHERS[key] = s
+    return s
+
+
+def _scored(df: DataFrame) -> DataFrame:
+    """Round the score to 4 decimals (both engines do the same)."""
+    return df.select(
+        "doc_id", F.round(F.col("score").cast("double"), 4).alias("score")
+    )
+
+
+def _topk(df: DataFrame, k: int = 10) -> DataFrame:
+    """Top-k over the ROUNDED score with the HitQueue tie-break
+    (score DESC, doc_id ASC — ref: search/HitQueue.java:76-81)."""
+    return (
+        _scored(df)
+        .orderBy(F.col("score").desc(), F.col("doc_id").asc())
+        .limit(k)
+    )
+
+
+# DuckDB-side tokenize + index CTEs.  The `documents` corpus is plain
+# single-space lowercase words, on which the StandardAnalyzer tokenizer
+# (UAX#29 subset) reduces exactly to a space split; positions number all
+# tokens and stopword removal keeps the gaps (FilteringTokenFilter.java:46-60).
+_STOP = (
+    "'a','an','and','are','as','at','be','but','by','for','if','in','into',"
+    "'is','it','no','not','of','on','or','such','that','the','their','then',"
+    "'there','these','they','this','to','was','will','with'"
+)
+
+_IDX = f"""
+toks AS (
+  SELECT doc_id,
+         unnest(string_split(text, ' ')) AS term,
+         unnest(range(len(string_split(text, ' ')))) AS pos
+  FROM documents
+),
+kept AS (SELECT doc_id, term, pos FROM toks WHERE term NOT IN ({_STOP})),
+postings AS (
+  SELECT doc_id, term, count(*) AS tf FROM kept GROUP BY doc_id, term
+),
+norms AS (SELECT doc_id, sum(tf) AS length FROM postings GROUP BY doc_id),
+cstats AS (SELECT count(*) AS n, sum(length) AS sttf FROM norms),
+tstats AS (SELECT term, count(*) AS df FROM postings GROUP BY term)
+"""
+
+# BM25 (k1=1.2, b=0.75) in exact/double mode, arithmetic ordered exactly
+# like IndexSearcher._score_col: (idf*2.2)*tf / (tf + 1.2*(0.25 + 0.75*len/avgdl))
+def _bm25_sql(term: str) -> str:
+    return f"""
+  SELECT p.doc_id,
+         ln(1 + (c.n - t.df + 0.5) / (t.df + 0.5)) * 2.2 * p.tf
+           / (p.tf + 1.2 * (0.25 + 0.75 * nm.length / (c.sttf / c.n))) AS score
+  FROM postings p
+  JOIN tstats t USING (term)
+  JOIN norms nm USING (doc_id)
+  CROSS JOIN cstats c
+  WHERE p.term = '{term}'
+"""
+
+
+_TOPK_TAIL = """
+SELECT doc_id, ROUND(score, 4) AS score FROM scored
+ORDER BY ROUND(score, 4) DESC, doc_id ASC LIMIT {k}
+"""
+
+
+# --------------------------------------------------------------------------
+# search queries (SURVEY §2.3–§2.5)
+# --------------------------------------------------------------------------
+
+def q_term_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TermQuery + BM25 top-10 (ref: search/TermQuery.java, TermScorer.java)."""
+    s = _searcher(spark, sf_dir)
+    return _topk(s.docs(TermQuery("spark")), 10)
+
+
+def q_term_query_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exhaustive single-term scoring (no top-k truncation)."""
+    s = _searcher(spark, sf_dir)
+    return _scored(s.docs(TermQuery("vector")))
+
+
+def q_term_query_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TotalHitCountCollector analog (search/TotalHitCountCollector.java)."""
+    s = _searcher(spark, sf_dir)
+    return s._match(TermQuery("window")).agg(F.count("*").alias("cnt"))
+
+
+def q_boolean_must(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AND conjunction, rarest-first join order (ConjunctionDISI.java:185)."""
+    s = _searcher(spark, sf_dir)
+    return _topk(s.docs(parse_query("+spark +window")), 10)
+
+
+def q_boolean_should(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OR disjunction: union + groupBy-sum (DisjunctionSumScorer.java)."""
+    s = _searcher(spark, sf_dir)
+    return _scored(s.docs(parse_query("vector hash")))
+
+
+def q_boolean_must_not(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Required AND NOT excluded → left_anti (ReqExclScorer.java)."""
+    s = _searcher(spark, sf_dir)
+    return _scored(s.docs(parse_query("+vector -window")))
+
+
+def q_boolean_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FILTER clause: required, non-scoring (BooleanClause.Occur.FILTER)."""
+    s = _searcher(spark, sf_dir)
+    q = BooleanQuery(
+        (
+            BooleanClause(Occur.MUST, TermQuery("vector")),
+            BooleanClause(Occur.FILTER, TermQuery("window")),
+        )
+    )
+    return _scored(s.docs(q))
+
+
+def q_min_should_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """n-of-m disjunction (MinShouldMatchSumScorer.java)."""
+    s = _searcher(spark, sf_dir)
+    q = BooleanQuery(
+        (
+            BooleanClause(Occur.SHOULD, TermQuery("vector")),
+            BooleanClause(Occur.SHOULD, TermQuery("hash")),
+            BooleanClause(Occur.SHOULD, TermQuery("dup")),
+        ),
+        minimum_number_should_match=2,
+    )
+    return _scored(s.docs(q))
+
+
+def q_phrase_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact phrase, two-phase position verify (ExactPhraseScorer.java:60-171)."""
+    s = _searcher(spark, sf_dir)
+    return _scored(s.docs(PhraseQuery(("spark", "window"))))
+
+
+def q_synonym_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SynonymQuery: summed tf, max df (search/SynonymQuery.java)."""
+    s = _searcher(spark, sf_dir)
+    return _scored(s.docs(SynonymQuery(("vector", "hash"))))
+
+
+def q_prefix_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Prefix → dictionary expansion, constant score (PrefixQuery.java)."""
+    s = _searcher(spark, sf_dir)
+    return _scored(s.docs(PrefixQuery("s")))
+
+
+def q_wildcard_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wildcard term expansion (WildcardQuery.java)."""
+    s = _searcher(spark, sf_dir)
+    return _scored(s.docs(WildcardQuery("?a*")))
+
+
+def q_range_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Term range over the dictionary (TermRangeQuery.java)."""
+    s = _searcher(spark, sf_dir)
+    return _scored(s.docs(TermRangeQuery("batch", "data", True, False)))
+
+
+def q_fuzzy_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy (Levenshtein ≤ 1) term expansion (FuzzyQuery.java)."""
+    s = _searcher(spark, sf_dir)
+    return _scored(s.docs(FuzzyQuery("tabel", max_edits=1)))
+
+
+def q_match_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MatchAllDocsQuery (search/MatchAllDocsQuery.java)."""
+    s = _searcher(spark, sf_dir)
+    return _scored(s.docs(MatchAllDocsQuery()))
+
+
+def q_search_after(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Paging cursor — page 2 of the 'spark' ranking
+    (IndexSearcher.searchAfter, IndexSearcher.java:411-446)."""
+    s = _searcher(spark, sf_dir)
+    full = _scored(s.docs(TermQuery("spark")))
+    page1 = (
+        full.orderBy(F.col("score").desc(), F.col("doc_id").asc()).limit(10).collect()
+    )
+    if len(page1) < 10:
+        return full.limit(0)
+    cur_s, cur_d = page1[-1]["score"], page1[-1]["doc_id"]
+    cond = (F.col("score") < F.lit(cur_s)) | (
+        (F.col("score") == F.lit(cur_s)) & (F.col("doc_id") > F.lit(cur_d))
+    )
+    return (
+        full.filter(cond)
+        .orderBy(F.col("score").desc(), F.col("doc_id").asc())
+        .limit(10)
+    )
+
+
+def q_term_query_lucene(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """float32 byte315-norm BM25 (rank-identical mode; SURVEY §2.4) —
+    not SQL-expressible, rows-only check; pytest covers rank-identity."""
+    s = _searcher(spark, sf_dir, scoring="lucene")
+    return s.search(parse_query("+spark +window vector"), k=10)
+
+
+# --------------------------------------------------------------------------
+# facets / stats / grouping (SURVEY §2.6)
+# --------------------------------------------------------------------------
+
+def q_facet_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Field facet: top buckets by count (SimpleFacets.java:344-452)."""
+    s = _searcher(spark, sf_dir)
+    m = s._match(TermQuery("spark"))
+    d = _table(spark, sf_dir, "documents")
+    return (
+        d.join(m, "doc_id")
+        .groupBy(F.col("lang").alias("bucket"))
+        .agg(F.count("*").alias("cnt"))
+        .orderBy(F.col("cnt").desc(), F.col("bucket").asc())
+        .limit(5)
+    )
+
+
+def q_facet_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range facet on a numeric field (search/facet/FacetRange.java)."""
+    d = _table(spark, sf_dir, "documents")
+    return (
+        d.groupBy(
+            (F.floor(F.col("n_chars") / 100) * 100).cast("long").alias("bucket_start")
+        )
+        .agg(F.count("*").alias("cnt"))
+        .orderBy("bucket_start")
+    )
+
+
+def q_pivot_facet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot (nested) facet (handler/component/PivotFacetComponent)."""
+    d = _table(spark, sf_dir, "documents")
+    return (
+        d.groupBy("lang", "source")
+        .agg(F.count("*").alias("cnt"))
+        .orderBy("lang", "source")
+    )
+
+
+def q_stats_component(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """StatsComponent field stats (handler/component/StatsComponent.java)."""
+    s = _searcher(spark, sf_dir)
+    m = s._match(TermQuery("query"))
+    d = _table(spark, sf_dir, "documents")
+    return d.join(m, "doc_id").agg(
+        F.count("*").alias("cnt"),
+        F.min("n_chars").alias("min_chars"),
+        F.max("n_chars").alias("max_chars"),
+        F.sum("n_chars").alias("sum_chars"),
+        F.round(F.avg("n_chars"), 4).alias("mean_chars"),
+        F.round(F.stddev("n_chars"), 4).alias("stddev_chars"),
+    )
+
+
+def q_grouping_collapse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Field collapse: best doc per group value
+    (lucene/grouping FirstPassGroupingCollector, CollapsingQParserPlugin)."""
+    s = _searcher(spark, sf_dir)
+    sc = _scored(s.docs(TermQuery("query")))
+    d = _table(spark, sf_dir, "documents").select("doc_id", "lang")
+    j = sc.join(d, "doc_id")
+    w = Window.partitionBy("lang").orderBy(F.col("score").desc(), F.col("doc_id").asc())
+    return (
+        j.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("lang", "doc_id", "score")
+        .orderBy("lang")
+    )
+
+
+def q_significant_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Foreground-vs-background term significance
+    (io/stream/SignificantTermsStream.java)."""
+    t = _index_tables(spark, sf_dir)
+    s = _searcher(spark, sf_dir)
+    fg_docs = s._match(TermQuery("vector"))
+    fg_n = fg_docs.count()
+    n = t.stats.doc_count
+    fg_df = (
+        t.postings.join(fg_docs, "doc_id")
+        .groupBy("term")
+        .agg(F.count("*").alias("fg_df"))
+    )
+    return (
+        fg_df.join(t.term_stats.select("term", F.col("df").alias("bg_df")), "term")
+        .withColumn(
+            "ratio",
+            (F.col("fg_df") / F.lit(fg_n)) / (F.col("bg_df") / F.lit(n)),
+        )
+        .select("term", "fg_df", "bg_df", F.round("ratio", 4).alias("ratio"))
+        .orderBy(F.col("ratio").desc(), F.col("term").asc())
+        .limit(10)
+    )
+
+
+# --------------------------------------------------------------------------
+# streaming-expression relational algebra (SURVEY §2.7) on TPC-H tables
+# --------------------------------------------------------------------------
+
+def q_rollup_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RollupStream: sorted group-by with count/sum/mean metrics
+    (io/stream/RollupStream.java; metrics in io/stream/metrics/).
+    Decimal sums so the result is order-independent and exact."""
+    li = _table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(F.col("l_quantity").cast("decimal(18,2)")).cast("double").alias("sum_qty"),
+            F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).cast("double").alias("sum_price"),
+            F.sum(
+                (
+                    F.col("l_extendedprice").cast("decimal(18,2)")
+                    * (F.lit(1).cast("decimal(18,2)") - F.col("l_discount").cast("decimal(18,2)"))
+                ).cast("decimal(28,4)")
+            ).cast("double").alias("sum_disc_price"),
+            F.count("*").alias("cnt"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+def q_hashjoin_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HashJoinStream: broadcast-hash join, small side buffered
+    (io/stream/HashJoinStream.java — right side in a HashMap ⇒ broadcast)."""
+    o = _table(spark, sf_dir, "orders")
+    c = _table(spark, sf_dir, "customer")
+    return (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("*").alias("cnt"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double").alias("sum_price"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+def q_innerjoin_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """InnerJoinStream: sort-merge join on shared key
+    (io/stream/InnerJoinStream.java)."""
+    o = _table(spark, sf_dir, "orders")
+    li = _table(spark, sf_dir, "lineitem")
+    return (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count("*").alias("cnt"),
+            F.sum(
+                (
+                    F.col("l_extendedprice").cast("decimal(18,2)")
+                    * (F.lit(1).cast("decimal(18,2)") - F.col("l_discount").cast("decimal(18,2)"))
+                ).cast("decimal(28,4)")
+            ).cast("double").alias("revenue"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+def q_leftjoin_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LeftOuterJoinStream (io/stream/LeftOuterJoinStream.java):
+    customers with their order counts, keeping order-less customers."""
+    o = _table(spark, sf_dir, "orders")
+    c = _table(spark, sf_dir, "customer")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("order_cnt"))
+        .orderBy("c_custkey")
+    )
+
+
+def q_merge_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MergeStream: ordered union of two sorted streams
+    (io/stream/MergeStream.java)."""
+    o = _table(spark, sf_dir, "orders")
+    a = o.filter(F.col("o_orderpriority") == "1-URGENT")
+    b = o.filter(F.col("o_orderpriority") == "2-HIGH")
+    return (
+        a.unionByName(b)
+        .select("o_orderkey", "o_orderpriority")
+        .orderBy("o_orderkey")
+    )
+
+
+def q_unique_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UniqueStream: dedup on key (io/stream/UniqueStream.java)."""
+    o = _table(spark, sf_dir, "orders")
+    return o.select("o_custkey").dropDuplicates().orderBy("o_custkey")
+
+
+def q_rank_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RankStream: bounded top-N heap → TakeOrderedAndProject
+    (io/stream/RankStream.java)."""
+    o = _table(spark, sf_dir, "orders")
+    return (
+        o.select("o_orderkey", F.round(F.col("o_totalprice"), 2).alias("o_totalprice"))
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+        .limit(10)
+    )
+
+
+def q_having_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HavingStream: post-agg filter (io/stream/HavingStream.java)."""
+    o = _table(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_custkey")
+        .agg(F.count("*").alias("cnt"))
+        .filter(F.col("cnt") >= 5)
+        .orderBy("o_custkey")
+    )
+
+
+def q_intersect_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IntersectStream on sorted keys (io/stream/IntersectStream.java)."""
+    o = _table(spark, sf_dir, "orders")
+    a = o.filter(F.col("o_orderpriority") == "1-URGENT").select("o_custkey")
+    b = o.filter(F.col("o_orderpriority") == "2-HIGH").select("o_custkey")
+    return a.intersect(b).orderBy("o_custkey")
+
+
+def q_complement_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ComplementStream: A − B on keys (io/stream/ComplementStream.java)."""
+    o = _table(spark, sf_dir, "orders")
+    a = o.filter(F.col("o_orderpriority") == "1-URGENT").select("o_custkey")
+    b = o.filter(F.col("o_orderpriority") == "2-HIGH").select("o_custkey")
+    return a.dropDuplicates().join(b, "o_custkey", "left_anti").orderBy("o_custkey")
+
+
+def q_cartesian_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CartesianProductStream: unnest multivalued field → rows
+    (io/stream/CartesianProductStream.java)."""
+    d = _table(spark, sf_dir, "documents").filter(F.col("doc_id") < 20)
+    return (
+        d.select(
+            "doc_id", F.explode(F.split(F.col("text"), " ")).alias("term")
+        )
+        .orderBy("doc_id", "term")
+    )
+
+
+def q_fetch_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FetchStream: enrich search hits by id join — the stored-field
+    fetch stage of a distributed query (io/stream/FetchStream.java;
+    QueryComponent.java:716 StoredFieldsShardRequestFactory)."""
+    s = _searcher(spark, sf_dir)
+    hits = _topk(s.docs(TermQuery("spark")), 10)
+    d = _table(spark, sf_dir, "documents").select("doc_id", "lang", "source")
+    return hits.join(d, "doc_id").select("doc_id", "score", "lang", "source")
+
+
+def q_timeseries_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TimeSeriesStream: tumbling calendar windows on a time field
+    (io/stream/TimeSeriesStream.java)."""
+    e = _table(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.date_format(F.date_trunc("day", F.col("ts")), "yyyy-MM-dd").alias("day"))
+        .agg(
+            F.count("*").alias("cnt"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+        .orderBy("day")
+    )
+
+
+def q_select_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SelectStream: projection + rename + computed evaluator
+    (io/stream/SelectStream.java)."""
+    o = _table(spark, sf_dir, "orders")
+    return (
+        o.select(
+            F.col("o_orderkey").alias("id"),
+            F.col("o_orderpriority").alias("priority"),
+            F.round(F.col("o_totalprice") * 0.1, 4).alias("fee"),
+        )
+        .filter(F.col("priority") == "1-URGENT")
+        .orderBy("id")
+    )
+
+
+# --------------------------------------------------------------------------
+# training-data pipeline ops (dedup / similarity / text analysis)
+# --------------------------------------------------------------------------
+
+def q_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup by content hash (hash-groupBy)."""
+    d = _table(spark, sf_dir, "documents")
+    return (
+        dedup.exact_dedup(d, "doc_id", "text")
+        .select("h", "rep_id", "dup_count")
+        .orderBy("rep_id")
+    )
+
+
+def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Word-trigram Jaccard near-dup pairs (shingle join + df cap)."""
+    d = _table(spark, sf_dir, "documents")
+    return (
+        dedup.ngram_jaccard_pairs(d, n=3, threshold=0.5)
+        .select("ida", "idb", "common", "size_a", "size_b", F.round("jaccard", 4).alias("jaccard"))
+        .orderBy("ida", "idb")
+    )
+
+
+def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH candidate pairs verified by exact Jaccard —
+    engine-specific hashing (xxhash64) ⇒ rows-only check; pytest
+    verifies recall against exact Jaccard."""
+    d = _table(spark, sf_dir, "documents")
+    return dedup.minhash_lsh_pairs(d, threshold=0.5).orderBy("ida", "idb")
+
+
+def q_simhash_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dups (hamming ≤ 3 via 16-bit chunk pigeonhole) —
+    engine-specific hashing ⇒ rows-only check."""
+    d = _table(spark, sf_dir, "documents")
+    return dedup.simhash_near_dups(d).orderBy("ida", "idb")
+
+
+def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force exact cosine top-k over array<float> embeddings."""
+    e = _table(spark, sf_dir, "embeddings")
+    qv = e.filter(F.col("vec_id") == 0).select("embedding").first()[0]
+    out = similarity.cosine_topk(e, [float(x) for x in qv], k=10)
+    return out.select("vec_id", F.round(F.col("cosine"), 4).alias("cosine")).orderBy(
+        F.col("cosine").desc(), F.col("vec_id").asc()
+    )
+
+
+def q_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed approximate NN (random hyperplanes, multiprobe) —
+    plane hashing is engine-specific ⇒ rows-only; pytest checks recall
+    vs brute force."""
+    e = _table(spark, sf_dir, "embeddings")
+    qv = e.filter(F.col("vec_id") == 0).select("embedding").first()[0]
+    out = similarity.lsh_ann_topk(e, [float(x) for x in qv], k=10)
+    return out.select("vec_id", F.round(F.col("cosine"), 4).alias("cosine"))
+
+
+def q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace + BPE-ish token counting."""
+    d = _table(spark, sf_dir, "documents")
+    return (
+        textstats.token_counts(d, "text")
+        .select(
+            "doc_id",
+            F.col("ws_tokens").cast("long").alias("ws_tokens"),
+            F.col("bpe_tokens").cast("long").alias("bpe_tokens"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic document quality scoring."""
+    d = _table(spark, sf_dir, "documents")
+    return (
+        textstats.quality_score(d, "text")
+        .select(
+            "doc_id",
+            F.col("n_words").cast("long").alias("n_words"),
+            F.round("stop_ratio", 4).alias("stop_ratio"),
+            F.round("quality", 4).alias("quality"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def q_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic language identification (lexicon hits argmax)."""
+    d = _table(spark, sf_dir, "documents")
+    return textstats.language_id(d, "text").select("doc_id", "lang_pred").orderBy("doc_id")
+
+
+def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Position-weighted rolling-hash fingerprint (md5-derived) —
+    hex→int conv not portable to the oracle ⇒ rows-only check."""
+    d = _table(spark, sf_dir, "documents")
+    return textstats.doc_fingerprint(d, "text").select("doc_id", "fingerprint").orderBy("doc_id")
+
+
+# --------------------------------------------------------------------------
+# the three driver hooks
+# --------------------------------------------------------------------------
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: boolean BM25 top-10 (float32 lucene mode) on sf0.001."""
+    s = _searcher(spark, "/root/testdata/sf0.001", scoring="lucene")
+    return s.search(parse_query("+spark +window vector hash"), k=10)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "term_query": q_term_query,
+        "term_query_all": q_term_query_all,
+        "term_query_count": q_term_query_count,
+        "term_query_lucene": q_term_query_lucene,
+        "boolean_must": q_boolean_must,
+        "boolean_should": q_boolean_should,
+        "boolean_must_not": q_boolean_must_not,
+        "boolean_filter": q_boolean_filter,
+        "min_should_match": q_min_should_match,
+        "phrase_query": q_phrase_query,
+        "synonym_query": q_synonym_query,
+        "prefix_query": q_prefix_query,
+        "wildcard_query": q_wildcard_query,
+        "range_query": q_range_query,
+        "fuzzy_query": q_fuzzy_query,
+        "match_all": q_match_all,
+        "search_after": q_search_after,
+        "facet_terms": q_facet_terms,
+        "facet_range": q_facet_range,
+        "pivot_facet": q_pivot_facet,
+        "stats_component": q_stats_component,
+        "grouping_collapse": q_grouping_collapse,
+        "significant_terms": q_significant_terms,
+        "rollup_stream": q_rollup_stream,
+        "hashjoin_stream": q_hashjoin_stream,
+        "innerjoin_stream": q_innerjoin_stream,
+        "leftjoin_stream": q_leftjoin_stream,
+        "merge_stream": q_merge_stream,
+        "unique_stream": q_unique_stream,
+        "rank_stream": q_rank_stream,
+        "having_stream": q_having_stream,
+        "intersect_stream": q_intersect_stream,
+        "complement_stream": q_complement_stream,
+        "cartesian_stream": q_cartesian_stream,
+        "fetch_stream": q_fetch_stream,
+        "timeseries_stream": q_timeseries_stream,
+        "select_stream": q_select_stream,
+        "exact_dedup": q_exact_dedup,
+        "ngram_jaccard": q_ngram_jaccard,
+        "minhash_lsh": q_minhash_lsh,
+        "simhash_dups": q_simhash_dups,
+        "cosine_topk": q_cosine_topk,
+        "lsh_ann": q_lsh_ann,
+        "token_counts": q_token_counts,
+        "quality_score": q_quality_score,
+        "language_id": q_language_id,
+        "doc_fingerprint": q_doc_fingerprint,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    sqls: dict[str, str] = {}
+
+    sqls["term_query"] = f"""
+WITH {_IDX},
+scored AS ({_bm25_sql("spark")})
+{_TOPK_TAIL.format(k=10)}
+"""
+
+    sqls["term_query_all"] = f"""
+WITH {_IDX},
+scored AS ({_bm25_sql("vector")})
+SELECT doc_id, ROUND(score, 4) AS score FROM scored
+"""
+
+    sqls["term_query_count"] = f"""
+WITH {_IDX}
+SELECT count(*) AS cnt FROM postings WHERE term = 'window'
+"""
+
+    sqls["boolean_must"] = f"""
+WITH {_IDX},
+s1 AS ({_bm25_sql("spark")}),
+s2 AS ({_bm25_sql("window")}),
+scored AS (
+  SELECT s1.doc_id, s1.score + s2.score AS score
+  FROM s1 JOIN s2 USING (doc_id)
+)
+{_TOPK_TAIL.format(k=10)}
+"""
+
+    sqls["boolean_should"] = f"""
+WITH {_IDX},
+s1 AS ({_bm25_sql("vector")}),
+s2 AS ({_bm25_sql("hash")}),
+u AS (SELECT * FROM s1 UNION ALL SELECT * FROM s2),
+scored AS (SELECT doc_id, sum(score) AS score FROM u GROUP BY doc_id)
+SELECT doc_id, ROUND(score, 4) AS score FROM scored
+"""
+
+    sqls["boolean_must_not"] = f"""
+WITH {_IDX},
+s1 AS ({_bm25_sql("vector")}),
+ex AS (SELECT doc_id FROM postings WHERE term = 'window')
+SELECT doc_id, ROUND(score, 4) AS score FROM s1
+WHERE doc_id NOT IN (SELECT doc_id FROM ex)
+"""
+
+    sqls["boolean_filter"] = f"""
+WITH {_IDX},
+s1 AS ({_bm25_sql("vector")}),
+flt AS (SELECT doc_id FROM postings WHERE term = 'window')
+SELECT doc_id, ROUND(score, 4) AS score FROM s1
+WHERE doc_id IN (SELECT doc_id FROM flt)
+"""
+
+    sqls["min_should_match"] = f"""
+WITH {_IDX},
+s1 AS ({_bm25_sql("vector")}),
+s2 AS ({_bm25_sql("hash")}),
+s3 AS ({_bm25_sql("dup")}),
+u AS (SELECT * FROM s1 UNION ALL SELECT * FROM s2 UNION ALL SELECT * FROM s3),
+scored AS (
+  SELECT doc_id, sum(score) AS score FROM u GROUP BY doc_id HAVING count(*) >= 2
+)
+SELECT doc_id, ROUND(score, 4) AS score FROM scored
+"""
+
+    sqls["phrase_query"] = f"""
+WITH {_IDX},
+p1 AS (SELECT doc_id, pos FROM kept WHERE term = 'spark'),
+p2 AS (SELECT doc_id, pos FROM kept WHERE term = 'window'),
+ph AS (
+  SELECT p1.doc_id, count(*) AS freq
+  FROM p1 JOIN p2 ON p1.doc_id = p2.doc_id AND p2.pos = p1.pos + 1
+  GROUP BY p1.doc_id
+),
+idfs AS (
+  SELECT (SELECT ln(1 + (c.n - t.df + 0.5) / (t.df + 0.5))
+          FROM tstats t CROSS JOIN cstats c WHERE t.term = 'spark')
+       + (SELECT ln(1 + (c.n - t.df + 0.5) / (t.df + 0.5))
+          FROM tstats t CROSS JOIN cstats c WHERE t.term = 'window') AS idf_sum
+)
+SELECT ph.doc_id,
+       ROUND(i.idf_sum * 2.2 * ph.freq
+         / (ph.freq + 1.2 * (0.25 + 0.75 * nm.length / (c.sttf / c.n))), 4) AS score
+FROM ph
+JOIN norms nm USING (doc_id)
+CROSS JOIN cstats c
+CROSS JOIN idfs i
+"""
+
+    sqls["synonym_query"] = f"""
+WITH {_IDX},
+grp AS (
+  SELECT doc_id, sum(tf) AS freq FROM postings
+  WHERE term IN ('vector', 'hash') GROUP BY doc_id
+),
+dfmax AS (
+  SELECT max(df) AS df FROM tstats WHERE term IN ('vector', 'hash')
+)
+SELECT g.doc_id,
+       ROUND(ln(1 + (c.n - d.df + 0.5) / (d.df + 0.5)) * 2.2 * g.freq
+         / (g.freq + 1.2 * (0.25 + 0.75 * nm.length / (c.sttf / c.n))), 4) AS score
+FROM grp g
+JOIN norms nm USING (doc_id)
+CROSS JOIN cstats c
+CROSS JOIN dfmax d
+"""
+
+    sqls["prefix_query"] = f"""
+WITH {_IDX}
+SELECT DISTINCT doc_id, CAST(1.0 AS DOUBLE) AS score
+FROM postings WHERE term LIKE 's%'
+"""
+
+    sqls["wildcard_query"] = f"""
+WITH {_IDX}
+SELECT DISTINCT doc_id, CAST(1.0 AS DOUBLE) AS score
+FROM postings WHERE regexp_matches(term, '^.a.*$')
+"""
+
+    sqls["range_query"] = f"""
+WITH {_IDX}
+SELECT DISTINCT doc_id, CAST(1.0 AS DOUBLE) AS score
+FROM postings WHERE term >= 'batch' AND term < 'data'
+"""
+
+    sqls["fuzzy_query"] = f"""
+WITH {_IDX}
+SELECT DISTINCT doc_id, CAST(1.0 AS DOUBLE) AS score
+FROM postings WHERE levenshtein(term, 'tabel') <= 1
+"""
+
+    sqls["match_all"] = f"""
+WITH {_IDX}
+SELECT doc_id, CAST(1.0 AS DOUBLE) AS score FROM norms
+"""
+
+    sqls["search_after"] = f"""
+WITH {_IDX},
+scored AS ({_bm25_sql("spark")})
+SELECT doc_id, ROUND(score, 4) AS score FROM scored
+ORDER BY ROUND(score, 4) DESC, doc_id ASC LIMIT 10 OFFSET 10
+"""
+
+    sqls["facet_terms"] = f"""
+WITH {_IDX},
+m AS (SELECT DISTINCT doc_id FROM postings WHERE term = 'spark')
+SELECT d.lang AS bucket, count(*) AS cnt
+FROM documents d JOIN m USING (doc_id)
+GROUP BY d.lang ORDER BY cnt DESC, bucket ASC LIMIT 5
+"""
+
+    sqls["facet_range"] = """
+SELECT CAST(floor(n_chars / 100) * 100 AS BIGINT) AS bucket_start,
+       count(*) AS cnt
+FROM documents GROUP BY 1 ORDER BY 1
+"""
+
+    sqls["pivot_facet"] = """
+SELECT lang, source, count(*) AS cnt
+FROM documents GROUP BY lang, source ORDER BY lang, source
+"""
+
+    sqls["stats_component"] = f"""
+WITH {_IDX},
+m AS (SELECT DISTINCT doc_id FROM postings WHERE term = 'query')
+SELECT count(*) AS cnt,
+       min(n_chars) AS min_chars,
+       max(n_chars) AS max_chars,
+       sum(n_chars) AS sum_chars,
+       ROUND(avg(n_chars), 4) AS mean_chars,
+       ROUND(stddev(n_chars), 4) AS stddev_chars
+FROM documents d JOIN m USING (doc_id)
+"""
+
+    sqls["grouping_collapse"] = f"""
+WITH {_IDX},
+scored AS ({_bm25_sql("query")}),
+j AS (
+  SELECT d.lang, s.doc_id, ROUND(s.score, 4) AS score
+  FROM scored s JOIN documents d USING (doc_id)
+),
+r AS (
+  SELECT lang, doc_id, score,
+         row_number() OVER (PARTITION BY lang ORDER BY score DESC, doc_id ASC) AS rn
+  FROM j
+)
+SELECT lang, doc_id, score FROM r WHERE rn = 1 ORDER BY lang
+"""
+
+    sqls["significant_terms"] = f"""
+WITH {_IDX},
+fg_docs AS (SELECT DISTINCT doc_id FROM postings WHERE term = 'vector'),
+fg_n AS (SELECT count(*) AS fgn FROM fg_docs),
+fg AS (
+  SELECT term, count(*) AS fg_df FROM postings
+  WHERE doc_id IN (SELECT doc_id FROM fg_docs) GROUP BY term
+)
+SELECT fg.term, fg.fg_df, t.df AS bg_df,
+       ROUND((fg.fg_df / f.fgn) / (t.df / c.n), 4) AS ratio
+FROM fg JOIN tstats t USING (term)
+CROSS JOIN fg_n f CROSS JOIN cstats c
+ORDER BY ratio DESC, term ASC LIMIT 10
+"""
+
+    sqls["rollup_stream"] = """
+SELECT l_returnflag, l_linestatus,
+       CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+       CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+                * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))
+                AS DECIMAL(28,4))) AS DOUBLE) AS sum_disc_price,
+       count(*) AS cnt
+FROM lineitem GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+"""
+
+    sqls["hashjoin_stream"] = """
+SELECT c_mktsegment, count(*) AS cnt,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+GROUP BY c_mktsegment ORDER BY c_mktsegment
+"""
+
+    sqls["innerjoin_stream"] = """
+SELECT o_orderpriority, count(*) AS cnt,
+       CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+                * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))
+                AS DECIMAL(28,4))) AS DOUBLE) AS revenue
+FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+GROUP BY o_orderpriority ORDER BY o_orderpriority
+"""
+
+    sqls["leftjoin_stream"] = """
+SELECT c_custkey, count(o_orderkey) AS order_cnt
+FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+GROUP BY c_custkey ORDER BY c_custkey
+"""
+
+    sqls["merge_stream"] = """
+SELECT o_orderkey, o_orderpriority FROM orders WHERE o_orderpriority = '1-URGENT'
+UNION ALL
+SELECT o_orderkey, o_orderpriority FROM orders WHERE o_orderpriority = '2-HIGH'
+ORDER BY o_orderkey
+"""
+
+    sqls["unique_stream"] = """
+SELECT DISTINCT o_custkey FROM orders ORDER BY o_custkey
+"""
+
+    sqls["rank_stream"] = """
+SELECT o_orderkey, ROUND(o_totalprice, 2) AS o_totalprice
+FROM orders ORDER BY ROUND(o_totalprice, 2) DESC, o_orderkey ASC LIMIT 10
+"""
+
+    sqls["having_stream"] = """
+SELECT o_custkey, count(*) AS cnt FROM orders
+GROUP BY o_custkey HAVING count(*) >= 5 ORDER BY o_custkey
+"""
+
+    sqls["intersect_stream"] = """
+SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+INTERSECT
+SELECT o_custkey FROM orders WHERE o_orderpriority = '2-HIGH'
+ORDER BY o_custkey
+"""
+
+    sqls["complement_stream"] = """
+SELECT DISTINCT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+  AND o_custkey NOT IN (SELECT o_custkey FROM orders WHERE o_orderpriority = '2-HIGH')
+ORDER BY o_custkey
+"""
+
+    sqls["cartesian_stream"] = """
+SELECT doc_id, unnest(string_split(text, ' ')) AS term
+FROM documents WHERE doc_id < 20 ORDER BY doc_id, term
+"""
+
+    sqls["fetch_stream"] = f"""
+WITH {_IDX},
+scored AS ({_bm25_sql("spark")}),
+topk AS (
+  SELECT doc_id, ROUND(score, 4) AS score FROM scored
+  ORDER BY ROUND(score, 4) DESC, doc_id ASC LIMIT 10
+)
+SELECT t.doc_id, t.score, d.lang, d.source
+FROM topk t JOIN documents d USING (doc_id)
+"""
+
+    sqls["timeseries_stream"] = """
+SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+       count(*) AS cnt,
+       ROUND(sum(value), 4) AS sum_value
+FROM events GROUP BY 1 ORDER BY 1
+"""
+
+    sqls["select_stream"] = """
+SELECT o_orderkey AS id, o_orderpriority AS priority,
+       ROUND(o_totalprice * 0.1, 4) AS fee
+FROM orders WHERE o_orderpriority = '1-URGENT' ORDER BY id
+"""
+
+    sqls["exact_dedup"] = """
+SELECT sha256(text) AS h, min(doc_id) AS rep_id, count(*) AS dup_count
+FROM documents GROUP BY sha256(text) ORDER BY rep_id
+"""
+
+    sqls["ngram_jaccard"] = """
+WITH toks AS (
+  SELECT doc_id,
+         unnest(string_split(text, ' ')) AS term,
+         unnest(range(len(string_split(text, ' ')))) AS pos
+  FROM documents
+),
+tri AS (
+  SELECT doc_id, pos, term,
+         lead(term, 1) OVER (PARTITION BY doc_id ORDER BY pos) AS t1,
+         lead(term, 2) OVER (PARTITION BY doc_id ORDER BY pos) AS t2
+  FROM toks
+),
+sh AS (
+  SELECT DISTINCT doc_id, term || ' ' || t1 || ' ' || t2 AS s
+  FROM tri WHERE t2 IS NOT NULL
+),
+sizes AS (SELECT doc_id, count(*) AS size FROM sh GROUP BY doc_id),
+common AS (
+  SELECT a.doc_id AS ida, b.doc_id AS idb, count(*) AS common
+  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT c.ida, c.idb, c.common, sa.size AS size_a, sb.size AS size_b,
+       ROUND(c.common / (sa.size + sb.size - c.common), 4) AS jaccard
+FROM common c
+JOIN sizes sa ON sa.doc_id = c.ida
+JOIN sizes sb ON sb.doc_id = c.idb
+WHERE c.common / (sa.size + sb.size - c.common) >= 0.5
+ORDER BY c.ida, c.idb
+"""
+
+    sqls["cosine_topk"] = """
+WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+z AS (
+  SELECT e.vec_id,
+         unnest(CAST(e.embedding AS DOUBLE[])) AS x,
+         unnest(CAST(q.qv AS DOUBLE[])) AS y
+  FROM embeddings e CROSS JOIN q
+),
+d AS (
+  SELECT vec_id, sum(x * y) AS dot, sqrt(sum(x * x)) AS nx, sqrt(sum(y * y)) AS ny
+  FROM z GROUP BY vec_id
+)
+SELECT vec_id, ROUND(dot / (nx * ny), 4) AS cosine
+FROM d WHERE nx > 0
+ORDER BY ROUND(dot / (nx * ny), 4) DESC, vec_id ASC LIMIT 10
+"""
+
+    sqls["token_counts"] = """
+SELECT doc_id,
+       len(string_split(trim(text), ' ')) AS ws_tokens,
+       len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS bpe_tokens
+FROM documents ORDER BY doc_id
+"""
+
+    sqls["quality_score"] = """
+WITH base AS (
+  SELECT doc_id,
+         greatest(len(string_split(trim(text), ' ')), 1) AS n_words,
+         greatest(length(text), 1) AS n_chars,
+         len(list_filter(string_split(trim(text), ' '),
+             w -> lower(w) IN ('the','and','of','to','is','a'))) AS stop_hits,
+         length(text) - length(regexp_replace(text, '[^a-zA-Z0-9_ \\t\\n]', '', 'g')) AS n_punct
+  FROM documents
+)
+SELECT doc_id, CAST(n_words AS BIGINT) AS n_words,
+       ROUND(stop_hits / n_words, 4) AS stop_ratio,
+       ROUND(
+         least(n_words / CAST(100.0 AS DOUBLE), CAST(1.0 AS DOUBLE)) * 0.4
+         + least(stop_hits / n_words * CAST(5.0 AS DOUBLE), CAST(1.0 AS DOUBLE)) * 0.3
+         + (CAST(1.0 AS DOUBLE)
+            - least(n_punct / n_chars * CAST(10.0 AS DOUBLE), CAST(1.0 AS DOUBLE))) * 0.3,
+         4) AS quality
+FROM base ORDER BY doc_id
+"""
+
+    sqls["language_id"] = """
+WITH hits AS (
+  SELECT doc_id,
+         len(list_filter(string_split(lower(trim(text)), ' '),
+             w -> w IN ('the','and','of','to','is','a'))) AS h_en,
+         len(list_filter(string_split(lower(trim(text)), ' '),
+             w -> w IN ('el','la','de','que','y','los'))) AS h_es,
+         len(list_filter(string_split(lower(trim(text)), ' '),
+             w -> w IN ('der','die','und','das','nicht','ist'))) AS h_de,
+         len(list_filter(string_split(lower(trim(text)), ' '),
+             w -> w IN ('le','la','et','les','des','une'))) AS h_fr,
+         regexp_matches(text, '[一-鿿]') AS has_cjk
+  FROM documents
+)
+SELECT doc_id,
+       CASE WHEN has_cjk THEN 'zh'
+            WHEN greatest(h_de, h_en, h_es, h_fr) = 0 THEN 'unknown'
+            WHEN h_de = greatest(h_de, h_en, h_es, h_fr) THEN 'de'
+            WHEN h_en = greatest(h_de, h_en, h_es, h_fr) THEN 'en'
+            WHEN h_es = greatest(h_de, h_en, h_es, h_fr) THEN 'es'
+            ELSE 'fr' END AS lang_pred
+FROM hits ORDER BY doc_id
+"""
+
+    return sqls
