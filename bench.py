@@ -1,0 +1,106 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": total_sec, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": ..., ...extras}
+
+Extras (informational): index_build_sec, index_docs_per_sec, and the
+BM25 top-k p50 latency over repeated runs — the BASELINE.json headline
+metrics.  Scaling (N vs 4N cores) is measured by scripts/scaling.py and
+recorded in BENCH.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import statistics
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+import __spark_entry__ as entrymod  # noqa: E402
+from lucene_solr_spark.queries.parser import parse_query  # noqa: E402
+from lucene_solr_spark.session import get_spark  # noqa: E402
+
+# headline query set (keys into __spark_entry__.queries())
+BENCH_QUERIES = [
+    "term_query",
+    "term_query_lucene",
+    "boolean_must",
+    "boolean_should",
+    "phrase_query",
+    "wildcard_query",
+    "facet_terms",
+    "grouping_collapse",
+    "rollup_stream",
+    "hashjoin_stream",
+    "innerjoin_stream",
+    "timeseries_stream",
+    "exact_dedup",
+    "minhash_lsh",
+    "simhash_dups",
+    "cosine_topk",
+    "lsh_ann",
+    "token_counts",
+    "quality_score",
+    "language_id",
+]
+
+TOPK_REPEATS = 7  # p50 sample count for the latency headline
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0.1)
+    spark = get_spark("bench")
+
+    t0 = time.time()
+    # --- index build (docs/sec headline) --------------------------------
+    tb0 = time.time()
+    tables = entrymod._index_tables(spark, sf_dir)
+    n_docs = tables.stats.doc_count
+    build_sec = time.time() - tb0
+
+    # --- per-query wall times ------------------------------------------
+    qs = entrymod.queries()
+    times: dict[str, float] = {}
+    for name in BENCH_QUERIES:
+        tq0 = time.time()
+        df = qs[name](spark, sf_dir)
+        df.collect()
+        times[name] = round(time.time() - tq0, 3)
+
+    # --- BM25 top-k p50 latency (lucene float32 mode, warm index) ------
+    searcher = entrymod._searcher(spark, sf_dir, scoring="lucene")
+    searcher.search(parse_query("+spark +window vector"), k=10).collect()  # warm
+    lat = []
+    for i in range(TOPK_REPEATS):
+        tq0 = time.time()
+        searcher.search(parse_query("+spark +window vector hash"), k=10).collect()
+        lat.append(time.time() - tq0)
+    p50 = statistics.median(lat)
+
+    total = time.time() - t0
+    print(
+        json.dumps(
+            {
+                "metric": "index-build docs/sec + BM25 top-k p50 latency",
+                "value": round(total, 3),
+                "unit": "sec",
+                "queries": times,
+                "sf": sf,
+                "index_build_sec": round(build_sec, 3),
+                "index_docs": n_docs,
+                "index_docs_per_sec": round(n_docs / build_sec, 1),
+                "bm25_topk_p50_sec": round(p50, 4),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
