@@ -156,10 +156,34 @@ def minhash_lsh_pairs(
         .select(F.col("a.doc_id").alias("ida"), F.col("b.doc_id").alias("idb"))
         .distinct()
     )
-    exact = ngram_jaccard_pairs(
-        df, n=n, threshold=threshold, id_col=id_col, text_col=text_col
-    ).select("ida", "idb", "jaccard")
-    return cand.join(exact, ["ida", "idb"], "inner")
+    # Exact-Jaccard verification of CANDIDATES ONLY (never all pairs —
+    # the candidate set is what makes LSH sub-quadratic at 10^12 docs).
+    sh = df.select(
+        F.col(id_col).alias("doc_id"), F.explode(_shingles(text_col, n)).alias("s")
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("size"))
+    sa = sh.select(F.col("doc_id").alias("ida"), "s")
+    sb = sh.select(F.col("doc_id").alias("idb"), "s")
+    common = (
+        cand.join(sa, "ida")
+        .join(sb, ["idb", "s"])
+        .groupBy("ida", "idb")
+        .agg(F.count("*").alias("common"))
+    )
+    return (
+        common.join(
+            sizes.select(F.col("doc_id").alias("ida"), F.col("size").alias("size_a")), "ida"
+        )
+        .join(
+            sizes.select(F.col("doc_id").alias("idb"), F.col("size").alias("size_b")), "idb"
+        )
+        .withColumn(
+            "jaccard",
+            F.col("common") / (F.col("size_a") + F.col("size_b") - F.col("common")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("ida", "idb", "jaccard")
+    )
 
 
 def simhash(

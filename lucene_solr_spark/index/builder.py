@@ -184,14 +184,16 @@ def build_tables(
         postings = postings.persist()
     term_stats = term_stats_of(postings)
     doc_norms = doc_norms_of(postings)
-    # docCount = docs with ≥1 posting for the field, matching Lucene's
-    # Terms.getDocCount() semantics (all-stopword docs don't count).
-    doc_count = doc_norms.count()
-    agg = term_stats.agg(
-        F.sum("ttf").alias("sttf"), F.sum("df").alias("sdf")
+    # One aggregation job for all collection stats.  docCount counts docs
+    # with ≥1 posting for the field, matching Lucene's Terms.getDocCount()
+    # semantics (all-stopword docs don't count).
+    agg = postings.agg(
+        F.countDistinct("doc_id").alias("dc"),
+        F.sum("tf").alias("sttf"),
+        F.count("*").alias("sdf"),
     ).collect()[0]
     stats = CollectionStats(
-        doc_count=doc_count,
+        doc_count=int(agg["dc"] or 0),
         sum_total_term_freq=int(agg["sttf"] or 0),
         sum_doc_freq=int(agg["sdf"] or 0),
     )
