@@ -27,19 +27,27 @@ from lucene_solr_spark.codecs.vbyte import vbyte_decode, vbyte_encode
 
 
 def encode_posting_blocks(
-    doc_ids: np.ndarray, tfs: np.ndarray
+    doc_ids: np.ndarray, tfs: np.ndarray, positions: np.ndarray | None = None
 ) -> list[dict]:
     """Encode one term's sorted posting list into block records.
 
     Returns a list of dicts with keys:
-    ``block_id, base_docid, count, max_docid, max_tf, docs_bin, tfs_bin``.
-    Full blocks use FOR; the tail uses interleaved VByte (tfs_bin=None).
+    ``block_id, base_docid, count, max_docid, max_tf, sum_tf, docs_bin,
+    tfs_bin, pos_bin``.  Full blocks use FOR; the tail uses interleaved
+    VByte (tfs_bin=None).  ``positions``, if given, is the concatenation
+    of every doc's in-doc position list (lengths = tfs); each block's
+    slice is delta-coded per doc and VByte-packed into ``pos_bin``
+    (the .pos stream analog, Lucene50PostingsWriter.java:381-392).
     """
     docs = np.asarray(doc_ids, dtype=np.uint64)
     freqs = np.asarray(tfs, dtype=np.uint64)
     n = docs.size
     out: list[dict] = []
-    prev_last = np.uint64(0)
+    pos_offsets = None
+    if positions is not None:
+        positions = np.asarray(positions, dtype=np.uint64)
+        pos_offsets = np.zeros(n + 1, dtype=np.int64)
+        np.cumsum(freqs, out=pos_offsets[1:])
     for block_id, start in enumerate(range(0, n, BLOCK_SIZE)):
         chunk = docs[start : start + BLOCK_SIZE]
         fchunk = freqs[start : start + BLOCK_SIZE]
@@ -51,7 +59,22 @@ def encode_posting_blocks(
             "count": int(chunk.size),
             "max_docid": int(chunk[-1]),
             "max_tf": int(fchunk.max()),
+            "sum_tf": int(fchunk.sum()),
+            "pos_bin": None,
         }
+        if pos_offsets is not None:
+            lo = pos_offsets[start]
+            hi = pos_offsets[min(start + BLOCK_SIZE, n)]
+            pchunk = positions[lo:hi].copy()
+            # delta within each doc's run: subtract previous position,
+            # first position of each doc stays absolute
+            if pchunk.size:
+                deltas = np.diff(pchunk, prepend=np.uint64(0))
+                starts_in_chunk = (pos_offsets[start : start + chunk.size] - lo).astype(int)
+                deltas[starts_in_chunk] = pchunk[starts_in_chunk]
+                rec["pos_bin"] = vbyte_encode(deltas)
+            else:
+                rec["pos_bin"] = b""
         if chunk.size == BLOCK_SIZE:
             rec["docs_bin"] = for_encode(gaps)
             rec["tfs_bin"] = for_encode(fchunk)
@@ -66,8 +89,20 @@ def encode_posting_blocks(
             rec["docs_bin"] = vbyte_encode(parts[keep])
             rec["tfs_bin"] = None
         out.append(rec)
-        prev_last = chunk[-1]
-    _ = prev_last
+    return out
+
+
+def decode_block_positions(
+    tfs: np.ndarray, pos_bin: bytes
+) -> list[np.ndarray]:
+    """Decode one block's ``pos_bin`` back to per-doc position arrays."""
+    deltas = vbyte_decode(pos_bin)
+    offsets = np.zeros(tfs.size + 1, dtype=np.int64)
+    np.cumsum(np.asarray(tfs, dtype=np.int64), out=offsets[1:])
+    out = []
+    for i in range(tfs.size):
+        d = deltas[offsets[i] : offsets[i + 1]]
+        out.append(np.cumsum(d, dtype=np.uint64))
     return out
 
 

@@ -5,3 +5,7 @@ from lucene_solr_spark.index.builder import (  # noqa: F401
     build_tables,
     invert,
 )
+from lucene_solr_spark.index.segments import (  # noqa: F401
+    SegmentedIndex,
+    SegmentInfo,
+)
