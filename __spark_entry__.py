@@ -266,6 +266,30 @@ def q_search_after(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_SEGIDX: dict[tuple[str, str], object] = {}
+
+
+def q_wand_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Block-max WAND top-k over the block-encoded segmented index —
+    float32 lucene mode, rank-identity proven by tests/test_wand.py
+    equivalence vs exhaustive ⇒ rows-only check here."""
+    import tempfile
+
+    from lucene_solr_spark.index.segments import SegmentedIndex
+    from lucene_solr_spark.queries.wand import wand_topk
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    idx = _SEGIDX.get(key)
+    if idx is None:
+        idx = SegmentedIndex(spark, tempfile.mkdtemp(prefix="segidx-"))
+        docs = _table(spark, sf_dir, "documents").select(
+            "doc_id", F.col("text").alias("content")
+        )
+        idx.build(docs, num_segments=8)
+        _SEGIDX[key] = idx
+    return wand_topk(idx, ["spark", "window", "vector"], k=10)
+
+
 def q_term_query_lucene(spark: SparkSession, sf_dir: str) -> DataFrame:
     """float32 byte315-norm BM25 (rank-identical mode; SURVEY §2.4) —
     not SQL-expressible, rows-only check; pytest covers rank-identity."""
@@ -670,6 +694,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "term_query_all": q_term_query_all,
         "term_query_count": q_term_query_count,
         "term_query_lucene": q_term_query_lucene,
+        "wand_topk": q_wand_topk,
         "boolean_must": q_boolean_must,
         "boolean_should": q_boolean_should,
         "boolean_must_not": q_boolean_must_not,

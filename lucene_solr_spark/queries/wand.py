@@ -1,0 +1,210 @@
+"""Block-max WAND top-k over the segmented block-encoded index.
+
+The reference 7.0 has NO WAND (verified: no WANDScorer/impacts in
+search/ — SURVEY §4.2); this exceeds it, per the north star.  The
+block metadata written by the segment writer (max_docid, max_tf per
+128-posting block — the skip-list analog, Lucene50SkipWriter.java:46)
+doubles as the upper-bound source:
+
+    ub(term, block) = weight·(k1+1)·max_tf / (max_tf + k1·(1−b))
+
+(b-term lower-bounded at zero doc length — a valid upper bound for any
+norm byte, since cache[n] = k1·((1−b)+b·NORM_TABLE[n]/avgdl) ≥ k1·(1−b)).
+
+Execution model: each segment owns a disjoint docID range, so segments
+run WAND independently (one applyInPandas group per segment = the
+per-leaf scoring loop of IndexSearcher.search, IndexSearcher.java:
+640-655), each emitting its local top-k; the driver-side merge is
+ORDER BY score DESC, doc_id ASC LIMIT k — bit-identical to
+TopDocs.merge tie-breaks (search/TopDocs.java:209-260,
+HitQueue.java:76-81).
+
+Within a segment: a boundary sweep over the union of block intervals
+processes elementary docID ranges in increasing-docID order, skipping
+every range whose Σ block upper bounds ≤ the current heap threshold —
+safe at equality *because* docIDs only increase: a later doc scoring
+exactly θ loses the tie-break to the incumbent (SURVEY §7 hard part e).
+Blocks are only FOR/VByte-decoded when their range survives the bound
+check (the two-phase cheap-approximation / expensive-verify split,
+search/TwoPhaseIterator.java).
+
+Scoring is float32 bit-identical to the exhaustive path: per-term
+float32 kernel, cross-term sum in float64, cast back to float32
+(BM25Similarity.java:241-254; DisjunctionSumScorer sums in double).
+"""
+
+from __future__ import annotations
+
+import heapq
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from lucene_solr_spark.index.segments import SegmentedIndex
+from lucene_solr_spark.scoring.bm25 import BM25, idf as idf32
+
+
+def _segment_wand(
+    pdf: pd.DataFrame,
+    term_weights: dict[str, float],
+    cache: np.ndarray,
+    k: int,
+    k1: float,
+    b: float,
+) -> pd.DataFrame:
+    """WAND over one segment's block rows + norm rows → local top-k."""
+    from lucene_solr_spark.codecs.postings import decode_posting_block
+
+    norms = pdf[pdf["kind"] == 1]
+    norm_docs = norms["doc_id"].to_numpy(np.int64)
+    norm_order = np.argsort(norm_docs, kind="stable")
+    norm_docs = norm_docs[norm_order]
+    norm_bytes = norms["norm_byte"].to_numpy(np.int64)[norm_order]
+
+    terms = sorted(term_weights)
+    blocks: list[dict] = []  # flat block table across terms
+    for ti, term in enumerate(terms):
+        g = pdf[(pdf["kind"] == 0) & (pdf["term"] == term)]
+        if g.empty:
+            continue
+        wv = np.float32(np.float32(term_weights[term]) * np.float32(k1 + 1))
+        g = g.sort_values("block_id")
+        for base, cnt, mx, mtf, db, tb in zip(
+            g["base_docid"], g["count"], g["max_docid"], g["max_tf"],
+            g["docs_bin"], g["tfs_bin"],
+        ):
+            mtf64 = float(mtf)
+            ub = float(wv) * mtf64 / (mtf64 + k1 * (1.0 - b))
+            blocks.append(
+                {
+                    "term_i": ti,
+                    "wv": wv,
+                    "lo": int(base),
+                    "hi": int(mx),
+                    "ub": ub * (1.0 + 1e-6),  # guard float32 rounding
+                    "count": int(cnt),
+                    "docs_bin": db,
+                    "tfs_bin": tb,
+                    "decoded": None,
+                }
+            )
+    if not blocks:
+        return pd.DataFrame({"doc_id": pd.Series([], dtype="int64"),
+                             "score": pd.Series([], dtype="float32")})
+
+    # elementary intervals from all block boundaries
+    bounds = sorted({blk["lo"] for blk in blocks} | {blk["hi"] + 1 for blk in blocks})
+    heap: list[tuple[np.float32, int]] = []  # (score, -doc_id), size ≤ k
+
+    def theta() -> float:
+        return float(heap[0][0]) if len(heap) == k else -np.inf
+
+    for lo, hi_excl in zip(bounds, bounds[1:]):
+        hi = hi_excl - 1
+        active = [blk for blk in blocks if blk["lo"] <= lo and blk["hi"] >= hi]
+        if not active:
+            continue
+        ub_sum = sum(blk["ub"] for blk in active)
+        if ub_sum <= theta():
+            continue  # equality-safe: later docIDs lose ties (HitQueue)
+        # decode + gather candidate docs in [lo, hi]
+        per_doc: dict[int, float] = {}
+        for blk in active:
+            if blk["decoded"] is None:
+                blk["decoded"] = decode_posting_block(
+                    blk["lo"], blk["count"], blk["docs_bin"], blk["tfs_bin"]
+                )
+            d, t = blk["decoded"]
+            a = np.searchsorted(d, lo, side="left")
+            z = np.searchsorted(d, hi, side="right")
+            if a == z:
+                continue
+            docs = d[a:z].astype(np.int64)
+            tfs = t[a:z].astype(np.float32)
+            nb = norm_bytes[np.searchsorted(norm_docs, docs)]
+            s = (blk["wv"] * tfs / (tfs + cache[nb & 0xFF])).astype(np.float32)
+            for doc, sc in zip(docs.tolist(), s.tolist()):
+                per_doc[doc] = per_doc.get(doc, 0.0) + sc  # float64 accumulate
+        for doc in sorted(per_doc):
+            sc32 = np.float32(per_doc[doc])
+            item = (sc32, -doc)
+            if len(heap) < k:
+                heapq.heappush(heap, item)
+            elif item > heap[0]:
+                heapq.heapreplace(heap, item)
+    out = sorted(heap, key=lambda x: (-float(x[0]), -x[1]))
+    return pd.DataFrame(
+        {
+            "doc_id": pd.Series([-d for _, d in out], dtype="int64"),
+            "score": pd.Series([s for s, _ in out], dtype="float32"),
+        }
+    )
+
+
+def wand_topk(
+    index: SegmentedIndex,
+    terms: list[str],
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """Top-k disjunction (SHOULD over ``terms``) with block-max WAND.
+
+    Rank-identical to exhaustive scoring (equivalence-tested); global
+    term/collection statistics are gathered once and broadcast, like the
+    distributed stats round (ExactStatsCache, QueryComponent.java:313-319).
+    """
+    spark = index.spark
+    uniq = sorted(set(terms))
+    stats_rows = index.term_stats().filter(F.col("term").isin(uniq)).collect()
+    df_by_term = {r["term"]: int(r["df"]) for r in stats_rows}
+    cagg = index.norms().agg(
+        F.count("*").alias("dc"), F.sum("length").alias("sttf")
+    ).collect()[0]
+    doc_count = int(cagg["dc"] or 0)
+    bm25 = BM25(k1=k1, b=b)
+    avgdl = bm25.avgdl(int(cagg["sttf"] or 0), doc_count)
+    cache = bm25.cache(avgdl)
+    weights = {
+        t: float(bm25.weight(idf32(df_by_term[t], doc_count)))
+        for t in uniq
+        if df_by_term.get(t, 0) > 0
+    }
+    if not weights:
+        return spark.createDataFrame([], "doc_id long, score float")
+
+    posts = (
+        index.postings()
+        .filter(F.col("term").isin(list(weights)))
+        .select(
+            "segment", F.lit(0).alias("kind"), "term", "block_id", "base_docid",
+            "count", "max_docid", "max_tf", "docs_bin", "tfs_bin",
+            F.lit(None).cast("long").alias("doc_id"),
+            F.lit(None).cast("int").alias("norm_byte"),
+        )
+    )
+    norms = index.norms().select(
+        "segment", F.lit(1).alias("kind"),
+        F.lit(None).cast("string").alias("term"),
+        F.lit(None).cast("int").alias("block_id"),
+        F.lit(None).cast("long").alias("base_docid"),
+        F.lit(None).cast("int").alias("count"),
+        F.lit(None).cast("long").alias("max_docid"),
+        F.lit(None).cast("int").alias("max_tf"),
+        F.lit(None).cast("binary").alias("docs_bin"),
+        F.lit(None).cast("binary").alias("tfs_bin"),
+        "doc_id", "norm_byte",
+    )
+
+    def kernel(pdf):
+        return _segment_wand(pdf, weights, cache, k, k1, b)
+
+    local = (
+        posts.unionByName(norms)
+        .groupBy("segment")
+        .applyInPandas(kernel, schema="doc_id long, score float")
+    )
+    # TopDocs.merge: global k with the HitQueue tie-break
+    return local.orderBy(F.col("score").desc(), F.col("doc_id").asc()).limit(k)
