@@ -82,11 +82,26 @@ def _encode_segment(pdf: pd.DataFrame) -> pd.DataFrame:
     hash, as FreqProxTermsWriter.flush sorts at flush —
     index/FreqProxTermsWriter.java:81-117), then block-encode."""
     seg = int(pdf["segment"].iloc[0])
+    # kind=2 summary row: source-row lineage without a separate job over
+    # the raw corpus ("count" column carries the rowcount)
+    lineage = pd.DataFrame(
+        {
+            col: pd.Series(
+                [
+                    {"kind": 2, "segment": seg, "count": len(pdf)}.get(
+                        col, None if proto.dtype == object else 0
+                    )
+                ],
+                dtype=proto.dtype,
+            )
+            for col, proto in _EMPTY.items()
+        }
+    )
     res = analyze_batch(pdf["content"])
     lens = res["length"].to_numpy()
     total = int(lens.sum())
     if total == 0:
-        return pd.DataFrame(_EMPTY)
+        return lineage
     doc_ids = np.repeat(pdf["doc_id"].to_numpy(), lens)
     terms = np.concatenate([np.asarray(t, dtype=object) for t in res["terms"]])
     positions = np.concatenate(
@@ -137,7 +152,7 @@ def _encode_segment(pdf: pd.DataFrame) -> pd.DataFrame:
             "norm_byte": encode_norm(doc_lens).astype(np.int32),
         }
     )
-    out = pd.concat([post_df, norm_df], ignore_index=True)
+    out = pd.concat([post_df, norm_df, lineage], ignore_index=True)
     for col, proto in _EMPTY.items():
         if col not in out.columns:
             out[col] = None
@@ -209,6 +224,7 @@ class SegmentedIndex:
         id_col: str = "doc_id",
         text_col: str = "content",
         resume: bool = True,
+        total_docs: int | None = None,
     ) -> dict[int, SegmentInfo]:
         """Build (or resume) the segmented index from a corpus DataFrame.
 
@@ -221,7 +237,10 @@ class SegmentedIndex:
         are pre-baked into the global docIDs).
         """
         done = set(self.manifest()) if resume else set()
-        n_docs = corpus.agg(F.max(F.col(id_col))).collect()[0][0]
+        if total_docs is not None:
+            n_docs = total_docs - 1
+        else:
+            n_docs = corpus.agg(F.max(F.col(id_col))).collect()[0][0]
         if n_docs is None:
             return self.manifest()
         seg_size = max(1, -(-(int(n_docs) + 1) // num_segments))
@@ -275,13 +294,11 @@ class SegmentedIndex:
                 F.sum(F.when(F.col("kind") == 0, 1).otherwise(0)).alias("num_blocks"),
                 F.min(F.when(F.col("kind") == 1, F.col("doc_id"))).alias("min_docid"),
                 F.max(F.when(F.col("kind") == 1, F.col("doc_id"))).alias("max_docid"),
+                F.max(F.when(F.col("kind") == 2, F.col("count"))).alias("src_rows"),
             )
             .collect()
         }
-        src_counts = {
-            r["segment"]: r["cnt"]
-            for r in src.groupBy("segment").agg(F.count("*").alias("cnt")).collect()
-        }
+        src_counts = {s: int(r["src_rows"] or 0) for s, r in stats.items()}
         wall = time.time() - t0
         rows.unpersist()
         for seg in todo:
