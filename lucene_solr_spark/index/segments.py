@@ -364,18 +364,50 @@ class SegmentedIndex:
             sizes = sizes[max_merge_at_once:]  # merged unit re-enters next round
         return plans
 
-    def merge(self, seg_ids: list[int], new_segment: int) -> SegmentInfo:
+    def merge(
+        self,
+        seg_ids: list[int],
+        new_segment: int,
+        salts: int = 8,
+        hot_blocks: int = 64,
+    ) -> SegmentInfo:
         """Merge segments into one new segment (SegmentMerger.merge analog).
 
-        Term-range shuffle of the *encoded block rows*, then per-term
-        decode → concat (docID ranges are disjoint, so ordering by
-        base_docid is a true merge — no remap needed) → re-encode.
-        Hot terms stay bounded: the shuffle moves ~1 KB block rows, and
-        re-encode is streaming over sorted arrays.
+        Term shuffle of the *encoded block rows*, then per-group decode →
+        concat (docID ranges are disjoint, so ordering by base_docid is a
+        true merge — no remap needed) → re-encode.
+
+        Skew (north rule): a term with more than ``hot_blocks`` block
+        rows (e.g. 'import'/'return'-class stopword-heavy terms, whose
+        posting lists would otherwise land on ONE task) is salted into
+        ``salts`` contiguous docID ranges — each (term, salt) re-encodes
+        independently, valid because every block is independently
+        decodable (absolute base_docid per block); interior salt chunks
+        may end in a short tail block, which the format permits.  Readers
+        order a term's blocks by base_docid, never block_id.
         """
         t0 = time.time()
         man = self.manifest()
         rows = self.postings(seg_ids)
+        infos_pre = [man[s] for s in seg_ids]
+        lo_doc = min(i.min_docid for i in infos_pre)
+        span = max(i.max_docid for i in infos_pre) - lo_doc + 1
+        salt_range = max(1, -(-span // max(salts, 1)))
+        hot = (
+            rows.groupBy("term")
+            .agg(F.count("*").alias("nblocks"))
+            .filter(F.col("nblocks") > hot_blocks)
+            .select("term", F.lit(1).alias("_hot"))
+        )
+        rows = rows.join(F.broadcast(hot), "term", "left").withColumn(
+            "salt",
+            F.when(
+                F.col("_hot").isNotNull(),
+                F.floor((F.col("base_docid") - F.lit(lo_doc)) / F.lit(salt_range)),
+            )
+            .otherwise(0)
+            .cast("int"),
+        )
 
         def _remerge(pdf: pd.DataFrame) -> pd.DataFrame:
             from lucene_solr_spark.codecs.postings import (
@@ -416,7 +448,7 @@ class SegmentedIndex:
             ]
 
         merged = (
-            rows.groupBy("term")
+            rows.groupBy("term", "salt")
             .applyInPandas(
                 _remerge,
                 schema=(
@@ -435,7 +467,7 @@ class SegmentedIndex:
         ).write.partitionBy("segment").option(
             "partitionOverwriteMode", "dynamic"
         ).mode("overwrite").parquet(os.path.join(self.path, "norms"))
-        infos = [man[s] for s in seg_ids]
+        infos = infos_pre
         new_info = SegmentInfo(
             segment=new_segment,
             num_docs=sum(i.num_docs for i in infos),

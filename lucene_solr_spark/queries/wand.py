@@ -70,7 +70,7 @@ def _segment_wand(
         if g.empty:
             continue
         wv = np.float32(np.float32(term_weights[term]) * np.float32(k1 + 1))
-        g = g.sort_values("block_id")
+        g = g.sort_values("base_docid")
         for base, cnt, mx, mtf, db, tb in zip(
             g["base_docid"], g["count"], g["max_docid"], g["max_tf"],
             g["docs_bin"], g["tfs_bin"],

@@ -34,7 +34,7 @@ def built(spark, corpus, tmp_path_factory):
 
 
 def _decoded_postings(idx) -> pd.DataFrame:
-    rows = idx.postings().orderBy("term", "segment", "block_id").collect()
+    rows = idx.postings().orderBy("term", "segment", "base_docid").collect()
     recs = []
     for r in rows:
         d, t = decode_posting_block(
@@ -125,7 +125,7 @@ def test_merged_blocks_sorted(spark, corpus, tmp_path):
     for plan in plans:
         idx.merge(plan, next_id)
         next_id += 1
-    rows = idx.postings().orderBy("term", "block_id").collect()
+    rows = idx.postings().orderBy("term", "base_docid").collect()
     by_term: dict[str, list] = {}
     for r in rows:
         by_term.setdefault(r.term, []).append(r)
@@ -135,7 +135,26 @@ def test_merged_blocks_sorted(spark, corpus, tmp_path):
                 decode_posting_block(
                     r["base_docid"], r["count"], r["docs_bin"], r["tfs_bin"]
                 )[0]
-                for r in sorted(rs, key=lambda x: x["block_id"])
+                for r in sorted(rs, key=lambda x: x["base_docid"])
             ]
         ).astype(np.int64)
         assert (np.diff(docs) > 0).all(), f"unsorted merged postings for {term}"
+
+
+def test_salted_merge_preserves_postings(spark, corpus, tmp_path):
+    """Hot-term salting (north rule): force salting with a tiny
+    hot_blocks threshold; merged index must be identical and blocks of
+    each term strictly sorted when ordered by base_docid."""
+    idx = SegmentedIndex(spark, str(tmp_path))
+    idx.build(corpus, num_segments=6)
+    before = _decoded_postings(idx)
+    idx.merge(sorted(idx.manifest()), new_segment=100, salts=3, hot_blocks=1)
+    after = _decoded_postings(idx)
+    a = after.sort_values(["term", "doc_id"]).reset_index(drop=True)
+    b = before.sort_values(["term", "doc_id"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b)
+    assert idx.check_index()["problems"] == []
+    # salted groups must produce >1 writer task for hot terms: at least
+    # one term ends up with multiple tail (<128) blocks
+    rows = idx.postings().filter(F.col("count") < 128).groupBy("term").count()
+    assert rows.filter(F.col("count") > 1).count() > 0
