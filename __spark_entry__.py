@@ -28,8 +28,10 @@ from lucene_solr_spark.queries.parser import parse_query
 from lucene_solr_spark.queries.query import (
     BooleanClause,
     BooleanQuery,
+    DisjunctionMaxQuery,
     FuzzyQuery,
     MatchAllDocsQuery,
+    MultiPhraseQuery,
     Occur,
     PhraseQuery,
     PrefixQuery,
@@ -297,9 +299,60 @@ def q_term_query_lucene(spark: SparkSession, sf_dir: str) -> DataFrame:
     return s.search(parse_query("+spark +window vector"), k=10)
 
 
+def q_dismax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DisjunctionMaxQuery with tie-breaker
+    (search/DisjunctionMaxQuery.java)."""
+    s = _searcher(spark, sf_dir)
+    q = DisjunctionMaxQuery(
+        (TermQuery("vector"), TermQuery("spark")), tie_breaker=0.3
+    )
+    return _scored(s.docs(q))
+
+
+def q_multi_phrase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MultiPhraseQuery: '(spark|data) window'
+    (search/MultiPhraseQuery.java)."""
+    s = _searcher(spark, sf_dir)
+    q = MultiPhraseQuery((("spark", "data"), ("window",)))
+    return _scored(s.docs(q))
+
+
+def q_function_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Function-query scoring: recip + linear over a field
+    (ValueSourceParser.java: 'recip'/'linear'/'scale';
+    ReciprocalFloatFunction.java: a/(m·x+b))."""
+    d = _table(spark, sf_dir, "documents")
+    fscore = F.lit(1000.0) / (F.col("n_chars") * 1.0 + F.lit(1000.0)) + F.col(
+        "n_chars"
+    ) * 0.001
+    return d.select("doc_id", F.round(fscore, 4).alias("fscore")).orderBy("doc_id")
+
+
 # --------------------------------------------------------------------------
 # facets / stats / grouping (SURVEY §2.6)
 # --------------------------------------------------------------------------
+
+
+def q_facet_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON-facet bucket metrics: sum/avg/min/max/stddev/variance/
+    percentile/unique per bucket (search/facet/SumAgg.java, AvgAgg.java,
+    StddevAgg.java, VarianceAgg.java, PercentileAgg.java, UniqueAgg.java)."""
+    d = _table(spark, sf_dir, "documents")
+    return (
+        d.groupBy("lang")
+        .agg(
+            F.count("*").alias("cnt"),
+            F.sum("n_chars").alias("sum_chars"),
+            F.round(F.avg("n_chars"), 4).alias("avg_chars"),
+            F.min("n_chars").alias("min_chars"),
+            F.max("n_chars").alias("max_chars"),
+            F.round(F.stddev("n_chars"), 4).alias("stddev_chars"),
+            F.round(F.variance("n_chars"), 4).alias("var_chars"),
+            F.round(F.percentile("n_chars", F.lit(0.5)), 4).alias("p50_chars"),
+            F.count_distinct("source").alias("uniq_sources"),
+        )
+        .orderBy("lang")
+    )
 
 def q_facet_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Field facet: top buckets by count (SimpleFacets.java:344-452)."""
@@ -548,6 +601,18 @@ def q_fetch_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hits.join(d, "doc_id").select("doc_id", "score", "lang", "source")
 
 
+def q_hash_partition_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ParallelStream worker routing: each worker consumes the slice
+    where hash(keys) % workers == workerID
+    (solr/core/.../search/HashQParserPlugin.java:50-95)."""
+    o = _table(spark, sf_dir, "orders")
+    return (
+        o.filter(F.pmod(F.col("o_custkey"), F.lit(4)) == 1)
+        .select("o_orderkey", "o_custkey")
+        .orderBy("o_orderkey")
+    )
+
+
 def q_timeseries_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TimeSeriesStream: tumbling calendar windows on a time field
     (io/stream/TimeSeriesStream.java)."""
@@ -700,6 +765,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "boolean_must_not": q_boolean_must_not,
         "boolean_filter": q_boolean_filter,
         "min_should_match": q_min_should_match,
+        "dismax": q_dismax,
+        "multi_phrase": q_multi_phrase,
+        "function_query": q_function_query,
         "phrase_query": q_phrase_query,
         "synonym_query": q_synonym_query,
         "prefix_query": q_prefix_query,
@@ -709,6 +777,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "match_all": q_match_all,
         "search_after": q_search_after,
         "facet_terms": q_facet_terms,
+        "facet_metrics": q_facet_metrics,
         "facet_range": q_facet_range,
         "pivot_facet": q_pivot_facet,
         "stats_component": q_stats_component,
@@ -725,6 +794,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "intersect_stream": q_intersect_stream,
         "complement_stream": q_complement_stream,
         "cartesian_stream": q_cartesian_stream,
+        "hash_partition_stream": q_hash_partition_stream,
         "fetch_stream": q_fetch_stream,
         "timeseries_stream": q_timeseries_stream,
         "select_stream": q_select_stream,
@@ -807,6 +877,64 @@ scored AS (
   SELECT doc_id, sum(score) AS score FROM u GROUP BY doc_id HAVING count(*) >= 2
 )
 SELECT doc_id, ROUND(score, 4) AS score FROM scored
+"""
+
+    sqls["dismax"] = f"""
+WITH {_IDX},
+s1 AS ({_bm25_sql("vector")}),
+s2 AS ({_bm25_sql("spark")}),
+u AS (SELECT * FROM s1 UNION ALL SELECT * FROM s2),
+agg AS (SELECT doc_id, max(score) AS mx, sum(score) AS sm FROM u GROUP BY doc_id)
+SELECT doc_id, ROUND(mx + 0.3 * (sm - mx), 4) AS score FROM agg
+"""
+
+    sqls["multi_phrase"] = f"""
+WITH {_IDX},
+p1 AS (SELECT doc_id, pos FROM kept WHERE term IN ('spark', 'data')),
+p2 AS (SELECT doc_id, pos FROM kept WHERE term = 'window'),
+ph AS (
+  SELECT p1.doc_id, count(*) AS freq
+  FROM p1 JOIN p2 ON p1.doc_id = p2.doc_id AND p2.pos = p1.pos + 1
+  GROUP BY p1.doc_id
+),
+idfs AS (
+  SELECT sum(ln(1 + (c.n - t.df + 0.5) / (t.df + 0.5))) AS idf_sum
+  FROM tstats t CROSS JOIN cstats c
+  WHERE t.term IN ('spark', 'data', 'window')
+)
+SELECT ph.doc_id,
+       ROUND(i.idf_sum * 2.2 * ph.freq
+         / (ph.freq + 1.2 * (0.25 + 0.75 * nm.length / (c.sttf / c.n))), 4) AS score
+FROM ph
+JOIN norms nm USING (doc_id)
+CROSS JOIN cstats c
+CROSS JOIN idfs i
+"""
+
+    sqls["function_query"] = """
+SELECT doc_id,
+       ROUND(CAST(1000.0 AS DOUBLE)
+               / (n_chars * CAST(1.0 AS DOUBLE) + CAST(1000.0 AS DOUBLE))
+             + n_chars * CAST(0.001 AS DOUBLE), 4) AS fscore
+FROM documents ORDER BY doc_id
+"""
+
+    sqls["facet_metrics"] = """
+SELECT lang, count(*) AS cnt,
+       sum(n_chars) AS sum_chars,
+       ROUND(avg(n_chars), 4) AS avg_chars,
+       min(n_chars) AS min_chars,
+       max(n_chars) AS max_chars,
+       ROUND(stddev(n_chars), 4) AS stddev_chars,
+       ROUND(var_samp(n_chars), 4) AS var_chars,
+       ROUND(quantile_cont(n_chars, 0.5), 4) AS p50_chars,
+       count(DISTINCT source) AS uniq_sources
+FROM documents GROUP BY lang ORDER BY lang
+"""
+
+    sqls["hash_partition_stream"] = """
+SELECT o_orderkey, o_custkey FROM orders
+WHERE o_custkey % 4 = 1 ORDER BY o_orderkey
 """
 
     sqls["phrase_query"] = f"""

@@ -136,3 +136,31 @@ def boolean(
         tuple(BooleanClause(o, q) for o, q in clauses),
         minimum_number_should_match=min_should_match,
     )
+
+
+@dataclass(frozen=True)
+class DisjunctionMaxQuery(Query):
+    """Score = max(subscores) + tie_breaker · Σ(other subscores).
+
+    Ref: search/DisjunctionMaxQuery.java (DisjunctionMaxScorer:
+    score = max + tieBreakerMultiplier * (sum - max))."""
+
+    disjuncts: tuple[Query, ...]
+    tie_breaker: float = 0.0
+
+
+@dataclass(frozen=True)
+class MultiPhraseQuery(Query):
+    """Phrase with term alternatives per position slot.
+
+    Ref: search/MultiPhraseQuery.java — each slot is a term set; the
+    position join unions each slot's postings first."""
+
+    slots: tuple[tuple[str, ...], ...]
+    positions: tuple[int, ...] = ()
+
+    def __post_init__(self) -> None:
+        if not self.positions:
+            object.__setattr__(self, "positions", tuple(range(len(self.slots))))
+        if len(self.positions) != len(self.slots):
+            raise ValueError("slots and positions must align")

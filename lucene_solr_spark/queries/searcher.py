@@ -49,9 +49,11 @@ from lucene_solr_spark.queries.query import (
     BooleanQuery,
     BoostQuery,
     ConstantScoreQuery,
+    DisjunctionMaxQuery,
     FuzzyQuery,
     MatchAllDocsQuery,
     MatchNoDocsQuery,
+    MultiPhraseQuery,
     Occur,
     PhraseQuery,
     PrefixQuery,
@@ -241,6 +243,10 @@ class IndexSearcher:
             return self._score_col(weight, pl).select("doc_id", "score")
         if isinstance(q, SynonymQuery):
             return self._exec_synonym(q, boost)
+        if isinstance(q, DisjunctionMaxQuery):
+            return self._exec_dismax(q, boost)
+        if isinstance(q, MultiPhraseQuery):
+            return self._exec_multiphrase(q, boost)
         if isinstance(q, PhraseQuery):
             return self._exec_phrase(q, boost)
         if isinstance(q, (PrefixQuery, WildcardQuery, TermRangeQuery, FuzzyQuery)):
@@ -366,6 +372,73 @@ class IndexSearcher:
         )
         return self._score_col(weight, pl).select("doc_id", "score")
 
+    def _exec_dismax(self, q: DisjunctionMaxQuery, boost: float) -> DataFrame:
+        """DisjunctionMaxQuery: max(subscores) + tie·(sum − max)
+        (search/DisjunctionMaxQuery.java, DisjunctionMaxScorer)."""
+        if not q.disjuncts:
+            return self._empty_scored()
+        union = reduce(
+            DataFrame.unionByName, (self._exec(d, boost) for d in q.disjuncts)
+        )
+        agg = union.groupBy("doc_id").agg(
+            F.max(F.col("score").cast("double")).alias("_mx"),
+            F.sum(F.col("score").cast("double")).alias("_sm"),
+        )
+        total = F.col("_mx") + F.lit(float(q.tie_breaker)) * (
+            F.col("_sm") - F.col("_mx")
+        )
+        if self.scoring == "lucene":
+            total = total.cast("float")
+        return agg.select("doc_id", total.alias("score"))
+
+    def _exec_multiphrase(self, q: MultiPhraseQuery, boost: float) -> DataFrame:
+        """MultiPhraseQuery: union each slot's postings (positions
+        concatenated per doc), then the standard two-phase position
+        intersection (search/MultiPhraseQuery.java)."""
+        all_terms = [t for slot in q.slots for t in slot]
+        stats = self.term_statistics(list(dict.fromkeys(all_terms)))
+        # every slot needs at least one existing term
+        for slot in q.slots:
+            if all(stats[t][0] == 0 for t in slot):
+                return self._empty_scored()
+        idf_sum = sum(self._idf(stats[t][0]) for t in all_terms if stats[t][0] > 0)
+        weight = (
+            float(self.bm25.weight(np.float32(idf_sum), boost))
+            if self.scoring == "lucene"
+            else boost * idf_sum
+        )
+        base: DataFrame | None = None
+        for i, slot in enumerate(q.slots):
+            live = [t for t in slot if stats[t][0] > 0]
+            pl = (
+                self._postings.filter(F.col("term").isin(live))
+                .groupBy("doc_id")
+                .agg(
+                    F.sort_array(
+                        F.flatten(F.collect_list("positions"))
+                    ).alias(f"_p{i}"),
+                    *(
+                        [
+                            F.first("norm_byte").alias("norm_byte"),
+                            F.first("length").alias("length"),
+                        ]
+                        if i == 0
+                        else []
+                    ),
+                )
+            )
+            base = pl if base is None else base.join(pl, "doc_id", "inner")
+        def _shift(col_name: str, off: int):
+            # NB: F.transform dispatches on lambda arity — bind via closure
+            return F.transform(F.col(col_name), lambda x: x - F.lit(off))
+
+        shifted = [
+            _shift(f"_p{i}", off) for i, off in enumerate(q.positions)
+        ]
+        inter = reduce(lambda a, b: F.array_intersect(a, b), shifted)
+        out = base.withColumn("freq", F.size(inter)).filter(F.col("freq") > 0)
+        return self._score_col(weight, out).select("doc_id", "score")
+
     def _exec_phrase(self, q: PhraseQuery, boost: float) -> DataFrame:
         """Two-phase exact phrase: docID conjunction, then JVM-side
         position verification (ExactPhraseScorer.java:60-171).
@@ -477,6 +550,13 @@ class IndexSearcher:
             )
         if isinstance(q, PhraseQuery):
             return self._exec_phrase(q, 1.0).select("doc_id")
+        if isinstance(q, MultiPhraseQuery):
+            return self._exec_multiphrase(q, 1.0).select("doc_id")
+        if isinstance(q, DisjunctionMaxQuery):
+            union = reduce(
+                DataFrame.unionByName, (self._match(d) for d in q.disjuncts)
+            )
+            return union.distinct()
         if isinstance(q, BooleanQuery):
             musts = [
                 c.query for c in q.clauses if c.occur in (Occur.MUST, Occur.FILTER)

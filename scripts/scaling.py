@@ -37,7 +37,7 @@ corpus.write.mode("overwrite").parquet(os.path.join(out, "corpus"))
 src = spark.read.parquet(os.path.join(out, "corpus"))
 t0 = time.time()
 idx = SegmentedIndex(spark, os.path.join(out, "index"))
-man = idx.build(src, num_segments=64)
+man = idx.build(src, num_segments=64, total_docs=num_docs)
 wall = time.time() - t0
 ndocs = sum(i.num_docs for i in man.values())
 print(json.dumps({"cores": cores, "wall_s": round(wall, 2),
