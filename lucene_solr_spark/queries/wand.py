@@ -94,24 +94,43 @@ def _segment_wand(
         return pd.DataFrame({"doc_id": pd.Series([], dtype="int64"),
                              "score": pd.Series([], dtype="float32")})
 
-    # elementary intervals from all block boundaries
-    bounds = sorted({blk["lo"] for blk in blocks} | {blk["hi"] + 1 for blk in blocks})
+    # elementary intervals from all block boundaries; blocks enter/leave
+    # the active set via an O(#blocks) event sweep, never a rescan
+    bounds = np.array(
+        sorted({blk["lo"] for blk in blocks} | {blk["hi"] + 1 for blk in blocks}),
+        dtype=np.int64,
+    )
+    n_iv = len(bounds) - 1
+    add_ev: list[list[dict]] = [[] for _ in range(n_iv + 1)]
+    rem_ev: list[list[dict]] = [[] for _ in range(n_iv + 1)]
+    for blk in blocks:
+        si = int(np.searchsorted(bounds, blk["lo"]))
+        ei = int(np.searchsorted(bounds, blk["hi"] + 1))
+        add_ev[si].append(blk)
+        rem_ev[ei].append(blk)
     heap: list[tuple[np.float32, int]] = []  # (score, -doc_id), size ≤ k
 
     def theta() -> float:
         return float(heap[0][0]) if len(heap) == k else -np.inf
 
-    for lo, hi_excl in zip(bounds, bounds[1:]):
-        hi = hi_excl - 1
-        active = [blk for blk in blocks if blk["lo"] <= lo and blk["hi"] >= hi]
+    active: dict[int, dict] = {}
+    ub_run = 0.0
+    for i in range(n_iv):
+        for blk in rem_ev[i]:
+            del active[id(blk)]
+            ub_run -= blk["ub"]
+        for blk in add_ev[i]:
+            active[id(blk)] = blk
+            ub_run += blk["ub"]
         if not active:
             continue
-        ub_sum = sum(blk["ub"] for blk in active)
-        if ub_sum <= theta():
+        lo, hi = int(bounds[i]), int(bounds[i + 1]) - 1
+        if ub_run <= theta():
             continue  # equality-safe: later docIDs lose ties (HitQueue)
+        active_list = list(active.values())
         # decode + gather candidate docs in [lo, hi]
         per_doc: dict[int, float] = {}
-        for blk in active:
+        for blk in active_list:
             if blk["decoded"] is None:
                 blk["decoded"] = decode_posting_block(
                     blk["lo"], blk["count"], blk["docs_bin"], blk["tfs_bin"]
