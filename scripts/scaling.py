@@ -2,10 +2,11 @@
 parallelism levels (the sandbox stand-in for N vs 4N executors — per
 driver instruction, since no real cluster is available here).
 
-Runs the full write path (generate deterministic corpus → stable docID
-assignment → tokenize/invert/encode → segmented write + manifest) at
-local[N] and local[4N] on the SAME input and prints throughput at both
-plus efficiency = (T_N / T_4N) / 4.  Appends the result to BENCH.md.
+The deterministic corpus is generated ONCE (at full parallelism) and
+shared; each timed leg then runs ONLY the write path (tokenize/invert/
+encode/write/manifest) from the same parquet input at local[N] and
+local[4N], in separate JVMs.  Prints throughput at both + efficiency
+= (T_N / T_4N) / 4 and appends to BENCH.md.
 
 Usage: python scripts/scaling.py [num_docs] [small_cores]
 """
@@ -19,24 +20,34 @@ import subprocess
 import sys
 import tempfile
 
-WORKER = r"""
-import json, os, sys, tempfile, time
+GEN = r"""
+import os, sys
 sys.path.insert(0, os.getcwd())
 from lucene_solr_spark.session import get_spark
 from lucene_solr_spark.corpus import generate_corpus
 from lucene_solr_spark.index import assign_doc_ids
-from lucene_solr_spark.index.segments import SegmentedIndex
-
-cores = int(sys.argv[1])
-num_docs = int(sys.argv[2])
-out = sys.argv[3]
-spark = get_spark(f"scaling-{cores}", cores=cores)
+num_docs, out = int(sys.argv[1]), sys.argv[2]
+spark = get_spark("scaling-gen", cores=os.cpu_count())
 corpus = generate_corpus(spark, num_docs, partitions=64)
 corpus = assign_doc_ids(corpus).select("doc_id", "content")
-corpus.write.mode("overwrite").parquet(os.path.join(out, "corpus"))
-src = spark.read.parquet(os.path.join(out, "corpus"))
+corpus.write.mode("overwrite").parquet(out)
+print("GEN-DONE")
+"""
+
+WORKER = r"""
+import json, os, sys, tempfile, time
+sys.path.insert(0, os.getcwd())
+from lucene_solr_spark.session import get_spark
+from lucene_solr_spark.index.segments import SegmentedIndex
+
+cores, num_docs, corpus_dir, out = (
+    int(sys.argv[1]), int(sys.argv[2]), sys.argv[3], sys.argv[4]
+)
+spark = get_spark(f"scaling-{cores}", cores=cores)
+src = spark.read.parquet(corpus_dir)
+src.count()  # warm the scan/file listing outside the timed window
 t0 = time.time()
-idx = SegmentedIndex(spark, os.path.join(out, "index"))
+idx = SegmentedIndex(spark, out)
 man = idx.build(src, num_segments=64, total_docs=num_docs)
 wall = time.time() - t0
 ndocs = sum(i.num_docs for i in man.values())
@@ -45,31 +56,39 @@ print(json.dumps({"cores": cores, "wall_s": round(wall, 2),
 """
 
 
-def run(cores: int, num_docs: int, out: str) -> dict:
-    env = dict(os.environ)
+def run_py(code: str, args: list[str], timeout: int = 3600) -> str:
     r = subprocess.run(
-        [sys.executable, "-c", WORKER, str(cores), str(num_docs), out],
-        capture_output=True, text=True, env=env, timeout=3600,
+        [sys.executable, "-c", code, *args],
+        capture_output=True, text=True, timeout=timeout,
     )
-    line = [ln for ln in r.stdout.strip().splitlines() if ln.startswith("{")]
-    if not line:
+    if r.returncode != 0:
         print(r.stdout[-2000:], r.stderr[-2000:], file=sys.stderr)
-        raise RuntimeError(f"worker failed at cores={cores}")
-    return json.loads(line[-1])
+        raise RuntimeError("subprocess failed")
+    return r.stdout
 
 
 def main() -> None:
-    num_docs = int(sys.argv[1]) if len(sys.argv) > 1 else 60_000
+    num_docs = int(sys.argv[1]) if len(sys.argv) > 1 else 480_000
     small = int(sys.argv[2]) if len(sys.argv) > 2 else 8
     big = small * 4
-    results = {}
-    for cores in (small, big):
-        out = tempfile.mkdtemp(prefix=f"scale{cores}-")
-        try:
-            results[cores] = run(cores, num_docs, out)
-        finally:
-            shutil.rmtree(out, ignore_errors=True)
-        print(results[cores])
+    base = tempfile.mkdtemp(prefix="scaling-")
+    corpus_dir = os.path.join(base, "corpus")
+    try:
+        run_py(GEN, [str(num_docs), corpus_dir])
+        results = {}
+        for cores in (small, big):
+            out = os.path.join(base, f"idx{cores}")
+            line = [
+                ln
+                for ln in run_py(
+                    WORKER, [str(cores), str(num_docs), corpus_dir, out]
+                ).splitlines()
+                if ln.startswith("{")
+            ][-1]
+            results[cores] = json.loads(line)
+            print(results[cores])
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
     eff = (results[big]["docs_per_sec"] / results[small]["docs_per_sec"]) / (
         big / small
     )
