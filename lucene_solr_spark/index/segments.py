@@ -107,28 +107,41 @@ def _encode_segment(pdf: pd.DataFrame) -> pd.DataFrame:
     positions = np.concatenate(
         [np.asarray(p, dtype=np.uint64) for p in res["positions"]]
     )
-    order = np.lexsort((positions, doc_ids, terms))
-    doc_ids, terms, positions = doc_ids[order], terms[order], positions[order]
+    # hash-factorize terms to int codes, rank codes by sorted vocabulary,
+    # then sort ints only — string comparisons happen once per UNIQUE term
+    # (vocab ≪ tokens), cutting the memory-bound object sort that
+    # dominates at high core counts
+    codes, vocab = pd.factorize(terms, sort=False)
+    vocab = np.asarray(vocab, dtype=object)
+    vorder = np.argsort(vocab, kind="stable")
+    rank = np.empty(vorder.size, dtype=np.int64)
+    rank[vorder] = np.arange(vorder.size)
+    term_rank = rank[codes]
+    order = np.lexsort((positions, doc_ids, term_rank))
+    doc_ids, positions, term_rank = (
+        doc_ids[order], positions[order], term_rank[order]
+    )
+    sorted_vocab = vocab[vorder]
 
     # run-length boundaries at (term, doc) level
     b_td = np.ones(doc_ids.size, dtype=bool)
-    b_td[1:] = (terms[1:] != terms[:-1]) | (doc_ids[1:] != doc_ids[:-1])
+    b_td[1:] = (term_rank[1:] != term_rank[:-1]) | (doc_ids[1:] != doc_ids[:-1])
     starts = np.flatnonzero(b_td)
     tfs = np.diff(np.append(starts, doc_ids.size))
     p_docs = doc_ids[starts]
-    p_terms = terms[starts]
+    p_ranks = term_rank[starts]
 
     # boundaries at term level (over the (term, doc) run list)
-    b_t = np.ones(p_terms.size, dtype=bool)
-    b_t[1:] = p_terms[1:] != p_terms[:-1]
+    b_t = np.ones(p_ranks.size, dtype=bool)
+    b_t[1:] = p_ranks[1:] != p_ranks[:-1]
     t_starts = np.flatnonzero(b_t)
-    t_ends = np.append(t_starts[1:], p_terms.size)
+    t_ends = np.append(t_starts[1:], p_ranks.size)
     pos_offsets = np.zeros(p_docs.size + 1, dtype=np.int64)
     np.cumsum(tfs, out=pos_offsets[1:])
 
     rows: list[dict] = []
     for ts, te in zip(t_starts, t_ends):
-        term = p_terms[ts]
+        term = sorted_vocab[p_ranks[ts]]
         blocks = encode_posting_blocks(
             p_docs[ts:te],
             tfs[ts:te],
@@ -255,34 +268,33 @@ class SegmentedIndex:
         if len(todo) < num_segments:
             src = src.filter(F.col("segment").isin(todo))
 
+        self.write_encoded(src, expected_segments=todo)
+        return self.manifest()
+
+    def write_encoded(
+        self, keyed_src: DataFrame, expected_segments: list[int] | None = None
+    ) -> dict[int, SegmentInfo]:
+        """Encode+write segments for a (doc_id, content, segment) frame.
+
+        ONE write job (unified kind-tagged table, dynamic partition
+        overwrite) + one compact stats job over the written parquet —
+        no persist of the wide intermediate.  Commit points land after
+        both, preserving crash-resume semantics."""
         t0 = time.time()
-        rows = src.groupBy("segment").applyInPandas(
-            _encode_segment, schema=SEGMENT_ROWS_SCHEMA
-        )
-        rows = rows.persist()
-        (
-            rows.filter(F.col("kind") == 0)
-            .select(
-                "segment", "term", "block_id", "base_docid", "count",
-                "max_docid", "max_tf", "sum_tf", "docs_bin", "tfs_bin", "pos_bin",
+        rows = keyed_src.select("doc_id", "content", "segment").groupBy(
+            "segment"
+        ).applyInPandas(_encode_segment, schema=SEGMENT_ROWS_SCHEMA)
+        rows.write.partitionBy("segment").option(
+            "partitionOverwriteMode", "dynamic"
+        ).mode("overwrite").parquet(self._data_dir)
+        written = self.spark.read.parquet(self._data_dir)
+        if expected_segments is not None:
+            written = written.filter(
+                F.col("segment").isin([int(s) for s in expected_segments])
             )
-            .write.partitionBy("segment")
-            .option("partitionOverwriteMode", "dynamic")
-            .mode("overwrite")
-            .parquet(os.path.join(self.path, "postings"))
-        )
-        (
-            rows.filter(F.col("kind") == 1)
-            .select("segment", "doc_id", "length", "norm_byte")
-            .write.partitionBy("segment")
-            .option("partitionOverwriteMode", "dynamic")
-            .mode("overwrite")
-            .parquet(os.path.join(self.path, "norms"))
-        )
-        # metrics per segment for the manifest (one small agg job)
         stats = {
             r["segment"]: r
-            for r in rows.groupBy("segment")
+            for r in written.groupBy("segment")
             .agg(
                 F.sum(F.when(F.col("kind") == 1, 1).otherwise(0)).alias("num_docs"),
                 F.count_distinct(
@@ -298,35 +310,46 @@ class SegmentedIndex:
             )
             .collect()
         }
-        src_counts = {s: int(r["src_rows"] or 0) for s, r in stats.items()}
         wall = time.time() - t0
-        rows.unpersist()
-        for seg in todo:
+        out: dict[int, SegmentInfo] = {}
+        segs = expected_segments if expected_segments is not None else sorted(stats)
+        for seg in segs:
             r = stats.get(seg)
             info = SegmentInfo(
-                segment=seg,
+                segment=int(seg),
                 num_docs=int(r["num_docs"]) if r else 0,
                 num_terms=int(r["num_terms"]) if r else 0,
                 num_postings=int(r["num_postings"]) if r else 0,
                 num_blocks=int(r["num_blocks"]) if r else 0,
                 min_docid=int(r["min_docid"]) if r and r["min_docid"] is not None else -1,
                 max_docid=int(r["max_docid"]) if r and r["max_docid"] is not None else -1,
-                source_rows=int(src_counts.get(seg, 0)),
+                source_rows=int(r["src_rows"] or 0) if r else 0,
                 wall_s=round(wall, 3),
             )
             self._commit(info)
-        return self.manifest()
+            out[int(seg)] = info
+        return out
 
     # --------------------------------------------------------------- reads
-    def postings(self, segments: list[int] | None = None) -> DataFrame:
-        df = self.spark.read.parquet(os.path.join(self.path, "postings"))
+    @property
+    def _data_dir(self) -> str:
+        return os.path.join(self.path, "data")
+
+    def _rows(self, segments: list[int] | None = None) -> DataFrame:
+        df = self.spark.read.parquet(self._data_dir)
         live = sorted(self.manifest()) if segments is None else segments
         return df.filter(F.col("segment").isin([int(s) for s in live]))
 
+    def postings(self, segments: list[int] | None = None) -> DataFrame:
+        return self._rows(segments).filter(F.col("kind") == 0).select(
+            "segment", "term", "block_id", "base_docid", "count",
+            "max_docid", "max_tf", "sum_tf", "docs_bin", "tfs_bin", "pos_bin",
+        )
+
     def norms(self, segments: list[int] | None = None) -> DataFrame:
-        df = self.spark.read.parquet(os.path.join(self.path, "norms"))
-        live = sorted(self.manifest()) if segments is None else segments
-        return df.filter(F.col("segment").isin([int(s) for s in live]))
+        return self._rows(segments).filter(F.col("kind") == 1).select(
+            "segment", "doc_id", "length", "norm_byte"
+        )
 
     def term_stats(self) -> DataFrame:
         """Global (df, ttf) per term from block metadata only — no block
@@ -457,16 +480,26 @@ class SegmentedIndex:
                     "docs_bin binary, tfs_bin binary, pos_bin binary"
                 ),
             )
-            .withColumn("segment", F.lit(new_segment))
+            .select(
+                F.lit(0).alias("kind"),
+                F.lit(new_segment).alias("segment"),
+                "term", "block_id", "base_docid", "count", "max_docid",
+                "max_tf", "sum_tf", "docs_bin", "tfs_bin", "pos_bin",
+                F.lit(None).cast("long").alias("doc_id"),
+                F.lit(None).cast("int").alias("length"),
+                F.lit(None).cast("int").alias("norm_byte"),
+            )
         )
-        merged.write.partitionBy("segment").option(
+        norm_rows = (
+            self._rows(seg_ids)
+            .filter(F.col("kind").isin([1, 2]))
+            .drop("segment")
+            .withColumn("segment", F.lit(new_segment))
+            .select(*merged.columns)
+        )
+        merged.unionByName(norm_rows).write.partitionBy("segment").option(
             "partitionOverwriteMode", "dynamic"
-        ).mode("overwrite").parquet(os.path.join(self.path, "postings"))
-        self.norms(seg_ids).drop("segment").withColumn(
-            "segment", F.lit(new_segment)
-        ).write.partitionBy("segment").option(
-            "partitionOverwriteMode", "dynamic"
-        ).mode("overwrite").parquet(os.path.join(self.path, "norms"))
+        ).mode("overwrite").parquet(self._data_dir)
         infos = infos_pre
         new_info = SegmentInfo(
             segment=new_segment,

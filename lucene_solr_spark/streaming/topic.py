@@ -110,78 +110,18 @@ class IncrementalIndexer:
             F.col(self.id_col).alias("doc_id"),
             F.col(self.text_col).alias("content"),
         )
-        self._build_shifted(sub, base)
-        self.cursor.commit(version)
-        return int(n)
-
-    def _build_shifted(self, src: DataFrame, base: int) -> None:
-        import time as _t
-
-        import pandas as pd  # noqa: F401
-
-        from lucene_solr_spark.index.segments import (
-            SEGMENT_ROWS_SCHEMA,
-            SegmentInfo,
-            _encode_segment,
-        )
-
         nseg = self.segments_per_batch
-        lo = src.agg(F.min("doc_id"), F.max("doc_id")).collect()[0]
+        lo = sub.agg(F.min("doc_id"), F.max("doc_id")).collect()[0]
         span = int(lo[1]) - int(lo[0]) + 1
         seg_size = max(1, -(-span // nseg))
-        keyed = src.withColumn(
+        keyed = sub.withColumn(
             "segment",
-            (F.lit(base) + F.floor((F.col("doc_id") - F.lit(int(lo[0]))) / F.lit(seg_size))).cast("int"),
+            (
+                F.lit(base)
+                + F.floor((F.col("doc_id") - F.lit(int(lo[0]))) / F.lit(seg_size))
+            ).cast("int"),
         )
-        t0 = _t.time()
-        rows = keyed.groupBy("segment").applyInPandas(
-            _encode_segment, schema=SEGMENT_ROWS_SCHEMA
-        ).persist()
-        (
-            rows.filter(F.col("kind") == 0)
-            .select(
-                "segment", "term", "block_id", "base_docid", "count",
-                "max_docid", "max_tf", "sum_tf", "docs_bin", "tfs_bin", "pos_bin",
-            )
-            .write.partitionBy("segment")
-            .option("partitionOverwriteMode", "dynamic")
-            .mode("overwrite")
-            .parquet(os.path.join(self.index.path, "postings"))
-        )
-        (
-            rows.filter(F.col("kind") == 1)
-            .select("segment", "doc_id", "length", "norm_byte")
-            .write.partitionBy("segment")
-            .option("partitionOverwriteMode", "dynamic")
-            .mode("overwrite")
-            .parquet(os.path.join(self.index.path, "norms"))
-        )
-        stats = {
-            r["segment"]: r
-            for r in rows.groupBy("segment")
-            .agg(
-                F.sum(F.when(F.col("kind") == 1, 1).otherwise(0)).alias("num_docs"),
-                F.count_distinct(F.when(F.col("kind") == 0, F.col("term"))).alias("num_terms"),
-                F.sum(F.when(F.col("kind") == 0, F.col("count")).otherwise(0)).alias("num_postings"),
-                F.sum(F.when(F.col("kind") == 0, 1).otherwise(0)).alias("num_blocks"),
-                F.min(F.when(F.col("kind") == 1, F.col("doc_id"))).alias("min_docid"),
-                F.max(F.when(F.col("kind") == 1, F.col("doc_id"))).alias("max_docid"),
-            )
-            .collect()
-        }
-        wall = _t.time() - t0
-        rows.unpersist()
-        for seg, r in stats.items():
-            self.index._commit(
-                SegmentInfo(
-                    segment=int(seg),
-                    num_docs=int(r["num_docs"]),
-                    num_terms=int(r["num_terms"]),
-                    num_postings=int(r["num_postings"]),
-                    num_blocks=int(r["num_blocks"]),
-                    min_docid=int(r["min_docid"]),
-                    max_docid=int(r["max_docid"]),
-                    source_rows=int(r["num_docs"]),
-                    wall_s=round(wall, 3),
-                )
-            )
+        new_segs = list(range(base, base + min(nseg, span)))
+        self.index.write_encoded(keyed, expected_segments=new_segs)
+        self.cursor.commit(version)
+        return int(n)
