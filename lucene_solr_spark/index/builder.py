@@ -66,18 +66,20 @@ def invert(df: DataFrame, id_col: str = "doc_id", text_col: str = "content") -> 
             positions = np.concatenate(
                 [np.asarray(p, dtype=np.int32) for p in res["positions"]]
             )
-            # sort by (doc, term) then run-length reduce → (doc, term, tf, pos[])
-            order = np.lexsort((terms, doc_ids))
-            doc_ids, terms, positions = doc_ids[order], terms[order], positions[order]
+            # hash-factorize terms so the sort runs on ints (strings are
+            # compared once per unique term, not once per token)
+            codes, vocab = pd.factorize(terms, sort=False)
+            order = np.lexsort((codes, doc_ids))
+            doc_ids, codes, positions = doc_ids[order], codes[order], positions[order]
             boundary = np.ones(doc_ids.size, dtype=bool)
-            boundary[1:] = (doc_ids[1:] != doc_ids[:-1]) | (terms[1:] != terms[:-1])
+            boundary[1:] = (doc_ids[1:] != doc_ids[:-1]) | (codes[1:] != codes[:-1])
             starts = np.flatnonzero(boundary)
             tfs = np.diff(np.append(starts, doc_ids.size)).astype(np.int32)
             pos_lists = np.split(positions, starts[1:])
             yield pd.DataFrame(
                 {
                     "doc_id": doc_ids[starts],
-                    "term": terms[starts],
+                    "term": np.asarray(vocab, dtype=object)[codes[starts]],
                     "tf": tfs,
                     "positions": [p for p in pos_lists],
                 }
