@@ -20,7 +20,11 @@ import numpy as np
 import pandas as pd
 
 from lucene_solr_spark.analysis.stopwords import ENGLISH_STOP_WORDS
-from lucene_solr_spark.analysis.tokenizer import DEFAULT_MAX_TOKEN_LENGTH, tokenize
+from lucene_solr_spark.analysis.tokenizer import (
+    DEFAULT_MAX_TOKEN_LENGTH,
+    raw_tokens,
+    tokenize,
+)
 
 
 def analyze_text(
@@ -41,28 +45,64 @@ def analyze_text(
     return terms, out_pos
 
 
+def analyze_batch_flat(
+    content: pd.Series,
+    stopwords: frozenset[str] = ENGLISH_STOP_WORDS,
+    max_token_length: int = DEFAULT_MAX_TOKEN_LENGTH,
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Fully vectorized batch analysis → flat arrays
+    ``(doc_index, terms, positions)``.
+
+    Per-document work is ONE C-level ``findall``; lowercase, the
+    255-char skip rule (dropped tokens still consume their position),
+    and the stopword mask (position gaps preserved) all run as batch
+    pandas/numpy ops — zero per-token Python.  This is the shape the
+    invert kernels consume directly (they re-flatten anyway).
+    """
+    tok_lists = [raw_tokens(t) for t in content.astype(str).tolist()]
+    counts = np.fromiter(
+        (len(l) for l in tok_lists), dtype=np.int64, count=len(tok_lists)
+    )
+    total = int(counts.sum())
+    flat = np.empty(total, dtype=object)
+    i = 0
+    for l in tok_lists:
+        flat[i : i + len(l)] = l
+        i += len(l)
+    offsets = np.zeros(counts.size + 1, dtype=np.int64)
+    np.cumsum(counts, out=offsets[1:])
+    pos = np.arange(total, dtype=np.int64) - np.repeat(offsets[:-1], counts)
+    s = pd.Series(flat, dtype=object)
+    low = s.str.lower()
+    keep = (s.str.len().to_numpy() <= max_token_length) & ~low.isin(
+        list(stopwords)
+    ).to_numpy()
+    doc_idx = np.repeat(np.arange(counts.size, dtype=np.int64), counts)
+    return doc_idx[keep], low.to_numpy()[keep], pos[keep]
+
+
 def analyze_batch(
     content: pd.Series,
     stopwords: frozenset[str] = ENGLISH_STOP_WORDS,
     max_token_length: int = DEFAULT_MAX_TOKEN_LENGTH,
 ) -> pd.DataFrame:
-    """Vectorized batch analysis: Series[str] → DataFrame(terms, positions, length).
+    """Batch analysis: Series[str] → DataFrame(terms, positions, length).
 
-    This is the kernel behind every Arrow/pandas UDF boundary — one Python
-    call per Arrow batch, C regex per row, no per-token Python loops in
-    the aggregation (pandas/numpy handle grouping).
+    List-of-lists view over :func:`analyze_batch_flat` for callers that
+    want per-document rows.
     """
-    terms_col: list[list[str]] = []
-    pos_col: list[list[int]] = []
-    for text in content.astype(str).tolist():
-        terms, pos = analyze_text(text, stopwords, max_token_length)
-        terms_col.append(terms)
-        pos_col.append(pos)
+    doc_idx, terms, pos = analyze_batch_flat(content, stopwords, max_token_length)
+    n = len(content)
+    kept_counts = np.bincount(doc_idx, minlength=n)
+    splits = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(kept_counts, out=splits[1:])
+    terms_col = [terms[splits[i] : splits[i + 1]].tolist() for i in range(n)]
+    pos_col = [pos[splits[i] : splits[i + 1]].tolist() for i in range(n)]
     return pd.DataFrame(
         {
             "terms": terms_col,
             "positions": pos_col,
-            "length": np.fromiter((len(t) for t in terms_col), dtype=np.int64),
+            "length": kept_counts.astype(np.int64),
         },
         index=content.index,
     )

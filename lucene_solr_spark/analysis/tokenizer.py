@@ -63,6 +63,12 @@ _TOKEN_RE = re.compile(
 )
 
 
+def raw_tokens(text: str) -> list[str]:
+    """All raw token strings of one document (no length filter) —
+    the C-level fast path for batch analysis."""
+    return _TOKEN_RE.findall(text)
+
+
 def tokenize(
     text: str, max_token_length: int = DEFAULT_MAX_TOKEN_LENGTH
 ) -> tuple[list[str], list[int]]:

@@ -34,7 +34,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from lucene_solr_spark.analysis import analyze_batch
+from lucene_solr_spark.analysis import analyze_batch_flat
 from lucene_solr_spark.scoring.bm25 import encode_norm
 
 POSTINGS_SCHEMA = "doc_id long, term string, tf int, positions array<int>"
@@ -49,9 +49,8 @@ def invert(df: DataFrame, id_col: str = "doc_id", text_col: str = "content") -> 
 
     def kernel(batches):
         for pdf in batches:
-            res = analyze_batch(pdf["content"])
-            lens = res["length"].to_numpy()
-            if lens.sum() == 0:
+            doc_idx, terms, positions = analyze_batch_flat(pdf["content"])
+            if terms.size == 0:
                 yield pd.DataFrame(
                     {
                         "doc_id": pd.Series([], dtype="int64"),
@@ -61,11 +60,8 @@ def invert(df: DataFrame, id_col: str = "doc_id", text_col: str = "content") -> 
                     }
                 )
                 continue
-            doc_ids = np.repeat(pdf["doc_id"].to_numpy(), lens)
-            terms = np.concatenate([np.asarray(t, dtype=object) for t in res["terms"]])
-            positions = np.concatenate(
-                [np.asarray(p, dtype=np.int32) for p in res["positions"]]
-            )
+            doc_ids = pdf["doc_id"].to_numpy()[doc_idx]
+            positions = positions.astype(np.int32)
             # hash-factorize terms so the sort runs on ints (strings are
             # compared once per unique term, not once per token)
             codes, vocab = pd.factorize(terms, sort=False)

@@ -44,7 +44,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from lucene_solr_spark.analysis import analyze_batch
+from lucene_solr_spark.analysis import analyze_batch_flat
 from lucene_solr_spark.codecs.postings import encode_posting_blocks
 from lucene_solr_spark.scoring.bm25 import encode_norm
 
@@ -97,16 +97,11 @@ def _encode_segment(pdf: pd.DataFrame) -> pd.DataFrame:
             for col, proto in _EMPTY.items()
         }
     )
-    res = analyze_batch(pdf["content"])
-    lens = res["length"].to_numpy()
-    total = int(lens.sum())
-    if total == 0:
+    doc_idx, terms, positions = analyze_batch_flat(pdf["content"])
+    if terms.size == 0:
         return lineage
-    doc_ids = np.repeat(pdf["doc_id"].to_numpy(), lens)
-    terms = np.concatenate([np.asarray(t, dtype=object) for t in res["terms"]])
-    positions = np.concatenate(
-        [np.asarray(p, dtype=np.uint64) for p in res["positions"]]
-    )
+    doc_ids = pdf["doc_id"].to_numpy()[doc_idx]
+    positions = positions.astype(np.uint64)
     # hash-factorize terms to int codes, rank codes by sorted vocabulary,
     # then sort ints only — string comparisons happen once per UNIQUE term
     # (vocab ≪ tokens), cutting the memory-bound object sort that
