@@ -162,6 +162,117 @@ class IndexSearcher:
             query = parse_query(query)
         return self._match(rewrite(query)).count()
 
+    def explain(self, query: Query | str, doc_id: int) -> dict:
+        """Explanation tree for one doc (IndexSearcher.explain;
+        BM25Similarity.explainScore :259-297).  CheckHits discipline:
+        the root ``value`` must equal the score ``search`` produces for
+        the same doc (tests enforce it)."""
+        if isinstance(query, str):
+            from lucene_solr_spark.queries.parser import parse_query
+
+            query = parse_query(query)
+        query = rewrite(query)
+        return self._explain(query, int(doc_id), 1.0)
+
+    def _explain(self, q: Query, doc_id: int, boost: float) -> dict:
+        def node(value, description, details=()):
+            return {
+                "value": float(value),
+                "description": description,
+                "details": list(details),
+            }
+
+        if isinstance(q, BoostQuery):
+            return self._explain(q.query, doc_id, boost * q.boost)
+        if isinstance(q, TermQuery):
+            row = (
+                self._term_postings(q.term)
+                .filter(F.col("doc_id") == doc_id)
+                .select("tf", "norm_byte", "length")
+                .collect()
+            )
+            if not row:
+                return node(0.0, f"no matching term content:{q.term}")
+            freq, norm_byte, length = (
+                int(row[0]["tf"]), int(row[0]["norm_byte"]), int(row[0]["length"])
+            )
+            df_, _ = self.term_statistics([q.term])[q.term]
+            n = self.stats.doc_count
+            idf_v = self._idf(df_)
+            k1, b = self.bm25.k1, self.bm25.b
+            if self.scoring == "lucene":
+                tf_norm = float(
+                    np.float32(freq)
+                    / (np.float32(freq) + self._cache32[norm_byte & 0xFF])
+                )
+                score = float(
+                    np.float32(self.bm25.weight(idf_v, boost))
+                    * np.float32(k1 + 1)
+                    * np.float32(freq)
+                    / (np.float32(freq) + self._cache32[norm_byte & 0xFF])
+                )
+            else:
+                denom = freq + k1 * ((1 - b) + b * length / self._avgdl64)
+                tf_norm = freq / denom
+                score = boost * idf_v * (k1 + 1) * freq / denom
+            return node(
+                score,
+                f"weight(content:{q.term} in {doc_id}) [BM25Similarity], product of:",
+                [
+                    node(boost, "boost"),
+                    node(
+                        idf_v,
+                        "idf, computed as log(1 + (N - n + 0.5) / (n + 0.5)) from:",
+                        [node(df_, "n, number of documents containing term"),
+                         node(n, "N, total number of documents with field")],
+                    ),
+                    node(
+                        (k1 + 1) * tf_norm,
+                        "tf, computed as (freq·(k1+1)) / (freq + k1·(1 - b + b·dl/avgdl)) from:",
+                        [node(freq, "freq, occurrences of term within document"),
+                         node(k1, "k1, term saturation parameter"),
+                         node(b, "b, length normalization parameter"),
+                         node(length, "dl, length of field"),
+                         node(float(self._avgdl64), "avgdl, average length of field")],
+                    ),
+                ],
+            )
+        if isinstance(q, BooleanQuery):
+            details = []
+            total = 0.0
+            matched = True
+            for c in q.clauses:
+                if c.occur == Occur.MUST_NOT:
+                    hit = (
+                        self._match(c.query)
+                        .filter(F.col("doc_id") == doc_id)
+                        .count()
+                    )
+                    if hit:
+                        return node(0.0, "failure to match MUST_NOT clause")
+                    continue
+                sub = self._explain(c.query, doc_id, boost)
+                if c.occur in (Occur.MUST, Occur.FILTER):
+                    if sub["description"].startswith("no matching"):
+                        matched = False
+                if c.occur != Occur.FILTER:
+                    total += sub["value"]
+                details.append(sub)
+            if not matched:
+                return node(0.0, "failure to meet condition of required clause")
+            if self.scoring == "lucene":
+                total = float(np.float32(total))
+            return node(total, "sum of:", details)
+        # fallback: execute and read the score
+        row = (
+            self._exec(q, boost)
+            .filter(F.col("doc_id") == doc_id)
+            .select("score")
+            .collect()
+        )
+        v = float(row[0]["score"]) if row else 0.0
+        return node(v, f"{type(q).__name__} score")
+
     # ------------------------------------------------------- score kernels
     def _score_col(self, weight: float, df_in: DataFrame) -> DataFrame:
         """Append ``score`` given per-row freq/norm columns.
