@@ -701,6 +701,31 @@ def q_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("vec_id", F.round(F.col("cosine"), 4).alias("cosine"))
 
 
+def q_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All-pairs cosine ≥ τ via LSH-bucketed self-join — engine-specific
+    hyperplanes ⇒ rows-only check; pytest verifies vs brute force."""
+    e = _table(spark, sf_dir, "embeddings")
+    # the synthetic embeddings are near-orthogonal (max pair cosine ≈0.51)
+    # so τ=0.4 exercises the bucketed-pair path with non-empty output
+    return (
+        similarity.embedding_near_dups(e, threshold=0.4, num_planes=4)
+        .select("ida", "idb", F.round("cosine", 4).alias("cosine"))
+        .orderBy("ida", "idb")
+    )
+
+
+def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing: binary payload column + typed metadata →
+    mapInPandas feature extraction (decode deterministically faked —
+    media libs aren't in this container) ⇒ rows-only check."""
+    from lucene_solr_spark.functions import multimodal
+
+    media = multimodal.synthesize_media(spark, n=100, kind="image")
+    return multimodal.extract_image_features(media, feature_dim=8).orderBy(
+        "media_id"
+    )
+
+
 def q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Whitespace + BPE-ish token counting."""
     d = _table(spark, sf_dir, "documents")
@@ -804,6 +829,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_dups": q_simhash_dups,
         "cosine_topk": q_cosine_topk,
         "lsh_ann": q_lsh_ann,
+        "embedding_near_dups": q_embedding_near_dups,
+        "multimodal_features": q_multimodal_features,
         "token_counts": q_token_counts,
         "quality_score": q_quality_score,
         "language_id": q_language_id,
