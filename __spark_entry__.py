@@ -535,6 +535,20 @@ def q_merge_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_sort_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SortStream: full re-sort on a compound key
+    (io/stream/SortStream.java)."""
+    o = _table(spark, sf_dir, "orders")
+    return (
+        o.select("o_orderkey", "o_orderpriority", "o_orderstatus")
+        .orderBy(
+            F.col("o_orderpriority").asc(),
+            F.col("o_orderstatus").desc(),
+            F.col("o_orderkey").asc(),
+        )
+    )
+
+
 def q_unique_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """UniqueStream: dedup on key (io/stream/UniqueStream.java)."""
     o = _table(spark, sf_dir, "orders")
@@ -813,6 +827,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "innerjoin_stream": q_innerjoin_stream,
         "leftjoin_stream": q_leftjoin_stream,
         "merge_stream": q_merge_stream,
+        "sort_stream": q_sort_stream,
         "unique_stream": q_unique_stream,
         "rank_stream": q_rank_stream,
         "having_stream": q_having_stream,
@@ -1142,6 +1157,11 @@ SELECT o_orderkey, o_orderpriority FROM orders WHERE o_orderpriority = '1-URGENT
 UNION ALL
 SELECT o_orderkey, o_orderpriority FROM orders WHERE o_orderpriority = '2-HIGH'
 ORDER BY o_orderkey
+"""
+
+    sqls["sort_stream"] = """
+SELECT o_orderkey, o_orderpriority, o_orderstatus FROM orders
+ORDER BY o_orderpriority ASC, o_orderstatus DESC, o_orderkey ASC
 """
 
     sqls["unique_stream"] = """
