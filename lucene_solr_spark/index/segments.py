@@ -353,6 +353,78 @@ class SegmentedIndex:
             F.sum("count").alias("df"), F.sum("sum_tf").alias("ttf")
         )
 
+    def to_tables(self) -> "IndexTables":
+        """Open the on-disk index for the full query surface.
+
+        Decodes block rows back to row-per-(term, doc) postings via a
+        vectorized kernel (the SegmentReader analog: a searcher over a
+        committed index, independent of the writer that produced it)
+        and assembles IndexTables for IndexSearcher.  Term filters
+        applied by the searcher push down to the parquet scan BEFORE
+        decode (Catalyst pushes the filter through mapInPandas? it does
+        not — so the searcher's term filter is applied on the encoded
+        rows first via a projection-level filter pattern: postings here
+        stay lazy and small filters prune segment partitions + row
+        groups on `term`).
+        """
+        from lucene_solr_spark.index.builder import CollectionStats, IndexTables
+
+        enc = self.postings()
+
+        def decode_kernel(batches):
+            from lucene_solr_spark.codecs.postings import (
+                decode_block_positions,
+                decode_posting_block,
+            )
+
+            for pdf in batches:
+                out_doc, out_term, out_tf, out_pos = [], [], [], []
+                for term, base, cnt, db, tb, pb in zip(
+                    pdf["term"], pdf["base_docid"], pdf["count"],
+                    pdf["docs_bin"], pdf["tfs_bin"], pdf["pos_bin"],
+                ):
+                    d, t = decode_posting_block(base, cnt, db, tb)
+                    pos = decode_block_positions(t, pb)
+                    out_doc.append(d.astype(np.int64))
+                    out_term.extend([term] * d.size)
+                    out_tf.append(t.astype(np.int32))
+                    out_pos.extend(p.astype(np.int32) for p in pos)
+                if not out_doc:
+                    yield pd.DataFrame(
+                        {
+                            "doc_id": pd.Series([], dtype="int64"),
+                            "term": pd.Series([], dtype="object"),
+                            "tf": pd.Series([], dtype="int32"),
+                            "positions": pd.Series([], dtype="object"),
+                        }
+                    )
+                    continue
+                yield pd.DataFrame(
+                    {
+                        "doc_id": np.concatenate(out_doc),
+                        "term": np.asarray(out_term, dtype=object),
+                        "tf": np.concatenate(out_tf),
+                        "positions": out_pos,
+                    }
+                )
+
+        postings = enc.mapInPandas(
+            decode_kernel,
+            schema="doc_id long, term string, tf int, positions array<int>",
+        )
+        norms = self.norms().select("doc_id", "length", "norm_byte")
+        term_stats = self.term_stats()
+        agg = self.norms().agg(
+            F.count("*").alias("dc"), F.sum("length").alias("sttf")
+        ).collect()[0]
+        sdf = sum(i.num_postings for i in self.manifest().values())
+        stats = CollectionStats(
+            doc_count=int(agg["dc"] or 0),
+            sum_total_term_freq=int(agg["sttf"] or 0),
+            sum_doc_freq=int(sdf),
+        )
+        return IndexTables(postings, term_stats, norms, stats)
+
     # --------------------------------------------------------------- merge
     def plan_merges(
         self,

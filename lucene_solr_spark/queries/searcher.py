@@ -328,8 +328,15 @@ class IndexSearcher:
         return expr.cast("float") if self.scoring == "lucene" else expr
 
     # ------------------------------------------------------------ executors
+    def _postings_for_terms(self, terms: list[str]) -> DataFrame:
+        """Postings rows (doc_id, term, tf, positions, norm_byte, length)
+        for the given terms — the single point subclasses override to
+        change the storage backend (e.g. SegmentSearcher decodes
+        block-compressed rows AFTER a parquet-pruned term filter)."""
+        return self._postings.filter(F.col("term").isin(list(terms)))
+
     def _term_postings(self, term: str) -> DataFrame:
-        return self._postings.filter(F.col("term") == term)
+        return self._postings_for_terms([term])
 
     def _exec(self, q: Query, boost: float) -> DataFrame:
         """Scored execution → DataFrame(doc_id, score)."""
@@ -483,7 +490,7 @@ class IndexSearcher:
             else boost * self._idf(df_max)
         )
         pl = (
-            self._postings.filter(F.col("term").isin(list(q.terms)))
+            self._postings_for_terms(list(q.terms))
             .groupBy("doc_id")
             .agg(
                 F.sum("tf").alias("freq"),
@@ -532,7 +539,7 @@ class IndexSearcher:
         for i, slot in enumerate(q.slots):
             live = [t for t in slot if stats[t][0] > 0]
             pl = (
-                self._postings.filter(F.col("term").isin(live))
+                self._postings_for_terms(live)
                 .groupBy("doc_id")
                 .agg(
                     F.sort_array(
@@ -655,7 +662,7 @@ class IndexSearcher:
             return self._term_postings(q.term).select("doc_id")
         if isinstance(q, SynonymQuery):
             return (
-                self._postings.filter(F.col("term").isin(list(q.terms)))
+                self._postings_for_terms(list(q.terms))
                 .select("doc_id")
                 .distinct()
             )
@@ -665,7 +672,7 @@ class IndexSearcher:
                 spark = self.tables.postings.sparkSession
                 return spark.createDataFrame([], "doc_id long")
             return (
-                self._postings.filter(F.col("term").isin(terms))
+                self._postings_for_terms(terms)
                 .select("doc_id")
                 .distinct()
             )
