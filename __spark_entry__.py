@@ -292,6 +292,35 @@ def q_wand_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return wand_topk(idx, ["spark", "window", "vector"], k=10)
 
 
+def q_segment_term_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Term query over the ON-DISK block-compressed segmented index
+    (SegmentSearcher, exact scoring) — same oracle as term_query, so the
+    driver gate proves encode→write→manifest→pushdown→decode→score
+    end-to-end."""
+    from lucene_solr_spark.queries.segment_searcher import SegmentSearcher
+
+    key = (spark.sparkContext.applicationId, sf_dir, "segsearch")
+    s = _SEGIDX.get(key)
+    if s is None:
+        # reuse the segmented index the wand entry builds, if present
+        idx_key = (spark.sparkContext.applicationId, sf_dir)
+        idx = _SEGIDX.get(idx_key)
+        if idx is None:
+            import tempfile
+
+            from lucene_solr_spark.index.segments import SegmentedIndex
+
+            idx = SegmentedIndex(spark, tempfile.mkdtemp(prefix="segidx-"))
+            docs = _table(spark, sf_dir, "documents").select(
+                "doc_id", F.col("text").alias("content")
+            )
+            idx.build(docs, num_segments=8)
+            _SEGIDX[idx_key] = idx
+        s = SegmentSearcher(idx, scoring="exact")
+        _SEGIDX[key] = s
+    return _topk(s.docs(TermQuery("spark")), 10)
+
+
 def q_term_query_lucene(spark: SparkSession, sf_dir: str) -> DataFrame:
     """float32 byte315-norm BM25 (rank-identical mode; SURVEY §2.4) —
     not SQL-expressible, rows-only check; pytest covers rank-identity."""
@@ -799,6 +828,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "term_query_count": q_term_query_count,
         "term_query_lucene": q_term_query_lucene,
         "wand_topk": q_wand_topk,
+        "segment_term_query": q_segment_term_query,
         "boolean_must": q_boolean_must,
         "boolean_should": q_boolean_should,
         "boolean_must_not": q_boolean_must_not,
@@ -867,6 +897,8 @@ WITH {_IDX},
 scored AS ({_bm25_sql("vector")})
 SELECT doc_id, ROUND(score, 4) AS score FROM scored
 """
+
+    sqls["segment_term_query"] = sqls["term_query"]
 
     sqls["term_query_count"] = f"""
 WITH {_IDX}

@@ -30,6 +30,10 @@ from lucene_solr_spark.session import get_spark  # noqa: E402
 BENCH_QUERIES = [
     "term_query",
     "term_query_lucene",
+    "wand_topk",
+    "segment_term_query",
+    "dismax",
+    "multi_phrase",
     "boolean_must",
     "boolean_should",
     "phrase_query",
