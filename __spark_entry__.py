@@ -357,6 +357,42 @@ def q_function_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select("doc_id", F.round(fscore, 4).alias("fscore")).orderBy("doc_id")
 
 
+def q_more_like_this(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MoreLikeThis: top tf·idf terms of doc 0 → SHOULD disjunction
+    (lucene/queries/.../mlt/MoreLikeThis.java)."""
+    from lucene_solr_spark.queries.mlt import more_like_this
+
+    s = _searcher(spark, sf_dir)
+    return _scored(more_like_this(s, doc_id=0, k=10)).orderBy(
+        F.col("score").desc(), F.col("doc_id").asc()
+    )
+
+
+def q_spellcheck(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dictionary spell suggestions (DirectSpellChecker ranking:
+    edit distance, then docFreq, then term)."""
+    from lucene_solr_spark.queries.mlt import spellcheck
+
+    s = _searcher(spark, sf_dir)
+    return spellcheck(s, "windoe", max_suggestions=3, max_edits=2)
+
+
+def q_highlight(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snippet extraction around the first hit — the unified
+    highlighter's smallest useful core (lucene/highlighter/)."""
+    s = _searcher(spark, sf_dir)
+    hits = _topk(s.docs(TermQuery("spark")), 5)
+    d = _table(spark, sf_dir, "documents")
+    start = F.greatest(F.locate("spark", F.col("text")) - 20, F.lit(1))
+    return (
+        hits.join(d, "doc_id")
+        .select(
+            "doc_id", "score", F.substring(F.col("text"), start, 40).alias("snippet")
+        )
+        .orderBy(F.col("score").desc(), F.col("doc_id").asc())
+    )
+
+
 # --------------------------------------------------------------------------
 # facets / stats / grouping (SURVEY §2.6)
 # --------------------------------------------------------------------------
@@ -845,6 +881,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fuzzy_query": q_fuzzy_query,
         "match_all": q_match_all,
         "search_after": q_search_after,
+        "more_like_this": q_more_like_this,
+        "spellcheck": q_spellcheck,
+        "highlight": q_highlight,
         "facet_terms": q_facet_terms,
         "facet_metrics": q_facet_metrics,
         "facet_range": q_facet_range,
@@ -1087,6 +1126,51 @@ WITH {_IDX},
 scored AS ({_bm25_sql("spark")})
 SELECT doc_id, ROUND(score, 4) AS score FROM scored
 ORDER BY ROUND(score, 4) DESC, doc_id ASC LIMIT 10 OFFSET 10
+"""
+
+    sqls["more_like_this"] = f"""
+WITH {_IDX},
+src AS (
+  SELECT p.term
+  FROM postings p JOIN tstats t USING (term) CROSS JOIN cstats c
+  WHERE p.doc_id = 0
+  ORDER BY p.tf * ln(1 + (c.n - t.df + 0.5) / (t.df + 0.5)) DESC, p.term ASC
+  LIMIT 25
+),
+scored_all AS (
+  SELECT p.doc_id,
+         ln(1 + (c.n - t.df + 0.5) / (t.df + 0.5)) * 2.2 * p.tf
+           / (p.tf + 1.2 * (0.25 + 0.75 * nm.length / (c.sttf / c.n))) AS score
+  FROM postings p
+  JOIN tstats t USING (term)
+  JOIN norms nm USING (doc_id)
+  CROSS JOIN cstats c
+  WHERE p.term IN (SELECT term FROM src)
+),
+agg AS (SELECT doc_id, sum(score) AS score FROM scored_all GROUP BY doc_id)
+SELECT doc_id, ROUND(score, 4) AS score FROM agg WHERE doc_id != 0
+ORDER BY ROUND(score, 4) DESC, doc_id ASC LIMIT 10
+"""
+
+    sqls["spellcheck"] = f"""
+WITH {_IDX}
+SELECT term, levenshtein(term, 'windoe') AS dist, df
+FROM tstats
+WHERE levenshtein(term, 'windoe') <= 2 AND term != 'windoe'
+ORDER BY dist ASC, df DESC, term ASC LIMIT 3
+"""
+
+    sqls["highlight"] = f"""
+WITH {_IDX},
+scored AS ({_bm25_sql("spark")}),
+topk AS (
+  SELECT doc_id, ROUND(score, 4) AS score FROM scored
+  ORDER BY ROUND(score, 4) DESC, doc_id ASC LIMIT 5
+)
+SELECT t.doc_id, t.score,
+       substr(d.text, greatest(strpos(d.text, 'spark') - 20, 1), 40) AS snippet
+FROM topk t JOIN documents d USING (doc_id)
+ORDER BY t.score DESC, t.doc_id ASC
 """
 
     sqls["facet_terms"] = f"""

@@ -1,0 +1,99 @@
+"""MoreLikeThis — find documents similar to a given document.
+
+Ref: lucene/queries/src/java/org/apache/lucene/queries/mlt/
+MoreLikeThis.java — select the source doc's highest tf·idf "interesting
+terms" (bounded by maxQueryTerms=25, minTermFreq=2, minDocFreq=5
+defaults; we parameterize), build a SHOULD disjunction from them, and
+score.  Spark-first: term selection is a join of the doc's postings with
+term_stats; scoring reuses the standard searcher.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from lucene_solr_spark.queries.query import (
+    BooleanClause,
+    BooleanQuery,
+    Occur,
+    TermQuery,
+)
+from lucene_solr_spark.queries.searcher import IndexSearcher
+
+
+def interesting_terms(
+    searcher: IndexSearcher,
+    doc_id: int,
+    max_query_terms: int = 25,
+    min_term_freq: int = 1,
+    min_doc_freq: int = 1,
+) -> list[tuple[str, float]]:
+    """The doc's terms ranked by tf·idf (MoreLikeThis.retrieveTerms /
+    createQueue semantics), ties broken by term asc."""
+    n = searcher.stats.doc_count
+    rows = (
+        searcher._postings_for_terms_of_doc(doc_id)
+        if hasattr(searcher, "_postings_for_terms_of_doc")
+        else searcher.tables.postings.filter(F.col("doc_id") == doc_id)
+    )
+    stats = searcher.tables.term_stats
+    scored = (
+        rows.select("term", "tf")
+        .filter(F.col("tf") >= min_term_freq)
+        .join(stats.select("term", "df"), "term")
+        .filter(F.col("df") >= min_doc_freq)
+        .withColumn(
+            "tfidf",
+            F.col("tf")
+            * F.log(
+                F.lit(1.0) + (F.lit(float(n)) - F.col("df") + 0.5) / (F.col("df") + 0.5)
+            ),
+        )
+        .orderBy(F.col("tfidf").desc(), F.col("term").asc())
+        .limit(max_query_terms)
+        .collect()
+    )
+    return [(r["term"], float(r["tfidf"])) for r in scored]
+
+
+def more_like_this(
+    searcher: IndexSearcher,
+    doc_id: int,
+    k: int = 10,
+    max_query_terms: int = 25,
+) -> DataFrame:
+    """Top-k similar docs (excluding the source doc)."""
+    terms = [t for t, _ in interesting_terms(searcher, doc_id, max_query_terms)]
+    if not terms:
+        return searcher._empty_scored()
+    q = BooleanQuery(
+        tuple(BooleanClause(Occur.SHOULD, TermQuery(t)) for t in terms)
+    )
+    return (
+        searcher.docs(q)
+        .filter(F.col("doc_id") != doc_id)
+        .orderBy(F.col("score").desc(), F.col("doc_id").asc())
+        .limit(k)
+    )
+
+
+def spellcheck(
+    searcher: IndexSearcher,
+    word: str,
+    max_suggestions: int = 3,
+    max_edits: int = 2,
+) -> DataFrame:
+    """Suggestions from the term dictionary: smallest edit distance
+    first, then highest docFreq, then term — the DirectSpellChecker
+    ranking (lucene/suggest/.../spell/DirectSpellChecker.java)."""
+    ts = searcher.tables.term_stats
+    return (
+        ts.withColumn("dist", F.levenshtein(F.col("term"), F.lit(word)))
+        .filter((F.col("dist") <= max_edits) & (F.col("term") != word))
+        .select("term", "dist", "df")
+        .orderBy(F.col("dist").asc(), F.col("df").desc(), F.col("term").asc())
+        .limit(max_suggestions)
+    )
