@@ -78,6 +78,27 @@ def main() -> None:
         df.collect()
         times[name] = round(time.time() - tq0, 3)
 
+    # --- amortized segmented-build throughput (fixed overheads diluted
+    #     over a 60k-doc deterministic corpus; the honest docs/sec) ------
+    import tempfile
+
+    from lucene_solr_spark.corpus import generate_corpus
+    from lucene_solr_spark.index import assign_doc_ids
+    from lucene_solr_spark.index.segments import SegmentedIndex
+
+    big_dir = tempfile.mkdtemp(prefix="bench-corpus-")
+    corpus = assign_doc_ids(generate_corpus(spark, 60_000, partitions=64)).select(
+        "doc_id", "content"
+    )
+    corpus.write.mode("overwrite").parquet(big_dir + "/c")
+    src = spark.read.parquet(big_dir + "/c")
+    src.count()  # warm listing
+    tb1 = time.time()
+    segidx = SegmentedIndex(spark, big_dir + "/idx")
+    man = segidx.build(src, num_segments=64, total_docs=60_000)
+    seg_build_sec = time.time() - tb1
+    seg_docs = sum(i.num_docs for i in man.values())
+
     # --- BM25 top-k p50 latency (lucene float32 mode, warm index) ------
     searcher = entrymod._searcher(spark, sf_dir, scoring="lucene")
     searcher.search(parse_query("+spark +window vector"), k=10).collect()  # warm
@@ -100,6 +121,9 @@ def main() -> None:
                 "index_build_sec": round(build_sec, 3),
                 "index_docs": n_docs,
                 "index_docs_per_sec": round(n_docs / build_sec, 1),
+                "segmented_build_docs": seg_docs,
+                "segmented_build_sec": round(seg_build_sec, 3),
+                "segmented_build_docs_per_sec": round(seg_docs / seg_build_sec, 1),
                 "bm25_topk_p50_sec": round(p50, 4),
             }
         )
