@@ -68,3 +68,63 @@ def test_wand_single_term_equals_termquery(searcher, segidx):
         (r["doc_id"], r["score"]) for r in wand_topk(segidx, ["window"], k=20).collect()
     ]
     assert got == pytest.approx(expect)
+
+
+def test_wand_actually_skips_blocks(monkeypatch):
+    """Early termination must avoid decoding blocks whose upper bound
+    cannot beat the threshold (the point of block-max WAND)."""
+    import numpy as np
+    import pandas as pd
+
+    import lucene_solr_spark.codecs.postings as cp
+    from lucene_solr_spark.codecs.postings import encode_posting_blocks
+    from lucene_solr_spark.queries.wand import _segment_wand
+    from lucene_solr_spark.scoring.bm25 import BM25, encode_norm, idf as idf32
+
+    # rare term: 3 docs at the START of the docID space, tf=40 (huge score)
+    # common term: 2000 docs spread AFTER, tf=1 (low ub per block)
+    rare_docs = np.array([0, 1, 2], dtype=np.uint64)
+    rare_tfs = np.array([40, 40, 40], dtype=np.uint64)
+    common_docs = np.arange(10, 2010, dtype=np.uint64)
+    common_tfs = np.ones(2000, dtype=np.uint64)
+    rows = []
+    for term, docs, tfs in (
+        ("rare", rare_docs, rare_tfs),
+        ("common", common_docs, common_tfs),
+    ):
+        for rec in encode_posting_blocks(docs, tfs):
+            rec["term"] = term
+            rec["kind"] = 0
+            rows.append(rec)
+    n_blocks = len(rows)
+    all_docs = np.concatenate([rare_docs, common_docs])
+    lengths = np.full(all_docs.size, 50, dtype=np.int64)
+    norm_rows = pd.DataFrame(
+        {
+            "kind": 1,
+            "doc_id": np.unique(all_docs).astype(np.int64),
+            "norm_byte": encode_norm(lengths[: np.unique(all_docs).size]).astype(
+                np.int64
+            ),
+        }
+    )
+    pdf = pd.concat([pd.DataFrame(rows), norm_rows], ignore_index=True)
+
+    calls = {"n": 0}
+    orig = cp.decode_posting_block
+
+    def counting(*a, **kw):
+        calls["n"] += 1
+        return orig(*a, **kw)
+
+    monkeypatch.setattr(cp, "decode_posting_block", counting)
+    bm25 = BM25()
+    n = 2003
+    weights = {
+        "rare": float(bm25.weight(idf32(3, n))),
+        "common": float(bm25.weight(idf32(2000, n))),
+    }
+    cache = bm25.cache(np.float32(50.0))
+    out = _segment_wand(pdf, weights, cache, k=1, k1=1.2, b=0.75)
+    assert len(out) == 1 and out["doc_id"].iloc[0] == 0
+    assert calls["n"] < n_blocks, (calls, n_blocks)
