@@ -289,16 +289,24 @@ class IndexSearcher:
 
         ``weight`` is boost·idf (already float32 in lucene mode)."""
         if self.scoring == "lucene":
-            cache = self._cache32
-            w32 = np.float32(weight) * np.float32(self.bm25.k1 + 1)
-
-            @F.pandas_udf("float")
-            def bm25_kernel(freq: pd.Series, norm_byte: pd.Series) -> pd.Series:
-                f = freq.to_numpy(dtype=np.float32)
-                norm = cache[norm_byte.to_numpy(dtype=np.int64) & 0xFF]
-                return pd.Series((np.float32(w32) * f / (f + norm)).astype(np.float32))
-
-            return df_in.withColumn("score", bm25_kernel(F.col("freq"), F.col("norm_byte")))
+            # Pure-JVM float32 kernel: every float32 op is emulated as
+            # double-op-then-cast-to-float, which is bit-exact (innocuous
+            # double rounding: binary64 p=53 ≥ 2·24+2 for +,−,×,÷ on
+            # binary32 inputs).  Stays inside whole-stage codegen — no
+            # Python worker in the query hot path.  The 256-entry norm
+            # cache (BM25Similarity.java:213-217) becomes an array literal
+            # indexed by norm byte.
+            w32 = float(np.float32(np.float32(weight) * np.float32(self.bm25.k1 + 1)))
+            cache_arr = F.array(
+                *[F.lit(float(c)) for c in self._cache32.astype(np.float64)]
+            )
+            c = F.element_at(
+                cache_arr, F.col("norm_byte").bitwiseAND(F.lit(255)) + F.lit(1)
+            )
+            f = F.col("freq").cast("double")
+            num = (F.lit(w32) * f).cast("float").cast("double")
+            den = (f + c).cast("float").cast("double")
+            return df_in.withColumn("score", (num / den).cast("float"))
         # exact mode: pure JVM double expression (whole-stage codegen)
         k1, b = float(self.bm25.k1), float(self.bm25.b)
         return df_in.withColumn(
