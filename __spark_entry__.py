@@ -357,6 +357,60 @@ def q_function_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select("doc_id", F.round(fscore, 4).alias("fscore")).orderBy("doc_id")
 
 
+def _mf_searcher(spark: SparkSession, sf_dir: str):
+    from lucene_solr_spark.index.builder import build_keyword_tables
+    from lucene_solr_spark.queries.multifield import MultiFieldSearcher
+
+    key = (spark.sparkContext.applicationId, sf_dir, "mf")
+    s = _SEGIDX.get(key)
+    if s is None:
+        d = _table(spark, sf_dir, "documents")
+        tables = _index_tables(spark, sf_dir)
+        s = MultiFieldSearcher(
+            {
+                "text": tables,
+                "lang": build_keyword_tables(d, "doc_id", "lang"),
+                "source": build_keyword_tables(d, "doc_id", "source"),
+            },
+            default_field="text",
+            scoring="exact",
+        )
+        _SEGIDX[key] = s
+    return s
+
+
+def q_field_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fielded filter query (the Solr fq idiom): score on the text
+    field, FILTER on a keyword field (document/StringField.java;
+    index/Term.java field scoping)."""
+    from lucene_solr_spark.queries.query import FieldQuery
+
+    s = _mf_searcher(spark, sf_dir)
+    q = BooleanQuery(
+        (
+            BooleanClause(Occur.MUST, TermQuery("spark")),
+            BooleanClause(Occur.FILTER, FieldQuery("lang", TermQuery("en"))),
+        )
+    )
+    return _scored(s.docs(q))
+
+
+def q_cross_field_dismax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-field dismax (the dismax/edismax qf idiom): per-field BM25
+    with per-field stats, combined max + tie·(sum − max)."""
+    from lucene_solr_spark.queries.query import FieldQuery
+
+    s = _mf_searcher(spark, sf_dir)
+    q = DisjunctionMaxQuery(
+        (
+            FieldQuery("text", TermQuery("spark")),
+            FieldQuery("source", TermQuery("src3")),
+        ),
+        tie_breaker=0.2,
+    )
+    return _scored(s.docs(q))
+
+
 def q_more_like_this(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MoreLikeThis: top tf·idf terms of doc 0 → SHOULD disjunction
     (lucene/queries/.../mlt/MoreLikeThis.java)."""
@@ -881,6 +935,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fuzzy_query": q_fuzzy_query,
         "match_all": q_match_all,
         "search_after": q_search_after,
+        "field_query": q_field_query,
+        "cross_field_dismax": q_cross_field_dismax,
         "more_like_this": q_more_like_this,
         "spellcheck": q_spellcheck,
         "highlight": q_highlight,
@@ -1126,6 +1182,33 @@ WITH {_IDX},
 scored AS ({_bm25_sql("spark")})
 SELECT doc_id, ROUND(score, 4) AS score FROM scored
 ORDER BY ROUND(score, 4) DESC, doc_id ASC LIMIT 10 OFFSET 10
+"""
+
+    sqls["field_query"] = f"""
+WITH {_IDX},
+scored AS ({_bm25_sql("spark")})
+SELECT doc_id, ROUND(score, 4) AS score FROM scored
+WHERE doc_id IN (SELECT doc_id FROM documents WHERE lang = 'en')
+"""
+
+    sqls["cross_field_dismax"] = f"""
+WITH {_IDX},
+s1 AS ({_bm25_sql("spark")}),
+kwstats AS (
+  SELECT count(*) AS n, sum(1) AS sttf,
+         (SELECT count(*) FROM documents WHERE source = 'src3') AS df
+  FROM documents WHERE source IS NOT NULL
+),
+s2 AS (
+  SELECT d.doc_id,
+         ln(1 + (k.n - k.df + 0.5) / (k.df + 0.5)) * 2.2 * 1
+           / (1 + 1.2 * (0.25 + 0.75 * 1 / (k.sttf / k.n))) AS score
+  FROM documents d CROSS JOIN kwstats k
+  WHERE d.source = 'src3'
+),
+u AS (SELECT * FROM s1 UNION ALL SELECT * FROM s2),
+agg AS (SELECT doc_id, max(score) AS mx, sum(score) AS sm FROM u GROUP BY doc_id)
+SELECT doc_id, ROUND(mx + 0.2 * (sm - mx), 4) AS score FROM agg
 """
 
     sqls["more_like_this"] = f"""

@@ -167,6 +167,38 @@ def assign_doc_ids(
     )
 
 
+def build_keyword_tables(
+    df: DataFrame, id_col: str = "doc_id", value_col: str = "lang"
+) -> IndexTables:
+    """Index an atomic keyword column (StringField analog,
+    document/StringField.java: single untokenized token, position 0).
+
+    Pure column expressions — no analyzer, no Python."""
+    postings = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.col(value_col).cast("string").alias("term"),
+        F.lit(1).alias("tf"),
+        F.array(F.lit(0)).alias("positions"),
+    ).filter(F.col("term").isNotNull())
+    term_stats = postings.groupBy("term").agg(
+        F.count("*").alias("df"), F.sum("tf").alias("ttf")
+    )
+    doc_norms = postings.select(
+        "doc_id",
+        F.lit(1).alias("length"),
+        F.lit(int(encode_norm(np.array([1]))[0])).alias("norm_byte"),
+    )
+    agg = postings.agg(
+        F.countDistinct("doc_id").alias("dc"), F.count("*").alias("n")
+    ).collect()[0]
+    stats = CollectionStats(
+        doc_count=int(agg["dc"] or 0),
+        sum_total_term_freq=int(agg["n"] or 0),
+        sum_doc_freq=int(agg["n"] or 0),
+    )
+    return IndexTables(postings, term_stats, doc_norms, stats)
+
+
 def build_tables(
     corpus: DataFrame,
     id_col: str = "doc_id",

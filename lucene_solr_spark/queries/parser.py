@@ -18,6 +18,7 @@ from collections.abc import Callable
 from lucene_solr_spark.analysis import analyze_text
 from lucene_solr_spark.queries.query import (
     BooleanClause,
+    FieldQuery,
     BooleanQuery,
     BoostQuery,
     FuzzyQuery,
@@ -58,10 +59,16 @@ def _lex(text: str) -> list[str]:
 
 
 class _Parser:
-    def __init__(self, tokens: list[str], analyze: Callable[[str], tuple[list[str], list[int]]]):
+    def __init__(
+        self,
+        tokens: list[str],
+        analyze: Callable[[str], tuple[list[str], list[int]]],
+        fields: frozenset[str] = frozenset(),
+    ):
         self.toks = tokens
         self.i = 0
         self.analyze = analyze
+        self.fields = fields
 
     def peek(self) -> str | None:
         return self.toks[self.i] if self.i < len(self.toks) else None
@@ -154,9 +161,22 @@ class _Parser:
             lo = None if m.group(1) == "*" else m.group(1).lower()
             hi = None if m.group(2) == "*" else m.group(2).lower()
             return TermRangeQuery(lo, hi, inc_lo, inc_hi)
-        # field:term syntax — single indexed field, so strip the prefix
+        # field:term syntax (queryparser/classic/QueryParser.jj Clause
+        # rule).  A KNOWN field name wraps the sub-query in FieldQuery;
+        # an unknown prefix is stripped (legacy single-field behavior).
         if ":" in tok and not tok.startswith("http"):
-            tok = tok.split(":", 1)[1]
+            prefix, rest = tok.split(":", 1)
+            if self.fields and prefix in self.fields:
+                if rest:
+                    sub = self._term_like(rest)
+                else:  # field:"quoted phrase" lexes as two tokens
+                    nxt = self.peek()
+                    sub = self.atom() if nxt is not None and nxt != ")" else None
+                return FieldQuery(prefix, sub) if sub is not None else None
+            tok = rest
+        return self._term_like(tok)
+
+    def _term_like(self, tok: str) -> Query | None:
         # fuzzy
         m = re.match(r"(.+)~(\d*)$", tok)
         if m and "*" not in tok and "?" not in tok:
@@ -178,6 +198,11 @@ class _Parser:
 def parse_query(
     text: str,
     analyze: Callable[[str], tuple[list[str], list[int]]] = analyze_text,
+    fields: frozenset[str] | set[str] = frozenset(),
 ) -> Query:
-    """Parse classic query syntax → Query tree (not yet rewritten)."""
-    return _Parser(_lex(text), analyze).parse()
+    """Parse classic query syntax → Query tree (not yet rewritten).
+
+    ``fields``: known field names — ``name:term`` with a known name
+    produces ``FieldQuery(name, ...)``; unknown prefixes are stripped
+    (single-field compatibility)."""
+    return _Parser(_lex(text), analyze, frozenset(fields)).parse()

@@ -164,3 +164,15 @@ class MultiPhraseQuery(Query):
             object.__setattr__(self, "positions", tuple(range(len(self.slots))))
         if len(self.positions) != len(self.slots):
             raise ValueError("slots and positions must align")
+
+
+@dataclass(frozen=True)
+class FieldQuery(Query):
+    """A sub-query bound to a named field.
+
+    The reference's queries are field-scoped at the Term level
+    (index/Term.java: (field, text)); our single-field core makes field
+    an explicit wrapper instead, dispatched by MultiFieldSearcher."""
+
+    field: str
+    query: Query
