@@ -22,6 +22,7 @@ from lucene_solr_spark.streaming.topic import (  # noqa: F401
     TopicCursor,
 )
 from lucene_solr_spark.streaming.structured import (  # noqa: F401
+    sessionize,
     stream_windowed_agg,
     streaming_invert,
 )

@@ -53,3 +53,98 @@ def streaming_invert(
 ) -> DataFrame:
     """Streaming postings: the batch invert kernel on a readStream DF."""
     return invert(stream, id_col=id_col, text_col=text_col)
+
+
+def sessionize(
+    stream: DataFrame,
+    gap_seconds: int = 300,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Custom stateful operator: gap-based sessionization per user via
+    ``applyInPandasWithState`` — the Structured-Streaming shape for
+    operators the built-ins can't express (Solr's closest analog is the
+    stateful DaemonStream loop; event-time session state exceeds it).
+
+    Emits one row per CLOSED session: (user_id, session_start,
+    session_end, n_events, sum_value).  State per user = the open
+    session; a new event more than ``gap_seconds`` after the session end
+    closes it.  State expires via event-time timeout so idle users emit
+    their last session instead of leaking state.
+    """
+    import datetime as _dt
+
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = (
+        "user_id long, session_start timestamp, session_end timestamp, "
+        "n_events int, sum_value double"
+    )
+    state_schema = "start long, end long, n int, total double"
+
+    def fn(key, pdfs, state: GroupState):
+        (user,) = key
+        closed = []
+        if state.hasTimedOut:
+            if state.exists:
+                s, e, n, tot = state.get
+                closed.append((user, s, e, n, tot))
+                state.remove()
+        else:
+            rows = pd.concat(list(pdfs), ignore_index=True)
+            rows = rows.sort_values(ts_col)
+            ts_ms = (rows[ts_col].astype("int64") // 1_000_000).to_numpy()
+            vals = rows[value_col].to_numpy()
+            if state.exists:
+                s, e, n, tot = state.get
+            else:
+                s = e = None
+            gap_ms = gap_seconds * 1000
+            for t, v in zip(ts_ms.tolist(), vals.tolist()):
+                if s is None:
+                    s, e, n, tot = t, t, 1, float(v)
+                elif t - e > gap_ms:
+                    closed.append((user, s, e, n, tot))
+                    s, e, n, tot = t, t, 1, float(v)
+                else:
+                    e, n, tot = max(e, t), n + 1, tot + float(v)
+            state.update((s, e, n, tot))
+            state.setTimeoutTimestamp(e + gap_ms)
+        if not closed:
+            yield pd.DataFrame(
+                {
+                    "user_id": pd.Series([], dtype="int64"),
+                    "session_start": pd.Series([], dtype="datetime64[ns]"),
+                    "session_end": pd.Series([], dtype="datetime64[ns]"),
+                    "n_events": pd.Series([], dtype="int32"),
+                    "sum_value": pd.Series([], dtype="float64"),
+                }
+            )
+            return
+        yield pd.DataFrame(
+            {
+                "user_id": [c[0] for c in closed],
+                "session_start": [
+                    _dt.datetime.utcfromtimestamp(c[1] / 1000) for c in closed
+                ],
+                "session_end": [
+                    _dt.datetime.utcfromtimestamp(c[2] / 1000) for c in closed
+                ],
+                "n_events": pd.Series([c[3] for c in closed], dtype="int32"),
+                "sum_value": [c[4] for c in closed],
+            }
+        )
+
+    src = stream.withColumn(ts_col, F.col(ts_col).cast("timestamp")).withWatermark(
+        ts_col, watermark
+    )
+    return src.groupBy(user_col).applyInPandasWithState(
+        fn,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )

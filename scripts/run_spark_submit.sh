@@ -6,6 +6,7 @@ cd "$(dirname "$0")/.."
 
 CORPUS="${1:-/tmp/submit-demo/corpus}"
 INDEX="${2:-/tmp/submit-demo/index}"
+rm -rf "$INDEX"  # fresh build each demo run
 MASTER="${MASTER:-local[8]}"
 
 ZIP=/tmp/lucene_solr_spark.zip

@@ -5,6 +5,8 @@ from __future__ import annotations
 
 import os
 
+import numpy as np
+
 import pytest
 from pyspark.sql import functions as F
 
@@ -124,3 +126,42 @@ def test_streaming_invert_matches_batch(spark, tmp_path):
         .reset_index(drop=True)
     )
     assert got.equals(expect.astype(got.dtypes.to_dict()))
+
+
+def test_sessionize_stateful(spark, tmp_path):
+    """applyInPandasWithState gap sessionization: closed sessions match
+    a batch-computed gap segmentation."""
+    import pandas as pd
+
+    from lucene_solr_spark.streaming import sessionize
+
+    events = spark.read.parquet(f"{SF}/events.parquet").filter(
+        F.col("user_id") < 20
+    )
+    src = str(tmp_path / "ev")
+    events.write.mode("overwrite").parquet(src)
+    stream = spark.readStream.schema(events.schema).parquet(src)
+    sess = sessionize(stream, gap_seconds=3600, watermark="0 seconds")
+    q = (
+        sess.writeStream.format("memory")
+        .queryName("sessions")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = spark.sql(
+        "SELECT user_id, count(*) AS n FROM sessions GROUP BY user_id"
+    ).collect()
+    got_counts = {r["user_id"]: r["n"] for r in got}
+    # batch truth: per user, sessions = 1 + #gaps>3600s between sorted events;
+    # the stream's LAST (still-open) session only closes via timeout, so
+    # closed-session count per user is sessions or sessions-1
+    pdf = events.select("user_id", "ts").toPandas()
+    for user, g in pdf.groupby("user_id"):
+        ts = g["ts"].sort_values().astype("int64").to_numpy() // 1_000_000_000
+        n_sessions = 1 + int((np.diff(ts) > 3600).sum())
+        closed = got_counts.get(user, 0)
+        assert n_sessions - 1 <= closed <= n_sessions, (user, closed, n_sessions)
+    assert sum(got_counts.values()) > 0
