@@ -1,0 +1,74 @@
+"""Fast in-suite replica of the driver's correctness gate for a
+representative subset of __spark_entry__ queries at sf0.001 —
+the same comparison discipline (row count, column names, order-
+insensitive canonicalized values vs DuckDB)."""
+
+from __future__ import annotations
+
+import math
+import sys
+from pathlib import Path
+
+import duckdb
+import pytest
+
+sys.path.insert(0, str(Path(__file__).parent.parent))
+
+import __spark_entry__ as entrymod  # noqa: E402
+
+SF_DIR = "/root/testdata/sf0.001"
+SUBSET = [
+    "term_query",
+    "boolean_must",
+    "phrase_query",
+    "min_should_match",
+    "dismax",
+    "facet_terms",
+    "rollup_stream",
+    "exact_dedup",
+    "token_counts",
+    "field_query",
+]
+
+
+@pytest.fixture(scope="module")
+def ducked():
+    con = duckdb.connect()
+    for t in (
+        "region nation customer supplier part orders lineitem events "
+        "documents embeddings"
+    ).split():
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'")
+    return con
+
+
+def canon(v):
+    if v is None:
+        return "NULL"
+    if isinstance(v, float):
+        return "NaN" if math.isnan(v) else f"{v:.9g}"
+    return str(v)
+
+
+@pytest.mark.parametrize("name", SUBSET)
+def test_entry_query_matches_oracle(spark, ducked, name):
+    fn = entrymod.queries()[name]
+    sql = entrymod.oracle_sql()[name]
+    sdf = fn(spark, SF_DIR)
+    srows = sdf.collect()
+    res = ducked.execute(sql)
+    ocols = [d[0] for d in res.description]
+    orows = res.fetchall()
+    assert sorted(sdf.columns) == sorted(ocols)
+    assert len(srows) == len(orows), name
+    s_ord = sorted(range(len(sdf.columns)), key=lambda i: sdf.columns[i])
+    o_ord = sorted(range(len(ocols)), key=lambda i: ocols[i])
+    smulti = sorted("|".join(canon(r[i]) for i in s_ord) for r in srows)
+    omulti = sorted("|".join(canon(r[i]) for i in o_ord) for r in orows)
+    assert smulti == omulti, name
+
+
+def test_entry_smoke(spark):
+    df = entrymod.entry(spark)
+    rows = df.collect()
+    assert len(rows) >= 0 and set(df.columns) == {"doc_id", "score"}
