@@ -146,11 +146,16 @@ class _Parser:
         if tok.startswith('"'):
             text = tok[1:-1]
             terms, positions = self.analyze(text)
+            slop = 0
+            nxt = self.peek()
+            if nxt and re.fullmatch(r"~\d+", nxt):  # "..."~N sloppy phrase
+                self.next()
+                slop = int(nxt[1:])
             if not terms:
                 return None
             if len(terms) == 1:
                 return TermQuery(terms[0])
-            return PhraseQuery(tuple(terms), tuple(positions))
+            return PhraseQuery(tuple(terms), tuple(positions), slop)
         if tok.startswith("[") or tok.startswith("{"):
             inc_lo = tok.startswith("[")
             inc_hi = tok.endswith("]")

@@ -57,18 +57,23 @@ class BooleanQuery(Query):
 
 @dataclass(frozen=True)
 class PhraseQuery(Query):
-    """Exact phrase (slop=0) with explicit per-term positions —
+    """Phrase with explicit per-term positions and optional slop —
     PhraseQuery.Builder.add(term, position) semantics, which is how
-    stop-gap phrases are expressed (ref: search/PhraseQuery.java)."""
+    stop-gap phrases are expressed (ref: search/PhraseQuery.java).
+    slop=0 → exact (ExactPhraseScorer); slop>0 → sloppy
+    (SloppyPhraseScorer semantics, distinct terms only)."""
 
     terms: tuple[str, ...]
     positions: tuple[int, ...] = ()
+    slop: int = 0
 
     def __post_init__(self) -> None:
         if not self.positions:
             object.__setattr__(self, "positions", tuple(range(len(self.terms))))
         if len(self.positions) != len(self.terms):
             raise ValueError("terms and positions must align")
+        if self.slop < 0:
+            raise ValueError("slop must be >= 0")
 
 
 @dataclass(frozen=True)

@@ -608,6 +608,31 @@ class IndexSearcher:
         # offset-shift each term's positions by its query offset(s) and
         # intersect.  A term repeated at several offsets intersects once
         # per offset.
+        if q.slop > 0:
+            # SloppyPhraseScorer semantics (distinct terms; the repeat
+            # machinery is a documented exclusion)
+            if len(uniq) != len(q.terms):
+                raise NotImplementedError(
+                    "sloppy phrases with repeated terms are not supported"
+                )
+            from lucene_solr_spark.queries.sloppy import sloppy_phrase_freq
+
+            offs = [int(p) for p in q.positions]
+            slop = int(q.slop)
+
+            @F.pandas_udf("float")
+            def sloppy_udf(*pcols: pd.Series) -> pd.Series:
+                out = np.zeros(len(pcols[0]), dtype=np.float32)
+                for r in range(len(pcols[0])):
+                    lists = [np.asarray(c.iloc[r], dtype=np.int64) for c in pcols]
+                    out[r] = sloppy_phrase_freq(lists, offs, slop)
+                return pd.Series(out)
+
+            out = base.withColumn(
+                "freq", sloppy_udf(*[F.col(f"_p{i}") for i in range(len(uniq))])
+            ).filter(F.col("freq") > 0)
+            return self._score_col(weight, out).select("doc_id", "score")
+
         def _shift(col_name: str, off: int):
             # NB: F.transform dispatches on lambda arity — a 2-arg lambda
             # would receive (element, index), so bind the offset via closure.
