@@ -902,6 +902,63 @@ def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# span queries (SURVEY §2.3 — spans/; see queries/spans.py)
+# --------------------------------------------------------------------------
+
+def q_span_near_ordered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SpanNearQuery in-order, slop=1 (spans/NearSpansOrdered.java):
+    freq = Σ 1/(1+gap) over driver-clause matches."""
+    from lucene_solr_spark.queries.spans import SpanNearQuery, SpanTermQuery
+
+    s = _searcher(spark, sf_dir)
+    q = SpanNearQuery(
+        (SpanTermQuery("spark"), SpanTermQuery("window")), slop=1, in_order=True
+    )
+    return _scored(s.docs(q))
+
+
+def q_span_near_unordered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SpanNearQuery any-order, slop=1 (spans/NearSpansUnordered.java) —
+    the sliding-window greedy emission is not stateless-SQL-expressible
+    ⇒ rows-only check (pytest holds the golden traversals)."""
+    from lucene_solr_spark.queries.spans import SpanNearQuery, SpanTermQuery
+
+    s = _searcher(spark, sf_dir)
+    q = SpanNearQuery(
+        (SpanTermQuery("spark"), SpanTermQuery("window")), slop=1, in_order=False
+    )
+    return _scored(s.docs(q))
+
+
+def q_span_not(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SpanNotQuery with pre/post guard window (spans/SpanNotQuery.java:
+    146-186): 'spark' not within 1 position of 'window'."""
+    from lucene_solr_spark.queries.spans import SpanNotQuery, SpanTermQuery
+
+    s = _searcher(spark, sf_dir)
+    q = SpanNotQuery(SpanTermQuery("spark"), SpanTermQuery("window"), pre=1, post=1)
+    return _scored(s.docs(q))
+
+
+def q_span_first(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SpanFirstQuery: spans ending within the first 5 positions
+    (spans/SpanFirstQuery.java:34-46)."""
+    from lucene_solr_spark.queries.spans import SpanFirstQuery, SpanTermQuery
+
+    s = _searcher(spark, sf_dir)
+    return _scored(s.docs(SpanFirstQuery(SpanTermQuery("spark"), end=5)))
+
+
+def q_span_or(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SpanOrQuery: merged span union (spans/SpanOrQuery.java:325-345);
+    term spans have width 0 so freq = Σ tf, idf summed over terms."""
+    from lucene_solr_spark.queries.spans import SpanOrQuery, SpanTermQuery
+
+    s = _searcher(spark, sf_dir)
+    return _scored(s.docs(SpanOrQuery((SpanTermQuery("merge"), SpanTermQuery("batch")))))
+
+
+# --------------------------------------------------------------------------
 # the three driver hooks
 # --------------------------------------------------------------------------
 
@@ -975,6 +1032,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_score": q_quality_score,
         "language_id": q_language_id,
         "doc_fingerprint": q_doc_fingerprint,
+        "span_near_ordered": q_span_near_ordered,
+        "span_near_unordered": q_span_near_unordered,
+        "span_not": q_span_not,
+        "span_first": q_span_first,
+        "span_or": q_span_or,
     }
 
 
@@ -1523,6 +1585,87 @@ SELECT doc_id,
             WHEN h_es = greatest(h_de, h_en, h_es, h_fr) THEN 'es'
             ELSE 'fr' END AS lang_pred
 FROM hits ORDER BY doc_id
+"""
+
+    # ---- span queries.  Shared tail: BM25 over a per-doc sloppy freq
+    # with idf summed over the tree's distinct terms (SpanWeight).
+    def _span_score(terms_in: str) -> str:
+        return f"""
+idfs AS (
+  SELECT sum(ln(1 + (c.n - t.df + 0.5) / (t.df + 0.5))) AS idf_sum
+  FROM tstats t CROSS JOIN cstats c
+  WHERE t.term IN ({terms_in})
+)
+SELECT fr.doc_id,
+       ROUND(i.idf_sum * 2.2 * fr.freq
+         / (fr.freq + 1.2 * (0.25 + 0.75 * nm.length / (c.sttf / c.n))), 4) AS score
+FROM fr
+JOIN norms nm USING (doc_id)
+CROSS JOIN cstats c
+CROSS JOIN idfs i
+WHERE fr.freq > 0
+"""
+
+    # Ordered near: the driver clause iterates its positions in order;
+    # stretchToOrder's forward-only advance of the second clause finds
+    # min(p2 >= p1+1) — stateless-equivalent because the threshold p1+1
+    # is monotone (NearSpansOrdered.java:100-128).  slop=1 keeps every
+    # slop factor dyadic (1, 1/2) so double == float arithmetic.
+    sqls["span_near_ordered"] = f"""
+WITH {_IDX},
+pa AS (SELECT doc_id, pos FROM kept WHERE term = 'spark'),
+pb AS (SELECT doc_id, pos FROM kept WHERE term = 'window'),
+m AS (
+  SELECT a.doc_id, a.pos AS p1, min(b.pos) AS p2
+  FROM pa a JOIN pb b ON b.doc_id = a.doc_id AND b.pos >= a.pos + 1
+  GROUP BY a.doc_id, a.pos
+),
+fr AS (
+  SELECT doc_id, sum(1.0 / (1 + (p2 - p1 - 1))) AS freq
+  FROM m WHERE p2 - p1 - 1 <= 1 GROUP BY doc_id
+),
+{_span_score("'spark', 'window'")}
+"""
+
+    # SpanNot(include=spark, exclude=window, pre=1, post=1): a term span
+    # survives iff no exclude position lies within the [-1, +1] guard
+    # window (SpanNotQuery.java:173-181); width 0 ⇒ freq = surviving tf.
+    sqls["span_not"] = f"""
+WITH {_IDX},
+pa AS (SELECT doc_id, pos FROM kept WHERE term = 'spark'),
+pb AS (SELECT doc_id, pos FROM kept WHERE term = 'window'),
+fr AS (
+  SELECT a.doc_id, CAST(count(*) AS DOUBLE) AS freq
+  FROM pa a
+  WHERE NOT EXISTS (
+    SELECT 1 FROM pb b
+    WHERE b.doc_id = a.doc_id AND abs(b.pos - a.pos) <= 1
+  )
+  GROUP BY a.doc_id
+),
+{_span_score("'spark', 'window'")}
+"""
+
+    # SpanFirst(spark, end=5): term spans with end = pos+1 <= 5.
+    sqls["span_first"] = f"""
+WITH {_IDX},
+fr AS (
+  SELECT doc_id, CAST(count(*) AS DOUBLE) AS freq
+  FROM kept WHERE term = 'spark' AND pos + 1 <= 5
+  GROUP BY doc_id
+),
+{_span_score("'spark'")}
+"""
+
+    # SpanOr(merge, batch): union of width-0 term spans ⇒ freq = Σ tf.
+    sqls["span_or"] = f"""
+WITH {_IDX},
+fr AS (
+  SELECT doc_id, CAST(sum(tf) AS DOUBLE) AS freq
+  FROM postings WHERE term IN ('merge', 'batch')
+  GROUP BY doc_id
+),
+{_span_score("'merge', 'batch'")}
 """
 
     return sqls

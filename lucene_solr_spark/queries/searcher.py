@@ -64,6 +64,16 @@ from lucene_solr_spark.queries.query import (
     WildcardQuery,
 )
 from lucene_solr_spark.queries.rewriter import rewrite
+from lucene_solr_spark.queries.spans import (
+    SpanFirstQuery,
+    SpanNearQuery,
+    SpanNotQuery,
+    SpanOrQuery,
+    SpanQuery,
+    SpanTermQuery,
+    span_freq,
+    span_terms,
+)
 from lucene_solr_spark.scoring.bm25 import BM25, idf as idf32
 
 MAX_EXPANSION_TERMS = 1024  # ref: BooleanQuery.java:43
@@ -390,6 +400,8 @@ class IndexSearcher:
             return self._exec(ConstantScoreQuery(q, 1.0), boost)
         if isinstance(q, BooleanQuery):
             return self._exec_boolean(q, boost)
+        if isinstance(q, SpanQuery):
+            return self._exec_span(q, boost)
         raise TypeError(f"cannot execute {type(q).__name__}")
 
     def _empty_scored(self) -> DataFrame:
@@ -413,6 +425,16 @@ class IndexSearcher:
             return sum(self._cost(c.query) for c in q.clauses if c.occur == Occur.SHOULD)
         if isinstance(q, MatchNoDocsQuery):
             return 0
+        if isinstance(q, SpanTermQuery):
+            return self.term_statistics([q.term])[q.term][0]
+        if isinstance(q, SpanNearQuery):
+            return min(self._cost(c) for c in q.clauses)
+        if isinstance(q, SpanOrQuery):
+            return sum(self._cost(c) for c in q.clauses)
+        if isinstance(q, SpanNotQuery):
+            return self._cost(q.include)
+        if isinstance(q, SpanFirstQuery):
+            return self._cost(q.match)
         return 1 << 31
 
     def _exec_boolean(self, q: BooleanQuery, boost: float) -> DataFrame:
@@ -646,6 +668,86 @@ class IndexSearcher:
         out = base.withColumn("freq", F.size(inter)).filter(F.col("freq") > 0)
         return self._score_col(weight, out).select("doc_id", "score")
 
+    # --------------------------------------------------------- spans
+    def _span_candidates(self, q: SpanQuery) -> DataFrame:
+        """Approximation phase: the doc-set each span tree can possibly
+        match (the ConjunctionDISI/DisjunctionDISIApproximation over
+        sub-span iterators — spans/SpanNearQuery.java createWeight);
+        position verification happens in the batch kernel."""
+        if isinstance(q, SpanTermQuery):
+            return self._term_postings(q.term).select("doc_id")
+        if isinstance(q, SpanOrQuery):
+            union = reduce(
+                DataFrame.unionByName,
+                (self._span_candidates(c) for c in q.clauses),
+            )
+            return union.distinct()
+        if isinstance(q, SpanNearQuery):
+            base: DataFrame | None = None
+            for c in sorted(q.clauses, key=self._cost):
+                cdf = self._span_candidates(c)
+                base = cdf if base is None else base.join(cdf, "doc_id", "left_semi")
+            assert base is not None
+            return base
+        if isinstance(q, SpanNotQuery):
+            return self._span_candidates(q.include)
+        if isinstance(q, SpanFirstQuery):
+            return self._span_candidates(q.match)
+        raise TypeError(f"not a span query: {type(q).__name__}")
+
+    def _exec_span(self, q: SpanQuery, boost: float) -> DataFrame:
+        """Span execution: candidate doc-set (two-phase approximation),
+        per-term position arrays joined on, then one Arrow-batched
+        kernel runs the reference span-iterator traversal per doc
+        (spans/SpanScorer.java:84-115).  Weight = BM25 over the idf sum
+        of the tree's distinct terms (spans/SpanWeight.java)."""
+        terms = span_terms(q)
+        stats = self.term_statistics(terms)
+        live = [t for t in terms if stats[t][0] > 0]
+        if not live:
+            return self._empty_scored()
+        idf_sum = sum(self._idf(stats[t][0]) for t in live)
+        weight = (
+            float(self.bm25.weight(np.float32(idf_sum), boost))
+            if self.scoring == "lucene"
+            else boost * idf_sum
+        )
+        base = self._span_candidates(q).join(self.tables.doc_norms, "doc_id")
+        for i, t in enumerate(live):
+            pl = self._term_postings(t).select(
+                "doc_id", F.col("positions").alias(f"_p{i}")
+            )
+            base = base.join(pl, "doc_id", "left")
+        term_order = list(live)
+        # float32 freq accumulation in lucene mode (SpanScorer's Java
+        # float +=); float64 in exact mode so the SQL oracle's double
+        # arithmetic agrees bit-for-bit on dyadic slop factors.
+        exact = self.scoring == "exact"
+
+        @F.pandas_udf("double")
+        def span_udf(*pcols: pd.Series) -> pd.Series:
+            from lucene_solr_spark.queries.spans import eval_spans
+
+            out = np.zeros(len(pcols[0]), dtype=np.float64)
+            for r in range(len(pcols[0])):
+                positions = {}
+                for t, c in zip(term_order, pcols):
+                    v = c.iloc[r]
+                    if v is not None and len(v):
+                        positions[t] = np.asarray(v, dtype=np.int64)
+                if exact:
+                    out[r] = sum(
+                        1.0 / (1.0 + w) for _s, _e, w in eval_spans(q, positions)
+                    )
+                else:
+                    out[r] = span_freq(q, positions)
+            return pd.Series(out)
+
+        out = base.withColumn(
+            "freq", span_udf(*[F.col(f"_p{i}") for i in range(len(live))])
+        ).filter(F.col("freq") > 0)
+        return self._score_col(weight, out).select("doc_id", "score")
+
     # --------------------------------------------------------- match-only
     def _expand_terms(self, q: Query) -> list[str]:
         """Dictionary expansion for multi-term queries (MultiTermQuery
@@ -718,6 +820,8 @@ class IndexSearcher:
                 DataFrame.unionByName, (self._match(d) for d in q.disjuncts)
             )
             return union.distinct()
+        if isinstance(q, SpanQuery):
+            return self._exec_span(q, 1.0).select("doc_id")
         if isinstance(q, BooleanQuery):
             musts = [
                 c.query for c in q.clauses if c.occur in (Occur.MUST, Occur.FILTER)
