@@ -901,6 +901,26 @@ def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textstats.doc_fingerprint(d, "text").select("doc_id", "fingerprint").orderBy("doc_id")
 
 
+def q_delete_by_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IndexWriter.deleteDocuments(Query) + liveDocs (.liv bitset,
+    Lucene50LiveDocsFormat): tombstone docs matching 'window', then a
+    term query over the survivors.  Stats stay stale until merge —
+    the reference's pre-merge semantics."""
+    t = _index_tables(spark, sf_dir)
+    dead = _searcher(spark, sf_dir)._match(TermQuery("window"))
+    s = IndexSearcher(t, scoring="exact", cache_postings=False, tombstones=dead)
+    return _scored(s.docs(TermQuery("spark")))
+
+
+def q_classic_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClassicSimilarity (TF-IDF) top-10: sqrt(tf)·idf·1/sqrt(dl) with
+    idf = ln((N+1)/(df+1))+1 (ClassicSimilarity.java:99-140,
+    TFIDFSimilarity.java:553-569) — classic_exact mode; the float32
+    byte315-norm variant is gated by tests/test_classic.py."""
+    s = _searcher(spark, sf_dir, scoring="classic_exact")
+    return _topk(s.docs(TermQuery("spark")), 10)
+
+
 # --------------------------------------------------------------------------
 # span queries (SURVEY §2.3 — spans/; see queries/spans.py)
 # --------------------------------------------------------------------------
@@ -1032,6 +1052,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_score": q_quality_score,
         "language_id": q_language_id,
         "doc_fingerprint": q_doc_fingerprint,
+        "classic_tfidf": q_classic_tfidf,
+        "delete_by_query": q_delete_by_query,
         "span_near_ordered": q_span_near_ordered,
         "span_near_unordered": q_span_near_unordered,
         "span_not": q_span_not,
@@ -1585,6 +1607,31 @@ SELECT doc_id,
             WHEN h_es = greatest(h_de, h_en, h_es, h_fr) THEN 'es'
             ELSE 'fr' END AS lang_pred
 FROM hits ORDER BY doc_id
+"""
+
+    # delete-by-query: survivors of the tombstone anti-join, scored
+    # with the PRE-delete statistics (stale until merge, like liveDocs)
+    sqls["delete_by_query"] = f"""
+WITH {_IDX},
+s1 AS ({_bm25_sql("spark")}),
+dead AS (SELECT doc_id FROM postings WHERE term = 'window')
+SELECT doc_id, ROUND(score, 4) AS score FROM s1
+WHERE doc_id NOT IN (SELECT doc_id FROM dead)
+"""
+
+    # ClassicSimilarity TF-IDF (exact/double variant)
+    sqls["classic_tfidf"] = f"""
+WITH {_IDX},
+scored AS (
+  SELECT p.doc_id,
+         (ln(1.0 * (c.n + 1) / (t.df + 1)) + 1) * sqrt(p.tf) / sqrt(nm.length) AS score
+  FROM postings p
+  JOIN tstats t USING (term)
+  JOIN norms nm USING (doc_id)
+  CROSS JOIN cstats c
+  WHERE p.term = 'spark'
+)
+{_TOPK_TAIL.format(k=10)}
 """
 
     # ---- span queries.  Shared tail: BM25 over a per-doc sloppy freq

@@ -74,7 +74,7 @@ from lucene_solr_spark.queries.spans import (
     span_freq,
     span_terms,
 )
-from lucene_solr_spark.scoring.bm25 import BM25, idf as idf32
+from lucene_solr_spark.scoring.bm25 import BM25, byte315_to_float, idf as idf32
 
 MAX_EXPANSION_TERMS = 1024  # ref: BooleanQuery.java:43
 
@@ -89,12 +89,16 @@ class IndexSearcher:
         b: float = 0.75,
         scoring: str = "lucene",
         cache_postings: bool = True,
+        tombstones: DataFrame | None = None,
     ) -> None:
-        if scoring not in ("lucene", "exact"):
+        if scoring not in ("lucene", "exact", "classic", "classic_exact"):
             raise ValueError(f"unknown scoring mode {scoring!r}")
         self.tables = tables
         self.bm25 = BM25(k1=k1, b=b)
         self.scoring = scoring
+        # float32-faithful modes (Java float arithmetic); the *_exact
+        # modes are the ANSI-SQL-expressible double variants
+        self._f32 = scoring in ("lucene", "classic")
         self.stats = tables.stats
         # Denormalize norms onto postings once (the per-segment norms file
         # read of the reference); at scale this join happens at build time.
@@ -106,6 +110,17 @@ class IndexSearcher:
             self._postings = tables.postings.select(*cols).join(
                 tables.doc_norms, "doc_id"
             )
+        # Live-docs filter (Lucene50LiveDocsFormat's .liv bitset):
+        # deleted docs are excluded from every match, but collection
+        # and term statistics stay STALE until merge — exactly the
+        # reference's pre-merge semantics (docFreq/totalTermFreq still
+        # count deleted docs; IndexWriter.deleteDocuments only flips
+        # liveDocs bits).  So: anti-join postings/norms, keep stats.
+        self._live_norms = tables.doc_norms
+        if tombstones is not None:
+            dead = tombstones.select("doc_id")
+            self._postings = self._postings.join(dead, "doc_id", "left_anti")
+            self._live_norms = self._live_norms.join(dead, "doc_id", "left_anti")
         if cache_postings:
             # Right-size the cached postings: ~2M posting rows per
             # partition (≈100-200 MB).  Over-partitioning a small index
@@ -280,7 +295,7 @@ class IndexSearcher:
                 details.append(sub)
             if not matched:
                 return node(0.0, "failure to meet condition of required clause")
-            if self.scoring == "lucene":
+            if self._f32:
                 total = float(np.float32(total))
             return node(total, "sum of:", details)
         # fallback: execute and read the score
@@ -317,6 +332,30 @@ class IndexSearcher:
             num = (F.lit(w32) * f).cast("float").cast("double")
             den = (f + c).cast("float").cast("double")
             return df_in.withColumn("score", (num / den).cast("float"))
+        if self.scoring == "classic":
+            # ClassicSimilarity float32 kernel (TFIDFSimilarity.java:
+            # 553-569): raw = (float)sqrt(freq) · queryWeight, then
+            # raw · NORM_TABLE[norm_byte] (decodeNormValue of the
+            # byte315-encoded 1/sqrt(length)).  Same double-op-then-
+            # cast-to-float emulation as the lucene branch.
+            w32 = float(np.float32(weight))
+            norm_arr = F.array(
+                *[F.lit(float(byte315_to_float(i))) for i in range(256)]
+            )
+            nrm = F.element_at(
+                norm_arr, F.col("norm_byte").bitwiseAND(F.lit(255)) + F.lit(1)
+            )
+            tf32 = F.sqrt(F.col("freq").cast("double")).cast("float").cast("double")
+            raw = (tf32 * F.lit(w32)).cast("float").cast("double")
+            return df_in.withColumn("score", (raw * nrm).cast("float"))
+        if self.scoring == "classic_exact":
+            # double TF-IDF with exact lengths: sqrt(tf)·idf·1/sqrt(dl)
+            return df_in.withColumn(
+                "score",
+                F.lit(float(weight))
+                * F.sqrt(F.col("freq").cast("double"))
+                / F.sqrt(F.col("length").cast("double")),
+            )
         # exact mode: pure JVM double expression (whole-stage codegen)
         k1, b = float(self.bm25.k1), float(self.bm25.b)
         return df_in.withColumn(
@@ -334,16 +373,33 @@ class IndexSearcher:
         )
 
     def _idf(self, doc_freq: int) -> float:
-        if self.scoring == "lucene":
-            return float(idf32(doc_freq, self.stats.doc_count))
         n = self.stats.doc_count
+        if self.scoring == "lucene":
+            return float(idf32(doc_freq, n))
+        if self.scoring == "classic":
+            # ClassicSimilarity.idf: (float)(log((N+1)/(df+1)) + 1)
+            # (ClassicSimilarity.java:138-140)
+            return float(np.float32(math.log((n + 1) / float(doc_freq + 1)) + 1.0))
+        if self.scoring == "classic_exact":
+            return math.log((n + 1) / float(doc_freq + 1)) + 1.0
         return math.log(1.0 + (n - doc_freq + 0.5) / (doc_freq + 0.5))
+
+    def _weight(self, idf_value: float, boost: float) -> float:
+        """Query weight from an (already mode-appropriate) idf value:
+        BM25Similarity weight = boost·idf (·(k1+1) applied in the score
+        kernel); TFIDFSimilarity IDFStats.queryWeight = boost·idf
+        (TFIDFSimilarity.java:594-599)."""
+        if self.scoring == "lucene":
+            return float(self.bm25.weight(np.float32(idf_value), boost))
+        if self.scoring == "classic":
+            return float(np.float32(np.float32(boost) * np.float32(idf_value)))
+        return boost * float(idf_value)
 
     def _sum_scores(self, col):
         """float32(Σ_double subscores) in lucene mode (DisjunctionSumScorer
         sums in double, casts to float); plain double in exact mode."""
         expr = F.sum(col.cast("double"))
-        return expr.cast("float") if self.scoring == "lucene" else expr
+        return expr.cast("float") if self._f32 else expr
 
     # ------------------------------------------------------------ executors
     def _postings_for_terms(self, terms: list[str]) -> DataFrame:
@@ -361,13 +417,13 @@ class IndexSearcher:
         if isinstance(q, MatchNoDocsQuery):
             return self._empty_scored()
         if isinstance(q, MatchAllDocsQuery):
-            return self.tables.doc_norms.select(
+            return self._live_norms.select(
                 "doc_id", F.lit(float(np.float32(boost))).alias("score")
             )
         if isinstance(q, BoostQuery):
             return self._exec(q.query, boost * q.boost)
         if isinstance(q, ConstantScoreQuery):
-            score = float(np.float32(boost * q.score)) if self.scoring == "lucene" else boost * q.score
+            score = float(np.float32(boost * q.score)) if self._f32 else boost * q.score
             return self._match(q.query).select(
                 "doc_id", F.lit(score).alias("score")
             )
@@ -375,11 +431,7 @@ class IndexSearcher:
             df_, _ttf = self.term_statistics([q.term])[q.term]
             if df_ == 0:
                 return self._empty_scored()
-            weight = (
-                float(self.bm25.weight(self._idf(df_), boost))
-                if self.scoring == "lucene"
-                else boost * self._idf(df_)
-            )
+            weight = self._weight(self._idf(df_), boost)
             pl = self._term_postings(q.term).select(
                 "doc_id",
                 F.col("tf").alias("freq"),
@@ -406,7 +458,7 @@ class IndexSearcher:
 
     def _empty_scored(self) -> DataFrame:
         spark = self.tables.postings.sparkSession
-        return spark.createDataFrame([], "doc_id long, score float" if self.scoring == "lucene" else "doc_id long, score double")
+        return spark.createDataFrame([], "doc_id long, score float" if self._f32 else "doc_id long, score double")
 
     # cost estimate for conjunction ordering (rarest-first lead,
     # ConjunctionDISI.java:185)
@@ -463,13 +515,13 @@ class IndexSearcher:
             score_cols = [F.col(f"_s{i}").cast("double") for i in range(len(scored))]
             if score_cols:
                 total = reduce(lambda a, b: a + b, score_cols)
-                if self.scoring == "lucene":
+                if self._f32:
                     total = total.cast("float")
                 required = base.select("doc_id", total.alias("score"))
             else:
                 required = base.select(
                     "doc_id", F.lit(0.0).cast(
-                        "float" if self.scoring == "lucene" else "double"
+                        "float" if self._f32 else "double"
                     ).alias("score")
                 )
 
@@ -493,7 +545,7 @@ class IndexSearcher:
                     F.col("score").cast("double")
                     + F.coalesce(F.col("_should").cast("double"), F.lit(0.0))
                 )
-                if self.scoring == "lucene":
+                if self._f32:
                     total = total.cast("float")
                 out = out.select("doc_id", total.alias("score"))
         elif should_agg is not None:
@@ -514,11 +566,7 @@ class IndexSearcher:
         df_max = max((s[0] for s in stats.values()), default=0)
         if df_max == 0:
             return self._empty_scored()
-        weight = (
-            float(self.bm25.weight(self._idf(df_max), boost))
-            if self.scoring == "lucene"
-            else boost * self._idf(df_max)
-        )
+        weight = self._weight(self._idf(df_max), boost)
         pl = (
             self._postings_for_terms(list(q.terms))
             .groupBy("doc_id")
@@ -545,7 +593,7 @@ class IndexSearcher:
         total = F.col("_mx") + F.lit(float(q.tie_breaker)) * (
             F.col("_sm") - F.col("_mx")
         )
-        if self.scoring == "lucene":
+        if self._f32:
             total = total.cast("float")
         return agg.select("doc_id", total.alias("score"))
 
@@ -560,11 +608,7 @@ class IndexSearcher:
             if all(stats[t][0] == 0 for t in slot):
                 return self._empty_scored()
         idf_sum = sum(self._idf(stats[t][0]) for t in all_terms if stats[t][0] > 0)
-        weight = (
-            float(self.bm25.weight(np.float32(idf_sum), boost))
-            if self.scoring == "lucene"
-            else boost * idf_sum
-        )
+        weight = self._weight(idf_sum, boost)
         base: DataFrame | None = None
         for i, slot in enumerate(q.slots):
             live = [t for t in slot if stats[t][0] > 0]
@@ -611,11 +655,7 @@ class IndexSearcher:
         # weight: summed idf over ALL phrase terms incl. repeats, summed in
         # double then cast (BM25Similarity.idfExplain(termStats[]):196-205)
         idf_sum = sum(self._idf(stats[t][0]) for t in q.terms)
-        weight = (
-            float(self.bm25.weight(np.float32(idf_sum), boost))
-            if self.scoring == "lucene"
-            else boost * idf_sum
-        )
+        weight = self._weight(idf_sum, boost)
         # join rarest-first
         order = sorted(range(len(uniq)), key=lambda i: stats[uniq[i]][0])
         base: DataFrame | None = None
@@ -707,12 +747,8 @@ class IndexSearcher:
         if not live:
             return self._empty_scored()
         idf_sum = sum(self._idf(stats[t][0]) for t in live)
-        weight = (
-            float(self.bm25.weight(np.float32(idf_sum), boost))
-            if self.scoring == "lucene"
-            else boost * idf_sum
-        )
-        base = self._span_candidates(q).join(self.tables.doc_norms, "doc_id")
+        weight = self._weight(idf_sum, boost)
+        base = self._span_candidates(q).join(self._live_norms, "doc_id")
         for i, t in enumerate(live):
             pl = self._term_postings(t).select(
                 "doc_id", F.col("positions").alias(f"_p{i}")
@@ -790,7 +826,7 @@ class IndexSearcher:
             spark = self.tables.postings.sparkSession
             return spark.createDataFrame([], "doc_id long")
         if isinstance(q, MatchAllDocsQuery):
-            return self.tables.doc_norms.select("doc_id")
+            return self._live_norms.select("doc_id")
         if isinstance(q, (BoostQuery, ConstantScoreQuery)):
             return self._match(q.query)
         if isinstance(q, TermQuery):
