@@ -901,6 +901,28 @@ def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textstats.doc_fingerprint(d, "text").select("doc_id", "fingerprint").orderBy("doc_id")
 
 
+def q_suggest_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Suggester: prefix completions from the term dictionary weighted
+    by docFreq (lucene/suggest HighFrequencyDictionary + Solr
+    SuggestComponent) — pushed-down prefix filter + bounded top-n."""
+    from lucene_solr_spark.queries.suggest import suggest_prefix
+
+    t = _index_tables(spark, sf_dir)
+    return suggest_prefix(t.term_stats, "s", 10)
+
+
+def q_rerank_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ReRankQParserPlugin: main top-50 window re-scored as
+    main + 2.0·rerank (solr/search/ReRankQParserPlugin.java)."""
+    from lucene_solr_spark.queries.rerank import rerank
+
+    s = _searcher(spark, sf_dir)
+    main = s.docs(TermQuery("spark"))
+    rr = s.docs(TermQuery("merge"))
+    out = rerank(main, rr, rerank_weight=2.0, rerank_docs=50, k=10)
+    return out.select("doc_id", F.round(F.col("score"), 4).alias("score"))
+
+
 def q_delete_by_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IndexWriter.deleteDocuments(Query) + liveDocs (.liv bitset,
     Lucene50LiveDocsFormat): tombstone docs matching 'window', then a
@@ -1054,6 +1076,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_fingerprint": q_doc_fingerprint,
         "classic_tfidf": q_classic_tfidf,
         "delete_by_query": q_delete_by_query,
+        "suggest_prefix": q_suggest_prefix,
+        "rerank_query": q_rerank_query,
         "span_near_ordered": q_span_near_ordered,
         "span_near_unordered": q_span_near_unordered,
         "span_not": q_span_not,
@@ -1607,6 +1631,28 @@ SELECT doc_id,
             WHEN h_es = greatest(h_de, h_en, h_es, h_fr) THEN 'es'
             ELSE 'fr' END AS lang_pred
 FROM hits ORDER BY doc_id
+"""
+
+    sqls["suggest_prefix"] = f"""
+WITH {_IDX}
+SELECT term, df AS weight FROM tstats
+WHERE term LIKE 's%'
+ORDER BY weight DESC, term ASC LIMIT 10
+"""
+
+    # rerank: window cutoff by UNROUNDED main score (identical doubles
+    # both sides), rounding only on the final output
+    sqls["rerank_query"] = f"""
+WITH {_IDX},
+s1 AS ({_bm25_sql("spark")}),
+s2 AS ({_bm25_sql("merge")}),
+w AS (SELECT doc_id, score FROM s1 ORDER BY score DESC, doc_id ASC LIMIT 50),
+comb AS (
+  SELECT w.doc_id, w.score + 2.0 * COALESCE(s2.score, 0) AS score
+  FROM w LEFT JOIN s2 USING (doc_id)
+)
+SELECT doc_id, ROUND(score, 4) AS score FROM comb
+ORDER BY score DESC, doc_id ASC LIMIT 10
 """
 
     # delete-by-query: survivors of the tombstone anti-join, scored
