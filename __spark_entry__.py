@@ -834,6 +834,19 @@ def q_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("vec_id", F.round(F.col("cosine"), 4).alias("cosine"))
 
 
+def q_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-Flat approximate NN: deterministic k-means coarse quantizer,
+    nprobe nearest centroids exact-reranked — k-means iterations are
+    not SQL-expressible ⇒ rows-only; pytest checks recall vs brute
+    force and rebuild determinism."""
+    e = _table(spark, sf_dir, "embeddings")
+    qv = e.filter(F.col("vec_id") == 0).select("embedding").first()[0]
+    out = similarity.ivf_ann_topk(
+        e, [float(x) for x in qv], k=10, num_centroids=8, nprobe=3
+    )
+    return out.select("vec_id", F.round(F.col("cosine"), 4).alias("cosine"))
+
+
 def q_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """All-pairs cosine ≥ τ via LSH-bucketed self-join — engine-specific
     hyperplanes ⇒ rows-only check; pytest verifies vs brute force."""
@@ -1068,6 +1081,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_dups": q_simhash_dups,
         "cosine_topk": q_cosine_topk,
         "lsh_ann": q_lsh_ann,
+        "ivf_ann": q_ivf_ann,
         "embedding_near_dups": q_embedding_near_dups,
         "multimodal_features": q_multimodal_features,
         "token_counts": q_token_counts,

@@ -44,11 +44,16 @@ BENCH_QUERIES = [
     "hashjoin_stream",
     "innerjoin_stream",
     "timeseries_stream",
+    "span_near_ordered",
+    "classic_tfidf",
+    "rerank_query",
+    "suggest_prefix",
     "exact_dedup",
     "minhash_lsh",
     "simhash_dups",
     "cosine_topk",
     "lsh_ann",
+    "ivf_ann",
     "token_counts",
     "quality_score",
     "language_id",
@@ -69,8 +74,23 @@ def main() -> None:
     n_docs = tables.stats.doc_count
     build_sec = time.time() - tb0
 
-    # --- per-query wall times ------------------------------------------
+    # --- warmup --------------------------------------------------------
+    # One-time costs — parquet first-touch, searcher construction, the
+    # segmented-index build, JVM JIT — are paid here and reported as
+    # warmup_sec, so the per-query times below are steady-state query
+    # latency.  Mirrors the reference harness shape: index + warm, then
+    # repeated searches (micro-standard.alg:50-60 "SearchSameRdr" 5000×).
     qs = entrymod.queries()
+    tw0 = time.time()
+    for tname in ("orders", "lineitem", "customer", "events", "embeddings"):
+        path = os.path.join(sf_dir, f"{tname}.parquet")
+        if os.path.exists(path):
+            spark.read.parquet(path).count()
+    for wname in ("term_query", "term_query_lucene", "wand_topk", "segment_term_query"):
+        qs[wname](spark, sf_dir).collect()
+    warm_sec = time.time() - tw0
+
+    # --- per-query wall times ------------------------------------------
     times: dict[str, float] = {}
     for name in BENCH_QUERIES:
         tq0 = time.time()
@@ -118,6 +138,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": times,
                 "sf": sf,
+                "warmup_sec": round(warm_sec, 3),
                 "index_build_sec": round(build_sec, 3),
                 "index_docs": n_docs,
                 "index_docs_per_sec": round(n_docs / build_sec, 1),

@@ -12,6 +12,7 @@
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -108,6 +109,90 @@ def lsh_ann_topk(
         }
     bucketed = df.withColumn("_bucket", _lsh_bucket(vec_col, planes))
     cand = bucketed.filter(F.col("_bucket").isin([int(x) for x in probes]))
+    return cosine_topk(cand, query_vec, k, id_col, vec_col)
+
+
+def _assign_centroids(df: DataFrame, centroids: np.ndarray, vec_col: str) -> DataFrame:
+    """Nearest-centroid assignment (L2 argmin) as one Arrow-batched
+    matmul pass — ||v−c||² = ||v||² − 2v·c + ||c||², argmin over the
+    −2v·c + ||c||² part; no per-row Python."""
+    C = centroids.astype(np.float64)
+    c_sq = (C * C).sum(axis=1)
+
+    @F.pandas_udf("int")
+    def cid(v: pd.Series) -> pd.Series:
+        M = np.array([np.asarray(x, dtype=np.float64) for x in v.to_numpy()])
+        d = c_sq[None, :] - 2.0 * (M @ C.T)
+        return pd.Series(np.argmin(d, axis=1).astype(np.int32), index=v.index)
+
+    return df.withColumn("_cid", cid(F.col(vec_col)))
+
+
+def ivf_index(
+    df: DataFrame,
+    num_centroids: int = 16,
+    kmeans_iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> tuple[DataFrame, np.ndarray]:
+    """IVF coarse quantizer: deterministic Lloyd k-means.
+
+    Init = the ``num_centroids`` vectors with smallest
+    (xxhash64(id), id) — a seeded pseudo-random sample that is a pure
+    function of the data, so rebuilds/resumes reproduce the identical
+    index.  A fixed small iteration count keeps the build at
+    O(iters · scan); each iteration is one assignment pass + one
+    K×dim centroid aggregation (collected to the driver — K·dim
+    floats, never the vectors).
+
+    At scale the returned assignment is written
+    ``partitionBy("_cid")`` so a query reading ``nprobe`` centroids
+    prunes to nprobe/K of the data at the Parquet partition level.
+    """
+    init = (
+        df.select(F.col(id_col).alias("i"), F.col(vec_col).alias("v"))
+        .orderBy(F.xxhash64(F.col("i")), F.col("i"))
+        .limit(num_centroids)
+        .collect()
+    )
+    C = np.array([r["v"] for r in init], dtype=np.float64)
+    dim = C.shape[1]
+    for _ in range(kmeans_iters):
+        assigned = _assign_centroids(df, C, vec_col)
+        sums = assigned.groupBy("_cid").agg(
+            F.count("*").alias("n"),
+            *[
+                F.sum(F.element_at(F.col(vec_col), d + 1)).alias(f"s{d}")
+                for d in range(dim)
+            ],
+        ).collect()
+        for r in sums:
+            C[r["_cid"]] = (
+                np.array([r[f"s{d}"] for d in range(dim)], dtype=np.float64)
+                / r["n"]
+            )
+    return _assign_centroids(df, C, vec_col), C
+
+
+def ivf_ann_topk(
+    df: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    num_centroids: int = 16,
+    nprobe: int = 4,
+    kmeans_iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k via IVF: probe the ``nprobe`` centroids nearest
+    the query, exact-rerank only their members — the classic
+    IVF-Flat recall/latency trade (the alternate scale path beside
+    ``lsh_ann_topk``; prunes ~nprobe/num_centroids of the corpus)."""
+    assigned, C = ivf_index(df, num_centroids, kmeans_iters, id_col, vec_col)
+    q = np.asarray(query_vec, dtype=np.float64)
+    order = np.argsort(((C - q[None, :]) ** 2).sum(axis=1), kind="stable")
+    probe = [int(c) for c in order[:nprobe]]
+    cand = assigned.filter(F.col("_cid").isin(probe))
     return cosine_topk(cand, query_vec, k, id_col, vec_col)
 
 

@@ -125,6 +125,41 @@ def test_lsh_ann_recall(emb):
     assert recall >= 0.5  # multiprobe LSH recall floor on 500 vecs
 
 
+def test_ivf_ann_recall_and_determinism(emb):
+    from lucene_solr_spark.functions.similarity import ivf_ann_topk
+
+    pdf = emb.toPandas()
+    q = list(pdf[pdf.vec_id == 3].iloc[0]["embedding"])
+    exact = [r["vec_id"] for r in cosine_topk(emb, q, 10).collect()]
+    approx = [
+        r["vec_id"]
+        for r in ivf_ann_topk(emb, q, 10, num_centroids=8, nprobe=3).collect()
+    ]
+    recall = len(set(exact) & set(approx)) / 10
+    assert approx[0] == 3  # the query's own cell is always probed first
+    assert recall >= 0.5
+    # deterministic rebuild: hash-seeded init + fixed Lloyd iterations
+    again = [
+        r["vec_id"]
+        for r in ivf_ann_topk(emb, q, 10, num_centroids=8, nprobe=3).collect()
+    ]
+    assert approx == again
+
+
+def test_ivf_probe_prunes_candidates(emb):
+    from pyspark.sql import functions as F
+
+    from lucene_solr_spark.functions.similarity import ivf_index
+
+    assigned, _C = ivf_index(emb, num_centroids=8)
+    counts = {
+        r["_cid"]: r["n"]
+        for r in assigned.groupBy("_cid").agg(F.count("*").alias("n")).collect()
+    }
+    assert sum(counts.values()) == emb.count()
+    assert len(counts) >= 2  # quantizer actually partitions the space
+
+
 def test_embedding_near_dups_self_consistency(spark):
     rows = [(i, [float(i), 1.0, 0.0]) for i in range(3)]
     rows.append((10, [3.0, 3.0, 0.0]))  # parallel to vec 1 → cosine 1.0
