@@ -180,6 +180,37 @@ class IndexSearcher:
             F.col("score").desc(), F.col("doc_id").asc()
         ).limit(k)
 
+    def search_batch(self, queries: dict[str, Query | str], k: int = 10) -> DataFrame:
+        """Execute MANY queries as one Spark job → (query_id, doc_id,
+        score) top-k per query.
+
+        The reference benchmark measures throughput by repeating
+        searches over a warm reader (micro-standard.alg:50-60, 5000×
+        "SearchSameRdr"); the Spark-idiomatic equivalent amortizes the
+        per-job scheduling cost by tagging each query's scored plan
+        with its id, unioning them over the SHARED cached postings, and
+        ranking per query with one window — one job, one scan set, N
+        queries.  Per-query top-k keeps the HitQueue tie-break."""
+        from pyspark.sql import Window
+
+        from lucene_solr_spark.queries.parser import parse_query
+
+        parts = []
+        for qid, q in queries.items():
+            if isinstance(q, str):
+                q = parse_query(q)
+            df = self._exec(rewrite(q), 1.0).withColumn("query_id", F.lit(qid))
+            parts.append(df.select("query_id", "doc_id", "score"))
+        union = reduce(DataFrame.unionByName, parts)
+        w = Window.partitionBy("query_id").orderBy(
+            F.col("score").desc(), F.col("doc_id").asc()
+        )
+        return (
+            union.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") <= k)
+            .drop("_rn")
+        )
+
     def docs(self, query: Query | str) -> DataFrame:
         """All matching (doc_id, score) — exhaustive scoring."""
         if isinstance(query, str):

@@ -91,3 +91,24 @@ def test_exact_mode_matches_double_precision_oracle(tables, oracle):
     assert [g[0] for g in got] == [w[0] for w in top]
     for (gd, gs), (wd, ws) in zip(got, top):
         assert abs(gs - ws) < 1e-12
+
+
+def test_search_batch_equals_individual(searcher):
+    """One-job batched execution must reproduce per-query search()."""
+    queries = {
+        "a": "spark",
+        "b": "+spark +window",
+        "c": "vector hash",
+        "d": '"spark window"',
+    }
+    batched = searcher.search_batch(queries, k=10).collect()
+    by_q: dict[str, list] = {}
+    for r in batched:
+        by_q.setdefault(r["query_id"], []).append((r["doc_id"], r["score"]))
+    for qid, qs in queries.items():
+        solo = [
+            (r["doc_id"], r["score"])
+            for r in searcher.search(qs, k=10).collect()
+        ]
+        got = sorted(by_q.get(qid, []), key=lambda t: (-t[1], t[0]))
+        assert got == solo, qid
