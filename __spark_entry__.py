@@ -775,6 +775,54 @@ def q_select_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_reducer_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ReducerStream: group-adjacent reduce over a sorted stream
+    (io/stream/ReducerStream.java with a GroupOperation) — here 'latest
+    order per customer', an applyInPandas-shaped reduce expressed as a
+    ranked window (Catalyst plans the same sort+group)."""
+    o = _table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_orderdate").desc(), F.col("o_orderkey").desc()
+    )
+    return (
+        o.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select(
+            F.col("o_custkey").alias("custkey"),
+            F.col("o_orderkey").alias("latest_orderkey"),
+            F.col("o_totalprice").alias("latest_price"),
+        )
+        .orderBy("custkey")
+    )
+
+
+def q_function_termfreq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Index-statistics function queries — termfreq/docfreq/idf/norm
+    (ValueSourceParser.java registrations; queries/function/valuesource/
+    TFValueSource.java, IDFValueSource.java, NormValueSource.java):
+    joins against postings/term_stats/doc_norms, exact/double idf."""
+    t = _index_tables(spark, sf_dir)
+    term = "spark"
+    df_row = t.term_stats.filter(F.col("term") == term).first()
+    df_ = int(df_row["df"]) if df_row else 0
+    n = t.stats.doc_count
+    import math
+
+    idf_v = math.log(1.0 + (n - df_ + 0.5) / (df_ + 0.5))
+    pl = t.postings.filter(F.col("term") == term).select("doc_id", "tf")
+    return (
+        pl.join(t.doc_norms.select("doc_id", "length"), "doc_id")
+        .select(
+            "doc_id",
+            F.col("tf").alias("termfreq"),
+            F.lit(df_).alias("docfreq"),
+            F.round(F.lit(idf_v), 4).alias("idf"),
+            "length",
+        )
+        .orderBy("doc_id")
+    )
+
+
 # --------------------------------------------------------------------------
 # training-data pipeline ops (dedup / similarity / text analysis)
 # --------------------------------------------------------------------------
@@ -1075,6 +1123,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fetch_stream": q_fetch_stream,
         "timeseries_stream": q_timeseries_stream,
         "select_stream": q_select_stream,
+        "reducer_stream": q_reducer_stream,
+        "function_termfreq": q_function_termfreq,
         "exact_dedup": q_exact_dedup,
         "ngram_jaccard": q_ngram_jaccard,
         "minhash_lsh": q_minhash_lsh,
@@ -1645,6 +1695,33 @@ SELECT doc_id,
             WHEN h_es = greatest(h_de, h_en, h_es, h_fr) THEN 'es'
             ELSE 'fr' END AS lang_pred
 FROM hits ORDER BY doc_id
+"""
+
+    sqls["reducer_stream"] = """
+WITH ranked AS (
+  SELECT o_custkey, o_orderkey, o_totalprice,
+         row_number() OVER (
+           PARTITION BY o_custkey
+           ORDER BY o_orderdate DESC, o_orderkey DESC
+         ) AS rn
+  FROM orders
+)
+SELECT o_custkey AS custkey, o_orderkey AS latest_orderkey,
+       o_totalprice AS latest_price
+FROM ranked WHERE rn = 1 ORDER BY custkey
+"""
+
+    sqls["function_termfreq"] = f"""
+WITH {_IDX}
+SELECT p.doc_id, p.tf AS termfreq, t.df AS docfreq,
+       ROUND(ln(1 + (c.n - t.df + 0.5) / (t.df + 0.5)), 4) AS idf,
+       nm.length
+FROM postings p
+JOIN tstats t USING (term)
+JOIN norms nm USING (doc_id)
+CROSS JOIN cstats c
+WHERE p.term = 'spark'
+ORDER BY p.doc_id
 """
 
     sqls["suggest_prefix"] = f"""

