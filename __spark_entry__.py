@@ -962,6 +962,20 @@ def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textstats.doc_fingerprint(d, "text").select("doc_id", "fingerprint").orderBy("doc_id")
 
 
+def q_english_analyzer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EnglishAnalyzer chain (analysis/en/EnglishAnalyzer.java:99-108:
+    tokenize → possessive strip → lowercase → stop → Porter stem): top
+    stemmed terms by docFreq — stemming isn't SQL-expressible ⇒
+    rows-only; tests/test_porter.py holds 57 golden stem pairs."""
+    d = _table(spark, sf_dir, "documents")
+    t = build_tables(d, id_col="doc_id", text_col="text", analyzer="english")
+    return (
+        t.term_stats.select("term", "df")
+        .orderBy(F.col("df").desc(), F.col("term").asc())
+        .limit(20)
+    )
+
+
 def q_suggest_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Suggester: prefix completions from the term dictionary weighted
     by docFreq (lucene/suggest HighFrequencyDictionary + Solr
@@ -1141,6 +1155,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "classic_tfidf": q_classic_tfidf,
         "delete_by_query": q_delete_by_query,
         "suggest_prefix": q_suggest_prefix,
+        "english_analyzer": q_english_analyzer,
         "rerank_query": q_rerank_query,
         "span_near_ordered": q_span_near_ordered,
         "span_near_unordered": q_span_near_unordered,

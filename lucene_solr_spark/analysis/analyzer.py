@@ -81,6 +81,35 @@ def analyze_batch_flat(
     return doc_idx[keep], low.to_numpy()[keep], pos[keep]
 
 
+def english_analyze_batch_flat(
+    content: pd.Series,
+    stopwords: frozenset[str] = ENGLISH_STOP_WORDS,
+    max_token_length: int = DEFAULT_MAX_TOKEN_LENGTH,
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """EnglishAnalyzer chain (analysis/en/EnglishAnalyzer.java:99-108):
+    StandardTokenizer → possessive strip → lowercase → stop → Porter
+    stem.  Same flat-array batch shape as ``analyze_batch_flat``; the
+    stem runs on the factorized VOCABULARY (unique terms), not the
+    token stream — per-word Python cost amortized by term repetition.
+    """
+    from lucene_solr_spark.analysis.porter import porter_stem
+
+    doc_idx, terms, positions = analyze_batch_flat(
+        content, frozenset(), max_token_length
+    )
+    if terms.size == 0:
+        return doc_idx, terms, positions
+    s = pd.Series(terms, dtype=object)
+    # possessive strip (ONE suffix, like EnglishPossessiveFilter)
+    # BEFORE the stop filter — chain order matters for "it's" → "it"
+    stripped = s.str.replace(r"['’＇]s$", "", regex=True)
+    keep = ~stripped.isin(list(stopwords)).to_numpy()
+    stripped = stripped[keep]
+    codes, vocab = pd.factorize(stripped, sort=False)
+    stemmed = np.array([porter_stem(t) for t in vocab], dtype=object)
+    return doc_idx[keep], stemmed[codes], positions[keep]
+
+
 def analyze_batch(
     content: pd.Series,
     stopwords: frozenset[str] = ENGLISH_STOP_WORDS,

@@ -40,16 +40,30 @@ from lucene_solr_spark.scoring.bm25 import encode_norm
 POSTINGS_SCHEMA = "doc_id long, term string, tf int, positions array<int>"
 
 
-def invert(df: DataFrame, id_col: str = "doc_id", text_col: str = "content") -> DataFrame:
+def invert(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "content",
+    analyzer: str = "standard",
+) -> DataFrame:
     """corpus(id, text) → postings(doc_id, term, tf, positions).
 
     One vectorized pass; output is pre-aggregated per (doc, term).
+    ``analyzer``: "standard" (StandardAnalyzer chain) or "english"
+    (EnglishAnalyzer: + possessive strip + Porter stem).
     """
+    if analyzer not in ("standard", "english"):
+        raise ValueError(f"unknown analyzer {analyzer!r}")
     src = df.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("content"))
 
     def kernel(batches):
+        from lucene_solr_spark.analysis.analyzer import english_analyze_batch_flat
+
+        analyze = (
+            english_analyze_batch_flat if analyzer == "english" else analyze_batch_flat
+        )
         for pdf in batches:
-            doc_idx, terms, positions = analyze_batch_flat(pdf["content"])
+            doc_idx, terms, positions = analyze(pdf["content"])
             if terms.size == 0:
                 yield pd.DataFrame(
                     {
@@ -204,12 +218,13 @@ def build_tables(
     id_col: str = "doc_id",
     text_col: str = "content",
     cache: bool = True,
+    analyzer: str = "standard",
 ) -> IndexTables:
     """Build the logical index tables from a corpus DataFrame.
 
     ``cache=True`` persists postings (they feed three downstream aggs).
     """
-    postings = invert(corpus, id_col, text_col)
+    postings = invert(corpus, id_col, text_col, analyzer=analyzer)
     if cache:
         postings = postings.persist()
     term_stats = term_stats_of(postings)

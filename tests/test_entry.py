@@ -28,6 +28,17 @@ SUBSET = [
     "exact_dedup",
     "token_counts",
     "field_query",
+    # round-1 late additions (spans / classic / deletes / suggest / rerank)
+    "span_near_ordered",
+    "span_not",
+    "span_first",
+    "span_or",
+    "classic_tfidf",
+    "delete_by_query",
+    "suggest_prefix",
+    "rerank_query",
+    "reducer_stream",
+    "function_termfreq",
 ]
 
 
