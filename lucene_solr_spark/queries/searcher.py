@@ -78,6 +78,11 @@ from lucene_solr_spark.scoring.bm25 import BM25, byte315_to_float, idf as idf32
 
 MAX_EXPANSION_TERMS = 1024  # ref: BooleanQuery.java:43
 
+# Conjunction lead sides with docFreq at or below this are broadcast
+# (≈ a few hundred MB of (doc_id, score) rows worst-case — well inside
+# executor memory; above it, shuffle joins with AQE take over).
+BROADCAST_DOC_LIMIT = 2_000_000
+
 
 class IndexSearcher:
     """IndexSearcher analog (search/IndexSearcher.java)."""
@@ -529,9 +534,26 @@ class IndexSearcher:
 
         required: DataFrame | None = None
         if musts or filters:
-            # rarest-first conjunction (our df-ordered join plan, §4.2)
+            # rarest-first conjunction (our df-ordered join plan, §4.2).
+            # The accumulated left side is bounded by the LEAD clause's
+            # docFreq (rarest first), so when that df is small we hint
+            # broadcast on it — the distributed analog of ConjunctionDISI
+            # leading with the cheapest iterator (ConjunctionDISI.java:
+            # 185): every other posting list is probed by the tiny doc
+            # set instead of shuffling both sides on doc_id.
             scored = sorted(musts, key=self._cost)
             unscored = sorted(filters, key=self._cost)
+            lead_df = self._cost(scored[0] if scored else unscored[0])
+            bcast = lead_df <= BROADCAST_DOC_LIMIT
+
+            def _conj(left: DataFrame, right: DataFrame, how: str) -> DataFrame:
+                if bcast:
+                    # broadcastable side must be the join's right input
+                    # for inner/semi; doc-id set intersection and the
+                    # column-carrying inner join are both symmetric here
+                    return right.join(F.broadcast(left), "doc_id", how)
+                return left.join(right, "doc_id", how)
+
             parts: list[DataFrame] = []
             for i, m in enumerate(scored):
                 parts.append(
@@ -539,10 +561,18 @@ class IndexSearcher:
                 )
             base = parts[0] if parts else None
             for p in parts[1:]:
-                base = base.join(p, "doc_id", "inner")
+                base = _conj(base, p, "inner")
             for f_ in unscored:
                 fdf = self._match(f_)
-                base = fdf if base is None else base.join(fdf, "doc_id", "left_semi")
+                if base is None:
+                    base = fdf
+                else:
+                    # left_semi keeps LEFT's columns: the scored base
+                    # must stay the left input; broadcast the filter
+                    # side only if it is itself small
+                    if self._cost(f_) <= BROADCAST_DOC_LIMIT:
+                        fdf = F.broadcast(fdf)
+                    base = base.join(fdf, "doc_id", "left_semi")
             score_cols = [F.col(f"_s{i}").cast("double") for i in range(len(scored))]
             if score_cols:
                 total = reduce(lambda a, b: a + b, score_cols)
@@ -587,7 +617,10 @@ class IndexSearcher:
             return self._empty_scored()
 
         for mn in must_nots:
-            out = out.join(self._match(mn), "doc_id", "left_anti")
+            ex = self._match(mn)
+            if self._cost(mn) <= BROADCAST_DOC_LIMIT:
+                ex = F.broadcast(ex)
+            out = out.join(ex, "doc_id", "left_anti")
         return out
 
     def _exec_synonym(self, q: SynonymQuery, boost: float) -> DataFrame:
@@ -687,8 +720,10 @@ class IndexSearcher:
         # double then cast (BM25Similarity.idfExplain(termStats[]):196-205)
         idf_sum = sum(self._idf(stats[t][0]) for t in q.terms)
         weight = self._weight(idf_sum, boost)
-        # join rarest-first
+        # join rarest-first; broadcast the accumulated (rarest-bounded)
+        # side when the lead term is selective enough
         order = sorted(range(len(uniq)), key=lambda i: stats[uniq[i]][0])
+        bcast = stats[uniq[order[0]]][0] <= BROADCAST_DOC_LIMIT
         base: DataFrame | None = None
         for rank, i in enumerate(order):
             t = uniq[i]
@@ -697,7 +732,12 @@ class IndexSearcher:
                 F.col("positions").alias(f"_p{i}"),
                 *(["norm_byte", "length"] if rank == 0 else []),
             )
-            base = pl if base is None else base.join(pl, "doc_id", "inner")
+            if base is None:
+                base = pl
+            elif bcast:
+                base = pl.join(F.broadcast(base), "doc_id", "inner")
+            else:
+                base = base.join(pl, "doc_id", "inner")
         # offset-shift each term's positions by its query offset(s) and
         # intersect.  A term repeated at several offsets intersects once
         # per offset.
@@ -899,7 +939,12 @@ class IndexSearcher:
             base: DataFrame | None = None
             for m in sorted(musts, key=self._cost):
                 mdf = self._match(m)
-                base = mdf if base is None else base.join(mdf, "doc_id", "left_semi")
+                if base is None:
+                    base = mdf
+                elif self._cost(m) <= BROADCAST_DOC_LIMIT:
+                    base = base.join(F.broadcast(mdf), "doc_id", "left_semi")
+                else:
+                    base = base.join(mdf, "doc_id", "left_semi")
             if shoulds:
                 union = reduce(
                     DataFrame.unionByName, (self._match(s) for s in shoulds)
@@ -917,7 +962,10 @@ class IndexSearcher:
                 spark = self.tables.postings.sparkSession
                 return spark.createDataFrame([], "doc_id long")
             for mn in must_nots:
-                base = base.join(self._match(mn), "doc_id", "left_anti")
+                ex = self._match(mn)
+                if self._cost(mn) <= BROADCAST_DOC_LIMIT:
+                    ex = F.broadcast(ex)
+                base = base.join(ex, "doc_id", "left_anti")
             return base.select("doc_id")
         raise TypeError(f"cannot match {type(q).__name__}")
 
