@@ -116,3 +116,72 @@ def test_analyzer_invariants(text):
     # stop removal only drops entries, never renumbers
     assert set(pos2) <= set(positions)
     assert all(t == t.lower() for t in terms)
+
+
+# ---------------------------------------------------------------- spans
+@given(
+    pa=st.lists(st.integers(0, 40), min_size=1, max_size=12, unique=True),
+    pb=st.lists(st.integers(0, 40), min_size=1, max_size=12, unique=True),
+    slop=st.integers(0, 5),
+)
+@settings(max_examples=200, deadline=None)
+def test_ordered_near_matches_iff_pair_exists(pa, pb, slop):
+    """For a 2-clause ordered SpanNear, the greedy NearSpansOrdered
+    traversal finds a match iff SOME in-order pair within slop exists
+    (per driver position, the stretch picks the minimal partner — so
+    doc-level match sets agree with the declarative ∃-pair semantics)."""
+    from lucene_solr_spark.queries.spans import (
+        SpanNearQuery,
+        SpanTermQuery,
+        eval_spans,
+    )
+
+    positions = {
+        "a": np.asarray(sorted(pa), dtype=np.int64),
+        "b": np.asarray(sorted(pb), dtype=np.int64),
+    }
+    q = SpanNearQuery(
+        (SpanTermQuery("a"), SpanTermQuery("b")), slop=slop, in_order=True
+    )
+    greedy = eval_spans(q, positions)
+    exists = any(
+        b >= a + 1 and (b - a - 1) <= slop
+        for a in positions["a"]
+        for b in positions["b"]
+    )
+    assert bool(greedy) == exists
+    # every emitted span is a genuine in-order within-slop witness
+    for s, e, w in greedy:
+        assert s in positions["a"] and (e - 1) in positions["b"]
+        assert w == (e - 1) - (s + 1) + 0 and 0 <= w <= slop
+
+
+@given(
+    pa=st.lists(st.integers(0, 30), min_size=1, max_size=10, unique=True),
+    pb=st.lists(st.integers(0, 30), min_size=1, max_size=10, unique=True),
+    slop=st.integers(0, 4),
+)
+@settings(max_examples=200, deadline=None)
+def test_unordered_near_is_superset_of_ordered(pa, pb, slop):
+    """Unordered near accepts at least the doc-level matches ordered
+    near does (any in-order witness is also an unordered window)."""
+    from lucene_solr_spark.queries.spans import (
+        SpanNearQuery,
+        SpanTermQuery,
+        eval_spans,
+    )
+
+    positions = {
+        "a": np.asarray(sorted(pa), dtype=np.int64),
+        "b": np.asarray(sorted(pb), dtype=np.int64),
+    }
+    # distinct positions across the two "terms" (one token per slot)
+    if set(pa) & set(pb):
+        return
+    mk = lambda o: SpanNearQuery(
+        (SpanTermQuery("a"), SpanTermQuery("b")), slop=slop, in_order=o
+    )
+    ordered = eval_spans(mk(True), positions)
+    unordered = eval_spans(mk(False), positions)
+    if ordered:
+        assert unordered
