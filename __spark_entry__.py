@@ -447,6 +447,25 @@ def q_highlight(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_unified_highlight(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UnifiedHighlighter-style passage selection (uhighlight/
+    PassageScorer.java semantics: idf-weighted passage score with
+    early-position decay, <b> tags) over a boolean query's top hits —
+    formatting is engine-specific ⇒ rows-only check; passage/format
+    goldens in tests/test_highlight.py."""
+    from lucene_solr_spark.queries.highlight import highlight
+
+    s = _searcher(spark, sf_dir)
+    terms = ["spark", "window"]
+    stats = s.term_statistics(terms)
+    weights = {t: s._idf(stats[t][0]) for t in terms if stats[t][0] > 0}
+    hits = _topk(s.docs(parse_query("+spark +window")), 5)
+    d = _table(spark, sf_dir, "documents")
+    return highlight(hits, d, weights).orderBy(
+        F.col("score").desc(), F.col("doc_id").asc()
+    )
+
+
 # --------------------------------------------------------------------------
 # facets / stats / grouping (SURVEY §2.6)
 # --------------------------------------------------------------------------
@@ -1114,6 +1133,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "more_like_this": q_more_like_this,
         "spellcheck": q_spellcheck,
         "highlight": q_highlight,
+        "unified_highlight": q_unified_highlight,
         "facet_terms": q_facet_terms,
         "facet_metrics": q_facet_metrics,
         "facet_range": q_facet_range,
