@@ -447,6 +447,37 @@ def q_highlight(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_query_facet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Facet over a QUERY's result set (Solr facets are per-request:
+    SimpleFacets.java computes counts against the DocSet of the main
+    query, not the whole collection) — term query ∩ lang facet."""
+    s = _searcher(spark, sf_dir)
+    hits = s._match(TermQuery("spark"))
+    d = _table(spark, sf_dir, "documents")
+    return (
+        hits.join(d, "doc_id")
+        .groupBy("lang")
+        .agg(F.count("*").alias("cnt"))
+        .orderBy(F.col("cnt").desc(), F.col("lang").asc())
+    )
+
+
+def q_grouping_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouping with group.limit=2: top-N docs per group ordered by a
+    field (Solr grouping, search/Grouping.java; the reference returns
+    ``group.limit`` docs per group head) — ranked window."""
+    d = _table(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang").orderBy(
+        F.col("n_chars").desc(), F.col("doc_id").asc()
+    )
+    return (
+        d.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= 2)
+        .select("lang", F.col("_rn").alias("rank"), "doc_id", "n_chars")
+        .orderBy("lang", "rank")
+    )
+
+
 def q_unified_highlight(spark: SparkSession, sf_dir: str) -> DataFrame:
     """UnifiedHighlighter-style passage selection (uhighlight/
     PassageScorer.java semantics: idf-weighted passage score with
@@ -1134,6 +1165,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "spellcheck": q_spellcheck,
         "highlight": q_highlight,
         "unified_highlight": q_unified_highlight,
+        "query_facet": q_query_facet,
+        "grouping_topn": q_grouping_topn,
         "facet_terms": q_facet_terms,
         "facet_metrics": q_facet_metrics,
         "facet_range": q_facet_range,
@@ -1730,6 +1763,27 @@ SELECT doc_id,
             WHEN h_es = greatest(h_de, h_en, h_es, h_fr) THEN 'es'
             ELSE 'fr' END AS lang_pred
 FROM hits ORDER BY doc_id
+"""
+
+    sqls["query_facet"] = f"""
+WITH {_IDX}
+SELECT d.lang, count(*) AS cnt
+FROM documents d
+WHERE d.doc_id IN (SELECT doc_id FROM postings WHERE term = 'spark')
+GROUP BY d.lang
+ORDER BY cnt DESC, lang ASC
+"""
+
+    sqls["grouping_topn"] = """
+WITH ranked AS (
+  SELECT lang, doc_id, n_chars,
+         row_number() OVER (
+           PARTITION BY lang ORDER BY n_chars DESC, doc_id ASC
+         ) AS rank
+  FROM documents
+)
+SELECT lang, rank, doc_id, n_chars FROM ranked
+WHERE rank <= 2 ORDER BY lang, rank
 """
 
     sqls["reducer_stream"] = """
