@@ -23,7 +23,7 @@ from __future__ import annotations
 import numpy as np
 
 from lucene_solr_spark.codecs.forutil import BLOCK_SIZE, for_decode, for_encode
-from lucene_solr_spark.codecs.vbyte import vbyte_decode, vbyte_encode
+from lucene_solr_spark.codecs.vbyte import vbyte_decode, vbyte_encode, vbyte_lengths
 
 
 def encode_posting_blocks(
@@ -44,10 +44,24 @@ def encode_posting_blocks(
     n = docs.size
     out: list[dict] = []
     pos_offsets = None
+    pos_bytes = b""
+    byte_off = None
     if positions is not None:
         positions = np.asarray(positions, dtype=np.uint64)
         pos_offsets = np.zeros(n + 1, dtype=np.int64)
         np.cumsum(freqs, out=pos_offsets[1:])
+        # Encode the WHOLE term's position deltas once, then slice the
+        # byte stream per block (block boundaries are doc boundaries,
+        # and each doc's first position is absolute, so any block span
+        # decodes independently — semantics identical to per-block
+        # encoding, minus ~10 numpy-call overheads per tiny block).
+        if positions.size:
+            deltas_all = np.diff(positions, prepend=np.uint64(0))
+            doc_starts = pos_offsets[:-1]
+            deltas_all[doc_starts] = positions[doc_starts]
+            pos_bytes = vbyte_encode(deltas_all)
+            byte_off = np.zeros(deltas_all.size + 1, dtype=np.int64)
+            np.cumsum(vbyte_lengths(deltas_all), out=byte_off[1:])
     for block_id, start in enumerate(range(0, n, BLOCK_SIZE)):
         chunk = docs[start : start + BLOCK_SIZE]
         fchunk = freqs[start : start + BLOCK_SIZE]
@@ -65,16 +79,11 @@ def encode_posting_blocks(
         if pos_offsets is not None:
             lo = pos_offsets[start]
             hi = pos_offsets[min(start + BLOCK_SIZE, n)]
-            pchunk = positions[lo:hi].copy()
-            # delta within each doc's run: subtract previous position,
-            # first position of each doc stays absolute
-            if pchunk.size:
-                deltas = np.diff(pchunk, prepend=np.uint64(0))
-                starts_in_chunk = (pos_offsets[start : start + chunk.size] - lo).astype(int)
-                deltas[starts_in_chunk] = pchunk[starts_in_chunk]
-                rec["pos_bin"] = vbyte_encode(deltas)
-            else:
-                rec["pos_bin"] = b""
+            rec["pos_bin"] = (
+                pos_bytes[byte_off[lo] : byte_off[hi]]
+                if byte_off is not None and hi > lo
+                else b""
+            )
         if chunk.size == BLOCK_SIZE:
             rec["docs_bin"] = for_encode(gaps)
             rec["tfs_bin"] = for_encode(fchunk)

@@ -35,6 +35,17 @@ def vbyte_encode(values: np.ndarray) -> bytes:
     return out.tobytes()
 
 
+def vbyte_lengths(values: np.ndarray) -> np.ndarray:
+    """Encoded byte length per value — lets callers encode a whole
+    stream ONCE and slice per-block spans out of the result instead of
+    paying the encoder's fixed numpy overhead per tiny block."""
+    v = np.asarray(values, dtype=np.uint64)
+    nb = np.ones(v.size, dtype=np.int64)
+    for k in range(1, _MAX_BYTES):
+        nb += (v >= (np.uint64(1) << np.uint64(7 * k))).astype(np.int64)
+    return nb
+
+
 def vbyte_decode(buf: bytes | np.ndarray) -> np.ndarray:
     """Decode VByte bytes back to a uint64 array."""
     b = np.frombuffer(buf, dtype=np.uint8) if isinstance(buf, (bytes, bytearray)) else buf

@@ -41,10 +41,13 @@ def get_spark(
         # default 10k-row Arrow batches fragment pandas-UDF IO badly on
         # wide text/binary rows (measured 2x on the segment encode job)
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "131072")
-        # 20g: measured — the segmented index build at local[8] runs 43%
-        # faster vs an 8g heap (GC-bound at 8 concurrent encode tasks);
-        # the box has 128 GiB, heap is committed lazily
-        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "20g"))
+        # 8g default: measured BEST for the local[32] mixed-query
+        # workload (a 20g heap was 1.6× slower end-to-end on bench.py —
+        # long collections on the big heap dominate).  The affinity-
+        # pinned local[8] encode legs are the opposite (GC-bound at 8g),
+        # so scripts/scaling.py exports SPARK_DRIVER_MEM=20g for its
+        # workers.  Override via $SPARK_DRIVER_MEM.
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
         # with a large, rarely-collected heap the ContextCleaner (which
         # rides on GC) never reclaims old shuffle/broadcast state, and
         # long query sessions degrade (measured: p50 drifting 2s→60s

@@ -72,7 +72,12 @@ def run_py(
     cmd = [sys.executable, "-c", code, *args]
     if cpus is not None:
         cmd = ["taskset", "-c", cpus, *cmd]
-    r = subprocess.run(cmd, capture_output=True, text=True, timeout=timeout)
+    env = dict(os.environ)
+    # the pinned encode legs are GC-bound below ~20g (see session.py)
+    env.setdefault("SPARK_DRIVER_MEM", "20g")
+    r = subprocess.run(
+        cmd, capture_output=True, text=True, timeout=timeout, env=env
+    )
     if r.returncode != 0:
         print(r.stdout[-2000:], r.stderr[-2000:], file=sys.stderr)
         raise RuntimeError("subprocess failed")
@@ -98,9 +103,9 @@ def main() -> None:
     corpus_dir = os.path.join(base, "corpus")
     try:
         run_py(GEN, [str(num_docs), corpus_dir])
+        repeats = int(os.environ.get("SCALING_REPEATS", "2"))
         results = {}
         for cores in (small, big):
-            out = os.path.join(base, f"idx{cores}")
             spinners = []
             if cores < big:
                 for c in range(cores, big):
@@ -112,20 +117,30 @@ def main() -> None:
                         )
                     )
             try:
-                line = [
-                    ln
-                    for ln in run_py(
-                        WORKER,
-                        [str(cores), str(num_docs), corpus_dir, out],
-                        cpus=f"0-{cores - 1}",
-                    ).splitlines()
-                    if ln.startswith("{")
-                ][-1]
+                # best-of-N per leg: the host shows intermittent
+                # invisible load (loadavg 5+ with vmstat 100% idle —
+                # hypervisor steal), which inflates single runs up to
+                # ~1.5×; min wall-clock is the standard de-noising
+                legs = []
+                for r in range(repeats):
+                    out = os.path.join(base, f"idx{cores}-{r}")
+                    line = [
+                        ln
+                        for ln in run_py(
+                            WORKER,
+                            [str(cores), str(num_docs), corpus_dir, out],
+                            cpus=f"0-{cores - 1}",
+                        ).splitlines()
+                        if ln.startswith("{")
+                    ][-1]
+                    legs.append(json.loads(line))
+                    print(legs[-1])
             finally:
                 for p in spinners:
                     p.kill()
-            results[cores] = json.loads(line)
-            print(results[cores])
+            best = min(legs, key=lambda d: d["wall_s"])
+            best["all_runs_wall_s"] = [d["wall_s"] for d in legs]
+            results[cores] = best
     finally:
         shutil.rmtree(base, ignore_errors=True)
     eff = (results[big]["docs_per_sec"] / results[small]["docs_per_sec"]) / (
