@@ -825,6 +825,46 @@ def q_select_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_segment_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TieredMergePolicy plan + SegmentMerger execution over the
+    on-disk segmented index (TieredMergePolicy.java:238-420,
+    SegmentMerger.java): builds an 8-segment index, runs one merge
+    round, returns the post-merge manifest (segment, docs, terms,
+    postings, generation) — side-effectful and engine-specific ⇒
+    rows-only check; invariants (postings preserved, blocks sorted)
+    are pytest-gated in tests/test_segments.py."""
+    import tempfile
+
+    from lucene_solr_spark.index.segments import SegmentedIndex
+
+    key = (spark.sparkContext.applicationId, sf_dir, "mergedemo")
+    rows = _SEGIDX.get(key)
+    if rows is None:
+        idx = SegmentedIndex(spark, tempfile.mkdtemp(prefix="mergedemo-"))
+        docs = _table(spark, sf_dir, "documents").select(
+            "doc_id", F.col("text").alias("content")
+        )
+        idx.build(docs, num_segments=8)
+        for plan in idx.plan_merges(max_merge_at_once=4, segs_per_tier=1):
+            nxt = max(idx.manifest()) + 1
+            idx.merge(plan, nxt)
+        rows = sorted(
+            (
+                int(s),
+                int(i.num_docs),
+                int(i.num_terms),
+                int(i.num_postings),
+                int(i.generation),
+            )
+            for s, i in idx.manifest().items()
+            if i.status == "committed"
+        )
+        _SEGIDX[key] = rows
+    return spark.createDataFrame(
+        rows, "segment int, num_docs long, num_terms long, num_postings long, generation int"
+    )
+
+
 def q_reducer_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ReducerStream: group-adjacent reduce over a sorted stream
     (io/stream/ReducerStream.java with a GroupOperation) — here 'latest
@@ -1191,6 +1231,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "timeseries_stream": q_timeseries_stream,
         "select_stream": q_select_stream,
         "reducer_stream": q_reducer_stream,
+        "segment_merge": q_segment_merge,
         "function_termfreq": q_function_termfreq,
         "exact_dedup": q_exact_dedup,
         "ngram_jaccard": q_ngram_jaccard,
