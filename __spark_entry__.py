@@ -447,6 +447,50 @@ def q_highlight(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_terms_component(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Solr TermsComponent: raw term dictionary listing by docFreq
+    (handler/component/TermsComponent.java) — dictionary head, no
+    search involved."""
+    from lucene_solr_spark.queries.suggest import suggest_popular_terms
+
+    t = _index_tables(spark, sf_dir)
+    return suggest_popular_terms(t.term_stats, 15)
+
+
+def q_block_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ToParentBlockJoinQuery, ScoreMode.Max analog (lucene/join/
+    ToParentBlockJoinQuery.java; solr {!parent} BlockJoinParentQParser):
+    parents (orders) matched through a child (lineitem) filter, parent
+    score = max child contribution — child filter + groupBy-max + join
+    back to the parent row."""
+    o = _table(spark, sf_dir, "orders")
+    li = _table(spark, sf_dir, "lineitem")
+    child_hits = (
+        li.filter(F.col("l_quantity") >= 45)
+        .groupBy("l_orderkey")
+        .agg(
+            F.round(
+                F.max(
+                    F.col("l_extendedprice").cast("double")
+                    * (F.lit(1.0) - F.col("l_discount").cast("double"))
+                ),
+                4,
+            ).alias("child_score"),
+            F.count("*").alias("matching_children"),
+        )
+    )
+    return (
+        o.join(child_hits, o.o_orderkey == child_hits.l_orderkey)
+        .select(
+            F.col("o_orderkey").alias("orderkey"),
+            "o_orderpriority",
+            "child_score",
+            "matching_children",
+        )
+        .orderBy("orderkey")
+    )
+
+
 def q_query_facet(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Facet over a QUERY's result set (Solr facets are per-request:
     SimpleFacets.java computes counts against the DocSet of the main
@@ -1207,6 +1251,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "unified_highlight": q_unified_highlight,
         "query_facet": q_query_facet,
         "grouping_topn": q_grouping_topn,
+        "terms_component": q_terms_component,
+        "block_join": q_block_join,
         "facet_terms": q_facet_terms,
         "facet_metrics": q_facet_metrics,
         "facet_range": q_facet_range,
@@ -1804,6 +1850,26 @@ SELECT doc_id,
             WHEN h_es = greatest(h_de, h_en, h_es, h_fr) THEN 'es'
             ELSE 'fr' END AS lang_pred
 FROM hits ORDER BY doc_id
+"""
+
+    sqls["terms_component"] = f"""
+WITH {_IDX}
+SELECT term, df AS weight FROM tstats
+ORDER BY weight DESC, term ASC LIMIT 15
+"""
+
+    sqls["block_join"] = """
+WITH child_hits AS (
+  SELECT l_orderkey,
+         ROUND(max(l_extendedprice * (1.0 - l_discount)), 4) AS child_score,
+         count(*) AS matching_children
+  FROM lineitem WHERE l_quantity >= 45
+  GROUP BY l_orderkey
+)
+SELECT o.o_orderkey AS orderkey, o.o_orderpriority,
+       c.child_score, c.matching_children
+FROM orders o JOIN child_hits c ON o.o_orderkey = c.l_orderkey
+ORDER BY orderkey
 """
 
     sqls["query_facet"] = f"""
