@@ -134,7 +134,18 @@ def minhash_lsh_pairs(
     """
     assert num_hashes % bands == 0
     rows = num_hashes // bands
-    sig = minhash_signatures(df, num_hashes, n, id_col, text_col)
+    # The shingle explode feeds THREE consumers (signatures, set sizes,
+    # candidate verification); persist it once — Catalyst has no
+    # common-subplan reuse across separate aggregations, so without
+    # this the corpus is re-shingled three times per run.
+    sh = df.select(
+        F.col(id_col).alias("doc_id"), F.explode(_shingles(text_col, n)).alias("s")
+    ).persist()
+    aggs = [
+        F.min(F.xxhash64(F.col("s"), F.lit(i))).alias(f"mh{i}")
+        for i in range(num_hashes)
+    ]
+    sig = sh.groupBy("doc_id").agg(*aggs)
     band_cols = [
         F.struct(
             F.lit(bi).alias("band"),
@@ -158,9 +169,6 @@ def minhash_lsh_pairs(
     )
     # Exact-Jaccard verification of CANDIDATES ONLY (never all pairs —
     # the candidate set is what makes LSH sub-quadratic at 10^12 docs).
-    sh = df.select(
-        F.col(id_col).alias("doc_id"), F.explode(_shingles(text_col, n)).alias("s")
-    )
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("size"))
     sa = sh.select(F.col("doc_id").alias("ida"), "s")
     sb = sh.select(F.col("doc_id").alias("idb"), "s")

@@ -39,6 +39,10 @@ SUBSET = [
     "rerank_query",
     "reducer_stream",
     "function_termfreq",
+    "query_facet",
+    "grouping_topn",
+    "terms_component",
+    "block_join",
 ]
 
 
