@@ -211,6 +211,16 @@ def q_phrase_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _scored(s.docs(PhraseQuery(("spark", "window"))))
 
 
+def q_sloppy_phrase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sloppy phrase "spark window"~2 (SloppyPhraseScorer.java:95-133
+    greedy least-first traversal, slop-factor freq) — the greedy
+    emission order isn't stateless-SQL-expressible ⇒ rows-only;
+    tests/test_sloppy.py holds reference-Javadoc goldens + the slop=0
+    ≡ exact-phrase equivalence property."""
+    s = _searcher(spark, sf_dir)
+    return _scored(s.docs(PhraseQuery(("spark", "window"), slop=2)))
+
+
 def q_synonym_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SynonymQuery: summed tf, max df (search/SynonymQuery.java)."""
     s = _searcher(spark, sf_dir)
@@ -1236,6 +1246,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multi_phrase": q_multi_phrase,
         "function_query": q_function_query,
         "phrase_query": q_phrase_query,
+        "sloppy_phrase": q_sloppy_phrase,
         "synonym_query": q_synonym_query,
         "prefix_query": q_prefix_query,
         "wildcard_query": q_wildcard_query,
