@@ -281,19 +281,29 @@ def q_search_after(spark: SparkSession, sf_dir: str) -> DataFrame:
 _SEGIDX: dict[tuple[str, str], object] = {}
 
 
+def _mktempdir(prefix: str) -> str:
+    """mkdtemp that self-cleans at interpreter exit — repeated driver
+    runs must not leak index directories in /tmp."""
+    import atexit
+    import shutil
+    import tempfile
+
+    d = tempfile.mkdtemp(prefix=prefix)
+    atexit.register(shutil.rmtree, d, ignore_errors=True)
+    return d
+
+
 def q_wand_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Block-max WAND top-k over the block-encoded segmented index —
     float32 lucene mode, rank-identity proven by tests/test_wand.py
     equivalence vs exhaustive ⇒ rows-only check here."""
-    import tempfile
-
     from lucene_solr_spark.index.segments import SegmentedIndex
     from lucene_solr_spark.queries.wand import wand_topk
 
     key = (spark.sparkContext.applicationId, sf_dir)
     idx = _SEGIDX.get(key)
     if idx is None:
-        idx = SegmentedIndex(spark, tempfile.mkdtemp(prefix="segidx-"))
+        idx = SegmentedIndex(spark, _mktempdir("segidx-"))
         docs = _table(spark, sf_dir, "documents").select(
             "doc_id", F.col("text").alias("content")
         )
@@ -316,11 +326,9 @@ def q_segment_term_query(spark: SparkSession, sf_dir: str) -> DataFrame:
         idx_key = (spark.sparkContext.applicationId, sf_dir)
         idx = _SEGIDX.get(idx_key)
         if idx is None:
-            import tempfile
-
             from lucene_solr_spark.index.segments import SegmentedIndex
 
-            idx = SegmentedIndex(spark, tempfile.mkdtemp(prefix="segidx-"))
+            idx = SegmentedIndex(spark, _mktempdir("segidx-"))
             docs = _table(spark, sf_dir, "documents").select(
                 "doc_id", F.col("text").alias("content")
             )
@@ -559,23 +567,41 @@ def q_unified_highlight(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_facet_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     """JSON-facet bucket metrics: sum/avg/min/max/stddev/variance/
     percentile/unique per bucket (search/facet/SumAgg.java, AvgAgg.java,
-    StddevAgg.java, VarianceAgg.java, PercentileAgg.java, UniqueAgg.java)."""
+    StddevAgg.java, VarianceAgg.java, PercentileAgg.java, UniqueAgg.java).
+
+    stddev/variance/avg are derived from EXACT integer moments (sum,
+    sum-of-squares as decimal) so the double arithmetic is a fixed
+    expression over identical integers on both engines — Spark's native
+    streaming stddev is summation-order dependent and flips the 4th
+    decimal across partition layouts (round-1 hash mismatch)."""
     d = _table(spark, sf_dir, "documents")
-    return (
-        d.groupBy("lang")
-        .agg(
-            F.count("*").alias("cnt"),
-            F.sum("n_chars").alias("sum_chars"),
-            F.round(F.avg("n_chars"), 4).alias("avg_chars"),
-            F.min("n_chars").alias("min_chars"),
-            F.max("n_chars").alias("max_chars"),
-            F.round(F.stddev("n_chars"), 4).alias("stddev_chars"),
-            F.round(F.variance("n_chars"), 4).alias("var_chars"),
-            F.round(F.percentile("n_chars", F.lit(0.5)), 4).alias("p50_chars"),
-            F.count_distinct("source").alias("uniq_sources"),
-        )
-        .orderBy("lang")
+    g = d.groupBy("lang").agg(
+        F.count("*").alias("cnt"),
+        F.sum("n_chars").alias("sum_chars"),
+        F.min("n_chars").alias("min_chars"),
+        F.max("n_chars").alias("max_chars"),
+        F.sum(
+            F.col("n_chars").cast("decimal(38,0)") * F.col("n_chars")
+        ).alias("_sumsq"),
+        F.round(F.percentile("n_chars", F.lit(0.5)), 4).alias("p50_chars"),
+        F.count_distinct("source").alias("uniq_sources"),
     )
+    n = F.col("cnt").cast("double")
+    s = F.col("sum_chars").cast("double")
+    sq = F.col("_sumsq").cast("double")
+    var = (sq - s * s / n) / (n - F.lit(1.0))
+    return g.select(
+        "lang",
+        "cnt",
+        "sum_chars",
+        F.round(s / n, 4).alias("avg_chars"),
+        "min_chars",
+        "max_chars",
+        F.round(F.sqrt(var), 4).alias("stddev_chars"),
+        F.round(var, 4).alias("var_chars"),
+        "p50_chars",
+        "uniq_sources",
+    ).orderBy("lang")
 
 def q_facet_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Field facet: top buckets by count (SimpleFacets.java:344-452)."""
@@ -614,17 +640,33 @@ def q_pivot_facet(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_stats_component(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """StatsComponent field stats (handler/component/StatsComponent.java)."""
+    """StatsComponent field stats (handler/component/StatsComponent.java).
+
+    mean/stddev derived from exact integer moments (see q_facet_metrics) so
+    the rounded values are partition-order independent."""
     s = _searcher(spark, sf_dir)
     m = s._match(TermQuery("query"))
     d = _table(spark, sf_dir, "documents")
-    return d.join(m, "doc_id").agg(
+    g = d.join(m, "doc_id").agg(
         F.count("*").alias("cnt"),
         F.min("n_chars").alias("min_chars"),
         F.max("n_chars").alias("max_chars"),
         F.sum("n_chars").alias("sum_chars"),
-        F.round(F.avg("n_chars"), 4).alias("mean_chars"),
-        F.round(F.stddev("n_chars"), 4).alias("stddev_chars"),
+        F.sum(
+            F.col("n_chars").cast("decimal(38,0)") * F.col("n_chars")
+        ).alias("_sumsq"),
+    )
+    n = F.col("cnt").cast("double")
+    s_ = F.col("sum_chars").cast("double")
+    sq = F.col("_sumsq").cast("double")
+    var = (sq - s_ * s_ / n) / (n - F.lit(1.0))
+    return g.select(
+        "cnt",
+        "min_chars",
+        "max_chars",
+        "sum_chars",
+        F.round(s_ / n, 4).alias("mean_chars"),
+        F.round(F.sqrt(var), 4).alias("stddev_chars"),
     )
 
 
@@ -887,14 +929,12 @@ def q_segment_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     postings, generation) — side-effectful and engine-specific ⇒
     rows-only check; invariants (postings preserved, blocks sorted)
     are pytest-gated in tests/test_segments.py."""
-    import tempfile
-
     from lucene_solr_spark.index.segments import SegmentedIndex
 
     key = (spark.sparkContext.applicationId, sf_dir, "mergedemo")
     rows = _SEGIDX.get(key)
     if rows is None:
-        idx = SegmentedIndex(spark, tempfile.mkdtemp(prefix="mergedemo-"))
+        idx = SegmentedIndex(spark, _mktempdir("mergedemo-"))
         docs = _table(spark, sf_dir, "documents").select(
             "doc_id", F.col("text").alias("content")
         )
@@ -1230,66 +1270,21 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    # Registry ORDER matters: the driver gates entries front-to-back and
+    # round 1 recorded rows for exactly the first 50. Round-2 order puts
+    # the 32 entries that never got a CORRECTNESS row first, then the two
+    # round-1 hash-mismatch fixes, then new round-2 gates, then a
+    # representative slice of the round-1 green core, then the remainder
+    # (all green in CORRECTNESS_r01.json).
     return {
-        "term_query": q_term_query,
-        "term_query_all": q_term_query_all,
-        "term_query_count": q_term_query_count,
-        "term_query_lucene": q_term_query_lucene,
-        "wand_topk": q_wand_topk,
-        "segment_term_query": q_segment_term_query,
-        "boolean_must": q_boolean_must,
-        "boolean_should": q_boolean_should,
-        "boolean_must_not": q_boolean_must_not,
-        "boolean_filter": q_boolean_filter,
-        "min_should_match": q_min_should_match,
-        "dismax": q_dismax,
-        "multi_phrase": q_multi_phrase,
-        "function_query": q_function_query,
-        "phrase_query": q_phrase_query,
-        "sloppy_phrase": q_sloppy_phrase,
-        "synonym_query": q_synonym_query,
-        "prefix_query": q_prefix_query,
-        "wildcard_query": q_wildcard_query,
-        "range_query": q_range_query,
-        "fuzzy_query": q_fuzzy_query,
-        "match_all": q_match_all,
-        "search_after": q_search_after,
-        "field_query": q_field_query,
-        "cross_field_dismax": q_cross_field_dismax,
-        "more_like_this": q_more_like_this,
-        "spellcheck": q_spellcheck,
-        "highlight": q_highlight,
-        "unified_highlight": q_unified_highlight,
-        "query_facet": q_query_facet,
-        "grouping_topn": q_grouping_topn,
-        "terms_component": q_terms_component,
-        "block_join": q_block_join,
-        "facet_terms": q_facet_terms,
-        "facet_metrics": q_facet_metrics,
-        "facet_range": q_facet_range,
-        "pivot_facet": q_pivot_facet,
-        "stats_component": q_stats_component,
-        "grouping_collapse": q_grouping_collapse,
-        "significant_terms": q_significant_terms,
-        "rollup_stream": q_rollup_stream,
-        "hashjoin_stream": q_hashjoin_stream,
-        "innerjoin_stream": q_innerjoin_stream,
-        "leftjoin_stream": q_leftjoin_stream,
-        "merge_stream": q_merge_stream,
-        "sort_stream": q_sort_stream,
-        "unique_stream": q_unique_stream,
-        "rank_stream": q_rank_stream,
-        "having_stream": q_having_stream,
-        "intersect_stream": q_intersect_stream,
-        "complement_stream": q_complement_stream,
-        "cartesian_stream": q_cartesian_stream,
-        "hash_partition_stream": q_hash_partition_stream,
-        "fetch_stream": q_fetch_stream,
-        "timeseries_stream": q_timeseries_stream,
-        "select_stream": q_select_stream,
-        "reducer_stream": q_reducer_stream,
-        "segment_merge": q_segment_merge,
-        "function_termfreq": q_function_termfreq,
+        # -- never gated in round 1 ------------------------------------
+        "span_near_ordered": q_span_near_ordered,
+        "span_near_unordered": q_span_near_unordered,
+        "span_not": q_span_not,
+        "span_first": q_span_first,
+        "span_or": q_span_or,
+        "classic_tfidf": q_classic_tfidf,
+        "delete_by_query": q_delete_by_query,
         "exact_dedup": q_exact_dedup,
         "ngram_jaccard": q_ngram_jaccard,
         "minhash_lsh": q_minhash_lsh,
@@ -1303,16 +1298,70 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_score": q_quality_score,
         "language_id": q_language_id,
         "doc_fingerprint": q_doc_fingerprint,
-        "classic_tfidf": q_classic_tfidf,
-        "delete_by_query": q_delete_by_query,
-        "suggest_prefix": q_suggest_prefix,
         "english_analyzer": q_english_analyzer,
+        "suggest_prefix": q_suggest_prefix,
         "rerank_query": q_rerank_query,
-        "span_near_ordered": q_span_near_ordered,
-        "span_near_unordered": q_span_near_unordered,
-        "span_not": q_span_not,
-        "span_first": q_span_first,
-        "span_or": q_span_or,
+        "function_termfreq": q_function_termfreq,
+        "segment_merge": q_segment_merge,
+        "select_stream": q_select_stream,
+        "complement_stream": q_complement_stream,
+        "cartesian_stream": q_cartesian_stream,
+        "fetch_stream": q_fetch_stream,
+        "timeseries_stream": q_timeseries_stream,
+        "reducer_stream": q_reducer_stream,
+        "hash_partition_stream": q_hash_partition_stream,
+        # -- round-1 hash mismatches, fixed this round ------------------
+        "facet_metrics": q_facet_metrics,
+        "stats_component": q_stats_component,
+        # -- representative round-1 green core (rest after position 50) -
+        "term_query": q_term_query,
+        "segment_term_query": q_segment_term_query,
+        "boolean_must": q_boolean_must,
+        "phrase_query": q_phrase_query,
+        "facet_terms": q_facet_terms,
+        "grouping_topn": q_grouping_topn,
+        "block_join": q_block_join,
+        "rollup_stream": q_rollup_stream,
+        "more_like_this": q_more_like_this,
+        "term_query_all": q_term_query_all,
+        "term_query_count": q_term_query_count,
+        "term_query_lucene": q_term_query_lucene,
+        "wand_topk": q_wand_topk,
+        "boolean_should": q_boolean_should,
+        "boolean_must_not": q_boolean_must_not,
+        "boolean_filter": q_boolean_filter,
+        "min_should_match": q_min_should_match,
+        "dismax": q_dismax,
+        "multi_phrase": q_multi_phrase,
+        "function_query": q_function_query,
+        "sloppy_phrase": q_sloppy_phrase,
+        "synonym_query": q_synonym_query,
+        "prefix_query": q_prefix_query,
+        "wildcard_query": q_wildcard_query,
+        "range_query": q_range_query,
+        "fuzzy_query": q_fuzzy_query,
+        "match_all": q_match_all,
+        "search_after": q_search_after,
+        "field_query": q_field_query,
+        "cross_field_dismax": q_cross_field_dismax,
+        "spellcheck": q_spellcheck,
+        "highlight": q_highlight,
+        "unified_highlight": q_unified_highlight,
+        "query_facet": q_query_facet,
+        "terms_component": q_terms_component,
+        "facet_range": q_facet_range,
+        "pivot_facet": q_pivot_facet,
+        "grouping_collapse": q_grouping_collapse,
+        "significant_terms": q_significant_terms,
+        "hashjoin_stream": q_hashjoin_stream,
+        "innerjoin_stream": q_innerjoin_stream,
+        "leftjoin_stream": q_leftjoin_stream,
+        "merge_stream": q_merge_stream,
+        "sort_stream": q_sort_stream,
+        "unique_stream": q_unique_stream,
+        "rank_stream": q_rank_stream,
+        "having_stream": q_having_stream,
+        "intersect_stream": q_intersect_stream,
     }
 
 
@@ -1426,17 +1475,32 @@ SELECT doc_id,
 FROM documents ORDER BY doc_id
 """
 
+    # moments from exact integer sums so the double expression is identical
+    # on both engines (mirrors q_facet_metrics)
     sqls["facet_metrics"] = """
-SELECT lang, count(*) AS cnt,
-       sum(n_chars) AS sum_chars,
-       ROUND(avg(n_chars), 4) AS avg_chars,
-       min(n_chars) AS min_chars,
-       max(n_chars) AS max_chars,
-       ROUND(stddev(n_chars), 4) AS stddev_chars,
-       ROUND(var_samp(n_chars), 4) AS var_chars,
-       ROUND(quantile_cont(n_chars, 0.5), 4) AS p50_chars,
-       count(DISTINCT source) AS uniq_sources
-FROM documents GROUP BY lang ORDER BY lang
+WITH g AS (
+  SELECT lang, count(*) AS cnt,
+         sum(n_chars) AS sum_chars,
+         min(n_chars) AS min_chars,
+         max(n_chars) AS max_chars,
+         sum(CAST(n_chars AS HUGEINT) * n_chars) AS sumsq,
+         ROUND(quantile_cont(n_chars, 0.5), 4) AS p50_chars,
+         count(DISTINCT source) AS uniq_sources
+  FROM documents GROUP BY lang
+)
+SELECT lang, cnt, sum_chars,
+       ROUND(CAST(sum_chars AS DOUBLE) / CAST(cnt AS DOUBLE), 4) AS avg_chars,
+       min_chars, max_chars,
+       ROUND(sqrt((CAST(sumsq AS DOUBLE)
+                   - CAST(sum_chars AS DOUBLE) * CAST(sum_chars AS DOUBLE)
+                     / CAST(cnt AS DOUBLE))
+                  / (CAST(cnt AS DOUBLE) - 1.0)), 4) AS stddev_chars,
+       ROUND((CAST(sumsq AS DOUBLE)
+              - CAST(sum_chars AS DOUBLE) * CAST(sum_chars AS DOUBLE)
+                / CAST(cnt AS DOUBLE))
+             / (CAST(cnt AS DOUBLE) - 1.0), 4) AS var_chars,
+       p50_chars, uniq_sources
+FROM g ORDER BY lang
 """
 
     sqls["hash_partition_stream"] = """
@@ -1615,14 +1679,22 @@ FROM documents GROUP BY lang, source ORDER BY lang, source
 
     sqls["stats_component"] = f"""
 WITH {_IDX},
-m AS (SELECT DISTINCT doc_id FROM postings WHERE term = 'query')
-SELECT count(*) AS cnt,
-       min(n_chars) AS min_chars,
-       max(n_chars) AS max_chars,
-       sum(n_chars) AS sum_chars,
-       ROUND(avg(n_chars), 4) AS mean_chars,
-       ROUND(stddev(n_chars), 4) AS stddev_chars
-FROM documents d JOIN m USING (doc_id)
+m AS (SELECT DISTINCT doc_id FROM postings WHERE term = 'query'),
+g AS (
+  SELECT count(*) AS cnt,
+         min(n_chars) AS min_chars,
+         max(n_chars) AS max_chars,
+         sum(n_chars) AS sum_chars,
+         sum(CAST(n_chars AS HUGEINT) * n_chars) AS sumsq
+  FROM documents d JOIN m USING (doc_id)
+)
+SELECT cnt, min_chars, max_chars, sum_chars,
+       ROUND(CAST(sum_chars AS DOUBLE) / CAST(cnt AS DOUBLE), 4) AS mean_chars,
+       ROUND(sqrt((CAST(sumsq AS DOUBLE)
+                   - CAST(sum_chars AS DOUBLE) * CAST(sum_chars AS DOUBLE)
+                     / CAST(cnt AS DOUBLE))
+                  / (CAST(cnt AS DOUBLE) - 1.0)), 4) AS stddev_chars
+FROM g
 """
 
     sqls["grouping_collapse"] = f"""

@@ -21,6 +21,19 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+# Persisted shingle frames from minhash_lsh_pairs calls.  Each new call
+# unpersists the previous call's frame (by then its consumer plan has
+# been materialized); release_persisted() lets benches/tests drop the
+# last one explicitly instead of waiting for the ContextCleaner.
+_persisted: list[DataFrame] = []
+
+
+def release_persisted() -> None:
+    """Unpersist shingle frames cached by minhash_lsh_pairs."""
+    while _persisted:
+        _persisted.pop().unpersist()
+
+
 def _tokens(text_col: str):
     return F.split(F.lower(F.trim(F.col(text_col))), " +")
 
@@ -138,9 +151,11 @@ def minhash_lsh_pairs(
     # candidate verification); persist it once — Catalyst has no
     # common-subplan reuse across separate aggregations, so without
     # this the corpus is re-shingled three times per run.
+    release_persisted()
     sh = df.select(
         F.col(id_col).alias("doc_id"), F.explode(_shingles(text_col, n)).alias("s")
     ).persist()
+    _persisted.append(sh)
     aggs = [
         F.min(F.xxhash64(F.col("s"), F.lit(i))).alias(f"mh{i}")
         for i in range(num_hashes)

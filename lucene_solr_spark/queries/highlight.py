@@ -88,9 +88,19 @@ def highlight_text(
     picked = sorted(scored[:max_passages], key=lambda s: s[1])
     pieces = []
     for _score, start, end, marks in picked:
+        # merge overlapping/adjacent mark intervals (one query term
+        # contained in another, e.g. 'can' inside "can't") — without
+        # this `cur` can pass the next mark start and the slicing loop
+        # emits duplicated/garbled fragments
+        merged: list[tuple[int, int]] = []
+        for ms, me in marks:
+            if merged and ms <= merged[-1][1]:
+                merged[-1] = (merged[-1][0], max(merged[-1][1], me))
+            else:
+                merged.append((ms, me))
         frag = []
         cur = start
-        for ms, me in marks:
+        for ms, me in merged:
             frag.append(text[cur:ms])
             frag.append(_TAG_PRE + text[ms:me] + _TAG_POST)
             cur = me

@@ -51,4 +51,25 @@ def rerank(
             ).alias("score"),
         )
     )
-    return combined.orderBy(F.col("score").desc(), F.col("doc_id").asc()).limit(k)
+    if k <= rerank_docs:
+        return combined.orderBy(
+            F.col("score").desc(), F.col("doc_id").asc()
+        ).limit(k)
+    # ReRankCollector fills requested rows past the window with the main
+    # query's docs at their ORIGINAL scores, after the re-sorted window
+    # (ReRankQParserPlugin.java ReRankCollector.topDocs): group 0 = the
+    # rescored window ordered by combined score, group 1 = the remainder
+    # ordered by main score.
+    remainder = main.join(
+        F.broadcast(window.select("doc_id")), "doc_id", "left_anti"
+    ).select("doc_id", F.col("score").cast("double").alias("score"))
+    ranked = combined.select(F.lit(0).alias("_grp"), "doc_id", "score").unionByName(
+        remainder.select(F.lit(1).alias("_grp"), "doc_id", "score")
+    )
+    return (
+        ranked.orderBy(
+            F.col("_grp").asc(), F.col("score").desc(), F.col("doc_id").asc()
+        )
+        .limit(k)
+        .select("doc_id", "score")
+    )

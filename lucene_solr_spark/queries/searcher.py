@@ -817,7 +817,10 @@ class IndexSearcher:
         live = [t for t in terms if stats[t][0] > 0]
         if not live:
             return self._empty_scored()
-        idf_sum = sum(self._idf(stats[t][0]) for t in live)
+        # SpanWeight.buildSimWeight builds termStats over ALL termContexts,
+        # including docFreq=0 terms (idf is well-defined at df=0); only the
+        # postings joins skip dead terms (spans/SpanWeight.java:126-140).
+        idf_sum = sum(self._idf(stats[t][0]) for t in terms)
         weight = self._weight(idf_sum, boost)
         base = self._span_candidates(q).join(self._live_norms, "doc_id")
         for i, t in enumerate(live):

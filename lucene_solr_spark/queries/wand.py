@@ -129,7 +129,8 @@ def _segment_wand(
             continue  # equality-safe: later docIDs lose ties (HitQueue)
         active_list = list(active.values())
         # decode + gather candidate docs in [lo, hi]
-        per_doc: dict[int, float] = {}
+        seg_docs: list[np.ndarray] = []
+        seg_scores: list[np.ndarray] = []
         for blk in active_list:
             if blk["decoded"] is None:
                 blk["decoded"] = decode_posting_block(
@@ -144,11 +145,24 @@ def _segment_wand(
             tfs = t[a:z].astype(np.float32)
             nb = norm_bytes[np.searchsorted(norm_docs, docs)]
             s = (blk["wv"] * tfs / (tfs + cache[nb & 0xFF])).astype(np.float32)
-            for doc, sc in zip(docs.tolist(), s.tolist()):
-                per_doc[doc] = per_doc.get(doc, 0.0) + sc  # float64 accumulate
-        for doc in sorted(per_doc):
-            sc32 = np.float32(per_doc[doc])
-            item = (sc32, -doc)
+            seg_docs.append(docs)
+            seg_scores.append(s.astype(np.float64))  # float64 accumulate
+        if not seg_docs:
+            continue
+        # vectorized per-doc accumulation: unique docIDs (sorted — the
+        # increasing-docID order the equality-safe θ check relies on)
+        # + np.add.at scatter, replacing the per-posting dict loop
+        uniq_docs, inv = np.unique(np.concatenate(seg_docs), return_inverse=True)
+        sums = np.zeros(len(uniq_docs), dtype=np.float64)
+        np.add.at(sums, inv, np.concatenate(seg_scores))
+        sc32s = sums.astype(np.float32)
+        # θ only grows, so docs strictly below the current threshold can
+        # never enter the heap — drop them before the Python heap loop
+        if len(heap) == k:
+            keep = sc32s >= heap[0][0]
+            uniq_docs, sc32s = uniq_docs[keep], sc32s[keep]
+        for doc, sc32 in zip(uniq_docs.tolist(), sc32s.tolist()):
+            item = (np.float32(sc32), -doc)
             if len(heap) < k:
                 heapq.heappush(heap, item)
             elif item > heap[0]:
