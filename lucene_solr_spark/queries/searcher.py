@@ -71,7 +71,6 @@ from lucene_solr_spark.queries.spans import (
     SpanOrQuery,
     SpanQuery,
     SpanTermQuery,
-    span_freq,
     span_terms,
 )
 from lucene_solr_spark.scoring.bm25 import BM25, byte315_to_float, idf as idf32
@@ -755,9 +754,12 @@ class IndexSearcher:
 
             @F.pandas_udf("float")
             def sloppy_udf(*pcols: pd.Series) -> pd.Series:
-                out = np.zeros(len(pcols[0]), dtype=np.float32)
-                for r in range(len(pcols[0])):
-                    lists = [np.asarray(c.iloc[r], dtype=np.int64) for c in pcols]
+                # object-array access, not .iloc — pandas row indexing
+                # dominated this kernel's profile
+                cols = [c.to_numpy() for c in pcols]
+                out = np.zeros(len(cols[0]), dtype=np.float32)
+                for r in range(len(out)):
+                    lists = [np.asarray(c[r], dtype=np.int64) for c in cols]
                     out[r] = sloppy_phrase_freq(lists, offs, slop)
                 return pd.Series(out)
 
@@ -836,22 +838,17 @@ class IndexSearcher:
 
         @F.pandas_udf("double")
         def span_udf(*pcols: pd.Series) -> pd.Series:
-            from lucene_solr_spark.queries.spans import eval_spans
+            from lucene_solr_spark.queries.spans import (
+                batch_from_position_lists,
+                span_freqs_batch,
+            )
 
-            out = np.zeros(len(pcols[0]), dtype=np.float64)
-            for r in range(len(pcols[0])):
-                positions = {}
-                for t, c in zip(term_order, pcols):
-                    v = c.iloc[r]
-                    if v is not None and len(v):
-                        positions[t] = np.asarray(v, dtype=np.int64)
-                if exact:
-                    out[r] = sum(
-                        1.0 / (1.0 + w) for _s, _e, w in eval_spans(q, positions)
-                    )
-                else:
-                    out[r] = span_freq(q, positions)
-            return pd.Series(out)
+            n = len(pcols[0])
+            batches = {
+                t: batch_from_position_lists(c.to_numpy())
+                for t, c in zip(term_order, pcols)
+            }
+            return pd.Series(span_freqs_batch(q, batches, n, exact))
 
         out = base.withColumn(
             "freq", span_udf(*[F.col(f"_p{i}") for i in range(len(live))])

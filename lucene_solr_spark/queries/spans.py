@@ -222,3 +222,256 @@ def span_freq(q: SpanQuery, positions: dict[str, np.ndarray]) -> float:
     for _s, _e, w in eval_spans(q, positions):
         freq = np.float32(freq + np.float32(1.0 / (1.0 + w)))
     return float(freq)
+
+
+# ----------------------------------------------------------------- batch
+# Flat-array batch evaluation: one kernel call evaluates a span tree
+# over a whole Arrow batch of documents instead of a Python traversal
+# per doc.  A span set over N docs is (off, starts, ends, widths):
+# ``off`` is an int64[N+1] prefix of per-doc span counts; spans of doc d
+# live at [off[d], off[d+1]) sorted in the reference iterators' emission
+# order (nondecreasing (start, end) within a doc).  Equivalence with
+# the per-doc evaluator is pytest-gated (tests/test_spans.py).
+
+SpanBatch = tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]
+
+# combined-key multiplier for per-doc searchsorted over flat arrays;
+# positions are token indices (< 2^40 with room to spare)
+_KEY = np.int64(1) << 41
+
+
+def _doc_of(off: np.ndarray, total: int) -> np.ndarray:
+    """doc index of every flat slot (mark-boundaries + cumsum gather —
+    np.repeat is pathologically slow for this shape)."""
+    d = np.zeros(total, dtype=np.int64)
+    nz = off[1:-1]
+    np.add.at(d, nz[nz < total], 1)
+    return np.cumsum(d)
+
+
+def _empty_batch(n_docs: int) -> SpanBatch:
+    z = np.zeros(0, dtype=np.int64)
+    return np.zeros(n_docs + 1, dtype=np.int64), z, z, z
+
+
+def eval_spans_batch(
+    q: SpanQuery, positions: dict[str, SpanBatch], n_docs: int
+) -> SpanBatch:
+    """Batch analog of eval_spans.  ``positions[t]`` is a SpanBatch of
+    the term's occurrences ((p, p+1, 0) spans, positions ascending)."""
+    if isinstance(q, SpanTermQuery):
+        return positions.get(q.term, _empty_batch(n_docs))
+    if isinstance(q, SpanOrQuery):
+        subs = [eval_spans_batch(c, positions, n_docs) for c in q.clauses]
+        return _or_batch(subs, n_docs)
+    if isinstance(q, SpanFirstQuery):
+        off, s, e, w = eval_spans_batch(q.match, positions, n_docs)
+        # end <= n implies start < n, so the early-stop at start >= n
+        # (SpanFirstQuery.java:40) drops nothing the filter keeps
+        keep = e <= q.end
+        return _filter_batch(off, s, e, w, keep)
+    if isinstance(q, SpanNotQuery):
+        inc = eval_spans_batch(q.include, positions, n_docs)
+        exc = eval_spans_batch(q.exclude, positions, n_docs)
+        return _not_batch(inc, exc, q.pre, q.post, n_docs)
+    if isinstance(q, SpanNearQuery):
+        subs = [eval_spans_batch(c, positions, n_docs) for c in q.clauses]
+        if len(subs) == 1:
+            return subs[0]
+        if q.in_order:
+            return _near_ordered_batch(subs, q.slop, n_docs)
+        return _near_unordered_batch(subs, q.slop, n_docs)
+    raise TypeError(f"not a span query: {type(q).__name__}")
+
+
+def _filter_batch(
+    off: np.ndarray, s: np.ndarray, e: np.ndarray, w: np.ndarray,
+    keep: np.ndarray,
+) -> SpanBatch:
+    if len(s) == 0:
+        return off.copy(), s, e, w
+    docs = _doc_of(off, len(s))
+    new_off = np.zeros(len(off), dtype=np.int64)
+    np.cumsum(np.bincount(docs[keep], minlength=len(off) - 1), out=new_off[1:])
+    return new_off, s[keep], e[keep], w[keep]
+
+
+def _or_batch(subs: list[SpanBatch], n_docs: int) -> SpanBatch:
+    tot = sum(len(s[1]) for s in subs)
+    if tot == 0:
+        return _empty_batch(n_docs)
+    docs = np.concatenate(
+        [_doc_of(b[0], len(b[1])) for b in subs if len(b[1])]
+    )
+    s = np.concatenate([b[1] for b in subs if len(b[1])])
+    e = np.concatenate([b[2] for b in subs if len(b[2])])
+    w = np.concatenate([b[3] for b in subs if len(b[3])])
+    # heapq.merge order: (start, end) per doc; ties keep clause order
+    # (np.lexsort is stable over the clause-ordered concatenation)
+    order = np.lexsort((e, s, docs))
+    docs, s, e, w = docs[order], s[order], e[order], w[order]
+    off = np.zeros(n_docs + 1, dtype=np.int64)
+    np.cumsum(np.bincount(docs, minlength=n_docs), out=off[1:])
+    return off, s, e, w
+
+
+def _not_batch(
+    inc: SpanBatch, exc: SpanBatch, pre: int, post: int, n_docs: int
+) -> SpanBatch:
+    ioff, is_, ie, iw = inc
+    eoff, es, ee, _ew = exc
+    if len(is_) == 0 or len(es) == 0:
+        return inc
+    idocs = _doc_of(ioff, len(is_))
+    edocs = _doc_of(eoff, len(es))
+    # the reference's forward-only exclude pointer stops at the FIRST
+    # exclude whose end > candidate.start - pre (SpanNotQuery.java:173);
+    # with non-monotonic ends that is the first index where the prefix
+    # max of ends exceeds the threshold — searchsorted over the per-doc
+    # prefix-max via the combined (doc, value) key
+    pmax = _segmented_prefix_max(ee, eoff)
+    ck = edocs * _KEY + pmax
+    # clamp the threshold at 0: span ends are >= 1, so a negative
+    # start-pre advances nothing (the combined key must not underflow
+    # into the previous doc's key range)
+    th = idocs * _KEY + np.maximum(is_ - pre, 0)
+    j = np.searchsorted(ck, th, side="right")
+    seg_end = eoff[idocs + 1]
+    exhausted = j >= seg_end
+    jc = j.clip(max=len(es) - 1)
+    keep = exhausted | ((ie + post) <= es[jc])
+    return _filter_batch(ioff, is_, ie, iw, keep)
+
+
+def _segmented_prefix_max(vals: np.ndarray, off: np.ndarray) -> np.ndarray:
+    """Per-segment running max of ``vals`` (segments from ``off``)."""
+    if len(vals) == 0:
+        return vals
+    # offset trick: add a per-segment ramp so the running max can never
+    # carry across a segment boundary, accumulate, subtract the ramp
+    ramp = _doc_of(off, len(vals)) * _KEY
+    return np.maximum.accumulate(vals + ramp) - ramp
+
+
+def _near_ordered_batch(
+    subs: list[SpanBatch], slop: int, n_docs: int
+) -> SpanBatch:
+    """NearSpansOrdered.java:59-135 vectorized: the first clause's spans
+    drive; each later clause's persistent forward-only pointer is a
+    per-doc searchsorted (first start >= prev_end) composed with a
+    running max (pointers never rewind even when prev_end decreases)."""
+    doff, ds, de, _dw = subs[0]
+    if len(ds) == 0:
+        return _empty_batch(n_docs)
+    ddocs = _doc_of(doff, len(ds))
+    alive = np.ones(len(ds), dtype=bool)
+    prev_end = de.copy()
+    width = np.zeros(len(ds), dtype=np.int64)
+    for i in range(1, len(subs)):
+        off_i, s_i, e_i, _w_i = subs[i]
+        if len(s_i) == 0:
+            return _empty_batch(n_docs)
+        sdocs = _doc_of(off_i, len(s_i))
+        ck = sdocs * _KEY + s_i
+        th = ddocs * _KEY + prev_end
+        j = np.searchsorted(ck, th, side="left")
+        # persistent pointer: global indices are monotone across docs,
+        # so one running max implements per-doc forward-only advance
+        # (an exhausted doc's pointer equals the next doc's base and
+        # cannot push it past real matches)
+        j = np.maximum.accumulate(j)
+        seg_end = off_i[ddocs + 1]
+        alive &= j < seg_end
+        jc = j.clip(max=len(s_i) - 1)
+        width = width + np.where(alive, s_i[jc] - prev_end, 0)
+        prev_end = np.where(alive, e_i[jc], prev_end)
+    keep = alive & (width <= slop)
+    return _filter_batch(doff, ds, prev_end, width, keep)
+
+
+def _near_unordered_batch(
+    subs: list[SpanBatch], slop: int, n_docs: int
+) -> SpanBatch:
+    """Unordered near: the sliding-window priority queue is inherently
+    sequential per doc (NearSpansUnordered.java:43-165); run the per-doc
+    reference loop over numpy slices (no pandas row overhead).  Docs
+    where any clause is empty are skipped up front."""
+    outs_s: list[list[int]] = []
+    outs_e: list[list[int]] = []
+    outs_w: list[list[int]] = []
+    off = np.zeros(n_docs + 1, dtype=np.int64)
+    total = 0
+    for d in range(n_docs):
+        lists = []
+        empty = False
+        for o, s, e, w in subs:
+            a, z = int(o[d]), int(o[d + 1])
+            if a == z:
+                empty = True
+                break
+            lists.append(
+                list(zip(s[a:z].tolist(), e[a:z].tolist(), w[a:z].tolist()))
+            )
+        if not empty:
+            spans = _near_unordered(lists, slop)
+            if spans:
+                outs_s.append([sp[0] for sp in spans])
+                outs_e.append([sp[1] for sp in spans])
+                outs_w.append([sp[2] for sp in spans])
+                total += len(spans)
+        off[d + 1] = total
+    if total == 0:
+        return _empty_batch(n_docs)
+    return (
+        off,
+        np.concatenate([np.asarray(x, dtype=np.int64) for x in outs_s]),
+        np.concatenate([np.asarray(x, dtype=np.int64) for x in outs_e]),
+        np.concatenate([np.asarray(x, dtype=np.int64) for x in outs_w]),
+    )
+
+
+def batch_from_position_lists(col: "list[np.ndarray | None]") -> SpanBatch:
+    """Build a term's SpanBatch from per-doc position arrays (None/empty
+    for docs without the term)."""
+    n = len(col)
+    off = np.zeros(n + 1, dtype=np.int64)
+    arrs = []
+    t = 0
+    for d, v in enumerate(col):
+        if v is not None and len(v):
+            a = np.asarray(v, dtype=np.int64)
+            arrs.append(a)
+            t += len(a)
+        off[d + 1] = t
+    if t == 0:
+        return _empty_batch(n)
+    starts = np.concatenate(arrs)
+    return off, starts, starts + 1, np.zeros(t, dtype=np.int64)
+
+
+def span_freqs_batch(
+    q: SpanQuery, positions: dict[str, SpanBatch], n_docs: int,
+    exact: bool,
+) -> np.ndarray:
+    """Per-doc sloppy freq over a batch: float64 Σ 1/(1+width) in exact
+    mode (order-free — the gated slops make every factor dyadic), or the
+    reference's sequential float32 accumulation in lucene mode."""
+    off, _s, _e, w = eval_spans_batch(q, positions, n_docs)
+    out = np.zeros(n_docs, dtype=np.float64)
+    if len(w) == 0:
+        return out
+    factors = 1.0 / (1.0 + w.astype(np.float64))
+    if exact:
+        docs = _doc_of(off, len(w))
+        np.add.at(out, docs, factors)
+        return out
+    f32 = factors.astype(np.float32)
+    for d in range(n_docs):
+        a, z = int(off[d]), int(off[d + 1])
+        if a == z:
+            continue
+        acc = np.float32(0.0)
+        for k in range(a, z):
+            acc = np.float32(acc + f32[k])
+        out[d] = float(acc)
+    return out

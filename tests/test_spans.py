@@ -218,3 +218,85 @@ class TestSpanSearch:
             (SpanTermQuery("spark"), SpanTermQuery("window")), slop=0, in_order=True
         )
         assert span_searcher.count(q) == 1
+
+
+class TestBatchEquivalence:
+    """eval_spans_batch must emit exactly the per-doc evaluator's spans
+    (same docs, same (start, end, width), same order) on randomized
+    corpora and span trees."""
+
+    def _random_tree(self, rng, vocab, depth=0):
+        import random as _r
+
+        kind = rng.choice(
+            ["term", "near_o", "near_u", "or", "not", "first"]
+            if depth < 2
+            else ["term"]
+        )
+        if kind == "term":
+            return SpanTermQuery(rng.choice(vocab))
+        if kind in ("near_o", "near_u"):
+            n = rng.randint(2, 3)
+            return SpanNearQuery(
+                tuple(self._random_tree(rng, vocab, depth + 1) for _ in range(n)),
+                slop=rng.randint(0, 4),
+                in_order=(kind == "near_o"),
+            )
+        if kind == "or":
+            n = rng.randint(2, 3)
+            return SpanOrQuery(
+                tuple(self._random_tree(rng, vocab, depth + 1) for _ in range(n))
+            )
+        if kind == "not":
+            return SpanNotQuery(
+                self._random_tree(rng, vocab, depth + 1),
+                self._random_tree(rng, vocab, depth + 1),
+                pre=rng.randint(0, 2),
+                post=rng.randint(0, 2),
+            )
+        return SpanFirstQuery(self._random_tree(rng, vocab, depth + 1),
+                              end=rng.randint(1, 8))
+
+    def test_random_equivalence(self):
+        import random
+
+        import numpy as np
+
+        from lucene_solr_spark.queries.spans import (
+            batch_from_position_lists,
+            eval_spans,
+            eval_spans_batch,
+        )
+
+        rng = random.Random(42)
+        vocab = ["a", "b", "c", "d"]
+        for trial in range(200):
+            n_docs = rng.randint(1, 8)
+            docs = []
+            for _ in range(n_docs):
+                n_tok = rng.randint(0, 12)
+                docs.append([rng.choice(vocab) for _ in range(n_tok)])
+            per_doc = []
+            cols = {t: [] for t in vocab}
+            for toks in docs:
+                pos = {
+                    t: np.asarray(
+                        [i for i, x in enumerate(toks) if x == t], dtype=np.int64
+                    )
+                    for t in vocab
+                }
+                per_doc.append({t: p for t, p in pos.items() if len(p)})
+                for t in vocab:
+                    cols[t].append(pos[t] if len(pos[t]) else None)
+            batches = {
+                t: batch_from_position_lists(cols[t]) for t in vocab
+            }
+            q = self._random_tree(rng, vocab)
+            off, bs, be, bw = eval_spans_batch(q, batches, n_docs)
+            for d in range(n_docs):
+                ref = eval_spans(q, per_doc[d])
+                a, z = int(off[d]), int(off[d + 1])
+                got = list(zip(bs[a:z].tolist(), be[a:z].tolist(), bw[a:z].tolist()))
+                assert got == ref, (
+                    f"trial {trial} doc {d} q={q}: batch={got} ref={ref}"
+                )
