@@ -64,13 +64,38 @@ def _index_tables(spark: SparkSession, sf_dir: str) -> IndexTables:
     return t
 
 
+def _segidx(spark: SparkSession, sf_dir: str):
+    """Shared on-disk segmented index for the sf_dir (built once per
+    driver run, self-cleaning temp dir)."""
+    from lucene_solr_spark.index.segments import SegmentedIndex
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    idx = _SEGIDX.get(key)
+    if idx is None:
+        idx = SegmentedIndex(spark, _mktempdir("segidx-"))
+        docs = _table(spark, sf_dir, "documents").select(
+            "doc_id", F.col("text").alias("content")
+        )
+        idx.build(docs, num_segments=8)
+        _SEGIDX[key] = idx
+    return idx
+
+
 def _searcher(
     spark: SparkSession, sf_dir: str, scoring: str = "exact"
 ) -> IndexSearcher:
+    """Default query path for every search gate: the ON-DISK
+    SegmentSearcher — term predicates push down to the encoded block
+    scan and only surviving blocks are decoded (the scale-correct plan;
+    an in-memory scan-everything postings frame cannot be the story at
+    10^12 docs).  The in-memory IndexSearcher stays pytest-covered and
+    is still used by gates that need writer-side state (tombstones)."""
     key = (spark.sparkContext.applicationId, sf_dir, scoring)
     s = _SEARCHERS.get(key)
     if s is None:
-        s = IndexSearcher(_index_tables(spark, sf_dir), scoring=scoring)
+        from lucene_solr_spark.queries.segment_searcher import SegmentSearcher
+
+        s = SegmentSearcher(_segidx(spark, sf_dir), scoring=scoring)
         _SEARCHERS[key] = s
     return s
 
@@ -297,19 +322,9 @@ def q_wand_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Block-max WAND top-k over the block-encoded segmented index —
     float32 lucene mode, rank-identity proven by tests/test_wand.py
     equivalence vs exhaustive ⇒ rows-only check here."""
-    from lucene_solr_spark.index.segments import SegmentedIndex
     from lucene_solr_spark.queries.wand import wand_topk
 
-    key = (spark.sparkContext.applicationId, sf_dir)
-    idx = _SEGIDX.get(key)
-    if idx is None:
-        idx = SegmentedIndex(spark, _mktempdir("segidx-"))
-        docs = _table(spark, sf_dir, "documents").select(
-            "doc_id", F.col("text").alias("content")
-        )
-        idx.build(docs, num_segments=8)
-        _SEGIDX[key] = idx
-    return wand_topk(idx, ["spark", "window", "vector"], k=10)
+    return wand_topk(_segidx(spark, sf_dir), ["spark", "window", "vector"], k=10)
 
 
 def q_segment_term_query(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -317,25 +332,7 @@ def q_segment_term_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     (SegmentSearcher, exact scoring) — same oracle as term_query, so the
     driver gate proves encode→write→manifest→pushdown→decode→score
     end-to-end."""
-    from lucene_solr_spark.queries.segment_searcher import SegmentSearcher
-
-    key = (spark.sparkContext.applicationId, sf_dir, "segsearch")
-    s = _SEGIDX.get(key)
-    if s is None:
-        # reuse the segmented index the wand entry builds, if present
-        idx_key = (spark.sparkContext.applicationId, sf_dir)
-        idx = _SEGIDX.get(idx_key)
-        if idx is None:
-            from lucene_solr_spark.index.segments import SegmentedIndex
-
-            idx = SegmentedIndex(spark, _mktempdir("segidx-"))
-            docs = _table(spark, sf_dir, "documents").select(
-                "doc_id", F.col("text").alias("content")
-            )
-            idx.build(docs, num_segments=8)
-            _SEGIDX[idx_key] = idx
-        s = SegmentSearcher(idx, scoring="exact")
-        _SEGIDX[key] = s
+    s = _searcher(spark, sf_dir)  # the default path IS the segment path
     return _topk(s.docs(TermQuery("spark")), 10)
 
 
@@ -1073,8 +1070,14 @@ def q_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     force and rebuild determinism."""
     e = _table(spark, sf_dir, "embeddings")
     qv = e.filter(F.col("vec_id") == 0).select("embedding").first()[0]
+    ikey = (spark.sparkContext.applicationId, sf_dir, "ivf")
+    ivf = _SEGIDX.get(ikey)
+    if ivf is None:
+        ivf = similarity.ivf_index(e, num_centroids=8)
+        ivf = (ivf[0].persist(), ivf[1])
+        _SEGIDX[ikey] = ivf
     out = similarity.ivf_ann_topk(
-        e, [float(x) for x in qv], k=10, num_centroids=8, nprobe=3
+        e, [float(x) for x in qv], k=10, num_centroids=8, nprobe=3, index=ivf
     )
     return out.select("vec_id", F.round(F.col("cosine"), 4).alias("cosine"))
 

@@ -156,21 +156,27 @@ def ivf_index(
         .collect()
     )
     C = np.array([r["v"] for r in init], dtype=np.float64)
-    dim = C.shape[1]
     for _ in range(kmeans_iters):
         assigned = _assign_centroids(df, C, vec_col)
-        sums = assigned.groupBy("_cid").agg(
-            F.count("*").alias("n"),
-            *[
-                F.sum(F.element_at(F.col(vec_col), d + 1)).alias(f"s{d}")
-                for d in range(dim)
-            ],
-        ).collect()
+        # centroid update via posexplode + (cid, dim) groupBy: map-side
+        # partial aggregation reduces the shuffle to K·dim rows per
+        # partition regardless of corpus size — a per-dimension agg
+        # COLUMN list (K separate F.sum(element_at) exprs) is fine at
+        # dim=8 but pathological at dim>=512 (one codegen expr per dim)
+        sums = (
+            assigned.select("_cid", F.posexplode(F.col(vec_col)).alias("d", "x"))
+            .groupBy("_cid", "d")
+            .agg(F.sum(F.col("x").cast("double")).alias("s"),
+                 F.count("*").alias("n"))
+            .collect()
+        )
+        S = np.zeros_like(C)
+        N = np.zeros(C.shape[0], dtype=np.int64)
         for r in sums:
-            C[r["_cid"]] = (
-                np.array([r[f"s{d}"] for d in range(dim)], dtype=np.float64)
-                / r["n"]
-            )
+            S[r["_cid"], r["d"]] = r["s"]
+            N[r["_cid"]] = r["n"]
+        nz = N > 0
+        C[nz] = S[nz] / N[nz, None]
     return _assign_centroids(df, C, vec_col), C
 
 
@@ -183,12 +189,19 @@ def ivf_ann_topk(
     kmeans_iters: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    index: "tuple[DataFrame, np.ndarray] | None" = None,
 ) -> DataFrame:
     """Approximate top-k via IVF: probe the ``nprobe`` centroids nearest
     the query, exact-rerank only their members — the classic
     IVF-Flat recall/latency trade (the alternate scale path beside
-    ``lsh_ann_topk``; prunes ~nprobe/num_centroids of the corpus)."""
-    assigned, C = ivf_index(df, num_centroids, kmeans_iters, id_col, vec_col)
+    ``lsh_ann_topk``; prunes ~nprobe/num_centroids of the corpus).
+
+    Pass a prebuilt ``index`` (from ivf_index) to amortize the k-means
+    build across queries — rebuilding the quantizer per query defeats
+    the point of an index."""
+    assigned, C = index if index is not None else ivf_index(
+        df, num_centroids, kmeans_iters, id_col, vec_col
+    )
     q = np.asarray(query_vec, dtype=np.float64)
     order = np.argsort(((C - q[None, :]) ** 2).sum(axis=1), kind="stable")
     probe = [int(c) for c in order[:nprobe]]

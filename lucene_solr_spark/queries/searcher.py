@@ -879,7 +879,34 @@ class IndexSearcher:
                     F.col("term") <= q.upper if q.include_upper else F.col("term") < q.upper
                 )
         elif isinstance(q, FuzzyQuery):
-            cond = F.levenshtein(F.col("term"), F.lit(q.term)) <= q.max_edits
+            # Automaton-style pruning (LevenshteinAutomata.java:33 prunes
+            # the dictionary walk; here the same cost cut comes from two
+            # sound pre-filters that reach the parquet scan, so the
+            # expensive levenshtein only touches surviving rows):
+            #   1. length window: ed(a,b) >= |len(a)-len(b)|
+            #   2. pigeonhole pieces: split the query into max_edits+1
+            #      contiguous pieces — k edits can destroy at most k
+            #      pieces, so a match contains >= 1 piece verbatim
+            #      (Navarro's partition filter; sound for classic
+            #      Levenshtein, which is this query's metric)
+            k = int(q.max_edits)
+            qlen = len(q.term)
+            tlen = F.length(F.col("term"))
+            cond = (tlen >= qlen - k) & (tlen <= qlen + k)
+            if qlen >= k + 1 and k > 0:
+                n_pieces = k + 1
+                step = qlen // n_pieces
+                cuts = [i * step for i in range(n_pieces)] + [qlen]
+                pieces = [
+                    q.term[cuts[i]: cuts[i + 1]] for i in range(n_pieces)
+                ]
+                cond = cond & reduce(
+                    lambda a, b: a | b,
+                    [F.col("term").contains(p) for p in pieces if p],
+                )
+            cond = cond & (
+                F.levenshtein(F.col("term"), F.lit(q.term)) <= k
+            )
         else:
             raise TypeError(type(q).__name__)
         rows = (

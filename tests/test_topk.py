@@ -65,6 +65,28 @@ def test_fuzzy_query(searcher, oracle):
     assert set(oracle.term_docs("table")) <= got
 
 
+def test_fuzzy_pruning_matches_unpruned(searcher, oracle):
+    """The pigeonhole/length pre-filters must not drop any true match:
+    expanded term set == brute-force levenshtein over the dictionary,
+    including edits at the string head (the case a naive shared-prefix
+    filter would lose)."""
+
+    def lev(a, b):
+        prev = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            cur = [i]
+            for j, cb in enumerate(b, 1):
+                cur.append(min(prev[j] + 1, cur[j - 1] + 1,
+                               prev[j - 1] + (ca != cb)))
+            prev = cur
+        return prev[-1]
+
+    for q, k in [("tble", 1), ("xindow", 1), ("windoww", 2), ("able", 2)]:
+        want = sorted(t for t in oracle.postings if lev(t, q) <= k)
+        got = sorted(searcher._expand_terms(FuzzyQuery(q, k)))
+        assert got == want, (q, k, got, want)
+
+
 def test_exact_mode_matches_double_precision_oracle(tables, oracle):
     """Exact scoring mode (double precision, unquantized norms) must match
     an independent double-precision computation — this is the mode the
