@@ -372,6 +372,34 @@ def q_function_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select("doc_id", F.round(fscore, 4).alias("fscore")).orderBy("doc_id")
 
 
+def q_function_valuesource(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Function-query ValueSource surface via the function-syntax parser
+    (search/ValueSourceParser.java): geodist (haversine), strdist
+    (edit-similarity), scale (global min/max), and a composed
+    recip/product tree — all JVM column expressions."""
+    from lucene_solr_spark.functions.valuesource import parse_function_query
+
+    d = _table(spark, sf_dir, "documents").withColumns(
+        {
+            "lat": ((F.col("doc_id") % 180) - 90 + 0.5).cast("double"),
+            "lon": (((F.col("doc_id") * 7) % 360) - 180 + 0.5).cast("double"),
+        }
+    )
+    geod = parse_function_query("geodist(lat, lon, 40.7, -74.0)")
+    sd = parse_function_query('strdist(source, "src3")')
+    scaled = parse_function_query("scale(n_chars, 0, 1)", d)
+    composed = parse_function_query(
+        "sum(recip(n_chars, 1, 1000, 1000), product(0.001, n_chars))"
+    )
+    return d.select(
+        "doc_id",
+        F.round(geod, 4).alias("geodist_km"),
+        F.round(sd, 4).alias("strdist_src3"),
+        F.round(scaled, 4).alias("scaled_chars"),
+        F.round(composed, 4).alias("composed"),
+    ).orderBy("doc_id")
+
+
 def _mf_searcher(spark: SparkSession, sf_dir: str):
     from lucene_solr_spark.index.builder import build_keyword_tables
     from lucene_solr_spark.queries.multifield import MultiFieldSearcher
@@ -422,6 +450,21 @@ def q_cross_field_dismax(spark: SparkSession, sf_dir: str) -> DataFrame:
             FieldQuery("source", TermQuery("src3")),
         ),
         tie_breaker=0.2,
+    )
+    return _scored(s.docs(q))
+
+
+def q_edismax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """edismax parser (search/ExtendedDismaxQParserPlugin.java): user
+    query 'query engine' with qf='text source^0.5' (per-term dismax
+    over fields; the source arms have df=0 and drop) and pf='text^2'
+    (whole query as a boosted exact phrase — full-sequence docs rank
+    first)."""
+    from lucene_solr_spark.queries.edismax import parse_edismax
+
+    s = _mf_searcher(spark, sf_dir)
+    q = parse_edismax(
+        "query engine", qf="text source^0.5", pf="text^2", tie=0.3
     )
     return _scored(s.docs(q))
 
@@ -1096,9 +1139,10 @@ def q_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Multimodal plumbing: binary payload column + typed metadata →
-    mapInPandas feature extraction (decode deterministically faked —
-    media libs aren't in this container) ⇒ rows-only check."""
+    """Multimodal pipeline: binary payload column + typed metadata →
+    mapInPandas feature extraction over REAL in-container decode (pure
+    numpy 24-bit BMP parser; compressed codecs documented out) ⇒
+    rows-only check; round-trip + pixel-mean goldens in pytest."""
     from lucene_solr_spark.functions import multimodal
 
     media = multimodal.synthesize_media(spark, n=100, kind="image")
@@ -1163,6 +1207,79 @@ def q_english_analyzer(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_synonym_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Index-time synonym filter (analysis/synonym/SynonymGraphFilter.java
+    + FlattenGraphFilter; rules per solr SolrSynonymParser.java): chain
+    tokenize → lower → synonyms → stop with equivalence class
+    'spark, flare' — the class members end up with identical postings,
+    proven by their term stats."""
+    from functools import partial
+
+    from lucene_solr_spark.analysis.synonyms import (
+        parse_synonym_rules,
+        synonym_analyze_batch_flat,
+    )
+
+    smap = parse_synonym_rules(["spark, flare"])
+    d = _table(spark, sf_dir, "documents")
+    t = build_tables(
+        d,
+        id_col="doc_id",
+        text_col="text",
+        analyzer=partial(synonym_analyze_batch_flat, smap=smap),
+        cache=False,
+    )
+    return (
+        t.term_stats.filter(F.col("term").isin(["spark", "flare"]))
+        .select("term", "df", "ttf")
+        .orderBy("term")
+    )
+
+
+def q_shingle_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Index-time ShingleFilter (analysis/shingle/ShingleFilter.java):
+    bigram tokens over the lowercased stream, emitted at the first
+    token's position; top bigrams by docFreq."""
+    from functools import partial
+
+    from lucene_solr_spark.analysis.synonyms import shingle_analyze_batch_flat
+
+    d = _table(spark, sf_dir, "documents")
+    t = build_tables(
+        d,
+        id_col="doc_id",
+        text_col="text",
+        analyzer=partial(shingle_analyze_batch_flat, output_unigrams=False),
+        cache=False,
+    )
+    return (
+        t.term_stats.select("term", "df", "ttf")
+        .orderBy(F.col("df").desc(), F.col("term").asc())
+        .limit(15)
+    )
+
+
+def q_facet_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate facet cardinality (solr search/facet/HLLAgg.java →
+    Spark's HyperLogLog++ approx_count_distinct).  The HLL estimate is
+    engine-specific, so the gated columns are the exact cardinality
+    plus a boolean asserting the estimate landed within the default 5%
+    rsd — deterministic for a given dataset (hash-based, order-free)."""
+    d = _table(spark, sf_dir, "documents")
+    g = d.groupBy("lang").agg(
+        F.count_distinct("source").alias("uniq_exact"),
+        F.approx_count_distinct("source").alias("_uniq_hll"),
+    )
+    return g.select(
+        "lang",
+        "uniq_exact",
+        (
+            F.abs(F.col("_uniq_hll") - F.col("uniq_exact"))
+            <= F.ceil(F.col("uniq_exact") * 0.05)
+        ).alias("hll_within_rsd"),
+    ).orderBy("lang")
+
+
 def q_suggest_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Suggester: prefix completions from the term dictionary weighted
     by docFreq (lucene/suggest HighFrequencyDictionary + Solr
@@ -1171,6 +1288,46 @@ def q_suggest_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     t = _index_tables(spark, sf_dir)
     return suggest_prefix(t.term_stats, "s", 10)
+
+
+def _suggestion_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Title-like suggestion table: first 3 tokens of each document,
+    weighted by length (DocumentDictionary: stored key + weight field)."""
+    d = _table(spark, sf_dir, "documents")
+    return d.select(
+        F.array_join(F.slice(F.split(F.col("text"), " "), 1, 3), " ").alias(
+            "key"
+        ),
+        F.col("n_chars").cast("long").alias("weight"),
+    )
+
+
+def q_suggest_analyzing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AnalyzingSuggester (suggest/analyzing/AnalyzingSuggester.java):
+    prefix match on the ANALYZED key form (stopwords dropped), weight
+    ordering."""
+    from lucene_solr_spark.queries.suggest import suggest_analyzing
+
+    return suggest_analyzing(_suggestion_keys(spark, sf_dir), "que", n=10)
+
+
+def q_suggest_infix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AnalyzingInfixSuggester (suggest/analyzing/
+    AnalyzingInfixSuggester.java): the typed prefix may match ANY
+    analyzed key token."""
+    from lucene_solr_spark.queries.suggest import suggest_infix
+
+    return suggest_infix(_suggestion_keys(spark, sf_dir), "col", n=10)
+
+
+def q_suggest_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FuzzySuggester (suggest/analyzing/FuzzySuggester.java):
+    completions whose prefix is within 1 edit of the typed query
+    ('quary' reaches 'query')."""
+    from lucene_solr_spark.queries.suggest import suggest_fuzzy
+
+    t = _index_tables(spark, sf_dir)
+    return suggest_fuzzy(t.term_stats, "quary", n=10, max_edits=1)
 
 
 def q_rerank_query(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1316,6 +1473,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- round-1 hash mismatches, fixed this round ------------------
         "facet_metrics": q_facet_metrics,
         "stats_component": q_stats_component,
+        # -- new round-2 gates ------------------------------------------
+        "synonym_analysis": q_synonym_analysis,
+        "shingle_analysis": q_shingle_analysis,
+        "facet_hll": q_facet_hll,
+        "edismax": q_edismax,
+        "suggest_analyzing": q_suggest_analyzing,
+        "suggest_infix": q_suggest_infix,
+        "suggest_fuzzy": q_suggest_fuzzy,
+        "function_valuesource": q_function_valuesource,
         # -- representative round-1 green core (rest after position 50) -
         "term_query": q_term_query,
         "segment_term_query": q_segment_term_query,
@@ -1476,6 +1642,161 @@ SELECT doc_id,
                / (n_chars * CAST(1.0 AS DOUBLE) + CAST(1000.0 AS DOUBLE))
              + n_chars * CAST(0.001 AS DOUBLE), 4) AS fscore
 FROM documents ORDER BY doc_id
+"""
+
+    # index-time synonym chain: tokenize → lower → synonyms → stop;
+    # the equivalence class makes both members' postings identical
+    sqls["synonym_analysis"] = f"""
+WITH {_IDX},
+syn AS (
+  SELECT doc_id, term, pos FROM toks
+  UNION ALL SELECT doc_id, 'flare' AS term, pos FROM toks WHERE term = 'spark'
+  UNION ALL SELECT doc_id, 'spark' AS term, pos FROM toks WHERE term = 'flare'
+),
+sp AS (
+  SELECT doc_id, term, count(*) AS tf FROM syn
+  WHERE term NOT IN ({_STOP})
+  GROUP BY doc_id, term
+)
+SELECT term, count(*) AS df, sum(tf) AS ttf FROM sp
+WHERE term IN ('spark', 'flare') GROUP BY term ORDER BY term
+"""
+
+    # shingle chain: tokenize → lower → bigrams at first-token position
+    sqls["shingle_analysis"] = f"""
+WITH {_IDX},
+big AS (
+  SELECT a.doc_id, a.term || ' ' || b.term AS term
+  FROM toks a JOIN toks b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+),
+bp AS (SELECT doc_id, term, count(*) AS tf FROM big GROUP BY doc_id, term)
+SELECT term, count(*) AS df, sum(tf) AS ttf FROM bp
+GROUP BY term ORDER BY df DESC, term ASC LIMIT 15
+"""
+
+    # edismax 'query engine' qf=text source^0.5 pf=text^2 tie=0.3:
+    # source arms are df=0 (drop), so score = SHOULD sum of the two
+    # text term scores plus 2× the exact-phrase score
+    sqls["edismax"] = f"""
+WITH {_IDX},
+s1 AS ({_bm25_sql("query")}),
+s2 AS ({_bm25_sql("engine")}),
+p1 AS (SELECT doc_id, pos FROM kept WHERE term = 'query'),
+p2 AS (SELECT doc_id, pos FROM kept WHERE term = 'engine'),
+ph AS (
+  SELECT p1.doc_id, count(*) AS freq
+  FROM p1 JOIN p2 ON p1.doc_id = p2.doc_id AND p2.pos = p1.pos + 1
+  GROUP BY p1.doc_id
+),
+idfs AS (
+  SELECT sum(ln(1 + (c.n - t.df + 0.5) / (t.df + 0.5))) AS idf_sum
+  FROM tstats t CROSS JOIN cstats c
+  WHERE t.term IN ('query', 'engine')
+),
+s3 AS (
+  SELECT ph.doc_id,
+         2.0 * i.idf_sum * 2.2 * ph.freq
+           / (ph.freq + 1.2 * (0.25 + 0.75 * nm.length / (c.sttf / c.n))) AS score
+  FROM ph
+  JOIN norms nm USING (doc_id)
+  CROSS JOIN cstats c
+  CROSS JOIN idfs i
+),
+u AS (
+  SELECT * FROM s1 UNION ALL SELECT * FROM s2 UNION ALL SELECT * FROM s3
+),
+scored AS (SELECT doc_id, sum(score) AS score FROM u GROUP BY doc_id)
+SELECT doc_id, ROUND(score, 4) AS score FROM scored
+"""
+
+    # ValueSource surface: the double expressions mirror the Spark
+    # column trees operation-for-operation (same literals, same
+    # associativity) so rounding agrees
+    sqls["function_valuesource"] = """
+WITH base AS (
+  SELECT doc_id, source, n_chars,
+         CAST((doc_id % 180) - 90 + 0.5 AS DOUBLE) AS lat,
+         CAST(((doc_id * 7) % 360) - 180 + 0.5 AS DOUBLE) AS lon
+  FROM documents
+),
+mm AS (SELECT min(n_chars) AS mn, max(n_chars) AS mx FROM documents)
+SELECT doc_id,
+       ROUND(12742.0175428 * asin(sqrt(
+         sin((radians(40.7) - radians(lat)) / 2)
+           * sin((radians(40.7) - radians(lat)) / 2)
+         + cos(radians(lat)) * cos(radians(40.7))
+           * sin((radians(-74.0) - radians(lon)) / 2)
+           * sin((radians(-74.0) - radians(lon)) / 2)
+       )), 4) AS geodist_km,
+       ROUND(1 - levenshtein(source, 'src3')
+               / CAST(greatest(length(source), 4) AS DOUBLE), 4)
+         AS strdist_src3,
+       ROUND(0.0 + (n_chars - CAST(mm.mn AS DOUBLE)) * 1.0
+               / (CAST(mm.mx AS DOUBLE) - CAST(mm.mn AS DOUBLE)), 4)
+         AS scaled_chars,
+       ROUND(CAST(1000.0 AS DOUBLE) / (CAST(1.0 AS DOUBLE) * n_chars
+                                       + CAST(1000.0 AS DOUBLE))
+             + CAST(0.001 AS DOUBLE) * n_chars, 4) AS composed
+FROM base CROSS JOIN mm ORDER BY doc_id
+"""
+
+    # suggestion keys = first 3 tokens of each doc, weight = n_chars
+    _KEYS = """
+keys AS (
+  SELECT doc_id,
+         array_to_string(string_split(text, ' ')[1:3], ' ') AS key,
+         CAST(n_chars AS BIGINT) AS weight
+  FROM documents
+)
+"""
+
+    sqls["suggest_analyzing"] = f"""
+WITH {_KEYS},
+ak AS (
+  SELECT key, weight,
+         array_to_string(
+           list_filter(string_split(key, ' '), t -> t NOT IN ({_STOP})),
+           ' '
+         ) AS analyzed
+  FROM keys
+)
+SELECT key, weight FROM ak WHERE starts_with(analyzed, 'que')
+ORDER BY weight DESC, key ASC LIMIT 10
+"""
+
+    sqls["suggest_infix"] = f"""
+WITH {_KEYS},
+ktoks AS (
+  SELECT doc_id, unnest(string_split(key, ' ')) AS tok FROM keys
+),
+hitdocs AS (
+  SELECT doc_id FROM ktoks
+  WHERE tok NOT IN ({_STOP}) AND tok LIKE 'col%'
+  GROUP BY doc_id
+)
+SELECT k.key, k.weight FROM keys k JOIN hitdocs USING (doc_id)
+ORDER BY weight DESC, key ASC LIMIT 10
+"""
+
+    sqls["suggest_fuzzy"] = f"""
+WITH {_IDX},
+ts AS (SELECT term, count(*) AS df FROM postings GROUP BY term),
+d AS (
+  SELECT term, df,
+         least(
+           levenshtein(substr(term, 1, 4), 'quary'),
+           levenshtein(substr(term, 1, 5), 'quary'),
+           levenshtein(substr(term, 1, 6), 'quary')
+         ) AS distance
+  FROM ts
+)
+SELECT term, df AS weight, distance FROM d WHERE distance <= 1
+ORDER BY distance ASC, weight DESC, term ASC LIMIT 10
+"""
+
+    sqls["facet_hll"] = """
+SELECT lang, count(DISTINCT source) AS uniq_exact, TRUE AS hll_within_rsd
+FROM documents GROUP BY lang ORDER BY lang
 """
 
     # moments from exact integer sums so the double expression is identical

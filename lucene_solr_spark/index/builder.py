@@ -44,15 +44,19 @@ def invert(
     df: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "content",
-    analyzer: str = "standard",
+    analyzer="standard",
 ) -> DataFrame:
     """corpus(id, text) → postings(doc_id, term, tf, positions).
 
     One vectorized pass; output is pre-aggregated per (doc, term).
-    ``analyzer``: "standard" (StandardAnalyzer chain) or "english"
-    (EnglishAnalyzer: + possessive strip + Porter stem).
+    ``analyzer``: "standard" (StandardAnalyzer chain), "english"
+    (EnglishAnalyzer: + possessive strip + Porter stem), or any
+    picklable callable with the ``analyze_batch_flat`` signature
+    (pd.Series[str] → flat (doc_idx, terms, positions)) — the hook
+    for synonym/shingle chains (analysis/synonyms.py), mirroring
+    Solr's per-field analyzer config (schema fieldType analyzers).
     """
-    if analyzer not in ("standard", "english"):
+    if not callable(analyzer) and analyzer not in ("standard", "english"):
         raise ValueError(f"unknown analyzer {analyzer!r}")
     src = df.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("content"))
 
@@ -66,9 +70,12 @@ def invert(
 
         from lucene_solr_spark.analysis.analyzer import english_analyze_batch_flat
 
-        analyze = (
-            english_analyze_batch_flat if analyzer == "english" else analyze_batch_flat
-        )
+        if callable(analyzer):
+            analyze = analyzer
+        elif analyzer == "english":
+            analyze = english_analyze_batch_flat
+        else:
+            analyze = analyze_batch_flat
         arrow_schema = pa.schema(
             [
                 ("doc_id", pa.int64()),
@@ -242,7 +249,7 @@ def build_tables(
     id_col: str = "doc_id",
     text_col: str = "content",
     cache: bool = True,
-    analyzer: str = "standard",
+    analyzer="standard",
 ) -> IndexTables:
     """Build the logical index tables from a corpus DataFrame.
 

@@ -72,15 +72,82 @@ class SegmentSearcher(IndexSearcher):
         k1: float = 1.2,
         b: float = 0.75,
         scoring: str = "lucene",
+        cache_encoded: bool = True,
     ) -> None:
         self.index = index
-        tables = index.to_tables()
-        # norms are small (1 row/doc, 3 ints); cache them — every scored
-        # query joins them (the .nvd file stays hot in the reference too)
-        self._norms = tables.doc_norms.persist()
+        # All caches live ON THE INDEX OBJECT and are shared by every
+        # searcher over it (scoring modes are views over the same
+        # segments — the reference's SegmentReader sharing across
+        # IndexSearcher instances).  Three layers:
+        #   _enc_cache: the ENCODED block rows — compact (FOR/VByte
+        #     binaries ≈ on-disk index size; the .doc/.pos files in OS
+        #     page cache), filtered columnar-in-memory per query, with
+        #     pushdown-before-decode intact (only blocks whose term
+        #     survives the filter are decoded).  MEMORY_AND_DISK persist
+        #     degrades gracefully when the index outgrows memory.
+        #   _stats_cache / norms: vocabulary- and doc-sized side tables
+        #     every query touches (BlockTree terms index / .nvd analog).
+        #   _dec_cache: per-term DECODED postings, populated on first
+        #     touch — hot posting lists stay decoded, like the per-
+        #     segment reader state of the reference.  Bounded by the
+        #     queried vocabulary; decoded rows are scoring-independent.
+        cache = getattr(index, "_searcher_caches", None)
+        if cache is None:
+            tables = index.to_tables()
+            cache = {
+                "norms": tables.doc_norms.persist(),
+                "enc": (
+                    index.postings().persist()
+                    if cache_encoded
+                    else index.postings()
+                ),
+                "term_stats": tables.term_stats.persist(),
+                "stats": tables.stats,
+                "postings": tables.postings,
+                "dec": {},
+                "exp": {},
+            }
+            index._searcher_caches = cache
+        self._norms = cache["norms"]
+        self._enc = cache["enc"]
+        self._dec: dict[str, DataFrame] = cache["dec"]
+        self._exp: dict = cache["exp"]
+        from lucene_solr_spark.index.builder import IndexTables
+
+        tables = IndexTables(
+            cache["postings"], cache["term_stats"], cache["norms"], cache["stats"]
+        )
         super().__init__(tables, k1=k1, b=b, scoring=scoring, cache_postings=False)
 
+    _CACHE_MAX_TERMS = 8  # multi-term expansions decode in one pass instead
+
+    def _decode(self, enc: DataFrame) -> DataFrame:
+        return enc.mapInPandas(_decode_batches, schema=_DECODED_SCHEMA)
+
     def _postings_for_terms(self, terms: list[str]) -> DataFrame:
-        enc = self.index.postings().filter(F.col("term").isin(list(terms)))
-        decoded = enc.mapInPandas(_decode_batches, schema=_DECODED_SCHEMA)
-        return decoded.join(self._norms, "doc_id")
+        terms = list(terms)
+        if len(terms) > self._CACHE_MAX_TERMS:
+            # expansion queries (prefix/wildcard/fuzzy): one bulk
+            # filter+decode pass, cached per expansion signature —
+            # repeated wildcard/prefix queries hit the persisted frame
+            key = hash(tuple(sorted(terms)))
+            decoded = self._exp.get(key)
+            if decoded is None:
+                decoded = self._decode(
+                    self._enc.filter(F.col("term").isin(terms))
+                ).persist()
+                self._exp[key] = decoded
+            return decoded.join(self._norms, "doc_id")
+        parts = []
+        for t in terms:
+            df = self._dec.get(t)
+            if df is None:
+                df = self._decode(
+                    self._enc.filter(F.col("term") == t)
+                ).persist()
+                self._dec[t] = df
+            parts.append(df)
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out.join(self._norms, "doc_id")

@@ -15,6 +15,7 @@ of the FST prefix seek at scale.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -37,5 +38,118 @@ def suggest_popular_terms(term_stats: DataFrame, n: int = 10) -> DataFrame:
     return (
         term_stats.select("term", F.col("df").alias("weight"))
         .orderBy(F.col("weight").desc(), F.col("term").asc())
+        .limit(n)
+    )
+
+
+def suggest_analyzing(
+    suggestions: DataFrame,
+    query: str,
+    n: int = 10,
+    key_col: str = "key",
+    weight_col: str = "weight",
+) -> DataFrame:
+    """AnalyzingSuggester (lucene/suggest/.../analyzing/
+    AnalyzingSuggester.java): both the suggestion keys and the query run
+    through the index analyzer, and matching is prefix-of-analyzed-form
+    — 'The Ghost' suggests for query 'ghost' because the analyzed key
+    drops the stopword.  The analyzed form is computed once per key in
+    an Arrow batch kernel (the FST build analog); lookup is a
+    pushed-down prefix filter + bounded top-n."""
+    from lucene_solr_spark.analysis import analyze_text
+
+    @F.pandas_udf("string")
+    def analyzed(keys: pd.Series) -> pd.Series:
+        return pd.Series(
+            [" ".join(analyze_text(k or "")[0]) for k in keys],
+            index=keys.index,
+        )
+
+    q_terms, _ = analyze_text(query)
+    q_analyzed = " ".join(q_terms)
+    with_key = suggestions.withColumn("_ak", analyzed(F.col(key_col)))
+    return (
+        with_key.filter(F.col("_ak").startswith(q_analyzed))
+        .select(F.col(key_col).alias("key"), F.col(weight_col).alias("weight"))
+        .orderBy(F.col("weight").desc(), F.col("key").asc())
+        .limit(n)
+    )
+
+
+def suggest_infix(
+    suggestions: DataFrame,
+    query: str,
+    n: int = 10,
+    key_col: str = "key",
+    weight_col: str = "weight",
+) -> DataFrame:
+    """AnalyzingInfixSuggester (lucene/suggest/.../analyzing/
+    AnalyzingInfixSuggester.java): the query prefix may match ANY token
+    of the analyzed key, not just the head — implemented as an
+    any-token-startswith predicate over the analyzed token array (the
+    reference indexes each key's tokens into a sidecar index; the
+    Spark analog is the exploded-token semi-join, expressed here as an
+    EXISTS over the token array so the key table is scanned once)."""
+    import pandas as pd
+
+    from lucene_solr_spark.analysis import analyze_text
+
+    @F.pandas_udf("array<string>")
+    def analyzed_tokens(keys: pd.Series) -> pd.Series:
+        return pd.Series(
+            [analyze_text(k or "")[0] for k in keys], index=keys.index
+        )
+
+    q_terms, _ = analyze_text(query)
+    if not q_terms:
+        return suggestions.sparkSession.createDataFrame(
+            [], "key string, weight long"
+        )
+    last = q_terms[-1]
+    full = q_terms[:-1]
+    toks = analyzed_tokens(F.col(key_col))
+    # every fully-typed query token must be present; the last (still
+    # being typed) token prefix-matches any key token
+    cond = F.exists(toks, lambda t: t.startswith(last))
+    for ft in full:
+        cond = cond & F.array_contains(toks, ft)
+    return (
+        suggestions.filter(cond)
+        .select(F.col(key_col).alias("key"), F.col(weight_col).alias("weight"))
+        .orderBy(F.col("weight").desc(), F.col("key").asc())
+        .limit(n)
+    )
+
+
+def suggest_fuzzy(
+    term_stats: DataFrame, query: str, n: int = 10, max_edits: int = 1
+) -> DataFrame:
+    """FuzzySuggester (lucene/suggest/.../analyzing/FuzzySuggester.java):
+    completions whose PREFIX is within ``max_edits`` of the typed query
+    — 'serch' still suggests 'searching'.  Dictionary cost is cut the
+    same way as FuzzyQuery (length window on the compared prefix is
+    implicit; the levenshtein runs on substr(term, len±edits))."""
+    qlen = len(query)
+    # a term is suggested iff SOME prefix of it is within max_edits of
+    # the typed query; only prefix lengths within qlen±max_edits can
+    # qualify (length difference lower-bounds edit distance), so the
+    # true minimum is the least over that window
+    lens = [k for k in range(max(1, qlen - max_edits), qlen + max_edits + 1)]
+    dists = [
+        F.levenshtein(F.substring(F.col("term"), 1, k), F.lit(query))
+        for k in lens
+    ]
+    dist = dists[0] if len(dists) == 1 else F.least(*dists)
+    return (
+        term_stats.withColumn("_dist", dist)
+        .filter(F.col("_dist") <= max_edits)
+        .select(
+            "term",
+            F.col("df").alias("weight"),
+            F.col("_dist").alias("distance"),
+        )
+        .orderBy(
+            F.col("distance").asc(), F.col("weight").desc(), F.col("term").asc()
+        )
         .limit(n)
     )
