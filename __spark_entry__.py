@@ -372,6 +372,63 @@ def q_function_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select("doc_id", F.round(fscore, 4).alias("fscore")).orderBy("doc_id")
 
 
+def q_term_vector(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Term vector of doc 0 (index/TermVectors; TermVectorsFormat.java:30)
+    via the segment path — the doc-range block metadata prunes decode to
+    the covering blocks (the skip-list seek analog)."""
+    from lucene_solr_spark.queries.mlt import term_vector
+
+    return term_vector(_searcher(spark, sf_dir), 0)
+
+
+def q_payload_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PayloadScoreQuery (queries/payloads/PayloadScoreQuery.java +
+    DelimitedPayloadTokenFilter): payloads injected per token as
+    'term|(pos%7)+1', stored as a parallel postings array, scored with
+    the sum PayloadFunction."""
+    from lucene_solr_spark.queries.payloads import (
+        payload_postings,
+        payload_score,
+    )
+
+    d = _table(spark, sf_dir, "documents")
+    payloaded = d.select(
+        "doc_id",
+        F.array_join(
+            F.transform(
+                F.split(F.col("text"), " +"),
+                lambda w, i: F.concat_ws(
+                    "|", w, ((i % 7) + 1).cast("string")
+                ),
+            ),
+            " ",
+        ).alias("ptext"),
+    )
+    posts = payload_postings(payloaded, "doc_id", "ptext")
+    return (
+        payload_score(posts, "spark", func="sum")
+        .select("doc_id", F.round(F.col("score"), 4).alias("score"))
+        .orderBy("doc_id")
+    )
+
+
+def q_offsets_highlight(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Offsets in postings (IndexOptions..._AND_OFFSETS; .pay offsets,
+    Lucene50PostingsFormat.java:60-90): highlight snippets sliced from
+    stored offsets — no query-time re-tokenization
+    (uhighlight/FieldOffsetStrategy.java)."""
+    from lucene_solr_spark.queries.offsets import (
+        highlight_from_offsets,
+        offsets_postings,
+    )
+
+    d = _table(spark, sf_dir, "documents")
+    posts = offsets_postings(d)
+    return highlight_from_offsets(posts, d, "spark", window=30).orderBy(
+        "doc_id"
+    )
+
+
 def q_function_valuesource(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Function-query ValueSource surface via the function-syntax parser
     (search/ValueSourceParser.java): geodist (haversine), strdist
@@ -1482,6 +1539,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "suggest_infix": q_suggest_infix,
         "suggest_fuzzy": q_suggest_fuzzy,
         "function_valuesource": q_function_valuesource,
+        "payload_score": q_payload_score,
+        "offsets_highlight": q_offsets_highlight,
+        "term_vector": q_term_vector,
         # -- representative round-1 green core (rest after position 50) -
         "term_query": q_term_query,
         "segment_term_query": q_segment_term_query,
@@ -1738,6 +1798,37 @@ SELECT doc_id,
                                        + CAST(1000.0 AS DOUBLE))
              + CAST(0.001 AS DOUBLE) * n_chars, 4) AS composed
 FROM base CROSS JOIN mm ORDER BY doc_id
+"""
+
+    sqls["term_vector"] = f"""
+WITH {_IDX}
+SELECT term, CAST(count(*) AS INT) AS tf,
+       list(pos ORDER BY pos) AS positions
+FROM kept WHERE doc_id = 0 GROUP BY term ORDER BY term
+"""
+
+    # payload per token = (pos % 7) + 1; payload_score(sum) for 'spark'
+    sqls["payload_score"] = f"""
+WITH {_IDX}
+SELECT doc_id,
+       ROUND(sum(CAST((pos % 7) + 1 AS DOUBLE)), 4) AS score
+FROM toks WHERE term = 'spark' GROUP BY doc_id ORDER BY doc_id
+"""
+
+    # first-occurrence offset of the exact token 'spark' in the plain
+    # single-space corpus = padded-string strpos − 1 (0-based)
+    sqls["offsets_highlight"] = """
+WITH hit AS (
+  SELECT doc_id, text,
+         strpos(' ' || text || ' ', ' spark ') - 1 AS first_start,
+         len(string_split(text, ' '))
+           - len(list_filter(string_split(text, ' '), t -> t <> 'spark'))
+           AS n_matches
+  FROM documents
+)
+SELECT doc_id, n_matches, first_start,
+       substr(text, first_start + 1, 30) AS snippet
+FROM hit WHERE first_start >= 0 AND n_matches > 0 ORDER BY doc_id
 """
 
     # suggestion keys = first 3 tokens of each doc, weight = n_chars

@@ -97,3 +97,32 @@ def spellcheck(
         .orderBy(F.col("dist").asc(), F.col("df").desc(), F.col("term").asc())
         .limit(max_suggestions)
     )
+
+
+def term_vector(searcher: IndexSearcher, doc_id: int) -> DataFrame:
+    """A single document's term vector: (term, tf, positions) — the
+    per-doc row view of the inverted index (lucene/index/TermVectors,
+    codecs/TermVectorsFormat.java:30).  Spark-first: the postings table
+    IS the term-vector store read column-wise; a docID filter recovers
+    the row-wise view without a separate .tvd/.tvf file.  On the
+    segment path the filter hits the block metadata FIRST
+    (base_docid/max_docid — the skip-list bounds), so only blocks whose
+    docID range covers the target are ever decoded."""
+    enc = getattr(searcher, "_enc", None)
+    if enc is not None:
+        dec = searcher._decode(
+            enc.filter(
+                (F.col("base_docid") <= doc_id)
+                & (F.col("max_docid") >= doc_id)
+            )
+        )
+        return (
+            dec.filter(F.col("doc_id") == doc_id)
+            .select("term", "tf", "positions")
+            .orderBy("term")
+        )
+    return (
+        searcher._postings.filter(F.col("doc_id") == doc_id)
+        .select("term", "tf", "positions")
+        .orderBy("term")
+    )

@@ -1,0 +1,97 @@
+"""Payload-carrying postings + PayloadScoreQuery.
+
+Refs: lucene/analysis/common/.../payloads/DelimitedPayloadTokenFilter.java
+(token text 'term|payload' splits into a term plus a per-position
+payload), lucene/queries/.../payloads/PayloadScoreQuery.java and
+PayloadFunction.java (min/max/sum/average over the matched positions'
+payloads).
+
+Spark-first: payloads are one more parallel array column on the
+postings table — (doc_id, term, tf, positions, payloads) — built with
+pure column expressions (posexplode → delimiter split → sorted
+struct-collect), so the payload path shares the postings layout and
+pushdown story of the core index.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+PAYLOAD_FUNCS = ("sum", "avg", "max", "min")
+
+
+def payload_postings(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    delimiter: str = "|",
+) -> DataFrame:
+    """corpus(id, 'term|payload term|payload ...') → payload postings.
+
+    Tokens without a delimiter get payload 1.0 (the reference's
+    default encoder behavior for absent payloads is query-defined; 1.0
+    keeps score functions total).  Position numbering counts all
+    tokens.  Deterministic: positions/payloads are sorted by position
+    before assembly (collect_list alone is partition-order dependent).
+    """
+    d = F.lit(delimiter)
+    tok = (
+        df.select(
+            F.col(id_col).alias("doc_id"),
+            F.posexplode(F.split(F.col(text_col), " +")).alias("pos", "raw"),
+        )
+        .select(
+            "doc_id",
+            "pos",
+            F.split(F.col("raw"), rf"\{delimiter}")[0].alias("term"),
+            F.coalesce(
+                # F.get, not [1]: ANSI mode raises on missing index for
+                # tokens without a delimiter
+                F.get(F.split(F.col("raw"), rf"\{delimiter}"), 1).cast(
+                    "double"
+                ),
+                F.lit(1.0),
+            ).alias("payload"),
+        )
+        .filter(F.col("term") != "")
+    )
+    return (
+        tok.groupBy("doc_id", "term")
+        .agg(
+            F.sort_array(
+                F.collect_list(F.struct("pos", "payload"))
+            ).alias("_pp")
+        )
+        .select(
+            "doc_id",
+            "term",
+            F.size(F.col("_pp")).cast("int").alias("tf"),
+            F.transform(F.col("_pp"), lambda s: s["pos"]).alias("positions"),
+            F.transform(F.col("_pp"), lambda s: s["payload"]).alias("payloads"),
+        )
+    )
+
+
+def payload_score(
+    postings: DataFrame, term: str, func: str = "sum"
+) -> DataFrame:
+    """PayloadScoreQuery(term, PayloadFunction) → (doc_id, score).
+
+    ``func``: sum | avg | max | min over the matched positions'
+    payloads (PayloadFunction.java's currentScore/docScore pairs)."""
+    if func not in PAYLOAD_FUNCS:
+        raise ValueError(f"unknown payload function {func!r}")
+    p = postings.filter(F.col("term") == term)
+    pay = F.col("payloads")
+    zero = F.lit(0.0)
+    total = F.aggregate(pay, zero, lambda acc, v: acc + v)
+    if func == "sum":
+        score = total
+    elif func == "avg":
+        score = total / F.size(pay)
+    elif func == "max":
+        score = F.array_max(pay)
+    else:
+        score = F.array_min(pay)
+    return p.select("doc_id", score.alias("score"))
