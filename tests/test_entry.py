@@ -43,6 +43,20 @@ SUBSET = [
     "grouping_topn",
     "terms_component",
     "block_join",
+    # round-2 additions
+    "facet_metrics",
+    "stats_component",
+    "synonym_analysis",
+    "shingle_analysis",
+    "facet_hll",
+    "edismax",
+    "suggest_analyzing",
+    "suggest_infix",
+    "suggest_fuzzy",
+    "function_valuesource",
+    "payload_score",
+    "offsets_highlight",
+    "term_vector",
 ]
 
 
