@@ -264,6 +264,15 @@ def q_wildcard_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _scored(s.docs(WildcardQuery("?a*")))
 
 
+def q_regexp_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RegexpQuery term expansion, anchored whole-term semantics
+    (search/RegexpQuery.java, util/automaton/RegExp.java)."""
+    from lucene_solr_spark.queries.query import RegexpQuery
+
+    s = _searcher(spark, sf_dir)
+    return _scored(s.docs(RegexpQuery("(qu|pa).*(y|e)")))
+
+
 def q_range_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Term range over the dictionary (TermRangeQuery.java)."""
     s = _searcher(spark, sf_dir)
@@ -733,6 +742,19 @@ def q_pivot_facet(spark: SparkSession, sf_dir: str) -> DataFrame:
         d.groupBy("lang", "source")
         .agg(F.count("*").alias("cnt"))
         .orderBy("lang", "source")
+    )
+
+
+def q_pivot_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot facet WITH subtotals: ROLLUP(lang, source) — each pivot
+    level plus the grand total in one pass (the per-level bucket counts
+    PivotFacetComponent assembles shard-by-shard; SURVEY §2.6 maps the
+    nested facet tree to GROUPING SETS/rollup)."""
+    d = _table(spark, sf_dir, "documents")
+    return (
+        d.rollup("lang", "source")
+        .agg(F.count("*").alias("cnt"))
+        .orderBy(F.col("lang").asc_nulls_first(), F.col("source").asc_nulls_first())
     )
 
 
@@ -1542,6 +1564,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "payload_score": q_payload_score,
         "offsets_highlight": q_offsets_highlight,
         "term_vector": q_term_vector,
+        "regexp_query": q_regexp_query,
+        "pivot_rollup": q_pivot_rollup,
         # -- representative round-1 green core (rest after position 50) -
         "term_query": q_term_query,
         "segment_term_query": q_segment_term_query,
@@ -1798,6 +1822,18 @@ SELECT doc_id,
                                        + CAST(1000.0 AS DOUBLE))
              + CAST(0.001 AS DOUBLE) * n_chars, 4) AS composed
 FROM base CROSS JOIN mm ORDER BY doc_id
+"""
+
+    sqls["regexp_query"] = f"""
+WITH {_IDX}
+SELECT DISTINCT doc_id, CAST(1.0 AS DOUBLE) AS score FROM postings
+WHERE regexp_full_match(term, '(qu|pa).*(y|e)')
+"""
+
+    sqls["pivot_rollup"] = """
+SELECT lang, source, count(*) AS cnt
+FROM documents GROUP BY ROLLUP (lang, source)
+ORDER BY lang ASC NULLS FIRST, source ASC NULLS FIRST
 """
 
     sqls["term_vector"] = f"""

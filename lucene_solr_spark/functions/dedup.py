@@ -147,15 +147,18 @@ def minhash_lsh_pairs(
     """
     assert num_hashes % bands == 0
     rows = num_hashes // bands
-    # The shingle explode feeds THREE consumers (signatures, set sizes,
-    # candidate verification); persist it once — Catalyst has no
-    # common-subplan reuse across separate aggregations, so without
-    # this the corpus is re-shingled three times per run.
+    # Shingle ONCE into a per-doc array column and persist that frame —
+    # it feeds signatures (exploded), sizes (F.size), and candidate
+    # verification (array_intersect).  Keeping verification on the
+    # per-doc arrays means only the CANDIDATE PAIRS ever join — the
+    # round-1 plan shuffled the full exploded (doc, shingle) frame
+    # twice through the verify joins, which dominated the bench.
     release_persisted()
-    sh = df.select(
-        F.col(id_col).alias("doc_id"), F.explode(_shingles(text_col, n)).alias("s")
+    docsh = df.select(
+        F.col(id_col).alias("doc_id"), _shingles(text_col, n).alias("shset")
     ).persist()
-    _persisted.append(sh)
+    _persisted.append(docsh)
+    sh = docsh.select("doc_id", F.explode("shset").alias("s"))
     aggs = [
         F.min(F.xxhash64(F.col("s"), F.lit(i))).alias(f"mh{i}")
         for i in range(num_hashes)
@@ -184,25 +187,27 @@ def minhash_lsh_pairs(
     )
     # Exact-Jaccard verification of CANDIDATES ONLY (never all pairs —
     # the candidate set is what makes LSH sub-quadratic at 10^12 docs).
-    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("size"))
-    sa = sh.select(F.col("doc_id").alias("ida"), "s")
-    sb = sh.select(F.col("doc_id").alias("idb"), "s")
-    common = (
-        cand.join(sa, "ida")
-        .join(sb, ["idb", "s"])
-        .groupBy("ida", "idb")
-        .agg(F.count("*").alias("common"))
+    # Per-pair array_intersect over the per-doc shingle arrays: the two
+    # joins move only |candidates| rows; no exploded-shingle shuffle.
+    sa = docsh.select(
+        F.col("doc_id").alias("ida"),
+        F.col("shset").alias("sha"),
+        F.size("shset").alias("size_a"),
     )
+    sb = docsh.select(
+        F.col("doc_id").alias("idb"),
+        F.col("shset").alias("shb"),
+        F.size("shset").alias("size_b"),
+    )
+    inter = F.size(F.array_intersect(F.col("sha"), F.col("shb")))
     return (
-        common.join(
-            sizes.select(F.col("doc_id").alias("ida"), F.col("size").alias("size_a")), "ida"
-        )
-        .join(
-            sizes.select(F.col("doc_id").alias("idb"), F.col("size").alias("size_b")), "idb"
-        )
+        cand.join(sa, "ida")
+        .join(sb, "idb")
+        .withColumn("_common", inter)
         .withColumn(
             "jaccard",
-            F.col("common") / (F.col("size_a") + F.col("size_b") - F.col("common")),
+            F.col("_common")
+            / (F.col("size_a") + F.col("size_b") - F.col("_common")),
         )
         .filter(F.col("jaccard") >= threshold)
         .select("ida", "idb", "jaccard")

@@ -120,6 +120,27 @@ class WildcardQuery(Query):
 
 
 @dataclass(frozen=True)
+class RegexpQuery(Query):
+    """Regular-expression term expansion (search/RegexpQuery.java via
+    util/automaton/RegExp.java).  Lucene regexps match the WHOLE term
+    (implicit anchoring); the supported operator subset (literals, ., *,
+    +, ?, |, [...], (...), escapes) coincides syntactically with Java/
+    RE2-style regex, so the pattern is applied anchored.  The Lucene
+    extensions ~ (complement) and <n-m> (numeric interval) are not
+    supported and raise at construction."""
+
+    pattern: str
+
+    def __post_init__(self) -> None:
+        import re as _re
+
+        if _re.search(r"(?<!\\)[~<]", self.pattern):
+            raise ValueError(
+                "Lucene regexp extensions ~ and <n-m> are not supported"
+            )
+
+
+@dataclass(frozen=True)
 class TermRangeQuery(Query):
     lower: str | None
     upper: str | None

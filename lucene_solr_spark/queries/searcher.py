@@ -58,6 +58,7 @@ from lucene_solr_spark.queries.query import (
     PhraseQuery,
     PrefixQuery,
     Query,
+    RegexpQuery,
     SynonymQuery,
     TermQuery,
     TermRangeQuery,
@@ -437,11 +438,17 @@ class IndexSearcher:
         return expr.cast("float") if self._f32 else expr
 
     # ------------------------------------------------------------ executors
-    def _postings_for_terms(self, terms: list[str]) -> DataFrame:
+    def _postings_for_terms(
+        self, terms: list[str], bulk: bool = False
+    ) -> DataFrame:
         """Postings rows (doc_id, term, tf, positions, norm_byte, length)
         for the given terms — the single point subclasses override to
         change the storage backend (e.g. SegmentSearcher decodes
-        block-compressed rows AFTER a parquet-pruned term filter)."""
+        block-compressed rows AFTER a parquet-pruned term filter).
+
+        ``bulk=True`` marks a dictionary-expansion term set (prefix /
+        wildcard / fuzzy / range): backends should fetch it in one pass
+        keyed by the whole set rather than caching per term."""
         return self._postings.filter(F.col("term").isin(list(terms)))
 
     def _term_postings(self, term: str) -> DataFrame:
@@ -482,7 +489,9 @@ class IndexSearcher:
             return self._exec_multiphrase(q, boost)
         if isinstance(q, PhraseQuery):
             return self._exec_phrase(q, boost)
-        if isinstance(q, (PrefixQuery, WildcardQuery, TermRangeQuery, FuzzyQuery)):
+        if isinstance(
+            q, (PrefixQuery, WildcardQuery, RegexpQuery, TermRangeQuery, FuzzyQuery)
+        ):
             # CONSTANT_SCORE_REWRITE (MultiTermQuery.java default)
             return self._exec(ConstantScoreQuery(q, 1.0), boost)
         if isinstance(q, BooleanQuery):
@@ -868,6 +877,9 @@ class IndexSearcher:
                 for ch in q.pattern
             ) + "$"
             cond = F.col("term").rlike(pat)
+        elif isinstance(q, RegexpQuery):
+            # anchored whole-term match (RegexpQuery.java semantics)
+            cond = F.col("term").rlike("^(?:" + q.pattern + ")$")
         elif isinstance(q, TermRangeQuery):
             cond = F.lit(True)
             if q.lower is not None:
@@ -935,13 +947,15 @@ class IndexSearcher:
                 .select("doc_id")
                 .distinct()
             )
-        if isinstance(q, (PrefixQuery, WildcardQuery, TermRangeQuery, FuzzyQuery)):
+        if isinstance(
+            q, (PrefixQuery, WildcardQuery, RegexpQuery, TermRangeQuery, FuzzyQuery)
+        ):
             terms = self._expand_terms(q)
             if not terms:
                 spark = self.tables.postings.sparkSession
                 return spark.createDataFrame([], "doc_id long")
             return (
-                self._postings_for_terms(terms)
+                self._postings_for_terms(terms, bulk=True)
                 .select("doc_id")
                 .distinct()
             )

@@ -124,12 +124,15 @@ class SegmentSearcher(IndexSearcher):
     def _decode(self, enc: DataFrame) -> DataFrame:
         return enc.mapInPandas(_decode_batches, schema=_DECODED_SCHEMA)
 
-    def _postings_for_terms(self, terms: list[str]) -> DataFrame:
+    def _postings_for_terms(
+        self, terms: list[str], bulk: bool = False
+    ) -> DataFrame:
         terms = list(terms)
-        if len(terms) > self._CACHE_MAX_TERMS:
-            # expansion queries (prefix/wildcard/fuzzy): one bulk
-            # filter+decode pass, cached per expansion signature —
+        if bulk or len(terms) > self._CACHE_MAX_TERMS:
+            # expansion term sets (prefix/wildcard/fuzzy/range): one
+            # bulk filter+decode pass, cached per expansion signature —
             # repeated wildcard/prefix queries hit the persisted frame
+            # instead of building one cached frame per expanded term
             key = hash(tuple(sorted(terms)))
             decoded = self._exp.get(key)
             if decoded is None:
