@@ -1409,6 +1409,38 @@ def q_suggest_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
     return suggest_fuzzy(t.term_stats, "quary", n=10, max_edits=1)
 
 
+def q_suggest_freetext(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FreeTextSuggester n-gram language model (suggest/analyzing/
+    FreeTextSuggester.java): next-word completions after 'query' ranked
+    by bigram frequency."""
+    from lucene_solr_spark.queries.suggest import suggest_freetext
+
+    d = _table(spark, sf_dir, "documents")
+    return suggest_freetext(d, "query", n=10)
+
+
+def q_gather_nodes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """gatherNodes graph traversal (solrj io/graph/GatherNodesStream.java):
+    2-hop BFS over the bipartite user↔event_type relation from the
+    'error' node — level 1 = users who errored, level 2 = what else
+    those users did.  Per-hop semi-join + visited anti-join; the
+    frontier stays distributed."""
+    from lucene_solr_spark.streaming.graph import gather_nodes
+
+    ev = _table(spark, sf_dir, "events")
+    fwd = ev.select(
+        F.concat(F.lit("u:"), F.col("user_id")).alias("src"),
+        F.concat(F.lit("t:"), F.col("event_type")).alias("dst"),
+    )
+    edges = fwd.unionByName(
+        fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    roots = spark.createDataFrame([("t:error",)], ["node"])
+    return gather_nodes(edges, roots, "src", "dst", hops=2).orderBy(
+        "level", "node"
+    )
+
+
 def q_rerank_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ReRankQParserPlugin: main top-50 window re-scored as
     main + 2.0·rerank (solr/search/ReRankQParserPlugin.java)."""
@@ -1566,6 +1598,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "term_vector": q_term_vector,
         "regexp_query": q_regexp_query,
         "pivot_rollup": q_pivot_rollup,
+        "suggest_freetext": q_suggest_freetext,
+        "gather_nodes": q_gather_nodes,
         # -- representative round-1 green core (rest after position 50) -
         "term_query": q_term_query,
         "segment_term_query": q_segment_term_query,
@@ -1822,6 +1856,31 @@ SELECT doc_id,
                                        + CAST(1000.0 AS DOUBLE))
              + CAST(0.001 AS DOUBLE) * n_chars, 4) AS composed
 FROM base CROSS JOIN mm ORDER BY doc_id
+"""
+
+    sqls["suggest_freetext"] = f"""
+WITH {_IDX}
+SELECT b.term AS term, count(*) AS weight
+FROM toks a JOIN toks b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+WHERE a.term = 'query'
+GROUP BY b.term ORDER BY weight DESC, term ASC LIMIT 10
+"""
+
+    sqls["gather_nodes"] = """
+WITH e AS (
+  SELECT 'u:' || CAST(user_id AS VARCHAR) AS u,
+         't:' || event_type AS t
+  FROM events
+),
+l1 AS (SELECT DISTINCT u AS node FROM e WHERE t = 't:error'),
+l2 AS (
+  SELECT DISTINCT t AS node FROM e JOIN l1 ON e.u = l1.node
+  WHERE t <> 't:error'
+)
+SELECT node, 1 AS level FROM l1
+UNION ALL
+SELECT node, 2 AS level FROM l2
+ORDER BY level, node
 """
 
     sqls["regexp_query"] = f"""

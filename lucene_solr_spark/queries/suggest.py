@@ -153,3 +153,36 @@ def suggest_fuzzy(
         )
         .limit(n)
     )
+
+
+def suggest_freetext(
+    df: DataFrame,
+    context: str,
+    n: int = 10,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """FreeTextSuggester (lucene/suggest/.../analyzing/FreeTextSuggester.java):
+    an n-gram language model over the corpus — given the previous word,
+    rank next-word completions by bigram frequency.  The reference
+    builds the model into an FST; the Spark analog is a one-pass
+    adjacent-pair aggregation (same separator discipline, lowercase, no
+    stop removal — the suggester sees the raw stream)."""
+    toks = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(F.split(F.lower(F.col(text_col)), " +")).alias(
+            "pos", "term"
+        ),
+    )
+    a = toks.select("doc_id", F.col("pos").alias("p"), F.col("term").alias("w1"))
+    b = toks.select(
+        "doc_id", (F.col("pos") - 1).alias("p"), F.col("term").alias("w2")
+    )
+    return (
+        a.filter(F.col("w1") == context)
+        .join(b, ["doc_id", "p"])
+        .groupBy(F.col("w2").alias("term"))
+        .agg(F.count("*").alias("weight"))
+        .orderBy(F.col("weight").desc(), F.col("term").asc())
+        .limit(n)
+    )

@@ -1,0 +1,84 @@
+"""Graph traversal streams — Solr's gatherNodes/shortestPath surface.
+
+Refs: solr/solrj/src/java/org/apache/solr/client/solrj/io/graph/
+GatherNodesStream.java (breadth-first frontier expansion over an edge
+relation, with per-node aggregations and a visited set) and
+ShortestPathStream.java (iterative BFS with path tracking).
+
+Spark-first: one hop = a semi-join of the edge table against the
+current frontier + an except against the visited set — the classic
+iterative-BFS-on-DataFrames shape.  Each hop is a separate shuffle
+stage; the visited set stays distributed (no driver collect), so a walk
+over a 10^12-edge table behaves like any other join pipeline (AQE
+handles frontier skew)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def gather_nodes(
+    edges: DataFrame,
+    roots: DataFrame,
+    from_col: str,
+    to_col: str,
+    hops: int = 1,
+) -> DataFrame:
+    """Expand ``hops`` breadth-first levels from ``roots``.
+
+    ``edges``: relation with ``from_col``/``to_col``; ``roots``: one
+    column named ``node`` (level-0 frontier).  Returns
+    (node, level) for every node first reached at level 1..hops —
+    GatherNodesStream's unique-nodes semantics (a node is emitted at
+    its FIRST discovery level; roots are not re-emitted)."""
+    visited = roots.select(F.col("node")).distinct()
+    frontier = visited
+    out: DataFrame | None = None
+    for level in range(1, hops + 1):
+        nxt = (
+            edges.join(
+                frontier.withColumnRenamed("node", from_col), from_col
+            )
+            .select(F.col(to_col).alias("node"))
+            .distinct()
+            .join(visited, "node", "left_anti")
+        )
+        lvl = nxt.select("node", F.lit(level).alias("level"))
+        out = lvl if out is None else out.unionByName(lvl)
+        visited = visited.unionByName(nxt)
+        frontier = nxt
+    assert out is not None
+    return out
+
+
+def shortest_path(
+    edges: DataFrame,
+    src: object,
+    dst: object,
+    from_col: str,
+    to_col: str,
+    max_hops: int = 6,
+) -> int | None:
+    """BFS distance from ``src`` to ``dst`` (ShortestPathStream.java's
+    level count), or None if unreachable within ``max_hops``."""
+    spark = edges.sparkSession
+    roots = spark.createDataFrame([(src,)], ["node"])
+    visited = roots
+    frontier = roots
+    for level in range(1, max_hops + 1):
+        nxt = (
+            edges.join(
+                frontier.withColumnRenamed("node", from_col), from_col
+            )
+            .select(F.col(to_col).alias("node"))
+            .distinct()
+            .join(visited, "node", "left_anti")
+        )
+        if nxt.filter(F.col("node") == dst).limit(1).count() > 0:
+            return level
+        if nxt.limit(1).count() == 0:
+            return None
+        visited = visited.unionByName(nxt)
+        frontier = nxt
+    return None
