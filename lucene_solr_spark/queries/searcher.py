@@ -750,15 +750,13 @@ class IndexSearcher:
         # intersect.  A term repeated at several offsets intersects once
         # per offset.
         if q.slop > 0:
-            # SloppyPhraseScorer semantics (distinct terms; the repeat
-            # machinery is a documented exclusion)
-            if len(uniq) != len(q.terms):
-                raise NotImplementedError(
-                    "sloppy phrases with repeated terms are not supported"
-                )
+            # SloppyPhraseScorer semantics incl. the repeated-terms
+            # machinery (one postings column per unique term; term_idx
+            # maps each phrase position to its term's column)
             from lucene_solr_spark.queries.sloppy import sloppy_phrase_freq
 
             offs = [int(p) for p in q.positions]
+            tidx = [uniq.index(t) for t in q.terms]
             slop = int(q.slop)
 
             @F.pandas_udf("float")
@@ -769,7 +767,7 @@ class IndexSearcher:
                 out = np.zeros(len(cols[0]), dtype=np.float32)
                 for r in range(len(out)):
                     lists = [np.asarray(c[r], dtype=np.int64) for c in cols]
-                    out[r] = sloppy_phrase_freq(lists, offs, slop)
+                    out[r] = sloppy_phrase_freq(lists, offs, slop, tidx)
                 return pd.Series(out)
 
             out = base.withColumn(

@@ -52,6 +52,57 @@ def gather_nodes(
     return out
 
 
+def gather_counts(
+    edges: DataFrame, roots: DataFrame, from_col: str, to_col: str
+) -> DataFrame:
+    """One traversal hop emitting reach multiplicity — the
+    ``count(*)`` aggregation GatherNodesStream attaches to each node
+    (GatherNodesStream.java, default metric): (node, count) where
+    count = number of edges from the root frontier into the node."""
+    return (
+        edges.join(roots.withColumnRenamed("node", from_col), from_col)
+        .groupBy(F.col(to_col).alias("node"))
+        .agg(F.count("*").alias("count"))
+    )
+
+
+def score_nodes(
+    nodes: DataFrame,
+    term_freqs: DataFrame,
+    num_docs: int,
+) -> DataFrame:
+    """ScoreNodesStream (solrj io/stream/ScoreNodesStream.java:226-245):
+    tf-idf over traversal nodes — nodeScore =
+    (float)(ln(termFreq)+1) · (float)(ln((numDocs+1)/(docFreq+1))+1),
+    float32 per factor and a float32 product, exactly as the reference's
+    Java float arithmetic.  ``nodes`` carries (node, count) from
+    gather_counts; ``term_freqs`` carries (node, docfreq) — the node
+    term's frequency over the whole edge relation (the index stats the
+    reference fetches via its FacetStream/terms lookups)."""
+    f1 = (F.log(F.col("count").cast("double")) + 1.0).cast("float")
+    f2 = (
+        F.log(
+            F.lit(float(num_docs + 1)) / (F.col("docfreq").cast("double") + 1.0)
+        )
+        + 1.0
+    ).cast("float")
+    # float*float in Java rounds the exact product to float32; the
+    # product of two float32s is exactly representable in double, so
+    # double-multiply + one float32 cast is bit-identical and avoids
+    # engine-specific REAL promotion rules
+    prod = (f1.cast("double") * f2.cast("double")).cast("float")
+    return (
+        nodes.join(term_freqs, "node")
+        .select(
+            "node",
+            "count",
+            "docfreq",
+            F.round(prod.cast("double"), 4).alias("node_score"),
+        )
+        .orderBy(F.col("node_score").desc(), F.col("node").asc())
+    )
+
+
 def shortest_path(
     edges: DataFrame,
     src: object,

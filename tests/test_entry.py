@@ -57,6 +57,13 @@ SUBSET = [
     "payload_score",
     "offsets_highlight",
     "term_vector",
+    "suggest_freetext",
+    "gather_nodes",
+    "features_selection",
+    "text_logit",
+    "stream_evaluators",
+    "classify",
+    "score_nodes",
 ]
 
 

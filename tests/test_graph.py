@@ -1,6 +1,8 @@
 """Graph traversal streams (solrj io/graph/GatherNodesStream.java,
 ShortestPathStream.java)."""
 
+import pytest
+
 from lucene_solr_spark.streaming.graph import gather_nodes, shortest_path
 
 
@@ -39,6 +41,40 @@ def test_shortest_path(spark):
     assert shortest_path(e, "a", "d", "src", "dst") == 3
     assert shortest_path(e, "a", "y", "src", "dst") is None
     assert shortest_path(e, "a", "b", "src", "dst") == 1
+
+
+def test_score_nodes_tfidf(spark):
+    """ScoreNodesStream.java:242 — float32 tf-idf per node."""
+    import math
+
+    import numpy as np
+
+    from lucene_solr_spark.streaming.graph import gather_counts, score_nodes
+
+    # edges: root r reaches a twice, b once; global freqs differ
+    e = _edges(
+        spark,
+        [("r", "a"), ("r", "a"), ("r", "b"), ("x", "a"), ("x", "b"),
+         ("x", "b"), ("y", "b")],
+    )
+    roots = spark.createDataFrame([("r",)], ["node"])
+    nodes = gather_counts(e, roots, "src", "dst")
+    got_counts = {r["node"]: r["count"] for r in nodes.collect()}
+    assert got_counts == {"a": 2, "b": 1}
+
+    tf = e.groupBy(e.dst.alias("node")).count().withColumnRenamed(
+        "count", "docfreq"
+    )
+    n_docs = e.count()
+    got = {
+        r["node"]: r["node_score"]
+        for r in score_nodes(nodes, tf, n_docs).collect()
+    }
+    for node, cnt, dfq in (("a", 2, 3), ("b", 1, 4)):
+        f1 = np.float32(math.log(cnt) + 1.0)
+        f2 = np.float32(math.log((n_docs + 1) / (dfq + 1.0)) + 1.0)
+        want = float(np.float32(float(f1) * float(f2)))
+        assert got[node] == pytest.approx(round(want, 4)), node
 
 
 def test_freetext_bigram_model(spark):

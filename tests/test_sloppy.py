@@ -77,6 +77,72 @@ def test_engine_sloppy_superset_of_exact(searcher):
     assert all(s > 0 for s in sloppy.values())
 
 
-def test_engine_repeated_terms_raises(searcher):
-    with pytest.raises(NotImplementedError):
-        searcher.docs(PhraseQuery(("spark", "spark"), slop=2)).collect()
+def test_repeats_exact_alignment():
+    """"a b a"~0 on doc "a b a" — one match, hand-traced through the
+    SloppyPhraseScorer repeat machinery (collision advances the lesser
+    pp, which exhausts; the final window scores 1/1)."""
+    a, b = np.array([0, 2]), np.array([1])
+    got = sloppy_phrase_freq([a, b], [0, 1, 2], slop=0, term_idx=[0, 1, 0])
+    assert got == pytest.approx(1.0)
+
+
+def test_repeats_adjacent_pair():
+    """"a a"~1 on doc "a a a" — windows (0,1) and (1,2), both at
+    matchLength 0 (hand-traced): freq = 2.0."""
+    a = np.array([0, 1, 2])
+    got = sloppy_phrase_freq([a], [0, 1], slop=1, term_idx=[0, 0])
+    assert got == pytest.approx(2.0)
+
+
+def test_repeats_gap_scores_by_distance():
+    """"a a"~k on doc "a x a": the two a-pps sit one apart after the
+    offset shift (matchLength 1) — no match at slop 0, 1/2 at slop 2."""
+    a = np.array([0, 2])
+    assert sloppy_phrase_freq([a], [0, 1], slop=0, term_idx=[0, 0]) == 0.0
+    got = sloppy_phrase_freq([a], [0, 1], slop=2, term_idx=[0, 0])
+    assert got == pytest.approx(0.5)
+
+
+def test_repeats_insufficient_positions():
+    """A group of 3 pps over a term with only 2 positions cannot
+    initialize (advanceRepeatGroups exhausts) — freq 0."""
+    a = np.array([4, 9])
+    got = sloppy_phrase_freq([a], [0, 1, 2], slop=5, term_idx=[0, 0, 0])
+    assert got == 0.0
+
+
+def test_repeats_random_stress():
+    """Random phrases with repeated terms terminate and return sane
+    freqs; exact self-phrase "t t ... t"~0 over positions 0..k-1
+    scores exactly 1 (one aligned window)."""
+    import random
+
+    rng = random.Random(7)
+    for _ in range(300):
+        n_terms = rng.randint(1, 3)
+        lists = [
+            np.array(
+                sorted(rng.sample(range(20), rng.randint(1, 6))),
+                dtype=np.int64,
+            )
+            for _ in range(n_terms)
+        ]
+        n_pos = rng.randint(2, 5)
+        tidx = [rng.randrange(n_terms) for _ in range(n_pos)]
+        offs = list(range(n_pos))
+        slop = rng.randint(0, 6)
+        freq = sloppy_phrase_freq(lists, offs, slop, tidx)
+        assert freq >= 0.0
+
+    for k in (2, 3, 4):
+        pos = np.arange(k, dtype=np.int64)
+        got = sloppy_phrase_freq([pos], list(range(k)), 0, [0] * k)
+        assert got == pytest.approx(1.0), k
+
+
+def test_engine_repeated_terms_scores(searcher):
+    rows = searcher.docs(PhraseQuery(("spark", "spark"), slop=4)).collect()
+    # repeats no longer raise; any doc with two 'spark' occurrences
+    # within the slop window scores positively
+    assert all(r["score"] > 0 for r in rows)
+    assert len(rows) > 0
