@@ -1555,6 +1555,71 @@ def q_score_nodes(spark: SparkSession, sf_dir: str) -> DataFrame:
     return score_nodes(nodes, tf, ev.count())
 
 
+def _ltr_inputs(spark: SparkSession, sf_dir: str):
+    t = _index_tables(spark, sf_dir)
+    s = _searcher(spark, sf_dir)
+    main = s.docs(TermQuery("spark"))
+    tfw = (
+        t.postings.filter(F.col("term") == "window")
+        .select("doc_id", F.col("tf").alias("tf_window"))
+    )
+    features = t.doc_norms.select("doc_id", "length").join(
+        tfw, "doc_id", "left"
+    )
+    return main, features
+
+
+def q_ltr_rescore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LTR linear-model rescoring (solr/contrib/ltr LTRRescorer.java +
+    model/LinearModel.java): BM25 top-50 window rescored by
+    0.6·originalScore + 0.02·fieldLength + 0.5·termfreq(window)."""
+    from lucene_solr_spark.queries.ltr import LinearModel, ltr_rescore
+
+    main, features = _ltr_inputs(spark, sf_dir)
+    model = LinearModel(
+        (("original_score", 0.6), ("length", 0.02), ("tf_window", 0.5))
+    )
+    return ltr_rescore(
+        main, features, model, ["length", "tf_window"],
+        rerank_docs=50, k=10,
+    )
+
+
+def q_ltr_trees(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LTR MultipleAdditiveTrees rescoring (solr/contrib/ltr
+    model/MultipleAdditiveTreesModel.java:241-262): two weighted
+    decision trees over (termfreq, originalScore, fieldLength),
+    compiled to nested CASE columns."""
+    from lucene_solr_spark.queries.ltr import (
+        TreeNode,
+        TreesModel,
+        ltr_rescore,
+    )
+
+    main, features = _ltr_inputs(spark, sf_dir)
+    t1 = TreeNode(
+        feature="tf_window", threshold=0.5,
+        left=TreeNode(
+            feature="original_score", threshold=2.0,
+            left=TreeNode(value=0.1), right=TreeNode(value=0.3),
+        ),
+        right=TreeNode(value=0.8),
+    )
+    t2 = TreeNode(
+        feature="length", threshold=30.0,
+        left=TreeNode(value=0.2),
+        right=TreeNode(
+            feature="tf_window", threshold=1.5,
+            left=TreeNode(value=0.4), right=TreeNode(value=0.9),
+        ),
+    )
+    model = TreesModel(((1.5, t1), (0.7, t2)))
+    return ltr_rescore(
+        main, features, model, ["length", "tf_window"],
+        rerank_docs=50, k=10,
+    )
+
+
 def q_rerank_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ReRankQParserPlugin: main top-50 window re-scored as
     main + 2.0·rerank (solr/search/ReRankQParserPlugin.java)."""
@@ -1718,6 +1783,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- past the ~50-entry driver gate window: score_nodes + the
         # suggester family rotate into the window next round --
         "score_nodes": q_score_nodes,
+        "ltr_rescore": q_ltr_rescore,
+        "ltr_trees": q_ltr_trees,
         # (all four above/below have full oracle replicas in
         # tests/test_entry.py meanwhile), then the round-1 green core
         # (already evidenced in CORRECTNESS_r01)
@@ -2110,6 +2177,49 @@ SELECT doc_id,
        ROUND(total * CAST(CAST(1.0 / sqrt(CAST(length AS DOUBLE))
                                AS REAL) AS DOUBLE), 4) AS score
 FROM tot ORDER BY doc_id
+"""
+
+    _ltr_feats = f"""
+s1 AS ({_bm25_sql("spark")}),
+w AS (SELECT doc_id, score FROM s1 ORDER BY score DESC, doc_id ASC LIMIT 50),
+f AS (
+  SELECT w.doc_id, w.score AS original_score,
+         COALESCE(CAST(nm.length AS DOUBLE), 0.0) AS length,
+         COALESCE(CAST(pw.tf AS DOUBLE), 0.0) AS tfw
+  FROM w LEFT JOIN norms nm USING (doc_id)
+         LEFT JOIN (SELECT doc_id, tf FROM postings
+                    WHERE term = 'window') pw USING (doc_id)
+)"""
+
+    sqls["ltr_rescore"] = f"""
+WITH {_IDX},
+{_ltr_feats},
+sc AS (
+  SELECT doc_id,
+         0.0 + 0.6 * original_score + 0.02 * length + 0.5 * tfw AS ltr
+  FROM f
+)
+SELECT doc_id, ROUND(ltr, 4) AS ltr_score FROM sc
+ORDER BY sc.ltr DESC, doc_id ASC LIMIT 10
+"""
+
+    sqls["ltr_trees"] = f"""
+WITH {_IDX},
+{_ltr_feats},
+sc AS (
+  SELECT doc_id,
+         0.0
+         + 1.5 * (CASE WHEN tfw <= 0.5
+                       THEN (CASE WHEN original_score <= 2.0
+                                  THEN 0.1 ELSE 0.3 END)
+                       ELSE 0.8 END)
+         + 0.7 * (CASE WHEN length <= 30.0 THEN 0.2
+                       ELSE (CASE WHEN tfw <= 1.5
+                                  THEN 0.4 ELSE 0.9 END) END) AS ltr
+  FROM f
+)
+SELECT doc_id, ROUND(ltr, 4) AS ltr_score FROM sc
+ORDER BY sc.ltr DESC, doc_id ASC LIMIT 10
 """
 
     sqls["score_nodes"] = """

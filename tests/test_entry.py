@@ -64,6 +64,8 @@ SUBSET = [
     "stream_evaluators",
     "classify",
     "score_nodes",
+    "ltr_rescore",
+    "ltr_trees",
 ]
 
 
