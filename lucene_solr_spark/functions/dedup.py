@@ -38,12 +38,18 @@ def _tokens(text_col: str):
     return F.split(F.lower(F.trim(F.col(text_col))), " +")
 
 
-def _shingles(text_col: str, n: int):
-    """Word n-gram shingles as strings (distinct per doc).
+def _shingles_of(toks, n: int):
+    """Word n-gram shingles (distinct) from an ALREADY-MATERIALIZED
+    token array column.
+
+    The tokens MUST be a projected column, not the split expression
+    inline: expressions inside a higher-order lambda are re-evaluated
+    per array element (no CSE across the lambda boundary), so an
+    inline split() ran once per shingle position — measured 9× slower
+    at sf0.1 (6.4 s vs 0.7 s for the whole shingling pass).
 
     Docs with fewer than n tokens produce no shingles (guarded —
     F.sequence(0, negative) would generate a descending range)."""
-    toks = _tokens(text_col)
     if n == 1:
         return F.array_distinct(toks)
     idx = F.sequence(F.lit(1), F.size(toks) - n + 1)
@@ -53,6 +59,15 @@ def _shingles(text_col: str, n: int):
     return F.when(F.size(toks) >= n, grams).otherwise(
         F.array().cast("array<string>")
     )
+
+
+def _doc_shingles(
+    df: DataFrame, id_col: str, text_col: str, n: int
+) -> DataFrame:
+    """(doc_id, shset) — tokens projected first (see _shingles_of)."""
+    return df.select(
+        F.col(id_col).alias("doc_id"), _tokens(text_col).alias("_toks")
+    ).select("doc_id", _shingles_of(F.col("_toks"), n).alias("shset"))
 
 
 def exact_dedup(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
@@ -81,8 +96,8 @@ def ngram_jaccard_pairs(
     Shingles occurring in more than ``max_shingle_df`` docs are dropped
     from pair generation (hot-key guard) but still counted in set sizes.
     """
-    sh = df.select(
-        F.col(id_col).alias("doc_id"), F.explode(_shingles(text_col, n)).alias("s")
+    sh = _doc_shingles(df, id_col, text_col, n).select(
+        "doc_id", F.explode("shset").alias("s")
     )
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("size"))
     hot = sh.groupBy("s").agg(F.count("*").alias("sdf")).filter(
@@ -118,9 +133,15 @@ def minhash_signatures(
     text_col: str = "text",
 ) -> DataFrame:
     """MinHash signature per doc: sig_i = min over shingles of
-    xxhash64(shingle, seed=i).  One exploded agg, no UDF."""
-    sh = df.select(
-        F.col(id_col).alias("doc_id"), F.explode(_shingles(text_col, n)).alias("s")
+    xxhash64(shingle, salt=i).  One exploded agg, no UDF.
+
+    NB: the shuffle-free alternative — array_min over F.transform of
+    the per-doc shingle array — measured 3× SLOWER here (higher-order
+    lambdas are interpreted per element, outside whole-stage codegen),
+    while this explode + partial-agg shape keeps the hash inside
+    codegen and shuffles only one combined row per doc."""
+    sh = _doc_shingles(df, id_col, text_col, n).select(
+        "doc_id", F.explode("shset").alias("s")
     )
     aggs = [
         F.min(F.xxhash64(F.col("s"), F.lit(i))).alias(f"mh{i}")
@@ -154,10 +175,12 @@ def minhash_lsh_pairs(
     # round-1 plan shuffled the full exploded (doc, shingle) frame
     # twice through the verify joins, which dominated the bench.
     release_persisted()
-    docsh = df.select(
-        F.col(id_col).alias("doc_id"), _shingles(text_col, n).alias("shset")
-    ).persist()
+    docsh = _doc_shingles(df, id_col, text_col, n).persist()
     _persisted.append(docsh)
+    # explode + partial-agg signatures (measured: the shuffle-free
+    # F.transform/array_min alternative is 3× slower — higher-order
+    # lambdas run interpreted, outside whole-stage codegen; this shape
+    # keeps xxhash64 in codegen and shuffles one combined row per doc)
     sh = docsh.select("doc_id", F.explode("shset").alias("s"))
     aggs = [
         F.min(F.xxhash64(F.col("s"), F.lit(i))).alias(f"mh{i}")
