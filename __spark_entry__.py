@@ -466,6 +466,29 @@ def q_function_valuesource(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+def q_valuesource_extended(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extended ValueSource vocabulary (ValueSourceParser.java): ord/rord
+    (OrdFieldSource/ReverseOrdFieldSource — ordinal in the sorted value
+    dictionary), boolean/comparison combinators (and/gt/lte → if), and
+    the pi() constant — all parsed from Solr function syntax."""
+    from lucene_solr_spark.functions.valuesource import parse_function_query
+
+    d = _table(spark, sf_dir, "documents")
+    lang_ord = parse_function_query("ord(lang)", d)
+    lang_rord = parse_function_query("rord(lang)", d)
+    in_range = parse_function_query(
+        "if(and(gt(n_chars, 100), lte(n_chars, 400)), 1, 0)"
+    )
+    twopi = parse_function_query("product(pi(), 2)")
+    return d.select(
+        "doc_id",
+        lang_ord.alias("lang_ord"),
+        lang_rord.alias("lang_rord"),
+        in_range.alias("in_range"),
+        F.round(twopi, 4).alias("twopi"),
+    ).orderBy("doc_id")
+
+
 def _mf_searcher(spark: SparkSession, sf_dir: str):
     from lucene_solr_spark.index.builder import build_keyword_tables
     from lucene_solr_spark.queries.multifield import MultiFieldSearcher
@@ -1785,6 +1808,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "score_nodes": q_score_nodes,
         "ltr_rescore": q_ltr_rescore,
         "ltr_trees": q_ltr_trees,
+        "valuesource_extended": q_valuesource_extended,
         # (all four above/below have full oracle replicas in
         # tests/test_entry.py meanwhile), then the round-1 green core
         # (already evidenced in CORRECTNESS_r01)
@@ -2220,6 +2244,22 @@ sc AS (
 )
 SELECT doc_id, ROUND(ltr, 4) AS ltr_score FROM sc
 ORDER BY sc.ltr DESC, doc_id ASC LIMIT 10
+"""
+
+    sqls["valuesource_extended"] = """
+WITH dict AS (
+  SELECT lang, dense_rank() OVER (ORDER BY lang) AS o
+  FROM (SELECT DISTINCT lang FROM documents WHERE lang IS NOT NULL)
+),
+nv AS (SELECT count(DISTINCT lang) AS n FROM documents)
+SELECT d.doc_id,
+       CAST(dict.o AS DOUBLE) AS lang_ord,
+       CAST(nv.n + 1 - dict.o AS DOUBLE) AS lang_rord,
+       CAST(CASE WHEN d.n_chars > 100 AND d.n_chars <= 400
+                 THEN 1 ELSE 0 END AS DOUBLE) AS in_range,
+       ROUND(CAST(2 * pi() AS DOUBLE), 4) AS twopi
+FROM documents d JOIN dict USING (lang) CROSS JOIN nv
+ORDER BY d.doc_id
 """
 
     sqls["score_nodes"] = """

@@ -12,14 +12,25 @@ needs the field's global min/max, supplied via a one-row cross join
 Supported names (arity): const literals, field refs, abs, ceil, floor,
 sqrt, ln, log, exp, pow(2), sum(n), sub(2), product(n), div(2), mod(2),
 min(n), max(n), recip(4), linear(3), map(4), scale(3: uses min/max over
-df), if(3), exists(1), not(1), sqedist(2n), dist(1+2n p-norm),
-geodist(4: haversine km), strdist(2-3: edit-distance similarity),
-ms(2: millis between timestamp cols), termfreq/docfreq/idf live in the
-searcher layer (they need index state).
+df), if(3), exists(1), not(1), and/or(n), xor(2), gt/lt/gte/lte/eq(2),
+true/false (bare or 0-arg), pi(), e(), def(2: coalesce), field(1-2:
+min|max over multivalued), vector(n), sqedist(2n), dist(1+2n p-norm),
+geodist(4: haversine km), hsin(6: radius, isDegrees, x1,y1,x2,y2),
+strdist(2-3: edit-distance similarity), ms(1-2: millis since epoch /
+between timestamps), ord/rord(1: ordinal in the sorted value dictionary
+— the dictionary is collected like the reference's per-segment terms
+dict; needs df context), maxdoc()/numdocs()/totaltermfreq(2)/
+sumtotaltermfreq(1) (need index-tables context via ``tables=``).
+termfreq/docfreq/idf/norm live in the searcher layer (per-doc index
+state).  Out of scope (documented): currency (needs exchange-rate
+provider), geohash (geohash grid not part of the engine), joindf,
+childfield (block-join internal); agg_* are the facet aggregates
+(facet_metrics / facet_hll gates).
 """
 
 from __future__ import annotations
 
+import math
 import re
 
 from pyspark.sql import Column, DataFrame
@@ -54,7 +65,7 @@ def strdist_edit(a, b) -> Column:
 class _Parser:
     _TOK = re.compile(r'\s*([A-Za-z_][\w.]*|-?\d+\.?\d*(?:[eE]-?\d+)?|"[^"]*"|[(),])')
 
-    def __init__(self, text: str, df: DataFrame | None):
+    def __init__(self, text: str, df: DataFrame | None, tables=None):
         self.toks: list[str] = []
         i = 0
         while i < len(text):
@@ -65,6 +76,7 @@ class _Parser:
             i = m.end()
         self.pos = 0
         self.df = df
+        self.tables = tables  # IndexTables for maxdoc/numdocs/ttf/sttf
 
     def peek(self) -> str | None:
         return self.toks[self.pos] if self.pos < len(self.toks) else None
@@ -82,8 +94,18 @@ class _Parser:
             return F.lit(float(t))
         if t.startswith('"'):
             return F.lit(t[1:-1])
+        if t in ("true", "false") and self.peek() != "(":
+            return F.lit(t == "true")
         if self.peek() == "(":
             self.next()
+            if t.lower() in self._RAW_ARG_FNS:
+                raw: list[str] = []
+                while self.peek() != ")":
+                    tok = self.next()
+                    if tok != ",":
+                        raw.append(tok[1:-1] if tok.startswith('"') else tok)
+                self.next()  # consume )
+                return self._call_raw(t.lower(), raw)
             args: list[Column] = []
             if self.peek() != ")":
                 while True:
@@ -96,6 +118,67 @@ class _Parser:
                 raise ValueError(f"expected ) in {t}(...)")
             return self._call(t, args)
         return F.col(t)  # bare field reference
+
+    # functions whose arguments are raw field names / keywords, not
+    # sub-expressions (FieldValueSourceParser-style parsers take the
+    # schema field name token directly)
+    _RAW_ARG_FNS = {"field", "ord", "rord", "totaltermfreq", "sumtotaltermfreq"}
+
+    def _ordinals(self, field: str) -> Column:
+        """ord(field): 1-based ordinal of the doc's value in the sorted
+        value dictionary (OrdFieldSource.java).  The dictionary is
+        collected driver-side and broadcast as an array literal — the
+        same shape as the reference's per-segment terms dict (ordinal
+        lookup needs the whole sorted dictionary by definition); at
+        scale this is a dictionary-sized broadcast, not a data shuffle."""
+        if self.df is None:
+            raise ValueError("ord()/rord() need the DataFrame context")
+        vals = sorted(
+            r[0]
+            for r in self.df.select(field).distinct().collect()
+            if r[0] is not None
+        )
+        return F.array_position(
+            F.array(*[F.lit(v) for v in vals]), F.col(field)
+        ).cast("double")
+
+    def _call_raw(self, name: str, raw: list[str]) -> Column:
+        if name == "field":
+            # field(name) | field(name, min|max) for multivalued fields
+            if len(raw) == 1:
+                return F.col(raw[0])
+            sel = raw[1].lower()
+            if sel == "min":
+                return F.array_min(F.col(raw[0]))
+            if sel == "max":
+                return F.array_max(F.col(raw[0]))
+            raise ValueError(f"field() selector must be min|max, got {raw[1]!r}")
+        if name == "ord":
+            return self._ordinals(raw[0])
+        if name == "rord":
+            # reverse ordinal: #values + 1 − ord (ReverseOrdFieldSource)
+            if self.df is None:
+                raise ValueError("rord() needs the DataFrame context")
+            nvals = (
+                self.df.select(raw[0]).filter(F.col(raw[0]).isNotNull())
+                .distinct().count()
+            )
+            return F.lit(float(nvals + 1)) - self._ordinals(raw[0])
+        if name == "totaltermfreq":
+            # totaltermfreq(field, term): Σ tf over all docs (constant)
+            if self.tables is None:
+                raise ValueError("totaltermfreq() needs tables= context")
+            row = self.tables.term_stats.filter(
+                F.col("term") == raw[-1]
+            ).first()
+            return F.lit(float(row["ttf"]) if row else 0.0)
+        if name == "sumtotaltermfreq":
+            # sumtotaltermfreq(field): Σ ttf over all terms — the
+            # precomputed CollectionStats value (SumTotalTermFreqValueSource)
+            if self.tables is None:
+                raise ValueError("sumtotaltermfreq() needs tables= context")
+            return F.lit(float(self.tables.stats.sum_total_term_freq))
+        raise ValueError(f"unknown function {name!r}")
 
     def _minmax(self, field_expr: Column) -> tuple[Column, Column]:
         if self.df is None:
@@ -182,22 +265,82 @@ class _Parser:
             return F.pow(out, F.lit(1.0) / p)
         if n == "geodist":
             return geodist_km(a[0], a[1], a[2], a[3])
+        if n == "hsin":
+            # hsin(radius, isDegrees, x1, y1, x2, y2) — HaversineFunction
+            radius, isdeg, x1, y1, x2, y2 = a
+            conv = lambda c: F.when(isdeg.cast("boolean"), F.radians(c)).otherwise(c)  # noqa: E731
+            rx1, ry1, rx2, ry2 = conv(x1), conv(y1), conv(x2), conv(y2)
+            h = (
+                F.sin((rx2 - rx1) / 2) ** 2
+                + F.cos(rx1) * F.cos(rx2) * F.sin((ry2 - ry1) / 2) ** 2
+            )
+            return 2 * radius * F.asin(F.sqrt(h))
         if n == "strdist":
             return strdist_edit(a[0], a[1])
         if n == "ms":
+            if len(a) == 1:  # ms(a): millis since epoch
+                return a[0].cast("timestamp").cast("double") * 1000.0
             return (
                 a[0].cast("timestamp").cast("double")
                 - a[1].cast("timestamp").cast("double")
             ) * 1000.0
+        if n == "pi":
+            return F.lit(math.pi)
+        if n == "e":
+            return F.lit(math.e)
+        if n == "true":
+            return F.lit(True)
+        if n == "false":
+            return F.lit(False)
+        if n == "def":
+            return F.coalesce(a[0], a[1])
+        if n == "vector":
+            return F.array(*a)
+        if n == "and":
+            out = a[0].cast("boolean")
+            for x in a[1:]:
+                out = out & x.cast("boolean")
+            return out
+        if n == "or":
+            out = a[0].cast("boolean")
+            for x in a[1:]:
+                out = out | x.cast("boolean")
+            return out
+        if n == "xor":
+            return a[0].cast("boolean") != a[1].cast("boolean")
+        if n == "gt":
+            return a[0] > a[1]
+        if n == "lt":
+            return a[0] < a[1]
+        if n == "gte":
+            return a[0] >= a[1]
+        if n == "lte":
+            return a[0] <= a[1]
+        if n == "eq":
+            return a[0] == a[1]
+        if n == "maxdoc":
+            # maxdoc(): docs including deleted (MaxDocValueSource)
+            if self.tables is None:
+                raise ValueError("maxdoc() needs tables= context")
+            return F.lit(float(self.tables.stats.max_doc))
+        if n == "numdocs":
+            # numdocs(): maxDoc − numDeletedDocs (NumDocsValueSource)
+            if self.tables is None:
+                raise ValueError("numdocs() needs tables= context")
+            return F.lit(float(self.tables.stats.doc_count))
         raise ValueError(f"unknown function {name!r}")
 
 
-def parse_function_query(text: str, df: DataFrame | None = None) -> Column:
+def parse_function_query(
+    text: str, df: DataFrame | None = None, tables=None
+) -> Column:
     """Parse a Solr function-query string into a Column expression.
 
     ``df`` supplies the DataFrame context for functions that need global
-    statistics (``scale``)."""
-    p = _Parser(text, df)
+    statistics (``scale``, ``ord``, ``rord``); ``tables`` supplies the
+    IndexTables for index-statistics functions (``maxdoc``, ``numdocs``,
+    ``totaltermfreq``, ``sumtotaltermfreq``)."""
+    p = _Parser(text, df, tables)
     out = p.expr()
     if p.peek() is not None:
         raise ValueError(f"trailing input: {p.toks[p.pos:]}")

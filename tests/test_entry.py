@@ -66,6 +66,7 @@ SUBSET = [
     "score_nodes",
     "ltr_rescore",
     "ltr_trees",
+    "valuesource_extended",
 ]
 
 

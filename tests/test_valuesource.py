@@ -8,11 +8,11 @@ import pytest
 from lucene_solr_spark.functions.valuesource import parse_function_query
 
 
-def _one(spark, expr_text, df=None, **cols):
-    import pyspark.sql.functions as F
-
+def _one(spark, expr_text, df=None, tables=None, **cols):
+    if not cols:
+        cols = {"_dummy": 1}
     d = spark.createDataFrame([tuple(cols.values())], list(cols.keys()))
-    col = parse_function_query(expr_text, d if df is None else df)
+    col = parse_function_query(expr_text, d if df is None else df, tables=tables)
     return d.select(col.alias("v")).collect()[0]["v"]
 
 
@@ -57,6 +57,87 @@ def test_scale_uses_global_minmax(spark):
     col = parse_function_query("scale(x, 0, 1)", d)
     vals = sorted(r["v"] for r in d.select(col.alias("v")).collect())
     assert vals == [0.0, 0.5, 1.0]
+
+
+def test_constants_and_booleans(spark):
+    assert _one(spark, "pi()") == pytest.approx(math.pi)
+    assert _one(spark, "e()") == pytest.approx(math.e)
+    assert _one(spark, "if(true, 1, 0)") == 1.0
+    assert _one(spark, "if(false(), 1, 0)") == 0.0
+    assert _one(spark, "and(gt(x, 1), lt(x, 5))", x=3) == True  # noqa: E712
+    assert _one(spark, "or(eq(x, 9), gte(x, 3))", x=3) == True  # noqa: E712
+    assert _one(spark, "xor(true, true)") == False  # noqa: E712
+    assert _one(spark, "if(lte(x, 3), 7, 8)", x=3) == 7.0
+
+
+def test_def_field_vector(spark):
+    d = spark.createDataFrame([(None,), (7,)], "x int")
+    col = parse_function_query("def(x, 42)")
+    got = sorted(r["v"] for r in d.select(col.alias("v")).collect())
+    assert got == [7, 42]
+    assert _one(spark, "field(x)", x=5) == 5
+    assert _one(spark, 'field(arr, "min")', arr=[3, 1, 9]) == 1
+    assert _one(spark, 'field(arr, "max")', arr=[3, 1, 9]) == 9
+    assert _one(spark, "vector(1, 2, x)", x=3) == [1.0, 2.0, 3.0]
+
+
+def test_hsin_matches_geodist(spark):
+    # hsin with Earth radius in km + degree conversion ≡ geodist
+    geod = _one(
+        spark, "geodist(lat, lon, 51.5074, -0.1278)", lat=40.7128, lon=-74.006
+    )
+    hs = _one(
+        spark,
+        "hsin(6371.0087714, true, lat, lon, 51.5074, -0.1278)",
+        lat=40.7128,
+        lon=-74.006,
+    )
+    assert hs == pytest.approx(geod, rel=1e-9)
+    # already-radians input with isDegrees=false
+    import math as m
+
+    hs2 = _one(
+        spark,
+        "hsin(1, false, a, b, c, d)",
+        a=0.0,
+        b=0.0,
+        c=0.0,
+        d=m.pi / 2,
+    )
+    assert hs2 == pytest.approx(m.pi / 2)
+
+
+def test_ms_single_and_double(spark):
+    got = _one(spark, "ms(a, b)", a="2020-01-01 00:00:10", b="2020-01-01 00:00:00")
+    assert got == 10000.0
+    got1 = _one(spark, "ms(a)", a="1970-01-01 00:00:01")
+    assert got1 == 1000.0
+
+
+def test_ord_rord(spark):
+    d = spark.createDataFrame([("b",), ("a",), ("c",), ("b",)], ["s"])
+    from lucene_solr_spark.functions.valuesource import parse_function_query as p
+
+    rows = d.select("s", p("ord(s)", d).alias("o"), p("rord(s)", d).alias("r")).collect()
+    got = {r["s"]: (r["o"], r["r"]) for r in rows}
+    # sorted dictionary a<b<c → ords 1,2,3; rord = 4 − ord
+    assert got == {"a": (1.0, 3.0), "b": (2.0, 2.0), "c": (3.0, 1.0)}
+
+
+def test_index_stats_functions(spark):
+    from lucene_solr_spark.index import build_tables
+
+    docs = spark.createDataFrame(
+        [(0, "spark fast spark"), (1, "slow spark"), (2, "other words")],
+        ["doc_id", "text"],
+    )
+    t = build_tables(docs, id_col="doc_id", text_col="text")
+    assert _one(spark, "maxdoc()", tables=t) == 3.0
+    assert _one(spark, "numdocs()", tables=t) == 3.0
+    assert _one(spark, 'totaltermfreq(text, "spark")', tables=t) == 3.0
+    assert _one(spark, 'totaltermfreq(text, "absent")', tables=t) == 0.0
+    # Σ ttf over all terms: spark×3 fast slow other words = 7
+    assert _one(spark, "sumtotaltermfreq(text)", tables=t) == 7.0
 
 
 def test_parse_errors(spark):
