@@ -489,6 +489,18 @@ def q_valuesource_extended(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+def q_local_params(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Local-params QParser dispatch (search/QParser.java getParser +
+    BoostQParserPlugin/TermQParserPlugin): {!boost b=func}{!term v=$ref}
+    with parameter dereference — BM25 term score × recip(n_chars)."""
+    from lucene_solr_spark.queries.local_params import SolrQueryDispatcher
+
+    s = _searcher(spark, sf_dir)
+    d = _table(spark, sf_dir, "documents")
+    disp = SolrQueryDispatcher(s, d, params={"qq": "spark"})
+    return _topk(disp.docs("{!boost b=recip(n_chars,1,1000,1000)}{!term v=$qq}"), 10)
+
+
 def _mf_searcher(spark: SparkSession, sf_dir: str):
     from lucene_solr_spark.index.builder import build_keyword_tables
     from lucene_solr_spark.queries.multifield import MultiFieldSearcher
@@ -1809,6 +1821,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ltr_rescore": q_ltr_rescore,
         "ltr_trees": q_ltr_trees,
         "valuesource_extended": q_valuesource_extended,
+        "local_params": q_local_params,
         # (all four above/below have full oracle replicas in
         # tests/test_entry.py meanwhile), then the round-1 green core
         # (already evidenced in CORRECTNESS_r01)
@@ -2260,6 +2273,17 @@ SELECT d.doc_id,
        ROUND(CAST(2 * pi() AS DOUBLE), 4) AS twopi
 FROM documents d JOIN dict USING (lang) CROSS JOIN nv
 ORDER BY d.doc_id
+"""
+
+    sqls["local_params"] = f"""
+WITH {_IDX},
+base AS ({_bm25_sql("spark")}),
+scored AS (
+  SELECT b.doc_id,
+         b.score * (1000.0 / (1.0 * d.n_chars + 1000.0)) AS score
+  FROM base b JOIN documents d USING (doc_id)
+)
+{_TOPK_TAIL.format(k=10)}
 """
 
     sqls["score_nodes"] = """

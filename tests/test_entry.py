@@ -67,6 +67,7 @@ SUBSET = [
     "ltr_rescore",
     "ltr_trees",
     "valuesource_extended",
+    "local_params",
 ]
 
 

@@ -1,0 +1,131 @@
+"""Local-params QParser dispatch ({!type k=v}q — solr search/QParser.java
+getParser + *QParserPlugin.java routing)."""
+
+import pytest
+
+from lucene_solr_spark.queries.local_params import (
+    BoostByFunctionQuery,
+    FunctionQuery,
+    FunctionRangeQuery,
+    SolrQueryDispatcher,
+    parse_local_params,
+)
+from lucene_solr_spark.queries.query import (
+    BooleanQuery,
+    ConstantScoreQuery,
+    Occur,
+    PrefixQuery,
+    TermQuery,
+)
+
+
+def test_parse_local_params_syntax():
+    t, kv, rest = parse_local_params('{!prefix f=name v=spa}')
+    assert t == "prefix" and kv == {"f": ["name"], "v": ["spa"]} and rest == ""
+    t, kv, rest = parse_local_params('{!term f=lang}en')
+    assert t == "term" and rest == "en"
+    t, kv, rest = parse_local_params('{!type=frange l=0 u=10}sum(x, 1)')
+    assert t == "frange" and kv["l"] == ["0"] and rest == "sum(x, 1)"
+    # quoted values keep spaces; repeated keys accumulate
+    t, kv, rest = parse_local_params('{!bool must="a b" must=c}')
+    assert kv["must"] == ["a b", "c"]
+    # no local params → lucene passthrough
+    t, kv, rest = parse_local_params("plain query")
+    assert t is None and rest == "plain query"
+
+
+def test_parse_dollar_refs():
+    t, kv, _ = parse_local_params("{!term v=$qq}", params={"qq": "spark"})
+    assert kv["v"] == ["spark"]
+    with pytest.raises(ValueError):
+        parse_local_params("{!term v=$missing}")
+
+
+def _dispatcher(searcher=None, doc_values=None, params=None):
+    return SolrQueryDispatcher(searcher, doc_values, params)
+
+
+def test_dispatch_builds_query_trees():
+    d = _dispatcher()
+    assert d.parse("{!term v=spark}") == TermQuery("spark")
+    assert d.parse("{!prefix}spa") == PrefixQuery("spa")
+    q = d.parse("{!terms}a,b,c")
+    assert isinstance(q, ConstantScoreQuery)
+    inner = q.query
+    assert isinstance(inner, BooleanQuery)
+    assert [c.query.term for c in inner.clauses] == ["a", "b", "c"]
+    assert all(c.occur == Occur.SHOULD for c in inner.clauses)
+    assert d.parse("{!func}recip(x, 1, 1000, 1000)") == FunctionQuery(
+        "recip(x, 1, 1000, 1000)"
+    )
+    fr = d.parse("{!frange l=5 u=9 incu=false}sum(x, 1)")
+    assert fr == FunctionRangeQuery("sum(x, 1)", 5.0, 9.0, True, False)
+    bq = d.parse('{!bool must="{!term v=spark}" should="{!prefix v=ha}" mm=0}')
+    assert isinstance(bq, BooleanQuery)
+    assert bq.clauses[0].occur == Occur.MUST
+    assert bq.clauses[0].query == TermQuery("spark")
+    assert bq.clauses[1].query == PrefixQuery("ha")
+    bb = d.parse("{!boost b=log(n_chars)}spark")
+    assert isinstance(bb, BoostByFunctionQuery)
+    assert bb.boost_text == "log(n_chars)"
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    from lucene_solr_spark.index import build_tables
+    from lucene_solr_spark.queries.searcher import IndexSearcher
+
+    docs = spark.createDataFrame(
+        [
+            (0, "spark index merge", 10),
+            (1, "spark spark query", 20),
+            (2, "hash join probe", 30),
+            (3, "merge sort spill", 40),
+        ],
+        ["doc_id", "text", "n_chars"],
+    )
+    t = build_tables(docs, id_col="doc_id", text_col="text")
+    s = IndexSearcher(t, scoring="exact")
+    return s, docs
+
+
+def test_exec_func_and_frange(spark, corpus):
+    s, docs = corpus
+    d = _dispatcher(s, docs)
+    got = {
+        r["doc_id"]: r["score"]
+        for r in d.docs("{!func}product(n_chars, 2)").collect()
+    }
+    assert got == {0: 20.0, 1: 40.0, 2: 60.0, 3: 80.0}
+    ids = sorted(
+        r["doc_id"] for r in d.docs("{!frange l=20 u=40 incu=false}field(n_chars)").collect()
+    )
+    assert ids == [1, 2]
+
+
+def test_exec_boost_and_term(spark, corpus):
+    s, docs = corpus
+    d = _dispatcher(s, docs)
+    base = {r["doc_id"]: r["score"] for r in d.docs("{!term v=spark}").collect()}
+    boosted = {
+        r["doc_id"]: r["score"]
+        for r in d.docs("{!boost b=n_chars}{!term v=spark}").collect()
+    }
+    assert set(base) == set(boosted) == {0, 1}
+    assert boosted[0] == pytest.approx(base[0] * 10)
+    assert boosted[1] == pytest.approx(base[1] * 20)
+
+
+def test_exec_terms_filter(spark, corpus):
+    s, docs = corpus
+    d = _dispatcher(s, docs)
+    ids = sorted(r["doc_id"] for r in d.docs("{!terms}hash,spill").collect())
+    assert ids == [2, 3]
+    # constant score semantics
+    scores = {r["score"] for r in d.docs("{!terms}hash,spill").collect()}
+    assert scores == {1.0}
+
+
+def test_unknown_parser_raises():
+    with pytest.raises(ValueError):
+        _dispatcher().parse("{!nosuch}x")
