@@ -501,6 +501,21 @@ def q_local_params(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _topk(disp.docs("{!boost b=recip(n_chars,1,1000,1000)}{!term v=$qq}"), 10)
 
 
+def q_core_analyzers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Core analyzer family (analysis/core/WhitespaceAnalyzer.java):
+    whitespace tokenization preserves case and applies no stop filter —
+    term stats differ from the Standard chain accordingly."""
+    from lucene_solr_spark.index import build_tables
+
+    d = _table(spark, sf_dir, "documents")
+    t = build_tables(d, id_col="doc_id", text_col="text", analyzer="whitespace")
+    return (
+        t.term_stats.select("term", "df", "ttf")
+        .orderBy(F.col("df").desc(), F.col("term").asc())
+        .limit(20)
+    )
+
+
 def _mf_searcher(spark: SparkSession, sf_dir: str):
     from lucene_solr_spark.index.builder import build_keyword_tables
     from lucene_solr_spark.queries.multifield import MultiFieldSearcher
@@ -1822,6 +1837,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ltr_trees": q_ltr_trees,
         "valuesource_extended": q_valuesource_extended,
         "local_params": q_local_params,
+        "core_analyzers": q_core_analyzers,
         # (all four above/below have full oracle replicas in
         # tests/test_entry.py meanwhile), then the round-1 green core
         # (already evidenced in CORRECTNESS_r01)
@@ -2284,6 +2300,20 @@ scored AS (
   FROM base b JOIN documents d USING (doc_id)
 )
 {_TOPK_TAIL.format(k=10)}
+"""
+
+    sqls["core_analyzers"] = """
+WITH toks AS (
+  SELECT doc_id, unnest(regexp_split_to_array(text, '\\s+')) AS term
+  FROM documents
+),
+p AS (
+  SELECT doc_id, term, count(*) AS tf FROM toks
+  WHERE term <> '' GROUP BY doc_id, term
+)
+SELECT term, count(*) AS df, sum(tf) AS ttf
+FROM p GROUP BY term
+ORDER BY df DESC, term ASC LIMIT 20
 """
 
     sqls["score_nodes"] = """

@@ -1,0 +1,143 @@
+"""The core analyzer family beyond Standard/English: Whitespace, Simple,
+Keyword, Stop, and CJK (bigram) analyzers in the flat-batch shape the
+invert kernels consume.
+
+Ref: lucene/analysis/common/src/java/org/apache/lucene/analysis/core/
+WhitespaceAnalyzer.java, SimpleAnalyzer.java, KeywordAnalyzer.java,
+StopAnalyzer.java and lucene/analysis/common/.../cjk/CJKAnalyzer.java +
+CJKBigramFilter.java.
+
+All analyzers return ``(doc_index, terms, positions)`` flat numpy arrays
+(the `analyze_batch_flat` contract) so they plug into
+``build_tables(analyzer=<callable>)`` unchanged.
+
+CJK position semantics implemented (CJKBigramFilter, default han+
+hiragana+katakana+hangul flags): StandardTokenizer emits each CJK
+codepoint as its own token at consecutive positions; the bigram filter
+merges adjacent pairs — bigram *j* of a run starting at position *p*
+sits at position ``p+j``; a lone CJK char between non-CJK tokens is
+emitted as a unigram (``outputUnigrams`` single-char case).  After a
+run of length L≥2 the next token continues at ``p+L-1`` (the last
+emitted bigram's position + 1), matching the filter's increment
+bookkeeping.
+"""
+
+from __future__ import annotations
+
+import re
+
+import numpy as np
+import pandas as pd
+
+from lucene_solr_spark.analysis.stopwords import ENGLISH_STOP_WORDS
+
+_WS = re.compile(r"\S+")
+_LETTERS = re.compile(r"[^\W\d_]+", re.UNICODE)
+# CJK ranges per CJKBigramFilter defaults: Han, Hiragana, Katakana, Hangul
+_CJK = (
+    "⺀-⻿々〇㐀-䶿一-鿿豈-﫿"
+    "぀-ゟ゠-ヿㇰ-ㇿ가-힯ᄀ-ᇿ"
+)
+_CJK_OR_WORD = re.compile(rf"([{_CJK}]+)|([0-9A-Za-z_À-ɏ]+)")
+
+
+def _flatten(tok_lists: list[list[str]], pos_lists: list[list[int]]):
+    counts = np.fromiter(
+        (len(l) for l in tok_lists), dtype=np.int64, count=len(tok_lists)
+    )
+    total = int(counts.sum())
+    flat = np.empty(total, dtype=object)
+    pos = np.empty(total, dtype=np.int64)
+    i = 0
+    for tl, pl in zip(tok_lists, pos_lists):
+        flat[i : i + len(tl)] = tl
+        pos[i : i + len(pl)] = pl
+        i += len(tl)
+    offsets = np.zeros(counts.size + 1, dtype=np.int64)
+    np.cumsum(counts, out=offsets[1:])
+    doc_idx = np.zeros(total, dtype=np.int64)
+    starts = offsets[1:-1][offsets[1:-1] < total]
+    np.add.at(doc_idx, starts, 1)
+    np.cumsum(doc_idx, out=doc_idx)
+    return doc_idx, flat, pos
+
+
+def whitespace_analyze_batch_flat(content: pd.Series):
+    """WhitespaceAnalyzer: split on whitespace, NO lowercase, no stop."""
+    toks = [_WS.findall(str(t)) for t in content.tolist()]
+    pos = [list(range(len(l))) for l in toks]
+    return _flatten(toks, pos)
+
+
+def simple_analyze_batch_flat(content: pd.Series):
+    """SimpleAnalyzer: LetterTokenizer (maximal letter runs) + lowercase."""
+    toks = [
+        [w.lower() for w in _LETTERS.findall(str(t))] for t in content.tolist()
+    ]
+    pos = [list(range(len(l))) for l in toks]
+    return _flatten(toks, pos)
+
+
+def keyword_analyze_batch_flat(content: pd.Series):
+    """KeywordAnalyzer: the whole input is ONE token (un-analyzed)."""
+    toks = [[str(t)] if str(t) else [] for t in content.tolist()]
+    pos = [[0] * len(l) for l in toks]
+    return _flatten(toks, pos)
+
+
+def stop_analyze_batch_flat(
+    content: pd.Series, stopwords: frozenset[str] = ENGLISH_STOP_WORDS
+):
+    """StopAnalyzer: LetterTokenizer + lowercase + stop (position gaps
+    preserved, FilteringTokenFilter.java:46-60)."""
+    tok_lists: list[list[str]] = []
+    pos_lists: list[list[int]] = []
+    for t in content.tolist():
+        words = [w.lower() for w in _LETTERS.findall(str(t))]
+        kept = [(w, p) for p, w in enumerate(words) if w not in stopwords]
+        tok_lists.append([w for w, _ in kept])
+        pos_lists.append([p for _, p in kept])
+    return _flatten(tok_lists, pos_lists)
+
+
+def _cjk_doc(text: str) -> tuple[list[str], list[int]]:
+    terms: list[str] = []
+    positions: list[int] = []
+    p = 0
+    for m in _CJK_OR_WORD.finditer(text):
+        run = m.group(1)
+        if run is None:
+            terms.append(m.group(2).lower())
+            positions.append(p)
+            p += 1
+        elif len(run) == 1:
+            terms.append(run)
+            positions.append(p)
+            p += 1
+        else:
+            for j in range(len(run) - 1):
+                terms.append(run[j : j + 2])
+                positions.append(p + j)
+            p += len(run) - 1
+    return terms, positions
+
+
+def cjk_analyze_batch_flat(content: pd.Series):
+    """CJKAnalyzer: CJK runs → overlapping bigrams, Latin → lowercase
+    words (CJKBigramFilter semantics documented in the module docstring)."""
+    tok_lists: list[list[str]] = []
+    pos_lists: list[list[int]] = []
+    for t in content.tolist():
+        terms, pos = _cjk_doc(str(t))
+        tok_lists.append(terms)
+        pos_lists.append(pos)
+    return _flatten(tok_lists, pos_lists)
+
+
+NAMED_ANALYZERS = {
+    "whitespace": whitespace_analyze_batch_flat,
+    "simple": simple_analyze_batch_flat,
+    "keyword": keyword_analyze_batch_flat,
+    "stop": stop_analyze_batch_flat,
+    "cjk": cjk_analyze_batch_flat,
+}

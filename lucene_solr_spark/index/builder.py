@@ -50,13 +50,21 @@ def invert(
 
     One vectorized pass; output is pre-aggregated per (doc, term).
     ``analyzer``: "standard" (StandardAnalyzer chain), "english"
-    (EnglishAnalyzer: + possessive strip + Porter stem), or any
+    (EnglishAnalyzer: + possessive strip + Porter stem), one of the
+    core-family names in ``analysis.more_analyzers.NAMED_ANALYZERS``
+    ("whitespace", "simple", "keyword", "stop", "cjk"), or any
     picklable callable with the ``analyze_batch_flat`` signature
     (pd.Series[str] → flat (doc_idx, terms, positions)) — the hook
     for synonym/shingle chains (analysis/synonyms.py), mirroring
     Solr's per-field analyzer config (schema fieldType analyzers).
     """
-    if not callable(analyzer) and analyzer not in ("standard", "english"):
+    from lucene_solr_spark.analysis.more_analyzers import NAMED_ANALYZERS
+
+    if (
+        not callable(analyzer)
+        and analyzer not in ("standard", "english")
+        and analyzer not in NAMED_ANALYZERS
+    ):
         raise ValueError(f"unknown analyzer {analyzer!r}")
     src = df.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("content"))
 
@@ -70,10 +78,14 @@ def invert(
 
         from lucene_solr_spark.analysis.analyzer import english_analyze_batch_flat
 
+        from lucene_solr_spark.analysis.more_analyzers import NAMED_ANALYZERS
+
         if callable(analyzer):
             analyze = analyzer
         elif analyzer == "english":
             analyze = english_analyze_batch_flat
+        elif analyzer in NAMED_ANALYZERS:
+            analyze = NAMED_ANALYZERS[analyzer]
         else:
             analyze = analyze_batch_flat
         arrow_schema = pa.schema(

@@ -68,6 +68,7 @@ SUBSET = [
     "ltr_trees",
     "valuesource_extended",
     "local_params",
+    "core_analyzers",
 ]
 
 
