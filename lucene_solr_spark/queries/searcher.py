@@ -599,6 +599,29 @@ class IndexSearcher:
             union = reduce(
                 DataFrame.unionByName, (self._exec(s, boost) for s in shoulds)
             )
+            should_cost = sum(self._cost(s) for s in shoulds)
+            if (
+                required is not None
+                and bcast
+                and should_cost > BROADCAST_DOC_LIMIT
+            ):
+                # SHOULD clauses only contribute to docs that already
+                # pass the required conjunction (BooleanWeight: optional
+                # scorers are advanced to the required doc) — so prune
+                # the union to the required doc-set BEFORE the groupBy.
+                # The required side is bounded by the LEAD clause's df;
+                # when that is broadcastable AND the should postings are
+                # big enough that their shuffle dominates, this turns
+                # the shuffle of every hot SHOULD term's postings into a
+                # broadcast semi-join probe.  At 10^12 docs this is the
+                # difference between shuffling a stopword's posting list
+                # and probing it with a rare term's doc set.  Below the
+                # threshold the extra broadcast job costs more than the
+                # tiny shuffle it saves (cost-based, like BooleanWeight
+                # picking scorer strategies by cost()).
+                union = union.join(
+                    F.broadcast(required.select("doc_id")), "doc_id", "left_semi"
+                )
             should_agg = union.groupBy("doc_id").agg(
                 self._sum_scores(F.col("score")).alias("_should"),
                 F.count("*").alias("_cnt"),
