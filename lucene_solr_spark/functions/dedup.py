@@ -103,6 +103,13 @@ def ngram_jaccard_pairs(
     hot = sh.groupBy("s").agg(F.count("*").alias("sdf")).filter(
         F.col("sdf") > max_shingle_df
     )
+    # NB on the self-join's physical shape: locally Catalyst broadcasts
+    # the small shingle frame and runs the pair stage with the input's
+    # parallelism; at scale the frame's stats exceed the broadcast
+    # threshold and the join plans as a shuffle join on s (partitioned,
+    # skew-bounded by the max_shingle_df cap).  Forcing a repartition
+    # on s here measured 30% SLOWER locally (sort-merge string sort
+    # dominates) and adds a redundant exchange at scale.
     sh_cold = sh.join(F.broadcast(hot.select("s")), "s", "left_anti")
     a = sh_cold.alias("a")
     b = sh_cold.alias("b")
