@@ -101,6 +101,176 @@ def encode_posting_blocks(
     return out
 
 
+def encode_segment_blocks(
+    p_docs: np.ndarray,
+    tfs: np.ndarray,
+    positions: np.ndarray,
+    t_starts: np.ndarray,
+    t_ends: np.ndarray,
+) -> dict[str, np.ndarray]:
+    """Batched, byte-identical equivalent of calling
+    :func:`encode_posting_blocks` once per term over a whole segment.
+
+    Inputs are the segment's flat (term, doc)-sorted run arrays —
+    ``p_docs``/``tfs`` one entry per (term, doc) run, ``positions`` the
+    concatenation of every run's in-doc positions, ``t_starts``/
+    ``t_ends`` the per-term run spans.  Returns columnar arrays
+    (``term_index`` maps each block back to its term) in (term,
+    block_id) order.
+
+    Why: the per-term encoder pays ~30 numpy-call fixed overheads per
+    term, and real vocabularies are dominated by df<10 terms — profiled
+    at 8.3 s of a 15.9 s 30k-doc segment flush.  Here every stream is
+    encoded ONCE for the whole segment and sliced per block:
+
+    - full 128-blocks are gathered into (n, 128) matrices and bit-packed
+      per FOR width group (≤64 ``packbits`` calls per segment instead of
+      two per block; 128·w bits is always byte-aligned, so row-wise
+      packing equals per-block packing byte-for-byte);
+    - ALL_VALUES_EQUAL blocks (the all-tfs-equal fast path of
+      ForUtil.java:40-46 — common for tf=1 terms) slice one shared
+      VByte stream of their representative values;
+    - VByte tails and the positions stream are single whole-segment
+      encodes sliced by cumulative byte lengths (the whole-term trick
+      of the positions stream, applied segment-wide).
+    """
+    p_docs = np.asarray(p_docs, dtype=np.int64)
+    tfs64 = np.asarray(tfs, dtype=np.uint64)
+    t_starts = np.asarray(t_starts, dtype=np.int64)
+    t_ends = np.asarray(t_ends, dtype=np.int64)
+    nruns = p_docs.size
+    nterms = t_starts.size
+    lens = t_ends - t_starts
+    nblocks = (lens + BLOCK_SIZE - 1) // BLOCK_SIZE
+    total = int(nblocks.sum())
+    first_block = np.zeros(nterms, dtype=np.int64)
+    np.cumsum(nblocks[:-1], out=first_block[1:])
+    block_term = np.repeat(np.arange(nterms, dtype=np.int64), nblocks)
+    block_j = np.arange(total, dtype=np.int64) - first_block[block_term]
+    bstart = t_starts[block_term] + BLOCK_SIZE * block_j
+    bend = np.minimum(bstart + BLOCK_SIZE, t_ends[block_term])
+    size = bend - bstart
+
+    # doc gaps, flat: every block's first gap is 0 (diff prepend base)
+    gaps = np.zeros(nruns, dtype=np.int64)
+    if nruns > 1:
+        gaps[1:] = p_docs[1:] - p_docs[:-1]
+    gaps[bstart] = 0
+    gaps_u = gaps.astype(np.uint64)
+
+    base = p_docs[bstart]
+    max_docid = p_docs[bend - 1]
+    max_tf = np.maximum.reduceat(tfs64, bstart)
+    sum_tf = np.add.reduceat(tfs64, bstart)
+
+    docs_bin = np.empty(total, dtype=object)
+    tfs_bin = np.empty(total, dtype=object)
+    pos_bin = np.empty(total, dtype=object)
+
+    full = size == BLOCK_SIZE
+    full_idx = np.flatnonzero(full)
+    _SIZE_VB = vbyte_encode(np.array([BLOCK_SIZE], dtype=np.uint64))
+
+    if full_idx.size:
+        cols = np.arange(BLOCK_SIZE, dtype=np.int64)
+        for src, dest in ((gaps_u, docs_bin), (tfs64, tfs_bin)):
+            mat = src[bstart[full_idx][:, None] + cols[None, :]]
+            mx = mat.max(axis=1)
+            mn = mat.min(axis=1)
+            eq = mx == mn
+            # ALL_VALUES_EQUAL rows: [0][vbyte(v)][vbyte(128)]
+            if eq.any():
+                reps = mat[eq, 0]
+                vb = vbyte_encode(reps)
+                off = np.zeros(reps.size + 1, dtype=np.int64)
+                np.cumsum(vbyte_lengths(reps), out=off[1:])
+                for k, bi in enumerate(full_idx[eq]):
+                    dest[bi] = b"\x00" + vb[off[k] : off[k + 1]] + _SIZE_VB
+            # width-packed rows, grouped by width so each group is one
+            # packbits over a (k, 128·w) bit matrix
+            neq = ~eq
+            if neq.any():
+                sub_idx = full_idx[neq]
+                sub = mat[neq]
+                # exact for v < 2^53: doubles hold these ints exactly
+                widths = np.ceil(np.log2(sub.max(axis=1) + 1.0)).astype(np.int64)
+                for w in np.unique(widths):
+                    wsel = widths == w
+                    rows = sub[wsel]
+                    shifts = np.arange(w - 1, -1, -1, dtype=np.uint64)
+                    bits = (
+                        (rows[:, :, None] >> shifts[None, None, :])
+                        & np.uint64(1)
+                    ).astype(np.uint8)
+                    packed = np.packbits(bits.reshape(rows.shape[0], -1), axis=1)
+                    head = bytes([int(w)]) + _SIZE_VB
+                    for k, bi in enumerate(sub_idx[wsel]):
+                        dest[bi] = head + packed[k].tobytes()
+
+    # ---- VByte tails: one interleaved stream for all tail blocks ----
+    tail_idx = np.flatnonzero(~full)
+    if tail_idx.size:
+        tail_run = np.zeros(nruns, dtype=bool)
+        for bi in tail_idx:  # tails are few: ≤1 per term
+            tail_run[bstart[bi] : bend[bi]] = True
+        tg = gaps_u[tail_run]
+        tf_t = tfs64[tail_run]
+        one = tf_t == np.uint64(1)
+        parts = np.zeros(2 * tg.size, dtype=np.uint64)
+        parts[0::2] = np.where(
+            one, (tg << np.uint64(1)) | np.uint64(1), tg << np.uint64(1)
+        )
+        parts[1::2] = np.where(one, np.uint64(0), tf_t)
+        keep = np.ones(2 * tg.size, dtype=bool)
+        keep[1::2] = ~one
+        kept = parts[keep]
+        vb = vbyte_encode(kept)
+        voff = np.zeros(kept.size + 1, dtype=np.int64)
+        np.cumsum(vbyte_lengths(kept), out=voff[1:])
+        # kept-value index at each tail run boundary
+        vals_per_run = np.where(one, 1, 2).astype(np.int64)
+        run_voff = np.zeros(tg.size + 1, dtype=np.int64)
+        np.cumsum(vals_per_run, out=run_voff[1:])
+        # global run index → tail-flat index
+        g2t = np.cumsum(tail_run) - 1
+        for bi in tail_idx:
+            lo = run_voff[g2t[bstart[bi]]]
+            hi = run_voff[g2t[bend[bi] - 1] + 1]
+            docs_bin[bi] = vb[voff[lo] : voff[hi]]
+            tfs_bin[bi] = None
+
+    # ---- positions: one whole-segment delta+VByte stream ------------
+    positions = np.asarray(positions, dtype=np.uint64)
+    pos_offsets = np.zeros(nruns + 1, dtype=np.int64)
+    np.cumsum(tfs64.astype(np.int64), out=pos_offsets[1:])
+    if positions.size:
+        deltas = np.diff(positions, prepend=np.uint64(0))
+        run_starts = pos_offsets[:-1]
+        deltas[run_starts] = positions[run_starts]
+        pos_bytes = vbyte_encode(deltas)
+        byte_off = np.zeros(deltas.size + 1, dtype=np.int64)
+        np.cumsum(vbyte_lengths(deltas), out=byte_off[1:])
+        for bi in range(total):
+            lo = pos_offsets[bstart[bi]]
+            hi = pos_offsets[bend[bi]]
+            pos_bin[bi] = pos_bytes[byte_off[lo] : byte_off[hi]] if hi > lo else b""
+    else:
+        pos_bin[:] = b""
+
+    return {
+        "term_index": block_term,
+        "block_id": block_j,
+        "base_docid": base,
+        "count": size,
+        "max_docid": max_docid,
+        "max_tf": max_tf.astype(np.int64),
+        "sum_tf": sum_tf.astype(np.int64),
+        "docs_bin": docs_bin,
+        "tfs_bin": tfs_bin,
+        "pos_bin": pos_bin,
+    }
+
+
 def decode_block_positions(
     tfs: np.ndarray, pos_bin: bytes
 ) -> list[np.ndarray]:

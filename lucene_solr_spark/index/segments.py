@@ -45,7 +45,10 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from lucene_solr_spark.analysis import analyze_batch_flat
-from lucene_solr_spark.codecs.postings import encode_posting_blocks
+from lucene_solr_spark.codecs.postings import (
+    encode_posting_blocks,
+    encode_segment_blocks,
+)
 from lucene_solr_spark.scoring.bm25 import encode_norm
 
 # unified kernel output: posting-block rows (kind=0) + norm rows (kind=1)
@@ -131,24 +134,17 @@ def _encode_segment(pdf: pd.DataFrame) -> pd.DataFrame:
     b_t[1:] = p_ranks[1:] != p_ranks[:-1]
     t_starts = np.flatnonzero(b_t)
     t_ends = np.append(t_starts[1:], p_ranks.size)
-    pos_offsets = np.zeros(p_docs.size + 1, dtype=np.int64)
-    np.cumsum(tfs, out=pos_offsets[1:])
 
-    rows: list[dict] = []
-    for ts, te in zip(t_starts, t_ends):
-        term = sorted_vocab[p_ranks[ts]]
-        blocks = encode_posting_blocks(
-            p_docs[ts:te],
-            tfs[ts:te],
-            positions[pos_offsets[ts] : pos_offsets[te]],
-        )
-        for rec in blocks:
-            rec["kind"] = 0
-            rec["segment"] = seg
-            rec["term"] = term
-            rows.append(rec)
-
-    post_df = pd.DataFrame(rows)
+    # Whole-segment batched encode (byte-identical to per-term
+    # encode_posting_blocks; see encode_segment_blocks — the per-term
+    # call paid ~30 numpy fixed overheads per term, 8.3 s of a 15.9 s
+    # 30k-doc flush under cProfile, on a vocabulary dominated by df<10)
+    enc = encode_segment_blocks(p_docs, tfs, positions, t_starts, t_ends)
+    term_of_block = sorted_vocab[p_ranks[t_starts[enc.pop("term_index")]]]
+    post_df = pd.DataFrame(enc)
+    post_df["kind"] = 0
+    post_df["segment"] = seg
+    post_df["term"] = term_of_block
     # per-doc norms (byte315-quantized, BM25Similarity.java:103-111)
     uniq_docs, doc_lens = np.unique(doc_ids, return_counts=True)
     norm_df = pd.DataFrame(

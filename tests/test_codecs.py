@@ -84,3 +84,69 @@ def test_posting_blocks_freq_one_interleave():
         blocks[0]["base_docid"], 3, blocks[0]["docs_bin"], None
     )
     assert (d == docs).all() and (t == tfs).all()
+
+
+def test_segment_blocks_byte_identical_to_per_term():
+    # encode_segment_blocks must be byte-for-byte the per-term encoder,
+    # across tf=1-only terms (interleave), all-equal FOR blocks, multi-
+    # block terms, and singleton terms.
+    from lucene_solr_spark.codecs import encode_segment_blocks
+
+    rng = np.random.default_rng(23)
+    for trial in range(20):
+        nterms = int(rng.integers(1, 40))
+        p_docs, tfs, pos, starts, ends = [], [], [], [], []
+        cur = 0
+        for _ in range(nterms):
+            n = int(rng.choice([1, 2, 5, 127, 128, 129, 300]))
+            docs = np.sort(
+                rng.choice(4 * n + 8, n, replace=False)
+            ).astype(np.int64)
+            kind = int(rng.integers(0, 3))
+            if kind == 0:
+                f = np.ones(n, dtype=np.int64)  # all-equal FOR / interleave
+            elif kind == 1:
+                f = np.full(n, int(rng.integers(1, 9)), dtype=np.int64)
+            else:
+                f = rng.integers(1, 20, n).astype(np.int64)
+            for fi in f:
+                pv = np.sort(rng.choice(1000, int(fi), replace=False))
+                pos.append(pv.astype(np.int64))
+            p_docs.append(docs)
+            tfs.append(f)
+            starts.append(cur)
+            cur += n
+            ends.append(cur)
+        p_docs = np.concatenate(p_docs)
+        tfs_all = np.concatenate(tfs)
+        pos_all = np.concatenate(pos) if pos else np.zeros(0, np.int64)
+        enc = encode_segment_blocks(
+            p_docs,
+            tfs_all,
+            pos_all,
+            np.array(starts, dtype=np.int64),
+            np.array(ends, dtype=np.int64),
+        )
+        pos_off = np.zeros(tfs_all.size + 1, dtype=np.int64)
+        np.cumsum(tfs_all, out=pos_off[1:])
+        bi = 0
+        for t, (s, e) in enumerate(zip(starts, ends)):
+            ref = encode_posting_blocks(
+                p_docs[s:e], tfs_all[s:e], pos_all[pos_off[s] : pos_off[e]]
+            )
+            for j, rec in enumerate(ref):
+                assert enc["term_index"][bi] == t
+                assert enc["block_id"][bi] == j
+                assert enc["base_docid"][bi] == rec["base_docid"]
+                assert enc["count"][bi] == rec["count"]
+                assert enc["max_docid"][bi] == rec["max_docid"]
+                assert enc["max_tf"][bi] == rec["max_tf"]
+                assert enc["sum_tf"][bi] == rec["sum_tf"]
+                assert bytes(enc["docs_bin"][bi]) == bytes(rec["docs_bin"])
+                if rec["tfs_bin"] is None:
+                    assert enc["tfs_bin"][bi] is None
+                else:
+                    assert bytes(enc["tfs_bin"][bi]) == bytes(rec["tfs_bin"])
+                assert bytes(enc["pos_bin"][bi]) == bytes(rec["pos_bin"])
+                bi += 1
+        assert bi == len(enc["block_id"])
