@@ -136,21 +136,31 @@ class SegmentSearcher(IndexSearcher):
             key = hash(tuple(sorted(terms)))
             decoded = self._exp.get(key)
             if decoded is None:
-                decoded = self._decode(
-                    self._enc.filter(F.col("term").isin(terms))
-                ).persist()
+                # norms are joined BEFORE the persist: the cached frame
+                # carries (norm_byte, length) so a warm query runs zero
+                # doc_id joins for its postings (the per-segment reader
+                # of the reference holds .nvd alongside .doc the same
+                # way); the join itself stays a distributed doc_id join
+                # (norms never broadcast at 10^12 docs)
+                decoded = (
+                    self._decode(self._enc.filter(F.col("term").isin(terms)))
+                    .join(self._norms, "doc_id")
+                    .persist()
+                )
                 self._exp[key] = decoded
-            return decoded.join(self._norms, "doc_id")
+            return decoded
         parts = []
         for t in terms:
             df = self._dec.get(t)
             if df is None:
-                df = self._decode(
-                    self._enc.filter(F.col("term") == t)
-                ).persist()
+                df = (
+                    self._decode(self._enc.filter(F.col("term") == t))
+                    .join(self._norms, "doc_id")
+                    .persist()
+                )
                 self._dec[t] = df
             parts.append(df)
         out = parts[0]
         for p in parts[1:]:
             out = out.unionByName(p)
-        return out.join(self._norms, "doc_id")
+        return out
