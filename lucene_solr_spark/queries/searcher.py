@@ -37,6 +37,7 @@ tie-break (HitQueue.java:76-81).
 from __future__ import annotations
 
 import math
+from collections import OrderedDict
 from functools import reduce
 
 import numpy as np
@@ -82,6 +83,16 @@ MAX_EXPANSION_TERMS = 1024  # ref: BooleanQuery.java:43
 # (≈ a few hundred MB of (doc_id, score) rows worst-case — well inside
 # executor memory; above it, shuffle joins with AQE take over).
 BROADCAST_DOC_LIMIT = 2_000_000
+
+# Solr's two searcher-lifetime caches (SolrIndexSearcher.java:119-120;
+# default sizes from solr/server/solr/configsets/basic_configs/conf/
+# solrconfig.xml:443-459 — filterCache size=512, queryResultCache
+# size=512, queryResultWindowSize=20).  Both are per-searcher, dropped
+# with the searcher exactly like the reference (a new searcher over
+# changed liveDocs starts cold).
+QUERY_RESULT_CACHE_SIZE = 512
+QUERY_RESULT_WINDOW = 20  # solrconfig.xml:549
+FILTER_CACHE_SIZE = 512
 
 
 class IndexSearcher:
@@ -149,6 +160,14 @@ class IndexSearcher:
             else 1.0
         )
         self._stats_cache: dict[str, tuple[int, int]] = {}
+        # queryResultCache: (query repr, rounded window) → top rows; the
+        # DocList analog (ordered ids+scores, materialized — Solr caches
+        # the collected DocSlice, not a plan)
+        self._qr_cache: OrderedDict[tuple, list] = OrderedDict()
+        # filterCache: filter-query repr → persisted doc_id set (the
+        # DocSet bitset analog; at 10^12 docs a persisted doc-set frame
+        # spills where Solr's bitset would OOM)
+        self._filter_cache: OrderedDict[str, DataFrame] = OrderedDict()
 
     # ------------------------------------------------------------ stats
     def term_statistics(self, terms: list[str]) -> dict[str, tuple[int, int]]:
@@ -167,11 +186,74 @@ class IndexSearcher:
         return {t: self._stats_cache[t] for t in terms}
 
     # ------------------------------------------------------------ public
-    def search(self, query: Query | str, k: int = 10) -> DataFrame:
+    def search(self, query: Query | str, k: int = 10, use_cache: bool = True) -> DataFrame:
         """Top-k (doc_id, score), tie-break score DESC then doc_id ASC
-        (HitQueue.java:76-81)."""
-        df = self.docs(query)
-        return df.orderBy(F.col("score").desc(), F.col("doc_id").asc()).limit(k)
+        (HitQueue.java:76-81).
+
+        Results go through the queryResultCache (SolrIndexSearcher.
+        getDocListC consults queryResultCache before executing,
+        SolrIndexSearcher.java:1299,1353-1356): the request is rounded
+        up to the next queryResultWindowSize multiple, the collected
+        (doc_id, score) window is cached LRU keyed by the rewritten
+        query, and a repeat — or a smaller k of the same query — is
+        served without touching the index.  ``use_cache=False`` bypasses
+        both lookup and insert (the NO_CHECK_QCACHE flag)."""
+        if isinstance(query, str):
+            from lucene_solr_spark.queries.parser import parse_query
+
+            query = parse_query(query)
+        q = rewrite(query)
+        if not use_cache:
+            return (
+                self._exec(q, boost=1.0)
+                .orderBy(F.col("score").desc(), F.col("doc_id").asc())
+                .limit(k)
+            )
+        window = (
+            QUERY_RESULT_WINDOW
+            if k < QUERY_RESULT_WINDOW
+            else ((k - 1) // QUERY_RESULT_WINDOW + 1) * QUERY_RESULT_WINDOW
+        )
+        key = (repr(q), window)
+        entry = self._qr_cache.get(key)
+        if entry is None:
+            rows = (
+                self._exec(q, boost=1.0)
+                .orderBy(F.col("score").desc(), F.col("doc_id").asc())
+                .limit(window)
+                .collect()
+            )
+            entry = (rows, {})
+            self._qr_cache[key] = entry
+            if len(self._qr_cache) > QUERY_RESULT_CACHE_SIZE:
+                self._qr_cache.popitem(last=False)
+        else:
+            self._qr_cache.move_to_end(key)
+        rows, dfs = entry
+        df = dfs.get(k)
+        if df is None:
+            df = self._local_result(rows[:k])
+            dfs[k] = df
+        return df
+
+    def _local_result(self, rows: list) -> DataFrame:
+        """(doc_id, score) rows → a LocalRelation DataFrame.  VALUES
+        compiles to LocalTableScan, whose collect() is served driver-
+        side with no tasks — a cache hit costs no Spark job (the DocList
+        in Solr is likewise a plain in-memory slice).  Score literals
+        round-trip exactly: each value is already a float32/double, and
+        the shortest repr re-parses to the identical value."""
+        spark = self.tables.postings.sparkSession
+        typ = "FLOAT" if self._f32 else "DOUBLE"
+        if not rows:
+            return spark.createDataFrame(
+                [], f"doc_id long, score {'float' if self._f32 else 'double'}"
+            )
+        vals = ", ".join(
+            f"({int(r['doc_id'])}L, CAST({float(r['score'])!r} AS {typ}))"
+            for r in rows
+        )
+        return spark.sql(f"SELECT * FROM VALUES {vals} AS t(doc_id, score)")
 
     def search_after(
         self, query: Query | str, after_score: float, after_doc: int, k: int = 10
@@ -571,7 +653,7 @@ class IndexSearcher:
             for p in parts[1:]:
                 base = _conj(base, p, "inner")
             for f_ in unscored:
-                fdf = self._match(f_)
+                fdf = self._filter_docset(f_)
                 if base is None:
                     base = fdf
                 else:
@@ -950,6 +1032,25 @@ class IndexSearcher:
             .collect()
         )
         return [r["term"] for r in rows]
+
+    def _filter_docset(self, q: Query) -> DataFrame:
+        """Cached non-scoring DocSet for a FILTER clause — the
+        filterCache (SolrIndexSearcher.java:119, getDocSet:783-801;
+        fq clauses hit this cache across queries).  The cached entry is
+        a persisted doc_id frame (the DocSet bitset analog — persist
+        spills to disk where a 10^12-doc bitset could not sit in RAM);
+        LRU-bounded with unpersist on eviction."""
+        key = repr(q)
+        df = self._filter_cache.get(key)
+        if df is None:
+            df = self._match(q).persist()
+            self._filter_cache[key] = df
+            if len(self._filter_cache) > FILTER_CACHE_SIZE:
+                _, old = self._filter_cache.popitem(last=False)
+                old.unpersist()
+        else:
+            self._filter_cache.move_to_end(key)
+        return df
 
     def _match(self, q: Query) -> DataFrame:
         """Non-scoring doc-set execution → DataFrame(doc_id)."""
