@@ -17,59 +17,14 @@ sys.path.insert(0, str(Path(__file__).parent.parent))
 import __spark_entry__ as entrymod  # noqa: E402
 
 SF_DIR = "/root/testdata/sf0.001"
-SUBSET = [
-    "term_query",
-    "boolean_must",
-    "phrase_query",
-    "min_should_match",
-    "dismax",
-    "facet_terms",
-    "rollup_stream",
-    "exact_dedup",
-    "token_counts",
-    "field_query",
-    # round-1 late additions (spans / classic / deletes / suggest / rerank)
-    "span_near_ordered",
-    "span_not",
-    "span_first",
-    "span_or",
-    "classic_tfidf",
-    "delete_by_query",
-    "suggest_prefix",
-    "rerank_query",
-    "reducer_stream",
-    "function_termfreq",
-    "query_facet",
-    "grouping_topn",
-    "terms_component",
-    "block_join",
-    # round-2 additions
-    "facet_metrics",
-    "stats_component",
-    "synonym_analysis",
-    "shingle_analysis",
-    "facet_hll",
-    "edismax",
-    "suggest_analyzing",
-    "suggest_infix",
-    "suggest_fuzzy",
-    "function_valuesource",
-    "payload_score",
-    "offsets_highlight",
-    "term_vector",
-    "suggest_freetext",
-    "gather_nodes",
-    "features_selection",
-    "text_logit",
-    "stream_evaluators",
-    "classify",
-    "score_nodes",
-    "ltr_rescore",
-    "ltr_trees",
-    "valuesource_extended",
-    "local_params",
-    "core_analyzers",
-]
+# EVERY registry entry that publishes an oracle is replicated in-suite
+# (registry order preserved), so entries past the driver's ~50-entry gate
+# window still carry full oracle evidence.  Entries without an oracle
+# (engine-specific / non-SQL-expressible, e.g. float32 lucene-mode
+# scoring, MinHash/SimHash/ANN, segment_merge) are covered by their own
+# dedicated test modules instead.
+_ORACLES = entrymod.oracle_sql()
+SUBSET = [k for k in entrymod.queries() if k in _ORACLES]
 
 
 @pytest.fixture(scope="module")
