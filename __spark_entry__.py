@@ -328,12 +328,18 @@ def _mktempdir(prefix: str) -> str:
 
 
 def q_wand_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Block-max WAND top-k over the block-encoded segmented index —
-    float32 lucene mode, rank-identity proven by tests/test_wand.py
-    equivalence vs exhaustive ⇒ rows-only check here."""
+    """Block-max WAND top-k over the block-encoded segmented index, run in
+    exact-double scoring mode so the result is hash-comparable against the
+    DuckDB BM25-disjunction oracle (float32 lucene-mode rank-identity is
+    separately pinned by tests/test_wand.py).  WAND fetches a 4k buffer by
+    UNROUNDED score, then the gate re-ranks by the 4-decimal ROUNDED score
+    with the HitQueue tie-break — the same ordering the oracle uses."""
     from lucene_solr_spark.queries.wand import wand_topk
 
-    return wand_topk(_segidx(spark, sf_dir), ["spark", "window", "vector"], k=10)
+    raw = wand_topk(
+        _segidx(spark, sf_dir), ["spark", "window", "vector"], k=40, exact=True
+    )
+    return _topk(raw, 10)
 
 
 def q_segment_term_query(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1911,6 +1917,25 @@ SELECT doc_id, ROUND(score, 4) AS score FROM scored
 """
 
     sqls["segment_term_query"] = sqls["term_query"]
+
+    # block-max WAND in exact-double mode IS plain BM25-disjunction top-k:
+    # early termination must not change the answer, so the oracle is the
+    # exhaustive SUM-over-terms ranking.
+    sqls["wand_topk"] = f"""
+WITH {_IDX},
+per AS (
+  SELECT p.doc_id,
+         ln(1 + (c.n - t.df + 0.5) / (t.df + 0.5)) * 2.2 * p.tf
+           / (p.tf + 1.2 * (0.25 + 0.75 * nm.length / (c.sttf / c.n))) AS s
+  FROM postings p
+  JOIN tstats t USING (term)
+  JOIN norms nm USING (doc_id)
+  CROSS JOIN cstats c
+  WHERE p.term IN ('spark', 'window', 'vector')
+),
+scored AS (SELECT doc_id, SUM(s) AS score FROM per GROUP BY doc_id)
+{_TOPK_TAIL.format(k=10)}
+"""
 
     sqls["term_query_count"] = f"""
 WITH {_IDX}

@@ -49,14 +49,23 @@ from lucene_solr_spark.scoring.bm25 import BM25, idf as idf32
 def _segment_wand(
     pdf: pd.DataFrame,
     term_weights: dict[str, float],
-    cache: np.ndarray,
+    cache: np.ndarray | None,
     k: int,
     k1: float,
     b: float,
+    avgdl: float = 1.0,
 ) -> pd.DataFrame:
-    """WAND over one segment's block rows + norm rows → local top-k."""
+    """WAND over one segment's block rows + norm rows → local top-k.
+
+    ``cache`` is the 256-entry byte315 norm cache (float32 lucene mode);
+    ``cache=None`` switches to EXACT double scoring where the norm column
+    carries the raw field length and the freq-independent denominator is
+    computed directly as k1·((1−b) + b·dl/avgdl) — same bound logic, no
+    quantization.
+    """
     from lucene_solr_spark.codecs.postings import decode_posting_block
 
+    exact = cache is None
     norms = pdf[pdf["kind"] == 1]
     norm_docs = norms["doc_id"].to_numpy(np.int64)
     norm_order = np.argsort(norm_docs, kind="stable")
@@ -69,7 +78,10 @@ def _segment_wand(
         g = pdf[(pdf["kind"] == 0) & (pdf["term"] == term)]
         if g.empty:
             continue
-        wv = np.float32(np.float32(term_weights[term]) * np.float32(k1 + 1))
+        if exact:
+            wv = np.float64(term_weights[term]) * np.float64(k1 + 1)
+        else:
+            wv = np.float32(np.float32(term_weights[term]) * np.float32(k1 + 1))
         g = g.sort_values("base_docid")
         for base, cnt, mx, mtf, db, tb in zip(
             g["base_docid"], g["count"], g["max_docid"], g["max_tf"],
@@ -90,9 +102,10 @@ def _segment_wand(
                     "decoded": None,
                 }
             )
+    score_dtype = "float64" if exact else "float32"
     if not blocks:
         return pd.DataFrame({"doc_id": pd.Series([], dtype="int64"),
-                             "score": pd.Series([], dtype="float32")})
+                             "score": pd.Series([], dtype=score_dtype)})
 
     # elementary intervals from all block boundaries; blocks enter/leave
     # the active set via an O(#blocks) event sweep, never a rescan
@@ -142,9 +155,16 @@ def _segment_wand(
             if a == z:
                 continue
             docs = d[a:z].astype(np.int64)
-            tfs = t[a:z].astype(np.float32)
             nb = norm_bytes[np.searchsorted(norm_docs, docs)]
-            s = (blk["wv"] * tfs / (tfs + cache[nb & 0xFF])).astype(np.float32)
+            if exact:
+                tfs = t[a:z].astype(np.float64)
+                norm_add = k1 * ((1.0 - b) + b * nb.astype(np.float64) / avgdl)
+                s = blk["wv"] * tfs / (tfs + norm_add)
+            else:
+                tfs = t[a:z].astype(np.float32)
+                s = (blk["wv"] * tfs / (tfs + cache[nb & 0xFF])).astype(
+                    np.float32
+                )
             seg_docs.append(docs)
             seg_scores.append(s.astype(np.float64))  # float64 accumulate
         if not seg_docs:
@@ -155,14 +175,14 @@ def _segment_wand(
         uniq_docs, inv = np.unique(np.concatenate(seg_docs), return_inverse=True)
         sums = np.zeros(len(uniq_docs), dtype=np.float64)
         np.add.at(sums, inv, np.concatenate(seg_scores))
-        sc32s = sums.astype(np.float32)
+        sc32s = sums if exact else sums.astype(np.float32)
         # θ only grows, so docs strictly below the current threshold can
         # never enter the heap — drop them before the Python heap loop
         if len(heap) == k:
             keep = sc32s >= heap[0][0]
             uniq_docs, sc32s = uniq_docs[keep], sc32s[keep]
         for doc, sc32 in zip(uniq_docs.tolist(), sc32s.tolist()):
-            item = (np.float32(sc32), -doc)
+            item = (sc32 if exact else np.float32(sc32), -doc)
             if len(heap) < k:
                 heapq.heappush(heap, item)
             elif item > heap[0]:
@@ -171,7 +191,7 @@ def _segment_wand(
     return pd.DataFrame(
         {
             "doc_id": pd.Series([-d for _, d in out], dtype="int64"),
-            "score": pd.Series([s for s, _ in out], dtype="float32"),
+            "score": pd.Series([s for s, _ in out], dtype=score_dtype),
         }
     )
 
@@ -182,13 +202,22 @@ def wand_topk(
     k: int = 10,
     k1: float = 1.2,
     b: float = 0.75,
+    exact: bool = False,
 ) -> DataFrame:
     """Top-k disjunction (SHOULD over ``terms``) with block-max WAND.
 
     Rank-identical to exhaustive scoring (equivalence-tested); global
     term/collection statistics are gathered once and broadcast, like the
     distributed stats round (ExactStatsCache, QueryComponent.java:313-319).
+
+    ``exact=True`` scores in full double precision with raw field lengths
+    (no byte315 quantization, no float32 casts) — the mode whose results
+    are directly SQL-expressible, so the driver gate can hash-compare it
+    against the DuckDB oracle.  The bound logic is identical; only the
+    scoring kernel changes.
     """
+    import math
+
     spark = index.spark
     uniq = sorted(set(terms))
     stats_rows = index.term_stats().filter(F.col("term").isin(uniq)).collect()
@@ -198,15 +227,31 @@ def wand_topk(
     ).collect()[0]
     doc_count = int(cagg["dc"] or 0)
     bm25 = BM25(k1=k1, b=b)
-    avgdl = bm25.avgdl(int(cagg["sttf"] or 0), doc_count)
-    cache = bm25.cache(avgdl)
-    weights = {
-        t: float(bm25.weight(idf32(df_by_term[t], doc_count)))
-        for t in uniq
-        if df_by_term.get(t, 0) > 0
-    }
+    if exact:
+        avgdl = (
+            float(cagg["sttf"] or 0) / doc_count if doc_count else 1.0
+        )
+        cache = None
+        # math.log(1.0 + x), NOT log1p: bit-matches the exact searcher
+        # (searcher.py idf) and DuckDB's ln(1 + x)
+        weights = {
+            t: math.log(
+                1.0 + (doc_count - df_by_term[t] + 0.5) / (df_by_term[t] + 0.5)
+            )
+            for t in uniq
+            if df_by_term.get(t, 0) > 0
+        }
+    else:
+        avgdl = bm25.avgdl(int(cagg["sttf"] or 0), doc_count)
+        cache = bm25.cache(avgdl)
+        weights = {
+            t: float(bm25.weight(idf32(df_by_term[t], doc_count)))
+            for t in uniq
+            if df_by_term.get(t, 0) > 0
+        }
+    score_t = "double" if exact else "float"
     if not weights:
-        return spark.createDataFrame([], "doc_id long, score float")
+        return spark.createDataFrame([], f"doc_id long, score {score_t}")
 
     posts = (
         index.postings()
@@ -228,16 +273,20 @@ def wand_topk(
         F.lit(None).cast("int").alias("max_tf"),
         F.lit(None).cast("binary").alias("docs_bin"),
         F.lit(None).cast("binary").alias("tfs_bin"),
-        "doc_id", "norm_byte",
+        "doc_id",
+        # exact mode ships the raw field length through the norm slot
+        (F.col("length") if exact else F.col("norm_byte"))
+        .cast("int")
+        .alias("norm_byte"),
     )
 
     def kernel(pdf):
-        return _segment_wand(pdf, weights, cache, k, k1, b)
+        return _segment_wand(pdf, weights, cache, k, k1, b, avgdl=float(avgdl))
 
     local = (
         posts.unionByName(norms)
         .groupBy("segment")
-        .applyInPandas(kernel, schema="doc_id long, score float")
+        .applyInPandas(kernel, schema=f"doc_id long, score {score_t}")
     )
     # TopDocs.merge: global k with the HitQueue tie-break
     return local.orderBy(F.col("score").desc(), F.col("doc_id").asc()).limit(k)
