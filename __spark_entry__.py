@@ -1322,8 +1322,9 @@ def q_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Position-weighted rolling-hash fingerprint (md5-derived) —
-    hex→int conv not portable to the oracle ⇒ rows-only check."""
+    """Position-weighted rolling-hash fingerprint (md5-derived, so any
+    engine reproduces it) — full DuckDB oracle via '0x…'-literal hex
+    parsing + HUGEINT modular arithmetic."""
     d = _table(spark, sf_dir, "documents")
     return textstats.doc_fingerprint(d, "text").select("doc_id", "fingerprint").orderBy("doc_id")
 
@@ -1725,9 +1726,10 @@ def q_span_near_ordered(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_span_near_unordered(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SpanNearQuery any-order, slop=1 (spans/NearSpansUnordered.java) —
-    the sliding-window greedy emission is not stateless-SQL-expressible
-    ⇒ rows-only check (pytest holds the golden traversals)."""
+    """SpanNearQuery any-order, slop=1 (spans/NearSpansUnordered.java).
+    For two unit-length clauses the greedy min-start pop loop has a
+    stateless closed form (pair every position with the other clause's
+    successor position), so this gate carries a full DuckDB oracle."""
     from lucene_solr_spark.queries.spans import SpanNearQuery, SpanTermQuery
 
     s = _searcher(spark, sf_dir)
@@ -2903,6 +2905,28 @@ SELECT doc_id,
 FROM documents ORDER BY doc_id
 """
 
+    # fingerprint = Σ_i (md5int56(token_i) mod M)·i mod M, M = 2^61−1.
+    # md5int56 = first 14 hex chars of md5 as an integer — both engines
+    # parse the same hex prefix; DuckDB promotes the i-product to HUGEINT
+    # where Spark's long never overflows (max 100 tokens · 2^56 < 2^63).
+    sqls["doc_fingerprint"] = """
+WITH words AS (
+  SELECT doc_id,
+         unnest(string_split(lower(trim(text)), ' ')) AS w,
+         unnest(range(1, len(string_split(lower(trim(text)), ' ')) + 1)) AS i
+  FROM documents
+),
+hv AS (
+  SELECT doc_id,
+         (CAST(CAST(concat('0x', substr(md5(w), 1, 14)) AS BIGINT)
+               % 2305843009213693951 AS HUGEINT) * i)
+           % 2305843009213693951 AS x
+  FROM words
+)
+SELECT doc_id, CAST(SUM(x) % 2305843009213693951 AS BIGINT) AS fingerprint
+FROM hv GROUP BY doc_id ORDER BY doc_id
+"""
+
     sqls["quality_score"] = """
 WITH base AS (
   SELECT doc_id,
@@ -3099,6 +3123,36 @@ m AS (
 fr AS (
   SELECT doc_id, sum(1.0 / (1 + (p2 - p1 - 1))) AS freq
   FROM m WHERE p2 - p1 - 1 <= 1 GROUP BY doc_id
+),
+{_span_score("'spark', 'window'")}
+"""
+
+    # Unordered near: NearSpansUnordered's min-start pop loop checks, for
+    # every position x of either clause, the window against the CURRENT
+    # position of the other clause — which for unit-length clauses is
+    # exactly min{other > x} (all smaller ones were popped first, and the
+    # loop ends when either list exhausts, i.e. precisely when no such
+    # successor exists).  Emitted width = max_end − min_start = y − x + 1,
+    # so each match contributes 1/(1 + width) = 1/(y − x + 2)
+    # (NearSpansUnordered.java:43-165; SpanScorer.java:109).
+    sqls["span_near_unordered"] = f"""
+WITH {_IDX},
+pa AS (SELECT doc_id, pos FROM kept WHERE term = 'spark'),
+pb AS (SELECT doc_id, pos FROM kept WHERE term = 'window'),
+m1 AS (
+  SELECT a.doc_id, a.pos AS x, min(b.pos) AS y
+  FROM pa a JOIN pb b ON b.doc_id = a.doc_id AND b.pos > a.pos
+  GROUP BY a.doc_id, a.pos
+),
+m2 AS (
+  SELECT b.doc_id, b.pos AS x, min(a.pos) AS y
+  FROM pb b JOIN pa a ON a.doc_id = b.doc_id AND a.pos > b.pos
+  GROUP BY b.doc_id, b.pos
+),
+allm AS (SELECT * FROM m1 UNION ALL SELECT * FROM m2),
+fr AS (
+  SELECT doc_id, sum(1.0 / (y - x + 2)) AS freq
+  FROM allm WHERE y - x - 1 <= 1 GROUP BY doc_id
 ),
 {_span_score("'spark', 'window'")}
 """
