@@ -1101,9 +1101,10 @@ def q_segment_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     on-disk segmented index (TieredMergePolicy.java:238-420,
     SegmentMerger.java): builds an 8-segment index, runs one merge
     round, returns the post-merge manifest (segment, docs, terms,
-    postings, generation) — side-effectful and engine-specific ⇒
-    rows-only check; invariants (postings preserved, blocks sorted)
-    are pytest-gated in tests/test_segments.py."""
+    postings, generation) — the equal-floor tier plan is deterministic,
+    so the manifest is a pure function of the analyzed corpus and the
+    gate carries a full DuckDB oracle; deeper invariants (postings
+    preserved, blocks sorted) are pytest-gated in tests/test_segments.py."""
     from lucene_solr_spark.index.segments import SegmentedIndex
 
     key = (spark.sparkContext.applicationId, sf_dir, "mergedemo")
@@ -2836,6 +2837,27 @@ SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
        count(*) AS cnt,
        ROUND(sum(value), 4) AS sum_value
 FROM events GROUP BY 1 ORDER BY 1
+"""
+
+    # Post-merge manifest: 8 equal-floor segments whose sizes all clamp to
+    # floor_postings make the tiered plan deterministic ([0..3] and [4..7]
+    # → new segments 8 and 9, generation 1), so per-segment docs/terms/
+    # postings are pure functions of the analyzed corpus: segment id =
+    # floor(doc_id / ceil(N/8)) puts docs 0..4·ceil(N/8)−1 in segment 8.
+    sqls["segment_merge"] = f"""
+WITH {_IDX},
+b AS (SELECT CAST(CEIL((MAX(doc_id) + 1) / 8.0) AS BIGINT) AS per FROM documents),
+segd AS (
+  SELECT p.doc_id, p.term,
+         CASE WHEN p.doc_id < 4 * per THEN 8 ELSE 9 END AS segment
+  FROM postings p CROSS JOIN b
+)
+SELECT segment,
+       COUNT(DISTINCT doc_id) AS num_docs,
+       COUNT(DISTINCT term) AS num_terms,
+       COUNT(*) AS num_postings,
+       1 AS generation
+FROM segd GROUP BY segment ORDER BY segment
 """
 
     sqls["select_stream"] = """

@@ -564,12 +564,24 @@ class SegmentedIndex:
             "partitionOverwriteMode", "dynamic"
         ).mode("overwrite").parquet(self._data_dir)
         infos = infos_pre
+        # one cheap stats job over just the written partition (term column
+        # only — pruned scan) so the merged SegmentInfo carries the same
+        # metrics the flush path records (SegmentInfo knows its term count)
+        seg_stats = (
+            self.spark.read.parquet(f"{self._data_dir}/segment={new_segment}")
+            .filter(F.col("kind") == 0)
+            .agg(
+                F.count_distinct(F.col("term")).alias("num_terms"),
+                F.count("*").alias("num_blocks"),
+            )
+            .collect()[0]
+        )
         new_info = SegmentInfo(
             segment=new_segment,
             num_docs=sum(i.num_docs for i in infos),
-            num_terms=0,  # filled lazily; distinct-terms needs a job
+            num_terms=int(seg_stats["num_terms"] or 0),
             num_postings=sum(i.num_postings for i in infos),
-            num_blocks=0,
+            num_blocks=int(seg_stats["num_blocks"] or 0),
             min_docid=min(i.min_docid for i in infos),
             max_docid=max(i.max_docid for i in infos),
             source_rows=sum(i.source_rows for i in infos),
