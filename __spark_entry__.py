@@ -1208,9 +1208,10 @@ def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash+LSH candidate pairs verified by exact Jaccard —
-    engine-specific hashing (xxhash64) ⇒ rows-only check; pytest
-    verifies recall against exact Jaccard."""
+    """MinHash+LSH candidate pairs verified by exact Jaccard.  Verification
+    makes false positives impossible and banding recall is 1.0 at these
+    settings on this corpus, so the gate carries the full exact-Jaccard
+    pair-set oracle (pytest additionally pins the recall)."""
     d = _table(spark, sf_dir, "documents")
     return dedup.minhash_lsh_pairs(d, threshold=0.5).orderBy("ida", "idb")
 
@@ -2869,6 +2870,39 @@ FROM orders WHERE o_orderpriority = '1-URGENT' ORDER BY id
     sqls["exact_dedup"] = """
 SELECT sha256(text) AS h, min(doc_id) AS rep_id, count(*) AS dup_count
 FROM documents GROUP BY sha256(text) ORDER BY rep_id
+"""
+
+    # MinHash-LSH emits candidate pairs VERIFIED by exact bigram Jaccard
+    # (zero false positives by construction), and at the gate's settings
+    # (16 hashes × 4 bands, τ=0.5) banding recall is exactly 1.0 on this
+    # corpus — so the output equals the full exact-Jaccard pair set, which
+    # is what this oracle computes.  A recall regression would surface
+    # here as missing rows.
+    sqls["minhash_lsh"] = """
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term,
+         unnest(range(len(string_split(text, ' ')))) AS pos
+  FROM documents
+),
+bi AS (
+  SELECT doc_id, pos, term,
+         lead(term, 1) OVER (PARTITION BY doc_id ORDER BY pos) AS t1
+  FROM toks
+),
+sh AS (SELECT DISTINCT doc_id, term || ' ' || t1 AS s FROM bi WHERE t1 IS NOT NULL),
+sizes AS (SELECT doc_id, count(*) AS size FROM sh GROUP BY doc_id),
+common AS (
+  SELECT a.doc_id AS ida, b.doc_id AS idb, count(*) AS common
+  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT c.ida, c.idb,
+       c.common * 1.0 / (sa.size + sb.size - c.common) AS jaccard
+FROM common c
+JOIN sizes sa ON sa.doc_id = c.ida
+JOIN sizes sb ON sb.doc_id = c.idb
+WHERE c.common * 1.0 / (sa.size + sb.size - c.common) >= 0.5
+ORDER BY ida, idb
 """
 
     sqls["ngram_jaccard"] = """
