@@ -164,6 +164,26 @@ ORDER BY ROUND(score, 4) DESC, doc_id ASC LIMIT {k}
 """
 
 
+def _span_score(terms_in: str) -> str:
+    """Shared scoring tail for span/sloppy oracles: BM25 over a
+    fractional sloppy freq with the summed idf of the clause terms."""
+    return f"""
+idfs AS (
+  SELECT sum(ln(1 + (c.n - t.df + 0.5) / (t.df + 0.5))) AS idf_sum
+  FROM tstats t CROSS JOIN cstats c
+  WHERE t.term IN ({terms_in})
+)
+SELECT fr.doc_id,
+       ROUND(i.idf_sum * 2.2 * fr.freq
+         / (fr.freq + 1.2 * (0.25 + 0.75 * nm.length / (c.sttf / c.n))), 4) AS score
+FROM fr
+JOIN norms nm USING (doc_id)
+CROSS JOIN cstats c
+CROSS JOIN idfs i
+WHERE fr.freq > 0
+"""
+
+
 # --------------------------------------------------------------------------
 # search queries (SURVEY §2.3–§2.5)
 # --------------------------------------------------------------------------
@@ -238,10 +258,11 @@ def q_phrase_query(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_sloppy_phrase(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sloppy phrase "spark window"~2 (SloppyPhraseScorer.java:95-133
-    greedy least-first traversal, slop-factor freq) — the greedy
-    emission order isn't stateless-SQL-expressible ⇒ rows-only;
-    tests/test_sloppy.py holds reference-Javadoc goldens + the slop=0
-    ≡ exact-phrase equivalence property."""
+    greedy least-first traversal, slop-factor freq).  For two distinct
+    terms the traversal has a stateless closed form (see the oracle),
+    so this gate is hash-checked; tests/test_sloppy.py additionally
+    holds reference-Javadoc goldens + the slop=0 ≡ exact-phrase
+    equivalence property."""
     s = _searcher(spark, sf_dir)
     return _scored(s.docs(PhraseQuery(("spark", "window"), slop=2)))
 
@@ -2549,6 +2570,55 @@ CROSS JOIN cstats c
 CROSS JOIN idfs i
 """
 
+    # Sloppy phrase "spark window"~2: for TWO DISTINCT terms the reference
+    # greedy least-first traversal (SloppyPhraseScorer.java:95-133) is an
+    # alternating-runs merge over the offset-adjusted position lists — the
+    # moving list keeps advancing while its next position ≤ the other's
+    # current one (ties INCLUDED), then the closest pair of the run is
+    # scored with 1/(1+Δ) when Δ ≤ slop.  That equals the adjacent
+    # cross-list pairs of the merged sequence ordered mover-first at ties:
+    # the mover is the list whose own predecessor is larger; a tie with no
+    # predecessors is the initial heap pop (query-offset order, first
+    # clause first), and equal non-null predecessors mean the other list
+    # just vacated that position (second clause first).  This static order
+    # reproduces the kernel on every document of the gate corpus at all
+    # SFs (checked exhaustively); only adversarial CHAINS of equal-
+    # position ties can make mover choice stateful, and those
+    # configurations are covered by the per-doc kernel goldens in
+    # tests/test_sloppy.py, not this oracle.  Javadoc example check:
+    # "a b"~2 on "x a b a y" → 1/1 + 1/3.
+    sqls["sloppy_phrase"] = f"""
+WITH {_IDX},
+merged AS (
+  SELECT doc_id, pos AS adj, 0 AS lst FROM kept WHERE term = 'spark'
+  UNION ALL
+  SELECT doc_id, pos - 1 AS adj, 1 AS lst FROM kept WHERE term = 'window'
+),
+withpred AS (
+  SELECT doc_id, adj, lst,
+         COALESCE(lag(adj) OVER (PARTITION BY doc_id, lst ORDER BY adj),
+                  -999999) AS pred
+  FROM merged
+),
+seq AS (
+  SELECT doc_id, adj, lst,
+         lead(adj) OVER (PARTITION BY doc_id
+           ORDER BY adj, pred DESC,
+                    CASE WHEN pred = -999999 THEN lst ELSE -lst END) AS nadj,
+         lead(lst) OVER (PARTITION BY doc_id
+           ORDER BY adj, pred DESC,
+                    CASE WHEN pred = -999999 THEN lst ELSE -lst END) AS nlst
+  FROM withpred
+),
+fr AS (
+  SELECT doc_id, sum(1.0 / (1 + nadj - adj)) AS freq
+  FROM seq
+  WHERE nlst IS NOT NULL AND nlst <> lst AND nadj - adj <= 2
+  GROUP BY doc_id
+),
+{_span_score("'spark', 'window'")}
+"""
+
     sqls["synonym_query"] = f"""
 WITH {_IDX},
 grp AS (
@@ -3145,23 +3215,6 @@ scored AS (
 
     # ---- span queries.  Shared tail: BM25 over a per-doc sloppy freq
     # with idf summed over the tree's distinct terms (SpanWeight).
-    def _span_score(terms_in: str) -> str:
-        return f"""
-idfs AS (
-  SELECT sum(ln(1 + (c.n - t.df + 0.5) / (t.df + 0.5))) AS idf_sum
-  FROM tstats t CROSS JOIN cstats c
-  WHERE t.term IN ({terms_in})
-)
-SELECT fr.doc_id,
-       ROUND(i.idf_sum * 2.2 * fr.freq
-         / (fr.freq + 1.2 * (0.25 + 0.75 * nm.length / (c.sttf / c.n))), 4) AS score
-FROM fr
-JOIN norms nm USING (doc_id)
-CROSS JOIN cstats c
-CROSS JOIN idfs i
-WHERE fr.freq > 0
-"""
-
     # Ordered near: the driver clause iterates its positions in order;
     # stretchToOrder's forward-only advance of the second clause finds
     # min(p2 >= p1+1) — stateless-equivalent because the threshold p1+1
