@@ -1808,6 +1808,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # representative slice of the round-1 green core, then the remainder
     # (all green in CORRECTNESS_r01.json).
     return {
+        # -- rows-only in round 1, full oracles since (block-max WAND in
+        # exact-double mode; two-term sloppy closed form) ---------------
+        "wand_topk": q_wand_topk,
+        "sloppy_phrase": q_sloppy_phrase,
         # -- never gated in round 1 ------------------------------------
         "span_near_ordered": q_span_near_ordered,
         "span_near_unordered": q_span_near_unordered,
@@ -1887,7 +1891,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "term_query_all": q_term_query_all,
         "term_query_count": q_term_query_count,
         "term_query_lucene": q_term_query_lucene,
-        "wand_topk": q_wand_topk,
         "boolean_should": q_boolean_should,
         "boolean_must_not": q_boolean_must_not,
         "boolean_filter": q_boolean_filter,
@@ -1895,7 +1898,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dismax": q_dismax,
         "multi_phrase": q_multi_phrase,
         "function_query": q_function_query,
-        "sloppy_phrase": q_sloppy_phrase,
         "synonym_query": q_synonym_query,
         "prefix_query": q_prefix_query,
         "wildcard_query": q_wildcard_query,
