@@ -68,12 +68,25 @@ _TOKEN_RE = re.compile(
 # ASCII text the only joiner candidates are . ' , ;  — so:
 #   tier 1: ASCII, no joiners, separators are plain whitespace → split()
 #   tier 2: ASCII, no joiners → simple [A-Za-z0-9_]+ findall
+#   tier 2.5: ASCII with joiners → ASCII-specialized UAX#29 pattern
+#             (explicit [A-Za-z…] classes, no Unicode \w lookaheads, no
+#             CJK alternates — measured 2.2× the full pattern; token
+#             equivalence fuzz-pinned in tests/test_analyzer.py)
 #   tier 3: anything else → the full UAX#29 pattern
 # (measured: tier 1 is ~9× the full pattern on the benchmark corpus;
 # semantics are identical by construction of the guards)
 _NEEDS_FULL = re.compile(r"[.',;]|[^\x00-\x7f]")
+_NON_ASCII = re.compile(r"[^\x00-\x7f]")
 _NON_WORD_SPACE = re.compile(r"[^A-Za-z0-9_ \t\r\n]")
 _ASCII_SEG = re.compile(r"[A-Za-z0-9_]+")
+# ASCII projection of the full pattern: same joiner rules restricted to
+# the ASCII members of MidLetter/MidNumLet/Single_Quote (. ') and
+# MidNum/MidNumLet/Single_Quote (. , ; ').
+_ASCII_FULL = re.compile(
+    r"[A-Za-z0-9_]+"
+    r"(?:(?:(?<=[A-Za-z])['.](?=[A-Za-z])"
+    r"|(?<=[0-9])[.,;'](?=[0-9]))[A-Za-z0-9_]+)*"
+)
 
 
 def raw_tokens(text: str) -> list[str]:
@@ -83,6 +96,8 @@ def raw_tokens(text: str) -> list[str]:
         if not _NON_WORD_SPACE.search(text):
             return text.split()
         return _ASCII_SEG.findall(text)
+    if not _NON_ASCII.search(text):
+        return _ASCII_FULL.findall(text)
     return _TOKEN_RE.findall(text)
 
 

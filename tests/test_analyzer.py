@@ -96,3 +96,20 @@ def test_analyze_golden_sentence():
     )
     assert terms == ["import", "numpy", "np", "fast.path", "v2_impl"]
     assert positions == [0, 1, 3, 5, 7]
+
+
+def test_ascii_tier_equivalent_to_full_pattern():
+    """The ASCII-specialized tier-2.5 pattern must emit exactly the
+    full UAX#29 pattern's tokens on any ASCII input (the guard only
+    routes ASCII text there)."""
+    import random
+
+    from lucene_solr_spark.analysis.tokenizer import _ASCII_FULL, _TOKEN_RE
+
+    random.seed(1)
+    chars = "ab1 _.',;x9\"!Z0-"
+    for _ in range(20000):
+        s = "".join(
+            random.choice(chars) for _ in range(random.randint(0, 30))
+        )
+        assert _ASCII_FULL.findall(s) == _TOKEN_RE.findall(s), repr(s)
