@@ -45,6 +45,73 @@ def analyze_text(
     return terms, out_pos
 
 
+# Batch translate table for the whole-batch ASCII tokenize path: every
+# ASCII char that can neither appear inside a token ([A-Za-z0-9_]) nor
+# join token segments (. ' , ;) becomes a space; \x1f survives as the
+# document separator (it is mapped to itself and never occurs in ASCII
+# corpus text routed here only after an isascii() check... it IS ascii —
+# guarded by an explicit containment check below).
+# '|' is not a token/joiner char, so every natural occurrence is
+# translated to a space BEFORE the join — surviving '|' blobs are
+# exactly the document separators (and '|' is not str.split whitespace,
+# unlike \x1c–\x1f).
+_SEP = "|"
+_BLOB_KEEP = set(
+    "ABCDEFGHIJKLMNOPQRSTUVWXYZabcdefghijklmnopqrstuvwxyz0123456789_.',;"
+)
+_BLOB_TABLE = str.maketrans(
+    {i: " " for i in range(128) if chr(i) not in _BLOB_KEEP}
+)
+_PUNCT = set(".',;")
+
+
+def _batch_blob_split(texts: list[str]) -> tuple[np.ndarray, np.ndarray]:
+    """Per-doc translate + ONE split over the joined batch → (blob array,
+    per-blob doc index).  Blobs are maximal runs of token/joiner chars;
+    the UAX#29 work then runs once per UNIQUE blob, not once per doc."""
+    big = (" " + _SEP + " ").join(t.translate(_BLOB_TABLE) for t in texts)
+    blobs = np.array(big.split(), dtype=object)
+    is_sep = blobs == _SEP
+    doc_of_blob = np.cumsum(is_sep, dtype=np.int64)
+    return blobs[~is_sep], doc_of_blob[~is_sep]
+
+
+def _tokens_from_blobs(
+    blobs: np.ndarray, doc_of_blob: np.ndarray
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Expand blobs → per-token (term code, doc index) + the term
+    vocabulary, running the ASCII UAX#29 pattern over the unique blobs
+    only.  Returning CODES (not strings) lets the caller skip a second
+    token-level factorize — the only per-token ops are int gathers."""
+    from lucene_solr_spark.analysis.tokenizer import _ASCII_FULL
+
+    codes, ublobs = pd.factorize(pd.Series(blobs, dtype=object), sort=False)
+    utoks: list[list[str]] = [
+        [b] if _PUNCT.isdisjoint(b) else _ASCII_FULL.findall(b)
+        for b in np.asarray(ublobs, dtype=object)
+    ]
+    ulens = np.fromiter((len(t) for t in utoks), dtype=np.int64, count=len(utoks))
+    uflat = np.empty(int(ulens.sum()), dtype=object)
+    uoff = np.zeros(ulens.size + 1, dtype=np.int64)
+    np.cumsum(ulens, out=uoff[1:])
+    for t, o in zip(utoks, uoff[:-1].tolist()):
+        uflat[o : o + len(t)] = t
+    # term vocabulary over the (small) per-unique-blob token table
+    tcodes_u, tvocab = pd.factorize(pd.Series(uflat, dtype=object), sort=False)
+    lens = ulens[codes]
+    total = int(lens.sum())
+    # ragged gather: token i of blob j reads slot uoff[codes[j]] + i
+    starts = np.zeros(lens.size + 1, dtype=np.int64)
+    np.cumsum(lens, out=starts[1:])
+    blob_of_tok = np.zeros(total, dtype=np.int64)
+    nz = starts[1:-1][starts[1:-1] < total]
+    np.add.at(blob_of_tok, nz, 1)
+    np.cumsum(blob_of_tok, out=blob_of_tok)
+    within = np.arange(total, dtype=np.int64) - starts[blob_of_tok]
+    term_codes = tcodes_u[uoff[codes[blob_of_tok]] + within]
+    return term_codes, np.asarray(tvocab, dtype=object), doc_of_blob[blob_of_tok]
+
+
 def analyze_batch_flat(
     content: pd.Series,
     stopwords: frozenset[str] = ENGLISH_STOP_WORDS,
@@ -53,22 +120,43 @@ def analyze_batch_flat(
     """Fully vectorized batch analysis → flat arrays
     ``(doc_index, terms, positions)``.
 
-    Per-document work is ONE C-level ``findall``; lowercase, the
-    255-char skip rule (dropped tokens still consume their position),
-    and the stopword mask (position gaps preserved) all run as batch
-    pandas/numpy ops — zero per-token Python.  This is the shape the
-    invert kernels consume directly (they re-flatten anyway).
+    All-ASCII batches (the overwhelmingly common case for source code)
+    take the whole-batch path: one C-level translate + split over the
+    concatenated batch, then the UAX#29 pattern once per UNIQUE blob —
+    per-token and per-doc Python disappears entirely.  Mixed batches
+    fall back to one ``findall`` per document.  Lowercase, the 255-char
+    skip rule (dropped tokens still consume their position), and the
+    stopword mask (position gaps preserved) all run as batch
+    pandas/numpy ops.  This is the shape the invert kernels consume
+    directly (they re-flatten anyway).
     """
-    tok_lists = [raw_tokens(t) for t in content.astype(str).tolist()]
-    counts = np.fromiter(
-        (len(l) for l in tok_lists), dtype=np.int64, count=len(tok_lists)
-    )
-    total = int(counts.sum())
-    flat = np.empty(total, dtype=object)
-    i = 0
-    for l in tok_lists:
-        flat[i : i + len(l)] = l
-        i += len(l)
+    texts = content.astype(str).tolist()
+    batch_ok = all(t.isascii() for t in texts)
+    if texts and batch_ok:
+        blobs, doc_of_blob = _batch_blob_split(texts)
+        codes, vocab_arr, doc_idx_raw = _tokens_from_blobs(blobs, doc_of_blob)
+        total = codes.size
+        # per-doc token offsets from the per-token doc index
+        counts = np.bincount(doc_idx_raw, minlength=len(texts)).astype(np.int64)
+    else:
+        tok_lists = [raw_tokens(t) for t in texts]
+        counts = np.fromiter(
+            (len(l) for l in tok_lists), dtype=np.int64, count=len(tok_lists)
+        )
+        total = int(counts.sum())
+        flat = np.empty(total, dtype=object)
+        i = 0
+        for l in tok_lists:
+            flat[i : i + len(l)] = l
+            i += len(l)
+        # Factorize FIRST, then lowercase / length-skip / stop-mask on
+        # the UNIQUE vocabulary only — per-token string work collapses
+        # to per-unique-term work (measured 6× on the benchmark corpus:
+        # the per-token str.len + isin mask was 65% of the whole
+        # kernel).  The ASCII batch path above gets its codes straight
+        # from the blob expansion, skipping this factorize entirely.
+        codes, vocab = pd.factorize(pd.Series(flat, dtype=object), sort=False)
+        vocab_arr = np.asarray(vocab, dtype=object)
     offsets = np.zeros(counts.size + 1, dtype=np.int64)
     np.cumsum(counts, out=offsets[1:])
     # doc index per token WITHOUT np.repeat (pathologically slow on
@@ -79,12 +167,6 @@ def analyze_batch_flat(
     np.add.at(doc_idx, starts_nonempty, 1)
     np.cumsum(doc_idx, out=doc_idx)
     pos = np.arange(total, dtype=np.int64) - offsets[doc_idx]
-    # Factorize FIRST, then lowercase / length-skip / stop-mask on the
-    # UNIQUE vocabulary only — per-token string work collapses to
-    # per-unique-term work (measured 6× on the benchmark corpus: the
-    # per-token str.len + isin mask was 65% of the whole kernel).
-    codes, vocab = pd.factorize(pd.Series(flat, dtype=object), sort=False)
-    vocab_arr = np.asarray(vocab, dtype=object)
     low_vocab = np.array([v.lower() for v in vocab_arr], dtype=object)
     vlen = np.fromiter(
         (len(v) for v in vocab_arr), dtype=np.int64, count=vocab_arr.size
