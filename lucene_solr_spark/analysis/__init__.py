@@ -3,6 +3,7 @@
 from lucene_solr_spark.analysis.analyzer import (  # noqa: F401
     StandardAnalyzer,
     analyze_batch,
+    analyze_batch_codes,
     analyze_batch_flat,
     analyze_text,
 )

@@ -116,7 +116,8 @@ def analyze_batch_flat(
     content: pd.Series,
     stopwords: frozenset[str] = ENGLISH_STOP_WORDS,
     max_token_length: int = DEFAULT_MAX_TOKEN_LENGTH,
-) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    codes_out: bool = False,
+) -> tuple[np.ndarray, ...]:
     """Fully vectorized batch analysis → flat arrays
     ``(doc_index, terms, positions)``.
 
@@ -175,7 +176,34 @@ def analyze_batch_flat(
         [v not in stopwords for v in low_vocab], dtype=bool
     )
     keep = vkeep[codes]
+    if codes_out:
+        # merge case variants at vocab level, hand back per-token CODES —
+        # the invert kernel sorts int codes and never touches per-token
+        # strings (its own terms factorize becomes unnecessary)
+        lc_codes_u, lc_vocab = pd.factorize(
+            pd.Series(low_vocab, dtype=object), sort=False
+        )
+        return (
+            doc_idx[keep],
+            lc_codes_u[codes[keep]],
+            np.asarray(lc_vocab, dtype=object),
+            pos[keep],
+        )
     return doc_idx[keep], low_vocab[codes[keep]], pos[keep]
+
+
+def analyze_batch_codes(
+    content: pd.Series,
+    stopwords: frozenset[str] = ENGLISH_STOP_WORDS,
+    max_token_length: int = DEFAULT_MAX_TOKEN_LENGTH,
+) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+    """Like :func:`analyze_batch_flat` but returns
+    ``(doc_index, term_codes, vocab, positions)`` — per-token ints plus
+    the (lowercased, case-merged) vocabulary, so inverted-index kernels
+    can sort/group by code without re-factorizing term strings."""
+    return analyze_batch_flat(
+        content, stopwords, max_token_length, codes_out=True
+    )
 
 
 def english_analyze_batch_flat(

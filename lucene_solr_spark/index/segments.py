@@ -44,7 +44,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from lucene_solr_spark.analysis import analyze_batch_flat
+from lucene_solr_spark.analysis import analyze_batch_codes
 from lucene_solr_spark.codecs.postings import (
     encode_posting_blocks,
     encode_segment_blocks,
@@ -100,17 +100,15 @@ def _encode_segment(pdf: pd.DataFrame) -> pd.DataFrame:
             for col, proto in _EMPTY.items()
         }
     )
-    doc_idx, terms, positions = analyze_batch_flat(pdf["content"])
-    if terms.size == 0:
+    # code-level analysis: per-token ints + the small vocabulary — the
+    # analyzer's blob factorize doubles as the term hash, so no string
+    # ever gets touched per-token here; rank codes by sorted vocabulary,
+    # then sort ints only (string comparisons once per UNIQUE term)
+    doc_idx, codes, vocab, positions = analyze_batch_codes(pdf["content"])
+    if codes.size == 0:
         return lineage
     doc_ids = pdf["doc_id"].to_numpy()[doc_idx]
     positions = positions.astype(np.uint64)
-    # hash-factorize terms to int codes, rank codes by sorted vocabulary,
-    # then sort ints only — string comparisons happen once per UNIQUE term
-    # (vocab ≪ tokens), cutting the memory-bound object sort that
-    # dominates at high core counts
-    codes, vocab = pd.factorize(terms, sort=False)
-    vocab = np.asarray(vocab, dtype=object)
     vorder = np.argsort(vocab, kind="stable")
     rank = np.empty(vorder.size, dtype=np.int64)
     rank[vorder] = np.arange(vorder.size)
