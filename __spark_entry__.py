@@ -726,9 +726,10 @@ def q_grouping_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_unified_highlight(spark: SparkSession, sf_dir: str) -> DataFrame:
     """UnifiedHighlighter-style passage selection (uhighlight/
     PassageScorer.java semantics: idf-weighted passage score with
-    early-position decay, <b> tags) over a boolean query's top hits —
-    formatting is engine-specific ⇒ rows-only check; passage/format
-    goldens in tests/test_highlight.py."""
+    early-position decay, <b> tags) over a boolean query's top hits.
+    On the punctuation-free single-space corpus the whole pipeline is
+    SQL-expressible (see the oracle), so this gate is hash-checked;
+    passage/format goldens live in tests/test_highlight.py."""
     from lucene_solr_spark.queries.highlight import highlight
 
     s = _searcher(spark, sf_dir)
@@ -1812,6 +1813,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # exact-double mode; two-term sloppy closed form) ---------------
         "wand_topk": q_wand_topk,
         "sloppy_phrase": q_sloppy_phrase,
+        "unified_highlight": q_unified_highlight,
         # -- never gated in round 1 ------------------------------------
         "span_near_ordered": q_span_near_ordered,
         "span_near_unordered": q_span_near_unordered,
@@ -1909,7 +1911,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cross_field_dismax": q_cross_field_dismax,
         "spellcheck": q_spellcheck,
         "highlight": q_highlight,
-        "unified_highlight": q_unified_highlight,
         "query_facet": q_query_facet,
         "terms_component": q_terms_component,
         "facet_range": q_facet_range,
@@ -1978,6 +1979,85 @@ scored AS (
   FROM s1 JOIN s2 USING (doc_id)
 )
 {_TOPK_TAIL.format(k=10)}
+"""
+
+    # UnifiedHighlighter gate: on this corpus (no sentence punctuation,
+    # single-space tokens) passage segmentation degenerates to exact
+    # 12-token chunks, `\\b`-regex term matching to token equality, and
+    # the substring-splice formatter to a space-joined token
+    # reconstruction — so the whole pipeline (chunk tf → idf·(1+ln(1+tf))
+    # score with the 1/(1+ln(1+start/87)) early-position decay → top-2
+    # passages by (score, start) → <b>-wrapped tokens joined with ' … ')
+    # is a pure SQL program over the token stream.
+    sqls["unified_highlight"] = f"""
+WITH {_IDX},
+s1 AS ({_bm25_sql("spark")}),
+s2 AS ({_bm25_sql("window")}),
+scored AS (
+  SELECT s1.doc_id, s1.score + s2.score AS score
+  FROM s1 JOIN s2 USING (doc_id)
+),
+top5 AS (
+  SELECT doc_id, ROUND(score, 4) AS score FROM scored
+  ORDER BY ROUND(score, 4) DESC, doc_id ASC LIMIT 5
+),
+tok2 AS (
+  SELECT t.doc_id, t.term, t.pos, t.pos // 12 AS chunk,
+         SUM(len(t.term) + 1) OVER (PARTITION BY t.doc_id ORDER BY t.pos)
+           - 1 AS cend
+  FROM toks t JOIN top5 USING (doc_id)
+),
+cst AS (
+  SELECT a.doc_id, a.chunk,
+         CASE WHEN a.chunk = 0 THEN 0 ELSE b.cend END AS chunk_start
+  FROM (SELECT DISTINCT doc_id, chunk FROM tok2) a
+  LEFT JOIN tok2 b ON b.doc_id = a.doc_id AND b.pos = a.chunk * 12 - 1
+),
+tfs AS (
+  SELECT doc_id, chunk,
+         sum(CASE WHEN term = 'spark' THEN 1 ELSE 0 END) AS tf_s,
+         sum(CASE WHEN term = 'window' THEN 1 ELSE 0 END) AS tf_w
+  FROM tok2 GROUP BY doc_id, chunk
+),
+idf2 AS (
+  SELECT (SELECT ln(1 + (c.n - t.df + 0.5) / (t.df + 0.5))
+          FROM tstats t CROSS JOIN cstats c WHERE t.term = 'spark') AS w_s,
+         (SELECT ln(1 + (c.n - t.df + 0.5) / (t.df + 0.5))
+          FROM tstats t CROSS JOIN cstats c WHERE t.term = 'window') AS w_w
+),
+cscore AS (
+  SELECT f.doc_id, f.chunk, s.chunk_start,
+         (CASE WHEN f.tf_s > 0 THEN i.w_s * (1 + ln(1 + f.tf_s)) ELSE 0 END
+        + CASE WHEN f.tf_w > 0 THEN i.w_w * (1 + ln(1 + f.tf_w)) ELSE 0 END)
+         * (1.0 / (1 + ln(1 + s.chunk_start / 87.0))) AS pscore
+  FROM tfs f
+  JOIN cst s USING (doc_id, chunk)
+  CROSS JOIN idf2 i
+  WHERE f.tf_s > 0 OR f.tf_w > 0
+),
+picked AS (
+  SELECT doc_id, chunk FROM (
+    SELECT doc_id, chunk,
+           row_number() OVER (PARTITION BY doc_id
+             ORDER BY pscore DESC, chunk_start ASC) AS rn
+    FROM cscore
+  ) WHERE rn <= 2
+),
+chunktext AS (
+  SELECT t.doc_id, t.chunk,
+         string_agg(CASE WHEN t.term IN ('spark', 'window')
+                         THEN '<b>' || t.term || '</b>'
+                         ELSE t.term END, ' ' ORDER BY t.pos) AS ctext
+  FROM tok2 t JOIN picked p USING (doc_id, chunk)
+  GROUP BY t.doc_id, t.chunk
+),
+hl AS (
+  SELECT doc_id, string_agg(ctext, ' … ' ORDER BY chunk) AS highlight
+  FROM chunktext GROUP BY doc_id
+)
+SELECT top5.doc_id, top5.score, hl.highlight
+FROM top5 JOIN hl USING (doc_id)
+ORDER BY top5.score DESC, top5.doc_id ASC
 """
 
     sqls["boolean_should"] = f"""
