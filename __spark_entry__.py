@@ -164,6 +164,58 @@ ORDER BY ROUND(score, 4) DESC, doc_id ASC LIMIT {k}
 """
 
 
+def _bm25_f32_ctes() -> str:
+    """CTEs for the float32-faithful BM25 oracle (lucene scoring mode).
+
+    DuckDB FLOAT arithmetic is true binary32, so every float32 op of
+    BM25Similarity.java is replayed exactly: idf = (float) ln(1 + (N −
+    df + 0.5)/(df + 0.5)) (double log, float cast, :71-74), weightValue
+    = (float)(idf · (k1+1)) (:235), cache[b] = k1·((1−b) +
+    b·NORM_TABLE[b]/avgdl) in float32 (:213-217) with avgdl =
+    (float)(sttf/docCount) (:89-97), and score = (w·tf)/(tf + cache)
+    in float32 (:241-254).  The byte315 norm byte is recovered from the
+    SQL field length via the spec boundary table (SmallFloat.java:79-89
+    is monotone in 1/√len, so each byte owns one contiguous length
+    interval) — b315/cachev embed only SPEC CONSTANTS, never corpus- or
+    engine-derived values."""
+    from lucene_solr_spark.scoring.bm25 import NORM_TABLE, byte315_length_ranges
+
+    vals = ",".join(
+        f"({b},{lo},{hi},CAST({float(NORM_TABLE[b])!r} AS FLOAT))"
+        for b, lo, hi in byte315_length_ranges()
+    )
+    return f"""
+b315(byte, lo, hi, nt) AS (VALUES {vals}),
+avgf AS (SELECT CAST(sttf / n AS FLOAT) AS avgdl FROM cstats),
+cachev AS (
+  SELECT b.byte, b.lo, b.hi,
+         CAST(1.2 AS FLOAT) * ((CAST(1 AS FLOAT) - CAST(0.75 AS FLOAT))
+           + (CAST(0.75 AS FLOAT) * b.nt) / a.avgdl) AS cache
+  FROM b315 b CROSS JOIN avgf a
+)"""
+
+
+def _bm25_f32_per_term(terms_in: str) -> str:
+    """Per-(doc, term) float32 BM25 score rows for terms in ``terms_in``."""
+    return f"""
+weights AS (
+  SELECT t.term,
+         CAST(CAST(ln(1 + (c.n - t.df + 0.5) / (t.df + 0.5)) AS FLOAT)
+              * CAST(2.2 AS FLOAT) AS FLOAT) AS w32
+  FROM tstats t CROSS JOIN cstats c
+  WHERE t.term IN ({terms_in})
+),
+per AS (
+  SELECT p.doc_id,
+         (w.w32 * CAST(p.tf AS FLOAT))
+           / (CAST(p.tf AS FLOAT) + cv.cache) AS s
+  FROM postings p
+  JOIN weights w USING (term)
+  JOIN norms nm USING (doc_id)
+  JOIN cachev cv ON nm.length BETWEEN cv.lo AND cv.hi
+)"""
+
+
 def _span_score(terms_in: str) -> str:
     """Shared scoring tail for span/sloppy oracles: BM25 over a
     fractional sloppy freq with the summed idf of the clause terms."""
@@ -373,10 +425,17 @@ def q_segment_term_query(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_term_query_lucene(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """float32 byte315-norm BM25 (rank-identical mode; SURVEY §2.4) —
-    not SQL-expressible, rows-only check; pytest covers rank-identity."""
+    """float32 byte315-norm BM25 (rank-identical mode; SURVEY §2.4;
+    BM25Similarity.java:71-74,103-111,213-254) — gated bit-faithfully
+    against a DuckDB oracle that redoes every float32 operation with
+    FLOAT-typed arithmetic (DuckDB FLOAT ops are true binary32) and
+    recovers the byte315 norm byte from the SQL field length via the
+    spec boundary table.  A 4k-style buffer is fetched by UNROUNDED
+    float32 score, then re-ranked by the 4-decimal ROUNDED score with
+    the HitQueue tie-break — the same ordering the oracle uses."""
     s = _searcher(spark, sf_dir, scoring="lucene")
-    return s.search(parse_query("+spark +window vector"), k=10)
+    raw = s.search(parse_query("+spark +window vector"), k=40, use_cache=False)
+    return _topk(raw, 10)
 
 
 def q_dismax(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1949,6 +2008,26 @@ SELECT doc_id, ROUND(score, 4) AS score FROM scored
     # block-max WAND in exact-double mode IS plain BM25-disjunction top-k:
     # early termination must not change the answer, so the oracle is the
     # exhaustive SUM-over-terms ranking.
+    # float32-faithful lucene scoring mode: '+spark +window vector' —
+    # docs must match both MUSTs; the SHOULD only adds score.  Per-term
+    # float32 scores are summed in DOUBLE and cast once to float
+    # (ConjunctionScorer.score sums double → (float); our _sum_scores).
+    sqls["term_query_lucene"] = f"""
+WITH {_IDX},
+{_bm25_f32_ctes()},
+{_bm25_f32_per_term("'spark', 'window', 'vector'")},
+matched AS (
+  SELECT doc_id FROM postings WHERE term = 'spark'
+  INTERSECT
+  SELECT doc_id FROM postings WHERE term = 'window'
+),
+scored AS (
+  SELECT p.doc_id, CAST(CAST(SUM(CAST(p.s AS DOUBLE)) AS FLOAT) AS DOUBLE) AS score
+  FROM per p JOIN matched m USING (doc_id) GROUP BY p.doc_id
+)
+{_TOPK_TAIL.format(k=10)}
+"""
+
     sqls["wand_topk"] = f"""
 WITH {_IDX},
 per AS (

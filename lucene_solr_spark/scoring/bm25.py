@@ -74,10 +74,42 @@ def encode_norm(field_length: np.ndarray | int) -> np.ndarray:
     return float_to_byte315(inv)
 
 
+def byte315_length_ranges(max_len: int = 10**9) -> list[tuple[int, int, int]]:
+    """Contiguous ``(byte, lo, hi)`` field-length ranges per norm byte.
+
+    encode_norm is monotone non-increasing in length, so each norm byte
+    owns one contiguous length interval.  These are spec constants of
+    SmallFloat.floatToByte315 (like the NORM_TABLE values) — the DuckDB
+    correctness oracle embeds them as literals to recover the norm byte
+    from the SQL-derived field length without bit twiddling."""
+    ranges: list[tuple[int, int, int]] = []
+    lo = 1
+    while lo <= max_len:
+        b = int(encode_norm(lo))
+        step, hi = 1, lo
+        while hi < max_len and int(encode_norm(min(hi + step, max_len))) == b:
+            hi = min(hi + step, max_len)
+            step *= 2
+        top = min(hi + step, max_len)
+        while hi < top:
+            mid = (hi + top + 1) // 2
+            if int(encode_norm(mid)) == b:
+                hi = mid
+            else:
+                top = mid - 1
+        ranges.append((b, lo, hi))
+        lo = hi + 1
+    return ranges
+
+
 def idf(doc_freq: np.ndarray | int, doc_count: int) -> np.ndarray:
-    """(float32) ln(1 + (N − df + 0.5)/(df + 0.5)).  Ref: :71-74."""
+    """(float32) ln(1 + (N − df + 0.5)/(df + 0.5)).  Ref: :71-74.
+
+    Math.log(1 + x), NOT log1p — the reference adds 1 in double before
+    the log (BM25Similarity.java:72), and the DuckDB oracle's ln(1+x)
+    must hit the same double before the float32 cast."""
     df = np.asarray(doc_freq, dtype=np.float64)
-    return np.log1p((doc_count - df + 0.5) / (df + 0.5)).astype(np.float32)
+    return np.log(1.0 + (doc_count - df + 0.5) / (df + 0.5)).astype(np.float32)
 
 
 @dataclass(frozen=True)
