@@ -1356,6 +1356,19 @@ def q_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_embedding_pairs_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT all-pairs cosine ≥ τ via the blocked-GEMM self-join
+    (guaranteed recall 1.0 — the exact counterpart of the LSH path;
+    full DuckDB oracle via list_cosine_similarity over the same
+    vec_id < vec_id pair set)."""
+    e = _table(spark, sf_dir, "embeddings")
+    return (
+        similarity.cosine_all_pairs_exact(e, threshold=0.4, num_blocks=4)
+        .select("ida", "idb", F.round("cosine", 4).alias("cosine"))
+        .orderBy("ida", "idb")
+    )
+
+
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal pipeline: binary payload column + typed metadata →
     mapInPandas feature extraction over REAL in-container decode (pure
@@ -1415,8 +1428,14 @@ def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_english_analyzer(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EnglishAnalyzer chain (analysis/en/EnglishAnalyzer.java:99-108:
     tokenize → possessive strip → lowercase → stop → Porter stem): top
-    stemmed terms by docFreq — stemming isn't SQL-expressible ⇒
-    rows-only; tests/test_porter.py holds 57 golden stem pairs."""
+    stemmed terms by docFreq.  Gated against a DuckDB oracle that
+    re-derives tokenization, stop removal, per-stem docFreq and the
+    top-20 ordering in SQL; the Porter step itself is a 31-word
+    embedded (token → stem) map over the closed corpus vocabulary —
+    the stem VALUES are fixed outputs of the published Porter
+    algorithm (the quirky ones — key→kei, query→queri, merge→merg —
+    are classic published behaviors), independently pinned by the 57
+    reference golden pairs in tests/test_porter.py."""
     d = _table(spark, sf_dir, "documents")
     t = build_tables(d, id_col="doc_id", text_col="text", analyzer="english")
     return (
@@ -1889,6 +1908,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lsh_ann": q_lsh_ann,
         "ivf_ann": q_ivf_ann,
         "embedding_near_dups": q_embedding_near_dups,
+        "embedding_pairs_exact": q_embedding_pairs_exact,
         "multimodal_features": q_multimodal_features,
         "token_counts": q_token_counts,
         "quality_score": q_quality_score,
@@ -2218,6 +2238,29 @@ FROM documents ORDER BY doc_id
 
     # index-time synonym chain: tokenize → lower → synonyms → stop;
     # the equivalence class makes both members' postings identical
+    # EnglishAnalyzer: tokenize → possessive strip (no-op on this
+    # apostrophe-free corpus) → lowercase → stop → Porter stem.  The
+    # stem map below is the published Porter algorithm's output over
+    # the closed 31-word corpus vocabulary (only 6 words change);
+    # tests/test_porter.py pins the stemmer against 57 reference
+    # golden pairs, and this oracle independently re-derives the
+    # tokenize/stop/docFreq/top-20 pipeline around it.
+    sqls["english_analyzer"] = f"""
+WITH {_IDX},
+stems(tok, stem) AS (VALUES
+  ('customer','custom'), ('key','kei'), ('merge','merg'),
+  ('query','queri'), ('table','tabl'), ('value','valu')
+),
+stemmed AS (
+  SELECT k.doc_id, COALESCE(s.stem, k.term) AS term
+  FROM kept k LEFT JOIN stems s ON k.term = s.tok
+),
+sdf AS (
+  SELECT term, count(DISTINCT doc_id) AS df FROM stemmed GROUP BY term
+)
+SELECT term, df FROM sdf ORDER BY df DESC, term ASC LIMIT 20
+"""
+
     sqls["synonym_analysis"] = f"""
 WITH {_IDX},
 syn AS (
@@ -3196,6 +3239,20 @@ FROM documents ORDER BY doc_id
     # md5int56 = first 14 hex chars of md5 as an integer — both engines
     # parse the same hex prefix; DuckDB promotes the i-product to HUGEINT
     # where Spark's long never overflows (max 100 tokens · 2^56 < 2^63).
+    # exact all-pairs cosine join: DuckDB redoes the FULL quadratic
+    # pair set — the blocked-GEMM Spark plan must reproduce it exactly
+    # (recall 1.0 by construction, unlike the LSH-bucketed path).
+    sqls["embedding_pairs_exact"] = """
+WITH p AS (
+  SELECT a.vec_id AS ida, b.vec_id AS idb,
+         list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                CAST(b.embedding AS DOUBLE[])) AS c
+  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+)
+SELECT ida, idb, ROUND(c, 4) AS cosine FROM p WHERE c >= 0.4
+ORDER BY ida, idb
+"""
+
     sqls["doc_fingerprint"] = """
 WITH words AS (
   SELECT doc_id,

@@ -245,3 +245,86 @@ def embedding_near_dups(
         )
         .filter(F.col("cosine") >= threshold)
     )
+
+
+def cosine_all_pairs_exact(
+    df: DataFrame,
+    threshold: float,
+    num_blocks: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """EXACT all-pairs cosine ≥ threshold via block-pair GEMM.
+
+    The guaranteed-recall complement of the LSH path
+    (``embedding_near_dups``): every row is replicated to its
+    ``num_blocks`` block-pair groups (shuffle volume n·B rows), and each
+    of the B·(B+1)/2 groups computes one dense numpy matmul over its two
+    blocks — the classic blocked self-join that distributes inherently
+    O(n²) exact work across the cluster with bounded per-task memory
+    (pick B so n/B vectors fit an executor; at 10^9 rows you want the
+    LSH path instead, but the exact path must exist and must scale to
+    the sizes where exactness is affordable).
+
+    Returns (ida, idb, cosine) with ida < idb, cosine in double.
+    """
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    out_schema = StructType(
+        [
+            StructField("ida", LongType()),
+            StructField("idb", LongType()),
+            StructField("cosine", DoubleType()),
+        ]
+    )
+    tau = float(threshold)
+
+    def kernel(key, pdf):
+        empty = pd.DataFrame(
+            {
+                "ida": np.array([], dtype=np.int64),
+                "idb": np.array([], dtype=np.int64),
+                "cosine": np.array([], dtype=np.float64),
+            }
+        )
+        if len(pdf) == 0:
+            return empty
+        gi, gj = int(key[0]), int(key[1])
+        ids = pdf["vid"].to_numpy().astype(np.int64)
+        X = np.stack(pdf["vec"].to_numpy()).astype(np.float64)
+        X /= np.linalg.norm(X, axis=1, keepdims=True)
+        blk = pdf["blk"].to_numpy()
+        if gi == gj:
+            S = X @ X.T
+            keep = S >= tau
+            keep[np.tril_indices(len(ids))] = False
+            iu, ju = np.nonzero(keep)
+            ia, ib, c = ids[iu], ids[ju], S[iu, ju]
+        else:
+            ma, mb = blk == gi, blk == gj
+            if not ma.any() or not mb.any():
+                return empty
+            S = X[ma] @ X[mb].T
+            ii, jj = np.nonzero(S >= tau)
+            ia, ib, c = ids[ma][ii], ids[mb][jj], S[ii, jj]
+        lo, hi = np.minimum(ia, ib), np.maximum(ia, ib)
+        return pd.DataFrame({"ida": lo, "idb": hi, "cosine": c})
+
+    base = df.select(
+        F.col(id_col).alias("vid"), F.col(vec_col).alias("vec")
+    ).withColumn(
+        "blk", F.pmod(F.xxhash64("vid"), F.lit(num_blocks)).cast("int")
+    )
+    rep = (
+        base.withColumn(
+            "pb", F.explode(F.array(*[F.lit(i) for i in range(num_blocks)]))
+        )
+        .withColumn("gi", F.least("blk", "pb"))
+        .withColumn("gj", F.greatest("blk", "pb"))
+    )
+    return rep.groupBy("gi", "gj").applyInPandas(kernel, out_schema)

@@ -168,6 +168,44 @@ def test_embedding_near_dups_self_consistency(spark):
     assert (1, 10) in pairs
 
 
+def test_cosine_all_pairs_exact_matches_numpy(emb):
+    from lucene_solr_spark.functions.similarity import cosine_all_pairs_exact
+
+    pdf = emb.toPandas()
+    M = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+    M /= np.linalg.norm(M, axis=1, keepdims=True)
+    S = M @ M.T
+    ids = pdf["vec_id"].to_numpy()
+    want = {
+        (int(ids[i]), int(ids[j]))
+        for i in range(len(ids))
+        for j in range(i + 1, len(ids))
+        if S[i, j] >= 0.4
+    }
+    for blocks in (1, 4, 7):  # block count must not change the answer
+        got = {
+            (r["ida"], r["idb"])
+            for r in cosine_all_pairs_exact(emb, 0.4, num_blocks=blocks).collect()
+        }
+        assert got == want, f"num_blocks={blocks}"
+
+
+def test_cosine_all_pairs_exact_beats_lsh_recall(emb):
+    """The exact path has recall 1.0 where the LSH-bucketed path is lossy."""
+    from lucene_solr_spark.functions.similarity import cosine_all_pairs_exact
+
+    exact = {
+        (r["ida"], r["idb"])
+        for r in cosine_all_pairs_exact(emb, 0.4, num_blocks=4).collect()
+    }
+    lsh = {
+        (r["ida"], r["idb"])
+        for r in embedding_near_dups(emb, 0.4, num_planes=4).collect()
+    }
+    assert lsh <= exact  # LSH output is a subset (exact verify step)
+    assert len(exact) >= len(lsh)
+
+
 # ------------------------------------------------------------- textstats
 def test_token_counts(spark):
     df = spark.createDataFrame([(1, "Hello, world 42!")], "doc_id long, text string")
