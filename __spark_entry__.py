@@ -587,6 +587,50 @@ def q_local_params(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _topk(disp.docs("{!boost b=recip(n_chars,1,1000,1000)}{!term v=$qq}"), 10)
 
 
+def q_join_qparser(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """{!join} field-value semi-join across collections
+    (search/JoinQParserPlugin.java): orders whose o_custkey occurs
+    among customers matched by an inner {!frange} over c_acctbal —
+    executed as distinct-project + left-semi join, never a driver
+    collect."""
+    from lucene_solr_spark.queries.local_params import SolrQueryDispatcher
+
+    cust = _table(spark, sf_dir, "customer").withColumn(
+        "doc_id", F.col("c_custkey")
+    )
+    orders = _table(spark, sf_dir, "orders").withColumn(
+        "doc_id", F.col("o_orderkey")
+    )
+    disp = SolrQueryDispatcher(None, orders, tables={"customer": cust})
+    out = disp.docs(
+        "{!join from=c_custkey to=o_custkey fromIndex=customer}"
+        "{!frange l=9000}c_acctbal"
+    )
+    return out.select("doc_id", "score").orderBy("doc_id")
+
+
+def q_geofilt_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """{!geofilt} great-circle distance filter
+    (SpatialFilterQParserPlugin → LatLonType.createSpatialQuery),
+    haversine on the GeoUtils mean radius over deterministic synthetic
+    store coordinates (same synthesis as function_valuesource)."""
+    from lucene_solr_spark.queries.local_params import SolrQueryDispatcher
+
+    d = (
+        _table(spark, sf_dir, "documents")
+        .withColumn(
+            "store_lat", ((F.col("doc_id") % 180) - 90 + 0.5).cast("double")
+        )
+        .withColumn(
+            "store_lon",
+            (((F.col("doc_id") * 7) % 360) - 180 + 0.5).cast("double"),
+        )
+    )
+    disp = SolrQueryDispatcher(None, d)
+    out = disp.docs("{!geofilt sfield=store pt=40.7,-74.0 d=3000}")
+    return out.select("doc_id", "score").orderBy("doc_id")
+
+
 def q_core_analyzers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Core analyzer family (analysis/core/WhitespaceAnalyzer.java):
     whitespace tokenization preserves case and applies no stop filter —
@@ -1953,6 +1997,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ltr_trees": q_ltr_trees,
         "valuesource_extended": q_valuesource_extended,
         "local_params": q_local_params,
+        "join_qparser": q_join_qparser,
+        "geofilt_query": q_geofilt_query,
         "core_analyzers": q_core_analyzers,
         # (all four above/below have full oracle replicas in
         # tests/test_entry.py meanwhile), then the round-1 green core
@@ -2543,6 +2589,30 @@ SELECT d.doc_id,
        ROUND(CAST(2 * pi() AS DOUBLE), 4) AS twopi
 FROM documents d JOIN dict USING (lang) CROSS JOIN nv
 ORDER BY d.doc_id
+"""
+
+    sqls["join_qparser"] = """
+SELECT o_orderkey AS doc_id, CAST(1.0 AS DOUBLE) AS score FROM orders
+WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_acctbal >= 9000)
+ORDER BY doc_id
+"""
+
+    sqls["geofilt_query"] = """
+WITH pts AS (
+  SELECT doc_id,
+         CAST((doc_id % 180) - 90 + 0.5 AS DOUBLE) AS lat,
+         CAST(((doc_id * 7) % 360) - 180 + 0.5 AS DOUBLE) AS lon
+  FROM documents
+)
+SELECT doc_id, CAST(1.0 AS DOUBLE) AS score FROM pts
+WHERE 12742.0175428 * asin(sqrt(
+        sin((radians(lat) - radians(40.7)) / 2)
+          * sin((radians(lat) - radians(40.7)) / 2)
+        + cos(radians(40.7)) * cos(radians(lat))
+          * sin((radians(lon) - radians(-74.0)) / 2)
+          * sin((radians(lon) - radians(-74.0)) / 2)
+      )) <= 3000
+ORDER BY doc_id
 """
 
     sqls["local_params"] = f"""

@@ -28,10 +28,21 @@ the reference):
 Field-scoped types wrap in FieldQuery when ``f`` names a non-default
 field (our Term analog carries the field via the wrapper).
 
+- ``{!join from to fromIndex}inner`` → field-value semi-join
+  (JoinQParserPlugin.java: docs of THIS collection whose ``to`` field
+  value occurs among the ``from`` values of inner-query matches;
+  scores=none ⇒ constant score)
+- ``{!geofilt sfield pt d}`` → great-circle distance filter
+  (SpatialFilterQParserPlugin → LatLonType.createSpatialQuery; the
+  sfield point lives in ``<sfield>_lat``/``<sfield>_lon`` doc-values
+  columns, distance = haversine on the GEO mean radius)
+- ``{!bbox sfield pt d}``    → bounding-box pre-filter of geofilt
+  (SpatialUtils.calcBoxByDistFromPt: ±d/R latitude, ±d/(R·cos lat)
+  longitude — the standard cheap superset box)
+
 Not routed here (already first-class elsewhere, as the SURVEY table
-maps them): collapse → grouping_collapse, join → block_join/JoinUtil,
-rerank → queries/rerank.py, graph → streaming/graph.py, xmlparser/
-surround/spatial → out of scope.
+maps them): collapse → grouping_collapse, rerank → queries/rerank.py,
+graph → streaming/graph.py, xmlparser/surround → out of scope.
 """
 
 from __future__ import annotations
@@ -82,6 +93,31 @@ class BoostByFunctionQuery(Query):
 
     query: Query
     boost_text: str
+
+
+@dataclass(frozen=True)
+class JoinQuery(Query):
+    """Field-value semi-join (search/JoinQParserPlugin.java → JoinQuery):
+    match docs whose ``to_field`` value appears among the ``from_field``
+    values of ``inner``-matched docs (scores=none ⇒ constant score)."""
+
+    from_field: str
+    to_field: str
+    inner: Query
+    from_index: str | None = None
+
+
+@dataclass(frozen=True)
+class GeoFilterQuery(Query):
+    """{!geofilt}/{!bbox} spatial filter (SpatialFilterQParserPlugin):
+    docs whose ``sfield`` point is within ``d`` km of ``pt``; ``bbox``
+    uses the rectangular superset box instead of the exact circle."""
+
+    sfield: str
+    lat: float
+    lon: float
+    d_km: float
+    bbox: bool = False
 
 
 _KV = re.compile(r"""(\w+)=(?:"([^"]*)"|'([^']*)'|(\S+))|(\S+)""")
@@ -151,11 +187,15 @@ class SolrQueryDispatcher:
         doc_values: DataFrame | None = None,
         params: dict[str, str] | None = None,
         default_field: str | None = None,
+        tables: dict[str, DataFrame] | None = None,
     ):
         self.searcher = searcher
         self.doc_values = doc_values
         self.params = params or {}
         self.default_field = default_field
+        # {!join fromIndex=name} cross-collection sources (each a
+        # doc-values DataFrame carrying doc_id — the other "core").
+        self.tables = tables or {}
 
     # ------------------------------------------------------------ parse
     def parse(self, qstr: str) -> Query:
@@ -217,6 +257,21 @@ class SolrQueryDispatcher:
             if b is None:
                 raise ValueError("{!boost} requires b=<function>")
             return BoostByFunctionQuery(self.parse(rest), b)
+        if ptype == "join":
+            frm, to = one("from"), one("to")
+            if not frm or not to:
+                raise ValueError("{!join} requires from= and to=")
+            return JoinQuery(frm, to, self.parse(rest), one("fromIndex"))
+        if ptype in ("geofilt", "bbox"):
+            sfield = one("sfield")
+            pt = one("pt")
+            d = one("d")
+            if not sfield or not pt or d is None:
+                raise ValueError(f"{{!{ptype}}} requires sfield=, pt=, d=")
+            lat_s, lon_s = pt.split(",", 1)
+            return GeoFilterQuery(
+                sfield, float(lat_s), float(lon_s), float(d), bbox=(ptype == "bbox")
+            )
         raise ValueError(f"unknown query parser type {ptype!r}")
 
     # ------------------------------------------------------------ exec
@@ -263,5 +318,69 @@ class SolrQueryDispatcher:
             return base.join(dv, "doc_id").select(
                 "doc_id",
                 (F.col("score").cast("double") * F.col("_b")).alias("score"),
+            )
+        if isinstance(q, JoinQuery):
+            # JoinQuery.createWeight: collect the inner matches' from-
+            # field TERM SET, then hit this collection's to-field
+            # (JoinQParserPlugin.java).  Spark shape: the from-value set
+            # is a DISTINCT projection (small after dedup) and the hit
+            # is a left-semi join — broadcastable when the value set is
+            # small, a plain shuffled semi-join otherwise; never a
+            # driver-side collect.
+            src = (
+                self.tables[q.from_index]
+                if q.from_index is not None
+                else self.doc_values
+            )
+            if src is None:
+                raise ValueError("{!join} needs a from-side doc_values table")
+            sub = SolrQueryDispatcher(
+                self.searcher, src, self.params, self.default_field, self.tables
+            )
+            vals = (
+                sub.docs(q.inner)
+                .join(src, "doc_id")
+                .select(F.col(q.from_field).alias("_jv"))
+                .distinct()
+            )
+            if self.doc_values is None:
+                raise ValueError("{!join} needs a to-side doc_values table")
+            return (
+                self.doc_values.join(
+                    vals, self.doc_values[q.to_field] == vals["_jv"], "left_semi"
+                )
+                .select("doc_id", F.lit(1.0).alias("score"))
+            )
+        if isinstance(q, GeoFilterQuery):
+            from lucene_solr_spark.functions.valuesource import (
+                EARTH_RADIUS_KM,
+                geodist_km,
+            )
+            import math
+
+            if self.doc_values is None:
+                raise ValueError("spatial filters need a doc_values table")
+            lat_c = F.col(f"{q.sfield}_lat")
+            lon_c = F.col(f"{q.sfield}_lon")
+            if q.bbox:
+                # SpatialUtils.calcBoxByDistFromPt: the superset box —
+                # ±d/R latitude, ±d/(R·cos φ) longitude (degrees).
+                dlat = math.degrees(q.d_km / EARTH_RADIUS_KM)
+                dlon = math.degrees(
+                    q.d_km / (EARTH_RADIUS_KM * math.cos(math.radians(q.lat)))
+                )
+                cond = (
+                    (lat_c >= q.lat - dlat)
+                    & (lat_c <= q.lat + dlat)
+                    & (lon_c >= q.lon - dlon)
+                    & (lon_c <= q.lon + dlon)
+                )
+            else:
+                cond = (
+                    geodist_km(F.lit(q.lat), F.lit(q.lon), lat_c, lon_c)
+                    <= q.d_km
+                )
+            return self.doc_values.filter(cond).select(
+                "doc_id", F.lit(1.0).alias("score")
             )
         return self.searcher.docs(q)

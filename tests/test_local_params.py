@@ -2,6 +2,7 @@
 getParser + *QParserPlugin.java routing)."""
 
 import pytest
+from pyspark.sql import functions as F
 
 from lucene_solr_spark.queries.local_params import (
     BoostByFunctionQuery,
@@ -129,3 +130,54 @@ def test_exec_terms_filter(spark, corpus):
 def test_unknown_parser_raises():
     with pytest.raises(ValueError):
         _dispatcher().parse("{!nosuch}x")
+
+
+def test_join_qparser_semi_join(spark):
+    from lucene_solr_spark.queries.local_params import (
+        JoinQuery,
+        SolrQueryDispatcher,
+    )
+
+    cust = spark.createDataFrame(
+        [(1, 50.0), (2, 200.0), (3, 500.0)],
+        "doc_id long, c_acctbal double",
+    ).withColumn("c_custkey", F.col("doc_id"))
+    orders = spark.createDataFrame(
+        [(10, 1), (11, 2), (12, 2), (13, 3), (14, 9)],
+        "doc_id long, o_custkey long",
+    )
+    d = SolrQueryDispatcher(None, orders, tables={"cust": cust})
+    q = d.parse("{!join from=c_custkey to=o_custkey fromIndex=cust}{!frange l=100}c_acctbal")
+    assert q == JoinQuery(
+        "c_custkey", "o_custkey", d.parse("{!frange l=100}c_acctbal"), "cust"
+    )
+    got = {(r["doc_id"], r["score"]) for r in d.docs(q).collect()}
+    # customers 2, 3 pass the frange; order 14's custkey matches nobody
+    assert got == {(11, 1.0), (12, 1.0), (13, 1.0)}
+
+
+def test_geofilt_and_bbox_superset(spark):
+    from lucene_solr_spark.queries.local_params import SolrQueryDispatcher
+
+    pts = spark.createDataFrame(
+        [
+            (0, 40.7, -74.0),   # the query point itself
+            (1, 41.0, -73.0),   # ~90 km away
+            (2, 48.85, 2.35),   # Paris, ~5800 km
+            (3, 40.7, -70.0),   # ~337 km due east — inside d=400
+        ],
+        "doc_id long, store_lat double, store_lon double",
+    )
+    d = SolrQueryDispatcher(None, pts)
+    circle = sorted(
+        r["doc_id"]
+        for r in d.docs("{!geofilt sfield=store pt=40.7,-74.0 d=400}").collect()
+    )
+    assert circle == [0, 1, 3]
+    box = sorted(
+        r["doc_id"]
+        for r in d.docs("{!bbox sfield=store pt=40.7,-74.0 d=400}").collect()
+    )
+    # the box is a SUPERSET of the circle (SpatialUtils.calcBoxByDistFromPt)
+    assert set(circle) <= set(box)
+    assert 2 not in box
