@@ -1260,6 +1260,59 @@ def q_segment_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_resume_lineage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Checkpoint/resume with per-partition lineage + metrics (north
+    rule; UpdateLog/IndexWriter recovery analog — index/IndexWriter.java
+    commit points): builds an 8-segment index, simulates a crash by
+    dropping three segments' commit points AND data, resumes — resume
+    re-does exactly the missing buckets, and because segment assignment
+    is a pure function of the corpus, the post-resume manifest
+    (lineage: source_rows, docID range; metrics: docs/terms/postings
+    per segment) is fully DuckDB-oracle-checkable."""
+    import shutil
+
+    from lucene_solr_spark.index.segments import SegmentedIndex
+
+    key = (spark.sparkContext.applicationId, sf_dir, "resumedemo")
+    rows = _SEGIDX.get(key)
+    if rows is None:
+        idx = SegmentedIndex(spark, _mktempdir("resumedemo-"))
+        docs = _table(spark, sf_dir, "documents").select(
+            "doc_id", F.col("text").alias("content")
+        )
+        idx.build(docs, num_segments=8)
+        for s_ in (1, 4, 6):  # the simulated mid-job crash
+            idx._drop_manifest(s_)
+            shutil.rmtree(
+                os.path.join(idx.path, "postings", f"segment={s_}"),
+                ignore_errors=True,
+            )
+            shutil.rmtree(
+                os.path.join(idx.path, "norms", f"segment={s_}"),
+                ignore_errors=True,
+            )
+        assert len(idx.manifest()) == 5  # crash state: 5 commit points
+        man = idx.build(docs, num_segments=8)  # resume fills 1, 4, 6 only
+        rows = sorted(
+            (
+                int(s),
+                int(i.num_docs),
+                int(i.num_terms),
+                int(i.num_postings),
+                int(i.min_docid),
+                int(i.max_docid),
+                int(i.source_rows),
+            )
+            for s, i in man.items()
+        )
+        _SEGIDX[key] = rows
+    return spark.createDataFrame(
+        rows,
+        "segment int, num_docs long, num_terms long, num_postings long,"
+        " min_docid long, max_docid long, source_rows long",
+    )
+
+
 def q_reducer_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ReducerStream: group-adjacent reduce over a sorted stream
     (io/stream/ReducerStream.java with a GroupOperation) — here 'latest
@@ -1963,6 +2016,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rerank_query": q_rerank_query,
         "function_termfreq": q_function_termfreq,
         "segment_merge": q_segment_merge,
+        "resume_lineage": q_resume_lineage,
         "select_stream": q_select_stream,
         "complement_stream": q_complement_stream,
         "cartesian_stream": q_cartesian_stream,
@@ -3203,6 +3257,34 @@ SELECT segment,
        COUNT(*) AS num_postings,
        1 AS generation
 FROM segd GROUP BY segment ORDER BY segment
+"""
+
+    # resume is stat-invisible by design: segment assignment is a pure
+    # function of the corpus, so the post-crash-resume manifest must
+    # equal this direct per-segment recomputation.
+    sqls["resume_lineage"] = f"""
+WITH {_IDX},
+b AS (SELECT CAST(CEIL((MAX(doc_id) + 1) / 8.0) AS BIGINT) AS per FROM documents),
+segp AS (
+  SELECT CAST(FLOOR(p.doc_id / per) AS INT) AS segment, p.doc_id, p.term
+  FROM postings p CROSS JOIN b
+),
+srcrows AS (
+  SELECT CAST(FLOOR(d.doc_id / per) AS INT) AS segment, COUNT(*) AS source_rows
+  FROM documents d CROSS JOIN b GROUP BY 1
+),
+g AS (
+  SELECT segment,
+         COUNT(DISTINCT doc_id) AS num_docs,
+         COUNT(DISTINCT term) AS num_terms,
+         COUNT(*) AS num_postings,
+         MIN(doc_id) AS min_docid,
+         MAX(doc_id) AS max_docid
+  FROM segp GROUP BY segment
+)
+SELECT g.segment, g.num_docs, g.num_terms, g.num_postings,
+       g.min_docid, g.max_docid, s.source_rows
+FROM g JOIN srcrows s USING (segment) ORDER BY g.segment
 """
 
     sqls["select_stream"] = """
