@@ -916,6 +916,29 @@ def q_facet_range(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_facet_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval facets (solr/core/.../request/IntervalFacets.java via
+    SimpleFacets.getFacetIntervalCounts): arbitrary possibly-overlapping
+    intervals with per-endpoint open/closed semantics — each interval is
+    an independent conditional count (one pass, unioned filtered counts),
+    unlike range facets' disjoint buckets."""
+    d = _table(spark, sf_dir, "documents")
+    n = F.col("n_chars")
+    intervals = [
+        ("(*,300]", n <= 300),
+        ("(300,600)", (n > 300) & (n < 600)),
+        ("[600,900]", (n >= 600) & (n <= 900)),
+        ("[250,650]", (n >= 250) & (n <= 650)),  # overlaps are legal
+        ("(900,*)", n > 900),
+    ]
+    return d.agg(
+        *[
+            F.sum(F.when(cond, 1).otherwise(0)).alias(label)
+            for label, cond in intervals
+        ]
+    )
+
+
 def q_pivot_facet(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pivot (nested) facet (handler/component/PivotFacetComponent)."""
     d = _table(spark, sf_dir, "documents")
@@ -1976,13 +1999,47 @@ def entry(spark: SparkSession) -> DataFrame:
     return s.search(parse_query("+spark +window vector hash"), k=10)
 
 
+# The driver gates registry entries front-to-back (round 1 recorded rows
+# for exactly the first 50), so the window below maximizes NEW evidence:
+# the two round-1 hash mismatches (re-green), the four entries upgraded
+# from rows-only to full oracles, then every never-gated full-oracle
+# entry except twelve deferred ones whose semantics a green sibling
+# already evidences (three suggesters next to suggest_prefix, four
+# trivial stream mappings next to the gated streams, ltr_trees next to
+# ltr_rescore, regexp next to wildcard, pivot_rollup next to the green
+# pivot facet, valuesource_extended next to function_valuesource,
+# core_analyzers next to the gated analyzer chains).  Deferred + rows-
+# only + the round-1 green core follow, in case the driver gates more
+# than 50.
+_GATE_WINDOW = [
+    "facet_metrics", "stats_component",
+    "term_query_lucene", "wand_topk", "sloppy_phrase", "unified_highlight",
+    "span_near_ordered", "span_near_unordered", "span_not", "span_first",
+    "span_or", "classic_tfidf", "delete_by_query", "exact_dedup",
+    "ngram_jaccard", "minhash_lsh", "cosine_topk", "embedding_pairs_exact",
+    "token_counts", "quality_score", "language_id", "doc_fingerprint",
+    "english_analyzer", "suggest_prefix", "rerank_query",
+    "function_termfreq", "segment_merge", "resume_lineage",
+    "timeseries_stream", "reducer_stream", "hash_partition_stream",
+    "synonym_analysis", "shingle_analysis", "facet_hll", "edismax",
+    "function_valuesource", "payload_score", "offsets_highlight",
+    "term_vector", "suggest_freetext", "gather_nodes",
+    "features_selection", "text_logit", "stream_evaluators", "classify",
+    "score_nodes", "ltr_rescore", "local_params", "join_qparser",
+    "geofilt_query",
+]
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    # Registry ORDER matters: the driver gates entries front-to-back and
-    # round 1 recorded rows for exactly the first 50. Round-2 order puts
-    # the 32 entries that never got a CORRECTNESS row first, then the two
-    # round-1 hash-mismatch fixes, then new round-2 gates, then a
-    # representative slice of the round-1 green core, then the remainder
-    # (all green in CORRECTNESS_r01.json).
+    reg = _registry()
+    missing = [k for k in _GATE_WINDOW if k not in reg]
+    assert not missing, f"gate window names unknown entries: {missing}"
+    ordered = {k: reg[k] for k in _GATE_WINDOW}
+    ordered.update((k, v) for k, v in reg.items() if k not in ordered)
+    return ordered
+
+
+def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # -- rows-only in round 1, full oracles since (block-max WAND in
         # exact-double mode; two-term sloppy closed form) ---------------
@@ -2093,6 +2150,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "query_facet": q_query_facet,
         "terms_component": q_terms_component,
         "facet_range": q_facet_range,
+        "facet_intervals": q_facet_intervals,
         "pivot_facet": q_pivot_facet,
         "grouping_collapse": q_grouping_collapse,
         "significant_terms": q_significant_terms,
@@ -3090,6 +3148,18 @@ FROM documents GROUP BY 1 ORDER BY 1
     sqls["pivot_facet"] = """
 SELECT lang, source, count(*) AS cnt
 FROM documents GROUP BY lang, source ORDER BY lang, source
+"""
+
+    sqls["facet_intervals"] = """
+SELECT SUM(CASE WHEN n_chars <= 300 THEN 1 ELSE 0 END) AS "(*,300]",
+       SUM(CASE WHEN n_chars > 300 AND n_chars < 600 THEN 1 ELSE 0 END)
+         AS "(300,600)",
+       SUM(CASE WHEN n_chars >= 600 AND n_chars <= 900 THEN 1 ELSE 0 END)
+         AS "[600,900]",
+       SUM(CASE WHEN n_chars >= 250 AND n_chars <= 650 THEN 1 ELSE 0 END)
+         AS "[250,650]",
+       SUM(CASE WHEN n_chars > 900 THEN 1 ELSE 0 END) AS "(900,*)"
+FROM documents
 """
 
     sqls["stats_component"] = f"""
