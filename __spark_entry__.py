@@ -1283,6 +1283,56 @@ def q_segment_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stateful Structured-Streaming sessionization driver gate
+    (applyInPandasWithState + event-time timeout; the custom stateful
+    operator the built-ins can't express).  Run with availableNow over
+    a single-file parquet copy of events: one data micro-batch closes
+    every session that is followed by another session of the same user,
+    and the timeout-flush batch closes open sessions whose
+    end + gap falls below the final watermark (max event time) — so the
+    emitted closed-session set is a deterministic pure function of the
+    data, and the DuckDB oracle recomputes it with window-function gap
+    segmentation plus the same timeout rule."""
+    from lucene_solr_spark.streaming import sessionize
+
+    key = (spark.sparkContext.applicationId, sf_dir, "sessdemo")
+    rows = _SEGIDX.get(key)
+    if rows is None:
+        tmp = _mktempdir("sessdemo-")
+        events = _table(spark, sf_dir, "events")
+        events.coalesce(1).write.parquet(f"{tmp}/src")
+        stream = spark.readStream.schema(events.schema).parquet(f"{tmp}/src")
+        sess = sessionize(stream, gap_seconds=21600, watermark="0 seconds")
+        qname = f"sessions_{abs(hash(key)) % 10**9}"
+        q = (
+            sess.writeStream.format("memory")
+            .queryName(qname)
+            .outputMode("append")
+            .option("checkpointLocation", f"{tmp}/ck")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+        rows = [
+            tuple(r)
+            for r in spark.table(qname)
+            .select(
+                "user_id",
+                F.unix_millis("session_start").alias("start_ms"),
+                F.unix_millis("session_end").alias("end_ms"),
+                "n_events",
+                F.round("sum_value", 4).alias("sum_value"),
+            )
+            .collect()
+        ]
+        _SEGIDX[key] = rows
+    return spark.createDataFrame(
+        rows,
+        "user_id long, start_ms long, end_ms long, n_events int, sum_value double",
+    ).orderBy("user_id", "start_ms")
+
+
 def q_resume_lineage(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Checkpoint/resume with per-partition lineage + metrics (north
     rule; UpdateLog/IndexWriter recovery analog — index/IndexWriter.java
@@ -2005,7 +2055,9 @@ def entry(spark: SparkSession) -> DataFrame:
 # from rows-only to full oracles, then every never-gated full-oracle
 # entry except twelve deferred ones whose semantics a green sibling
 # already evidences (three suggesters next to suggest_prefix, four
-# trivial stream mappings next to the gated streams, ltr_trees next to
+# trivial stream mappings next to the gated streams — and the Spark-
+# native hash_partition_stream, displaced by the stateful-streaming
+# sessionize gate — ltr_trees next to
 # ltr_rescore, regexp next to wildcard, pivot_rollup next to the green
 # pivot facet, valuesource_extended next to function_valuesource,
 # core_analyzers next to the gated analyzer chains).  Deferred + rows-
@@ -2020,7 +2072,7 @@ _GATE_WINDOW = [
     "token_counts", "quality_score", "language_id", "doc_fingerprint",
     "english_analyzer", "suggest_prefix", "rerank_query",
     "function_termfreq", "segment_merge", "resume_lineage",
-    "timeseries_stream", "reducer_stream", "hash_partition_stream",
+    "timeseries_stream", "reducer_stream", "stream_sessionize",
     "synonym_analysis", "shingle_analysis", "facet_hll", "edismax",
     "function_valuesource", "payload_score", "offsets_highlight",
     "term_vector", "suggest_freetext", "gather_nodes",
@@ -2074,6 +2126,7 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "function_termfreq": q_function_termfreq,
         "segment_merge": q_segment_merge,
         "resume_lineage": q_resume_lineage,
+        "stream_sessionize": q_stream_sessionize,
         "select_stream": q_select_stream,
         "complement_stream": q_complement_stream,
         "cartesian_stream": q_cartesian_stream,
@@ -3327,6 +3380,39 @@ SELECT segment,
        COUNT(*) AS num_postings,
        1 AS generation
 FROM segd GROUP BY segment ORDER BY segment
+"""
+
+    # the closed-session set after an availableNow run: every session
+    # followed by a later session of the same user, plus last sessions
+    # whose end + gap is strictly below the final watermark (the max
+    # event time, ms-truncated like the kernel).
+    sqls["stream_sessionize"] = """
+WITH e AS (SELECT user_id, epoch_ms(ts) AS t, value FROM events),
+mx AS (SELECT MAX(t) AS m FROM e),
+lagd AS (
+  SELECT user_id, t, value,
+         LAG(t) OVER (PARTITION BY user_id ORDER BY t) AS lag_t
+  FROM e
+),
+seg AS (
+  SELECT user_id, t, value,
+         SUM(CASE WHEN lag_t IS NOT NULL AND t - lag_t > 21600000
+                  THEN 1 ELSE 0 END)
+           OVER (PARTITION BY user_id ORDER BY t
+                 ROWS UNBOUNDED PRECEDING) AS sid
+  FROM lagd
+),
+sess AS (
+  SELECT user_id, sid, MIN(t) AS start_ms, MAX(t) AS end_ms,
+         COUNT(*) AS n, SUM(value) AS tot
+  FROM seg GROUP BY user_id, sid
+),
+lastsid AS (SELECT user_id, MAX(sid) AS maxsid FROM sess GROUP BY user_id)
+SELECT s.user_id, s.start_ms, s.end_ms,
+       CAST(s.n AS INT) AS n_events, ROUND(s.tot, 4) AS sum_value
+FROM sess s JOIN lastsid l USING (user_id) CROSS JOIN mx
+WHERE s.sid < l.maxsid OR s.end_ms + 21600000 < mx.m
+ORDER BY s.user_id, s.start_ms
 """
 
     # resume is stat-invisible by design: segment assignment is a pure
