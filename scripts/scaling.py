@@ -40,12 +40,22 @@ sys.path.insert(0, os.getcwd())
 from lucene_solr_spark.session import get_spark
 from lucene_solr_spark.index.segments import SegmentedIndex
 
+def cpu_ticks():
+    # (user+nice+sys, steal) aggregate ticks from /proc/stat — hypervisor
+    # steal is the dominant noise source on this host (measured: ~3.5%
+    # with 2 vCPUs busy, ~22% with 8 busy, with multi-x bursts), so every
+    # timed leg reports its own steal fraction and the harness accepts
+    # only quiet-window runs.
+    f = open("/proc/stat").readline().split()
+    return int(f[1]) + int(f[2]) + int(f[3]), int(f[8])
+
 cores, num_docs, corpus_dir, out = (
     int(sys.argv[1]), int(sys.argv[2]), sys.argv[3], sys.argv[4]
 )
 spark = get_spark(f"scaling-{cores}", cores=cores)
 src = spark.read.parquet(corpus_dir)
 src.count()  # warm the scan/file listing outside the timed window
+busy0, steal0 = cpu_ticks()
 t0 = time.time()
 idx = SegmentedIndex(spark, out)
 # fixed ~7.5k docs per segment regardless of corpus size — the same
@@ -54,9 +64,12 @@ idx = SegmentedIndex(spark, out)
 num_segments = max(64, num_docs // 7500)
 man = idx.build(src, num_segments=num_segments, total_docs=num_docs)
 wall = time.time() - t0
+busy1, steal1 = cpu_ticks()
+db, ds = busy1 - busy0, steal1 - steal0
 ndocs = sum(i.num_docs for i in man.values())
 print(json.dumps({"cores": cores, "wall_s": round(wall, 2),
-                  "docs": ndocs, "docs_per_sec": round(ndocs / wall, 1)}))
+                  "docs": ndocs, "docs_per_sec": round(ndocs / wall, 1),
+                  "steal_frac": round(ds / max(1, db + ds), 4)}))
 """
 
 
@@ -117,12 +130,19 @@ def main() -> None:
                         )
                     )
             try:
-                # best-of-N per leg: the host shows intermittent
-                # invisible load (loadavg 5+ with vmstat 100% idle —
-                # hypervisor steal), which inflates single runs up to
-                # ~1.5×; min wall-clock is the standard de-noising
+                # Steal-gated repeats: the host shows bursty hypervisor
+                # steal (measured up to multi-x slowdowns; two identical
+                # pinned jobs on DISJOINT cores can each collapse 3×),
+                # which single best-of-N only partially removes.  Every
+                # leg now measures its own steal fraction over the timed
+                # window; the leg is accepted only when steal ≤
+                # $SCALING_STEAL_MAX (default 6%), retrying up to
+                # $SCALING_MAX_ATTEMPTS; otherwise the lowest-steal run
+                # is used and reported as noisy.
+                steal_max = float(os.environ.get("SCALING_STEAL_MAX", "0.06"))
+                attempts = int(os.environ.get("SCALING_MAX_ATTEMPTS", "4"))
                 legs = []
-                for r in range(repeats):
+                for r in range(max(repeats, attempts)):
                     out = os.path.join(base, f"idx{cores}-{r}")
                     line = [
                         ln
@@ -135,11 +155,19 @@ def main() -> None:
                     ][-1]
                     legs.append(json.loads(line))
                     print(legs[-1])
+                    shutil.rmtree(out, ignore_errors=True)
+                    if (
+                        r + 1 >= repeats
+                        and min(d["steal_frac"] for d in legs) <= steal_max
+                    ):
+                        break
             finally:
                 for p in spinners:
                     p.kill()
-            best = min(legs, key=lambda d: d["wall_s"])
+            best = min(legs, key=lambda d: (d["steal_frac"], d["wall_s"]))
             best["all_runs_wall_s"] = [d["wall_s"] for d in legs]
+            best["all_runs_steal"] = [d["steal_frac"] for d in legs]
+            best["quiet_window"] = best["steal_frac"] <= steal_max
             results[cores] = best
     finally:
         shutil.rmtree(base, ignore_errors=True)
@@ -158,10 +186,13 @@ def main() -> None:
     with open("BENCH.md", "a") as f:
         f.write(
             f"\n## Scaling run (num_docs={num_docs}, frequency-controlled: "
-            f"{big} cores busy in both legs)\n\n"
-            f"| parallelism | wall_s | docs/sec |\n|---|---|---|\n"
-            f"| local[{small}] | {results[small]['wall_s']} | {results[small]['docs_per_sec']} |\n"
-            f"| local[{big}] | {results[big]['wall_s']} | {results[big]['docs_per_sec']} |\n\n"
+            f"{big} cores busy in both legs; steal-gated)\n\n"
+            f"| parallelism | wall_s | docs/sec | steal_frac | quiet |\n"
+            f"|---|---|---|---|---|\n"
+            f"| local[{small}] | {results[small]['wall_s']} | {results[small]['docs_per_sec']} |"
+            f" {results[small]['steal_frac']} | {results[small]['quiet_window']} |\n"
+            f"| local[{big}] | {results[big]['wall_s']} | {results[big]['docs_per_sec']} |"
+            f" {results[big]['steal_frac']} | {results[big]['quiet_window']} |\n\n"
             f"Scaling efficiency (N→4N cores): **{eff:.3f}** (target ≥ 0.8)\n"
         )
 
