@@ -84,6 +84,7 @@ def _encode_segment(pdf: pd.DataFrame) -> pd.DataFrame:
     The per-segment flush: analyze, invert (sort replaces the term
     hash, as FreqProxTermsWriter.flush sorts at flush —
     index/FreqProxTermsWriter.java:81-117), then block-encode."""
+    t_task = time.time()
     seg = int(pdf["segment"].iloc[0])
 
     # kind=2 summary row: source-row lineage AND the segment stats the
@@ -95,7 +96,18 @@ def _encode_segment(pdf: pd.DataFrame) -> pd.DataFrame:
     # so the post-write stats read collects 64 pushdown-filtered rows
     # instead of re-aggregating every posting block.
     def _lineage(stats: dict) -> pd.DataFrame:
-        vals = {"kind": 2, "segment": seg, "count": len(pdf), **stats}
+        # length (unused by kind=2) carries the task's own kernel ms, so
+        # the build can report Σ task-time vs wall — the decomposition
+        # that separates framework overhead (idle cores, stragglers)
+        # from shared-hardware contention (identical kernels running
+        # slower at higher concurrency); see BENCH.md scaling analysis.
+        vals = {
+            "kind": 2,
+            "segment": seg,
+            "count": len(pdf),
+            "length": int((time.time() - t_task) * 1000),
+            **stats,
+        }
         return pd.DataFrame(
             {
                 col: pd.Series(
@@ -196,6 +208,7 @@ class SegmentInfo:
     source_rows: int
     wall_s: float
     generation: int = 0
+    task_ms: int = 0  # this segment's own kernel time (see _lineage)
     merged_from: list[int] = field(default_factory=list)
     status: str = "committed"
 
@@ -319,6 +332,7 @@ class SegmentedIndex:
                 F.col("base_docid").alias("min_docid"),
                 F.col("max_docid").alias("max_docid"),
                 F.col("count").alias("src_rows"),
+                F.col("length").alias("task_ms"),
             ).collect()
         }
         wall = time.time() - t0
@@ -336,6 +350,7 @@ class SegmentedIndex:
                 max_docid=int(r["max_docid"]) if r and r["max_docid"] is not None else -1,
                 source_rows=int(r["src_rows"] or 0) if r else 0,
                 wall_s=round(wall, 3),
+                task_ms=int(r["task_ms"] or 0) if r else 0,
             )
             self._commit(info)
             out[int(seg)] = info
