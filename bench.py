@@ -57,6 +57,10 @@ BENCH_QUERIES = [
     "token_counts",
     "quality_score",
     "language_id",
+    "embedding_pairs_exact",
+    # stream_sessionize is a correctness gate, not a throughput
+    # headline: its wall is dominated by streaming-checkpoint fixed
+    # costs (~20s regardless of data), which would only add noise here.
 ]
 
 TOPK_REPEATS = 7  # p50 sample count for the latency headline
