@@ -1333,6 +1333,43 @@ def q_stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("user_id", "start_ms")
 
 
+def q_topic_cursor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TopicStream incremental version cursor (io/stream/TopicStream.java:
+    per-shard version checkpoints; each read returns only tuples with
+    version > checkpoint, committed AFTER the batch is durable).  Three
+    polls: initial half of events → commit → the rest arrives → poll
+    returns exactly the new rows → a third poll returns nothing.  The
+    poll boundaries are pure functions of the table, so the oracle
+    recomputes them directly."""
+    from lucene_solr_spark.streaming.topic import TopicCursor
+
+    key = (spark.sparkContext.applicationId, sf_dir, "topicdemo")
+    rows = _SEGIDX.get(key)
+    if rows is None:
+        tmp = _mktempdir("topicdemo-")
+        ev = _table(spark, sf_dir, "events").select("event_id", "user_id")
+        mx = ev.agg(F.max("event_id")).collect()[0][0]
+        half = ev.filter(F.col("event_id") * 2 <= mx)
+        rest = ev.filter(F.col("event_id") * 2 > mx)
+        half.write.parquet(f"{tmp}/topic")
+        cur = TopicCursor(spark, f"{tmp}/topic", "event_id", f"{tmp}/ck")
+        out = []
+        b1, v1 = cur.poll()
+        out.append((1, b1.count(), int(v1)))
+        cur.commit(v1)
+        rest.write.mode("append").parquet(f"{tmp}/topic")
+        b2, v2 = cur.poll()
+        out.append((2, b2.count(), int(v2)))
+        cur.commit(v2)
+        b3, v3 = cur.poll()
+        out.append((3, b3.count(), int(v3) if v3 is not None else -1))
+        rows = out
+        _SEGIDX[key] = rows
+    return spark.createDataFrame(
+        rows, "poll int, n_rows long, max_version long"
+    ).orderBy("poll")
+
+
 def q_resume_lineage(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Checkpoint/resume with per-partition lineage + metrics (north
     rule; UpdateLog/IndexWriter recovery analog — index/IndexWriter.java
@@ -2072,7 +2109,7 @@ _GATE_WINDOW = [
     "token_counts", "quality_score", "language_id", "doc_fingerprint",
     "english_analyzer", "suggest_prefix", "rerank_query",
     "function_termfreq", "segment_merge", "resume_lineage",
-    "timeseries_stream", "reducer_stream", "stream_sessionize",
+    "timeseries_stream", "topic_cursor", "stream_sessionize",
     "synonym_analysis", "shingle_analysis", "facet_hll", "edismax",
     "function_valuesource", "payload_score", "offsets_highlight",
     "term_vector", "suggest_freetext", "gather_nodes",
@@ -2127,6 +2164,7 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "segment_merge": q_segment_merge,
         "resume_lineage": q_resume_lineage,
         "stream_sessionize": q_stream_sessionize,
+        "topic_cursor": q_topic_cursor,
         "select_stream": q_select_stream,
         "complement_stream": q_complement_stream,
         "cartesian_stream": q_cartesian_stream,
@@ -3380,6 +3418,18 @@ SELECT segment,
        COUNT(*) AS num_postings,
        1 AS generation
 FROM segd GROUP BY segment ORDER BY segment
+"""
+
+    sqls["topic_cursor"] = """
+WITH mx AS (SELECT MAX(event_id) AS m FROM events)
+SELECT 1 AS poll, count(*) AS n_rows, CAST(MAX(event_id) AS BIGINT) AS max_version
+FROM events CROSS JOIN mx WHERE event_id * 2 <= m
+UNION ALL
+SELECT 2, count(*), CAST(MAX(event_id) AS BIGINT)
+FROM events CROSS JOIN mx WHERE event_id * 2 > m
+UNION ALL
+SELECT 3, 0, -1
+ORDER BY poll
 """
 
     # the closed-session set after an availableNow run: every session
