@@ -473,7 +473,13 @@ def q_term_vector(spark: SparkSession, sf_dir: str) -> DataFrame:
     the covering blocks (the skip-list seek analog)."""
     from lucene_solr_spark.queries.mlt import term_vector
 
-    return term_vector(_searcher(spark, sf_dir), 0)
+    # array_join so the driver's canonicalizer (which sorts columns) can
+    # hash the positions column — array<int> cells are unsortable there.
+    return term_vector(_searcher(spark, sf_dir), 0).select(
+        "term",
+        "tf",
+        F.array_join("positions", ",").alias("positions"),
+    )
 
 
 def q_payload_score(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1462,10 +1468,10 @@ def q_function_termfreq(spark: SparkSession, sf_dir: str) -> DataFrame:
         pl.join(t.doc_norms.select("doc_id", "length"), "doc_id")
         .select(
             "doc_id",
-            F.col("tf").alias("termfreq"),
-            F.lit(df_).alias("docfreq"),
+            F.col("tf").cast("long").alias("termfreq"),
+            F.lit(df_).cast("long").alias("docfreq"),
             F.round(F.lit(idf_v), 4).alias("idf"),
-            "length",
+            F.col("length").cast("long").alias("length"),
         )
         .orderBy("doc_id")
     )
@@ -2522,7 +2528,7 @@ sp AS (
   WHERE term NOT IN ({_STOP})
   GROUP BY doc_id, term
 )
-SELECT term, count(*) AS df, sum(tf) AS ttf FROM sp
+SELECT term, count(*) AS df, CAST(sum(tf) AS BIGINT) AS ttf FROM sp
 WHERE term IN ('spark', 'flare') GROUP BY term ORDER BY term
 """
 
@@ -2534,7 +2540,7 @@ big AS (
   FROM toks a JOIN toks b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
 ),
 bp AS (SELECT doc_id, term, count(*) AS tf FROM big GROUP BY doc_id, term)
-SELECT term, count(*) AS df, sum(tf) AS ttf FROM bp
+SELECT term, count(*) AS df, CAST(sum(tf) AS BIGINT) AS ttf FROM bp
 GROUP BY term ORDER BY df DESC, term ASC LIMIT 15
 """
 
@@ -2838,7 +2844,7 @@ p AS (
   SELECT doc_id, term, count(*) AS tf FROM toks
   WHERE term <> '' GROUP BY doc_id, term
 )
-SELECT term, count(*) AS df, sum(tf) AS ttf
+SELECT term, count(*) AS df, CAST(sum(tf) AS BIGINT) AS ttf
 FROM p GROUP BY term
 ORDER BY df DESC, term ASC LIMIT 20
 """
@@ -2903,7 +2909,7 @@ ORDER BY lang ASC NULLS FIRST, source ASC NULLS FIRST
     sqls["term_vector"] = f"""
 WITH {_IDX}
 SELECT term, CAST(count(*) AS INT) AS tf,
-       list(pos ORDER BY pos) AS positions
+       list_aggregate(list(pos ORDER BY pos), 'string_agg', ',') AS positions
 FROM kept WHERE doc_id = 0 GROUP BY term ORDER BY term
 """
 
@@ -2995,7 +3001,7 @@ FROM documents GROUP BY lang ORDER BY lang
     sqls["facet_metrics"] = """
 WITH g AS (
   SELECT lang, count(*) AS cnt,
-         sum(n_chars) AS sum_chars,
+         CAST(sum(n_chars) AS BIGINT) AS sum_chars,
          min(n_chars) AS min_chars,
          max(n_chars) AS max_chars,
          sum(CAST(n_chars AS HUGEINT) * n_chars) AS sumsq,
@@ -3260,7 +3266,7 @@ g AS (
   SELECT count(*) AS cnt,
          min(n_chars) AS min_chars,
          max(n_chars) AS max_chars,
-         sum(n_chars) AS sum_chars,
+         CAST(sum(n_chars) AS BIGINT) AS sum_chars,
          sum(CAST(n_chars AS HUGEINT) * n_chars) AS sumsq
   FROM documents d JOIN m USING (doc_id)
 )
@@ -3731,9 +3737,10 @@ FROM ranked WHERE rn = 1 ORDER BY custkey
 
     sqls["function_termfreq"] = f"""
 WITH {_IDX}
-SELECT p.doc_id, p.tf AS termfreq, t.df AS docfreq,
+SELECT p.doc_id, CAST(p.tf AS BIGINT) AS termfreq,
+       CAST(t.df AS BIGINT) AS docfreq,
        ROUND(ln(1 + (c.n - t.df + 0.5) / (t.df + 0.5)), 4) AS idf,
-       nm.length
+       CAST(nm.length AS BIGINT) AS length
 FROM postings p
 JOIN tstats t USING (term)
 JOIN norms nm USING (doc_id)
