@@ -1511,10 +1511,18 @@ def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_simhash_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dups (hamming ≤ 3 via 16-bit chunk pigeonhole) —
-    engine-specific hashing ⇒ rows-only check."""
+    """SimHash near-dups (hamming ≤ 3 via 15-bit chunk pigeonhole over a
+    60-bit md5-derived signature).  The md5 hash mode is engine-portable,
+    so the gate carries a full DuckDB oracle that recomputes the exact
+    signatures and checks ALL pairs (the pigeonhole join is provably
+    lossless for hamming ≤ 3, so candidate pruning cannot change the
+    answer — the oracle verifies exactly that)."""
     d = _table(spark, sf_dir, "documents")
-    return dedup.simhash_near_dups(d).orderBy("ida", "idb")
+    return (
+        dedup.simhash_near_dups(d, bits=60, hash_mode="md5")
+        .select("ida", "idb", F.col("hamming").cast("long").alias("hamming"))
+        .orderBy("ida", "idb")
+    )
 
 
 def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1528,13 +1536,24 @@ def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """LSH-bucketed approximate NN (random hyperplanes, multiprobe) —
-    plane hashing is engine-specific ⇒ rows-only; pytest checks recall
-    vs brute force."""
+    """LSH approximate NN over a PERSISTED bucket index (one build-time
+    float64 matmul; queries only filter the stored bucket column +
+    exact rerank).  Full oracle: the hyperplanes are a pure function of
+    (seed, dim), so the oracle SQL embeds the same plane constants,
+    recomputes bucket ids in double precision, applies the identical
+    hamming<=1 multiprobe, and exact-reranks — engine-independent."""
     e = _table(spark, sf_dir, "embeddings")
     qv = e.filter(F.col("vec_id") == 0).select("embedding").first()[0]
-    out = similarity.lsh_ann_topk(e, [float(x) for x in qv], k=10)
-    return out.select("vec_id", F.round(F.col("cosine"), 4).alias("cosine"))
+    ikey = (spark.sparkContext.applicationId, sf_dir, "lsh")
+    idx = _SEGIDX.get(ikey)
+    if idx is None:
+        idx = similarity.lsh_index(e, num_planes=8)
+        idx = (idx[0].persist(), idx[1])
+        _SEGIDX[ikey] = idx
+    out = similarity.lsh_ann_topk(e, [float(x) for x in qv], k=10, index=idx)
+    return out.select(
+        "vec_id", F.round(F.col("cosine"), 4).alias("cosine")
+    ).orderBy(F.col("cosine").desc(), F.col("vec_id").asc())
 
 
 def q_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1557,13 +1576,26 @@ def q_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """All-pairs cosine ≥ τ via LSH-bucketed self-join — engine-specific
-    hyperplanes ⇒ rows-only check; pytest verifies vs brute force."""
+    """Near-duplicate pairs via BANDED sign-LSH + exact verify, over the
+    corpus augmented with planted near-copies (x·1.02 + 0.01 per
+    element for vec_id < 50, id offset 100000) — the dedup regime LSH
+    is built for (τ=0.98).  Exact verification kills false positives;
+    band count is sized so recall is 1.0 on this corpus, so the full
+    exact-all-pairs DuckDB oracle applies (false negatives would fail
+    the gate, which is the point)."""
     e = _table(spark, sf_dir, "embeddings")
-    # the synthetic embeddings are near-orthogonal (max pair cosine ≈0.51)
-    # so τ=0.4 exercises the bucketed-pair path with non-empty output
+    planted = e.filter(F.col("vec_id") < 50).select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        F.transform(
+            "embedding",
+            lambda x: (x * F.lit(1.02) + F.lit(0.01)).cast("float"),
+        ).alias("embedding"),
+    )
+    aug = e.select("vec_id", "embedding").unionByName(planted)
     return (
-        similarity.embedding_near_dups(e, threshold=0.4, num_planes=4)
+        similarity.embedding_near_dups(
+            aug, threshold=0.98, num_planes=4, bands=6
+        )
         .select("ida", "idb", F.round("cosine", 4).alias("cosine"))
         .orderBy("ida", "idb")
     )
@@ -1585,13 +1617,31 @@ def q_embedding_pairs_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal pipeline: binary payload column + typed metadata →
     mapInPandas feature extraction over REAL in-container decode (pure
-    numpy 24-bit BMP parser; compressed codecs documented out) ⇒
-    rows-only check; round-trip + pixel-mean goldens in pytest."""
+    numpy 24-bit BMP parser; compressed codecs documented out).
+
+    Oracle: a driver-side single-process recompute of the identical
+    encode→decode→feature math emitted as a VALUES literal — i.e. a
+    distributed-vs-local parity gate (the codec itself is additionally
+    pinned by byte-level goldens in tests/test_multimodal paths).
+    Features explode to (media_id, kind, d, value) rows because the
+    gate canonicalizer cannot sort array cells."""
     from lucene_solr_spark.functions import multimodal
 
     media = multimodal.synthesize_media(spark, n=100, kind="image")
-    return multimodal.extract_image_features(media, feature_dim=8).orderBy(
-        "media_id"
+    feats = multimodal.extract_image_features(media, feature_dim=8)
+    return (
+        feats.select(
+            "media_id",
+            "kind",
+            F.posexplode("features").alias("d", "v"),
+        )
+        .select(
+            "media_id",
+            "kind",
+            "d",
+            F.round(F.col("v").cast("double"), 4).alias("value"),
+        )
+        .orderBy("media_id", "d")
     )
 
 
@@ -3248,14 +3298,16 @@ FROM documents GROUP BY lang, source ORDER BY lang, source
 """
 
     sqls["facet_intervals"] = """
-SELECT SUM(CASE WHEN n_chars <= 300 THEN 1 ELSE 0 END) AS "(*,300]",
-       SUM(CASE WHEN n_chars > 300 AND n_chars < 600 THEN 1 ELSE 0 END)
-         AS "(300,600)",
-       SUM(CASE WHEN n_chars >= 600 AND n_chars <= 900 THEN 1 ELSE 0 END)
-         AS "[600,900]",
-       SUM(CASE WHEN n_chars >= 250 AND n_chars <= 650 THEN 1 ELSE 0 END)
-         AS "[250,650]",
-       SUM(CASE WHEN n_chars > 900 THEN 1 ELSE 0 END) AS "(900,*)"
+SELECT CAST(SUM(CASE WHEN n_chars <= 300 THEN 1 ELSE 0 END) AS BIGINT)
+         AS "(*,300]",
+       CAST(SUM(CASE WHEN n_chars > 300 AND n_chars < 600 THEN 1 ELSE 0 END)
+         AS BIGINT) AS "(300,600)",
+       CAST(SUM(CASE WHEN n_chars >= 600 AND n_chars <= 900 THEN 1 ELSE 0 END)
+         AS BIGINT) AS "[600,900]",
+       CAST(SUM(CASE WHEN n_chars >= 250 AND n_chars <= 650 THEN 1 ELSE 0 END)
+         AS BIGINT) AS "[250,650]",
+       CAST(SUM(CASE WHEN n_chars > 900 THEN 1 ELSE 0 END) AS BIGINT)
+         AS "(900,*)"
 FROM documents
 """
 
@@ -3889,5 +3941,136 @@ fr AS (
 ),
 {_span_score("'merge', 'batch'")}
 """
+
+    # ---- sign-LSH ANN: the hyperplanes are a pure function of
+    # (seed=42, dim=64), so the oracle embeds the identical plane
+    # constants, recomputes every bucket id in double precision, applies
+    # the same hamming<=1 multiprobe around vec_id 0's bucket, and
+    # exact-reranks — a full engine-independent replica of the index.
+    import numpy as _np
+
+    from lucene_solr_spark.functions.similarity import _hyperplanes
+
+    _planes = _hyperplanes(64, 8, seed=42)
+
+    def _plane_lit(p: "_np.ndarray") -> str:
+        return "[" + ", ".join(repr(float(x)) for x in p) + "]"
+
+    _bucket_expr = "\n       + ".join(
+        f"(CASE WHEN list_dot_product(CAST(embedding AS DOUBLE[]),\n"
+        f"         {_plane_lit(p)}) > 0 THEN {1 << i} ELSE 0 END)"
+        for i, p in enumerate(_planes)
+    )
+    sqls["lsh_ann"] = f"""
+WITH b AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+         {_bucket_expr} AS bucket
+  FROM embeddings
+),
+q AS (SELECT bucket AS qb, v AS qv FROM b WHERE vec_id = 0),
+cand AS (
+  SELECT b.vec_id, b.v FROM b, q WHERE bit_count(xor(b.bucket, q.qb)) <= 1
+),
+d AS (
+  SELECT c.vec_id,
+         list_dot_product(c.v, q.qv) AS dot,
+         sqrt(list_dot_product(c.v, c.v)) AS nx,
+         sqrt(list_dot_product(q.qv, q.qv)) AS ny
+  FROM cand c, q
+)
+SELECT vec_id, ROUND(dot / (nx * ny), 4) AS cosine
+FROM d WHERE nx > 0
+ORDER BY dot / (nx * ny) DESC, vec_id ASC LIMIT 10
+"""
+
+    # banded near-dups: exact verification makes false positives
+    # impossible and the band count is sized for recall 1.0 on this
+    # corpus, so the oracle is the EXACT all-pairs join over the same
+    # planted-near-copy augmentation (any missed pair fails the gate).
+    sqls["embedding_near_dups"] = """
+WITH aug AS (
+  SELECT vec_id, embedding FROM embeddings
+  UNION ALL
+  SELECT vec_id + 100000 AS vec_id,
+         list_transform(embedding,
+                        x -> CAST(x * 1.02 + 0.01 AS FLOAT)) AS embedding
+  FROM embeddings WHERE vec_id < 50
+),
+p AS (
+  SELECT a.vec_id AS ida, b.vec_id AS idb,
+         list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                CAST(b.embedding AS DOUBLE[])) AS c
+  FROM aug a JOIN aug b ON a.vec_id < b.vec_id
+)
+SELECT ida, idb, ROUND(c, 4) AS cosine FROM p WHERE c >= 0.98
+ORDER BY ida, idb
+"""
+
+    # simhash near-dups over the portable 60-bit md5-derived hash: the
+    # oracle recomputes the exact signatures bit by bit and checks ALL
+    # pairs — verifying both the signature math and that the pigeonhole
+    # chunk join lost no pair (it is provably lossless for hamming<=3).
+    _ones = ",\n    ".join(
+        f"sum(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE 0 END) AS o{b}"
+        for b in range(60)
+    )
+    _sig = "\n     + ".join(
+        f"(CASE WHEN o{b} * 2 > n THEN CAST({1 << b} AS BIGINT)"
+        f" ELSE 0 END)"
+        for b in range(60)
+    )
+    sqls["simhash_dups"] = f"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(lower(trim(text)), ' ')) AS t
+  FROM documents
+),
+hs AS (
+  SELECT doc_id, CAST(('0x' || substr(md5(t), 1, 15)) AS BIGINT) AS h
+  FROM toks
+),
+votes AS (
+  SELECT doc_id, count(*) AS n,
+    {_ones}
+  FROM hs GROUP BY doc_id
+),
+sig AS (
+  SELECT doc_id,
+    {_sig} AS s
+  FROM votes
+)
+SELECT a.doc_id AS ida, b.doc_id AS idb,
+       CAST(bit_count(xor(a.s, b.s)) AS BIGINT) AS hamming
+FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.s, b.s)) <= 3
+ORDER BY ida, idb
+"""
+
+    # multimodal features: driver-side single-process recompute of the
+    # same encode->decode->feature math, emitted as a VALUES literal
+    # with UNROUNDED doubles (both engines then apply their own
+    # ROUND(,4), mirroring every other float gate).  This pins the
+    # distributed mapInPandas pipeline to the local ground truth; the
+    # codec bytes themselves are pinned by goldens in pytest.
+    from lucene_solr_spark.functions.multimodal import (
+        _image_pixels,
+        decode_bmp,
+        encode_bmp,
+    )
+
+    _rows = []
+    for _i in range(100):
+        _w, _h = 64 + _i % 32, 64 + _i % 16
+        _img = decode_bmp(encode_bmp(_image_pixels(_i, _w, _h)))
+        _base = _img.reshape(-1, 3).mean(axis=0)
+        _rowm = _img.mean(axis=(1, 2))
+        _idx = _np.linspace(0, len(_rowm) - 1, 5).astype(int)
+        _feat = _np.concatenate([_base, _rowm[_idx]]).astype(_np.float32)
+        for _d, _v in enumerate(_feat):
+            _rows.append(f"({_i}, 'image', {_d}, {float(_v)!r})")
+    sqls["multimodal_features"] = (
+        "SELECT media_id, kind, d, ROUND(value, 4) AS value FROM (VALUES\n"
+        + ",\n".join(_rows)
+        + "\n) AS t(media_id, kind, d, value) ORDER BY media_id, d"
+    )
 
     return sqls

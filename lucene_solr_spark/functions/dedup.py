@@ -245,9 +245,19 @@ def minhash_lsh_pairs(
 
 
 def simhash(
-    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", bits: int = 64
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bits: int = 64,
+    hash_mode: str = "xxhash64",
 ) -> DataFrame:
     """64-bit SimHash per doc from token xxhash64s, all column expressions.
+
+    ``hash_mode="md5"`` derives a 60-bit token hash from the first 15
+    hex digits of md5 instead — engine-portable (DuckDB computes the
+    identical value via CAST('0x'||substr(md5(t),1,15) AS BIGINT)), so
+    the full near-dup pipeline can carry a SQL oracle; pass bits<=60
+    with it.
 
     For each bit b: sign = Σ_tokens (bit_b(hash) ? +1 : −1); simhash bit
     b = sign > 0 ⇔ ones_b · 2 > n_tokens.
@@ -259,9 +269,17 @@ def simhash(
     faster than 64 sum-of-±1 columns at sf0.1).  A 32-bit lane bounds
     n_tokens per doc at 2³² — no realistic document overflows it
     (16-bit lanes would cap at 65 k tokens, which real docs exceed)."""
+    if hash_mode == "md5":
+        if bits > 60:
+            raise ValueError("md5 hash_mode carries 60 hash bits")
+        h = F.conv(F.substring(F.md5(F.col("t")), 1, 15), 16, 10).cast("long")
+    elif hash_mode == "xxhash64":
+        h = F.xxhash64("t")
+    else:
+        raise ValueError(f"unknown hash_mode {hash_mode!r}")
     tok = df.select(
         F.col(id_col).alias("doc_id"), F.explode(_tokens(text_col)).alias("t")
-    ).withColumn("h", F.xxhash64("t"))
+    ).withColumn("h", h)
     aggs = [F.count("*").alias("n")]
     for g in range(bits // 2):
         b0, b1 = g * 2, g * 2 + 1
@@ -290,15 +308,17 @@ def simhash_near_dups(
     max_hamming: int = 3,
     id_col: str = "doc_id",
     text_col: str = "text",
+    bits: int = 64,
+    hash_mode: str = "xxhash64",
 ) -> DataFrame:
     """Pairs with hamming(simhash_a, simhash_b) ≤ max_hamming.
 
-    Pigeonhole bucket join: split 64 bits into (max_hamming+1) chunks;
-    any pair within distance k agrees on ≥1 chunk → join per chunk,
-    verify with bit_count(xor)."""
+    Pigeonhole bucket join: split the signature into (max_hamming+1)
+    chunks; any pair within distance k agrees on ≥1 chunk → join per
+    chunk, verify with bit_count(xor)."""
     chunks = max_hamming + 1
-    width = 64 // chunks
-    sig = simhash(df, id_col, text_col)
+    width = bits // chunks
+    sig = simhash(df, id_col, text_col, bits, hash_mode)
     chunk_cols = [
         F.struct(
             F.lit(c).alias("chunk"),

@@ -18,8 +18,10 @@ from pyspark.sql import functions as F
 
 
 def _dot(a, b):
+    # element products in double: float32 products lose ~1e-7 relative
+    # accuracy, enough to flip a round(4) digit at a 5e-5 boundary
     return F.aggregate(
-        F.zip_with(a, b, lambda x, y: x * y),
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
         F.lit(0.0).cast("double"),
         lambda acc, v: acc + v,
     )
@@ -28,7 +30,7 @@ def _dot(a, b):
 def _norm(a):
     return F.sqrt(
         F.aggregate(
-            F.transform(a, lambda x: x * x),
+            F.transform(a, lambda x: x.cast("double") * x.cast("double")),
             F.lit(0.0).cast("double"),
             lambda acc, v: acc + v,
         )
@@ -67,14 +69,51 @@ def _hyperplanes(dim: int, num_planes: int, seed: int = 42) -> np.ndarray:
     return rng.standard_normal((num_planes, dim))
 
 
-def _lsh_bucket(vec_col: str, planes: np.ndarray):
-    """Sign-bit bucket id from ``num_planes`` random hyperplanes."""
-    bucket = F.lit(0).cast("long")
-    for i, plane in enumerate(planes):
-        p = F.array(*[F.lit(float(x)) for x in plane])
-        bit = F.when(_dot(F.col(vec_col), p) > 0, F.lit(1 << i)).otherwise(0)
-        bucket = bucket + bit
-    return bucket
+def _bucket_udf(planes: np.ndarray):
+    """Sign-LSH band bucket ids as ONE Arrow-batched float64 matmul
+    (the _assign_centroids pattern) — planes is (bands, planes_per_band,
+    dim); returns array<long> of per-band bucket ids.  Replaces the old
+    per-plane nested F.aggregate chain, which ran interpreted per array
+    element and recomputed on every query."""
+    B, P, _ = planes.shape
+    W = planes.reshape(B * P, -1).T.astype(np.float64)  # (dim, B*P)
+    weights = (1 << np.arange(P, dtype=np.int64))[None, :]
+
+    @F.pandas_udf("array<long>")
+    def buckets(v: pd.Series) -> pd.Series:
+        M = np.array([np.asarray(x, dtype=np.float64) for x in v.to_numpy()])
+        bits = (M @ W) > 0  # (n, B*P)
+        ids = (bits.reshape(len(M), B, P) * weights).sum(axis=2)
+        return pd.Series(list(ids.astype(np.int64)), index=v.index)
+
+    return buckets
+
+
+def lsh_index(
+    df: DataFrame,
+    num_planes: int = 8,
+    bands: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+) -> tuple[DataFrame, np.ndarray]:
+    """Build-time sign-LSH index: persist per-band bucket ids alongside
+    the vectors (``_b`` array<long>, plus ``_bucket`` long for band 0).
+
+    This is the index-time/query-time split Lucene's HNSW-adjacent
+    vector formats make (lucene/core/codecs/VectorFormat): hashing
+    happens ONCE at build, queries only filter on the stored bucket
+    column — at scale the table is written partitionBy/bucketBy on
+    ``_bucket`` so a probe is a partition-pruned read, never a rescan.
+    Returns (indexed_df, planes) with planes shaped
+    (bands, num_planes, dim)."""
+    dim = len(df.select(vec_col).first()[0])
+    planes = _hyperplanes(dim, bands * num_planes, seed).reshape(
+        bands, num_planes, dim
+    )
+    indexed = df.withColumn("_b", _bucket_udf(planes)(F.col(vec_col)))
+    indexed = indexed.withColumn("_bucket", F.col("_b")[0])
+    return indexed, planes
 
 
 def lsh_ann_topk(
@@ -86,17 +125,24 @@ def lsh_ann_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     seed: int = 42,
+    index: "tuple[DataFrame, np.ndarray] | None" = None,
 ) -> DataFrame:
-    """Approximate top-k: random-hyperplane LSH bucket + multiprobe.
+    """Approximate top-k: persisted sign-LSH bucket + multiprobe.
 
-    Scans only vectors whose bucket is within ``probe_hamming`` bit flips
-    of the query's bucket, then reranks those exactly.  Recall/latency
-    knob = (num_planes, probe_hamming).
-    """
-    dim = len(query_vec)
-    planes = _hyperplanes(dim, num_planes, seed)
+    Scans only vectors whose stored bucket is within ``probe_hamming``
+    bit flips of the query's bucket, then reranks those exactly.
+    Recall/latency knob = (num_planes, probe_hamming).  Pass a prebuilt
+    ``index`` (from lsh_index) to amortize hashing across queries;
+    without one the index is built on the fly (one matmul pass)."""
+    indexed, planes = (
+        index
+        if index is not None
+        else lsh_index(df, num_planes, 1, id_col, vec_col, seed)
+    )
+    band0 = planes[0]
+    num_planes = band0.shape[0]
     qv = np.asarray(query_vec, dtype=np.float64)
-    qbucket = sum(1 << i for i, p in enumerate(planes) if float(p @ qv) > 0)
+    qbucket = int(((band0 @ qv > 0) * (1 << np.arange(num_planes))).sum())
     # enumerate probe buckets within the hamming radius (small: C(p, h))
     probes = {qbucket}
     if probe_hamming >= 1:
@@ -107,8 +153,7 @@ def lsh_ann_topk(
             for i in range(num_planes)
             for j in range(i + 1, num_planes)
         }
-    bucketed = df.withColumn("_bucket", _lsh_bucket(vec_col, planes))
-    cand = bucketed.filter(F.col("_bucket").isin([int(x) for x in probes]))
+    cand = indexed.filter(F.col("_bucket").isin([int(x) for x in probes]))
     return cosine_topk(cand, query_vec, k, id_col, vec_col)
 
 
@@ -213,36 +258,50 @@ def embedding_near_dups(
     df: DataFrame,
     threshold: float = 0.95,
     num_planes: int = 8,
+    bands: int = 4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     seed: int = 42,
 ) -> DataFrame:
-    """All (a, b) pairs with cosine ≥ threshold, LSH-bucketed.
+    """All (a, b) pairs with cosine ≥ threshold via BANDED sign-LSH —
+    the OR-amplified shape of minhash_lsh_pairs: ``bands`` independent
+    plane-sets each bucket the corpus; a pair is a candidate if ANY
+    band agrees (P(miss) = (1 − (1−θ/π)^planes)^bands, driven → 0 by
+    adding bands); candidates are exact-verified, so false positives
+    are impossible and recall is the only tunable.
 
-    Exact within buckets; near-identical vectors land in the same
-    bucket with high probability (sign-LSH collision prob =
-    1 − θ/π per plane)."""
-    dim = len(df.select(vec_col).first()[0])
-    planes = _hyperplanes(dim, num_planes, seed)
-    bucketed = df.select(
-        F.col(id_col).alias("vec_id"),
-        F.col(vec_col).alias("v"),
-        _lsh_bucket(vec_col, planes).alias("bucket"),
-        _norm(F.col(vec_col)).alias("nrm"),
+    Scale shape: the band self-join carries ONLY (id, band, bucket)
+    rows — vectors are joined back for the candidate pairs alone, so a
+    popular bucket costs narrow-row shuffle, not vector-payload blowup;
+    a single hot bucket is further bounded by the bands being
+    independent (skew in one band's bucketing doesn't correlate across
+    bands)."""
+    indexed, _ = lsh_index(df, num_planes, bands, id_col, vec_col, seed)
+    keyed = indexed.select(
+        F.col(id_col).alias("vid"),
+        F.posexplode("_b").alias("band", "bucket"),
     )
-    a, b = bucketed.alias("a"), bucketed.alias("b")
-    cos = _dot(F.col("a.v"), F.col("b.v")) / (F.col("a.nrm") * F.col("b.nrm"))
-    return (
+    a, b = keyed.alias("a"), keyed.alias("b")
+    pairs = (
         a.join(
             b,
-            (F.col("a.bucket") == F.col("b.bucket"))
-            & (F.col("a.vec_id") < F.col("b.vec_id")),
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.vid") < F.col("b.vid")),
         )
-        .select(
-            F.col("a.vec_id").alias("ida"),
-            F.col("b.vec_id").alias("idb"),
-            cos.alias("cosine"),
-        )
+        .select(F.col("a.vid").alias("ida"), F.col("b.vid").alias("idb"))
+        .distinct()  # OR-amplification: union candidates across bands
+    )
+    vecs = df.select(
+        F.col(id_col).alias("vid"),
+        F.col(vec_col).alias("v"),
+        _norm(F.col(vec_col)).alias("nrm"),
+    ).filter(F.col("nrm") > 0)
+    cos = _dot(F.col("a.v"), F.col("b.v")) / (F.col("a.nrm") * F.col("b.nrm"))
+    return (
+        pairs.join(vecs.alias("a"), F.col("ida") == F.col("a.vid"))
+        .join(vecs.alias("b"), F.col("idb") == F.col("b.vid"))
+        .select("ida", "idb", cos.alias("cosine"))
         .filter(F.col("cosine") >= threshold)
     )
 
@@ -315,10 +374,15 @@ def cosine_all_pairs_exact(
         lo, hi = np.minimum(ia, ib), np.maximum(ia, ib)
         return pd.DataFrame({"ida": lo, "idb": hi, "cosine": c})
 
-    base = df.select(
-        F.col(id_col).alias("vid"), F.col(vec_col).alias("vec")
-    ).withColumn(
-        "blk", F.pmod(F.xxhash64("vid"), F.lit(num_blocks)).cast("int")
+    base = (
+        df.select(F.col(id_col).alias("vid"), F.col(vec_col).alias("vec"))
+        # zero-norm vectors have no defined cosine: exclude them up front
+        # instead of letting the kernel's normalize produce NaN rows
+        # that silently fail the >= tau comparison
+        .filter(_norm(F.col("vec")) > 0)
+        .withColumn(
+            "blk", F.pmod(F.xxhash64("vid"), F.lit(num_blocks)).cast("int")
+        )
     )
     rep = (
         base.withColumn(
