@@ -27,22 +27,40 @@ from lucene_solr_spark.codecs.vbyte import vbyte_decode, vbyte_encode, vbyte_len
 
 
 def encode_posting_blocks(
-    doc_ids: np.ndarray, tfs: np.ndarray, positions: np.ndarray | None = None
+    doc_ids: np.ndarray,
+    tfs: np.ndarray,
+    positions: np.ndarray | None = None,
+    doc_lens: np.ndarray | None = None,
 ) -> list[dict]:
     """Encode one term's sorted posting list into block records.
 
     Returns a list of dicts with keys:
     ``block_id, base_docid, count, max_docid, max_tf, sum_tf, docs_bin,
-    tfs_bin, pos_bin``.  Full blocks use FOR; the tail uses interleaved
-    VByte (tfs_bin=None).  ``positions``, if given, is the concatenation
-    of every doc's in-doc position list (lengths = tfs); each block's
-    slice is delta-coded per doc and VByte-packed into ``pos_bin``
-    (the .pos stream analog, Lucene50PostingsWriter.java:381-392).
+    tfs_bin, pos_bin, lens_bin``.  Full blocks use FOR; the tail uses
+    interleaved VByte (tfs_bin=None).  ``positions``, if given, is the
+    concatenation of every doc's in-doc position list (lengths = tfs);
+    each block's slice is delta-coded per doc and VByte-packed into
+    ``pos_bin`` (the .pos stream analog,
+    Lucene50PostingsWriter.java:381-392).
+
+    ``doc_lens``, if given, is the per-posting field length (aligned
+    with doc_ids); each block's slice is VByte-packed into ``lens_bin``
+    so queries score straight from term-pruned blocks without touching
+    the norms table — the per-leaf .nvd locality of
+    Lucene70NormsFormat.java:37, traded as ~1 VByte per posting of
+    extra storage for ZERO per-query norm shuffle.
     """
     docs = np.asarray(doc_ids, dtype=np.uint64)
     freqs = np.asarray(tfs, dtype=np.uint64)
     n = docs.size
     out: list[dict] = []
+    lens_bytes = b""
+    lens_off = None
+    if doc_lens is not None:
+        lens_u = np.asarray(doc_lens, dtype=np.uint64)
+        lens_bytes = vbyte_encode(lens_u)
+        lens_off = np.zeros(n + 1, dtype=np.int64)
+        np.cumsum(vbyte_lengths(lens_u), out=lens_off[1:])
     pos_offsets = None
     pos_bytes = b""
     byte_off = None
@@ -75,6 +93,13 @@ def encode_posting_blocks(
             "max_tf": int(fchunk.max()),
             "sum_tf": int(fchunk.sum()),
             "pos_bin": None,
+            "lens_bin": (
+                lens_bytes[
+                    lens_off[start] : lens_off[min(start + BLOCK_SIZE, n)]
+                ]
+                if lens_off is not None
+                else None
+            ),
         }
         if pos_offsets is not None:
             lo = pos_offsets[start]
@@ -107,6 +132,7 @@ def encode_segment_blocks(
     positions: np.ndarray,
     t_starts: np.ndarray,
     t_ends: np.ndarray,
+    run_lens: np.ndarray | None = None,
 ) -> dict[str, np.ndarray]:
     """Batched, byte-identical equivalent of calling
     :func:`encode_posting_blocks` once per term over a whole segment.
@@ -257,6 +283,21 @@ def encode_segment_blocks(
     else:
         pos_bin[:] = b""
 
+    # ---- per-posting field lengths: one VByte stream, sliced per block
+    # (byte-identical to passing doc_lens per term to
+    # encode_posting_blocks — same whole-stream/slice equivalence as the
+    # positions stream above)
+    lens_bin = np.empty(total, dtype=object)
+    if run_lens is not None:
+        lens_u = np.asarray(run_lens, dtype=np.uint64)
+        lens_bytes = vbyte_encode(lens_u)
+        lens_off = np.zeros(lens_u.size + 1, dtype=np.int64)
+        np.cumsum(vbyte_lengths(lens_u), out=lens_off[1:])
+        for bi in range(total):
+            lens_bin[bi] = lens_bytes[lens_off[bstart[bi]] : lens_off[bend[bi]]]
+    else:
+        lens_bin[:] = None
+
     return {
         "term_index": block_term,
         "block_id": block_j,
@@ -268,7 +309,13 @@ def encode_segment_blocks(
         "docs_bin": docs_bin,
         "tfs_bin": tfs_bin,
         "pos_bin": pos_bin,
+        "lens_bin": lens_bin,
     }
+
+
+def decode_block_lens(lens_bin: bytes) -> np.ndarray:
+    """Decode one block's ``lens_bin`` back to per-posting field lengths."""
+    return vbyte_decode(lens_bin)
 
 
 def decode_block_positions(

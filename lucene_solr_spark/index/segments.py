@@ -55,8 +55,8 @@ from lucene_solr_spark.scoring.bm25 import encode_norm
 SEGMENT_ROWS_SCHEMA = (
     "kind int, segment int, term string, block_id int, base_docid long, "
     "count int, max_docid long, max_tf int, sum_tf long, "
-    "docs_bin binary, tfs_bin binary, pos_bin binary, "
-    "doc_id long, length int, norm_byte int"
+    "docs_bin binary, tfs_bin binary, pos_bin binary, lens_bin binary, "
+    "doc_id long, length int, norm_byte int, sum_len long"
 )
 
 _EMPTY = {
@@ -72,9 +72,11 @@ _EMPTY = {
     "docs_bin": pd.Series([], dtype="object"),
     "tfs_bin": pd.Series([], dtype="object"),
     "pos_bin": pd.Series([], dtype="object"),
+    "lens_bin": pd.Series([], dtype="object"),
     "doc_id": pd.Series([], dtype="int64"),
     "length": pd.Series([], dtype="int32"),
     "norm_byte": pd.Series([], dtype="int32"),
+    "sum_len": pd.Series([], dtype="int64"),
 }
 
 
@@ -154,18 +156,24 @@ def _encode_segment(pdf: pd.DataFrame) -> pd.DataFrame:
     t_starts = np.flatnonzero(b_t)
     t_ends = np.append(t_starts[1:], p_ranks.size)
 
+    # per-doc field lengths, needed both for the norm rows and for the
+    # per-block lens_bin payload (queries score from blocks alone)
+    uniq_docs, doc_lens = np.unique(doc_ids, return_counts=True)
+    run_lens = doc_lens[np.searchsorted(uniq_docs, p_docs)]
+
     # Whole-segment batched encode (byte-identical to per-term
     # encode_posting_blocks; see encode_segment_blocks — the per-term
     # call paid ~30 numpy fixed overheads per term, 8.3 s of a 15.9 s
     # 30k-doc flush under cProfile, on a vocabulary dominated by df<10)
-    enc = encode_segment_blocks(p_docs, tfs, positions, t_starts, t_ends)
+    enc = encode_segment_blocks(
+        p_docs, tfs, positions, t_starts, t_ends, run_lens=run_lens
+    )
     term_of_block = sorted_vocab[p_ranks[t_starts[enc.pop("term_index")]]]
     post_df = pd.DataFrame(enc)
     post_df["kind"] = 0
     post_df["segment"] = seg
     post_df["term"] = term_of_block
     # per-doc norms (byte315-quantized, BM25Similarity.java:103-111)
-    uniq_docs, doc_lens = np.unique(doc_ids, return_counts=True)
     norm_df = pd.DataFrame(
         {
             "kind": 1,
@@ -183,6 +191,7 @@ def _encode_segment(pdf: pd.DataFrame) -> pd.DataFrame:
             "block_id": int(len(post_df)),
             "base_docid": int(uniq_docs.min()),
             "max_docid": int(uniq_docs.max()),
+            "sum_len": int(doc_ids.size),
         }
     )
     out = pd.concat([post_df, norm_df, lineage], ignore_index=True)
@@ -208,6 +217,7 @@ class SegmentInfo:
     source_rows: int
     wall_s: float
     generation: int = 0
+    sum_len: int = 0  # total tokens: Σ field lengths (avgdl numerator)
     task_ms: int = 0  # this segment's own kernel time (see _lineage)
     merged_from: list[int] = field(default_factory=list)
     status: str = "committed"
@@ -333,6 +343,7 @@ class SegmentedIndex:
                 F.col("max_docid").alias("max_docid"),
                 F.col("count").alias("src_rows"),
                 F.col("length").alias("task_ms"),
+                "sum_len",
             ).collect()
         }
         wall = time.time() - t0
@@ -351,6 +362,7 @@ class SegmentedIndex:
                 source_rows=int(r["src_rows"] or 0) if r else 0,
                 wall_s=round(wall, 3),
                 task_ms=int(r["task_ms"] or 0) if r else 0,
+                sum_len=int(r["sum_len"] or 0) if r else 0,
             )
             self._commit(info)
             out[int(seg)] = info
@@ -370,6 +382,7 @@ class SegmentedIndex:
         return self._rows(segments).filter(F.col("kind") == 0).select(
             "segment", "term", "block_id", "base_docid", "count",
             "max_docid", "max_tf", "sum_tf", "docs_bin", "tfs_bin", "pos_bin",
+            "lens_bin",
         )
 
     def norms(self, segments: list[int] | None = None) -> DataFrame:
@@ -404,15 +417,17 @@ class SegmentedIndex:
 
         def decode_kernel(batches):
             from lucene_solr_spark.codecs.postings import (
+                decode_block_lens,
                 decode_block_positions,
                 decode_posting_block,
             )
 
             for pdf in batches:
-                out_doc, out_term, out_tf, out_pos = [], [], [], []
-                for term, base, cnt, db, tb, pb in zip(
+                out_doc, out_term, out_tf, out_pos, out_len = [], [], [], [], []
+                for term, base, cnt, db, tb, pb, lb in zip(
                     pdf["term"], pdf["base_docid"], pdf["count"],
                     pdf["docs_bin"], pdf["tfs_bin"], pdf["pos_bin"],
+                    pdf["lens_bin"],
                 ):
                     d, t = decode_posting_block(base, cnt, db, tb)
                     pos = decode_block_positions(t, pb)
@@ -420,6 +435,7 @@ class SegmentedIndex:
                     out_term.extend([term] * d.size)
                     out_tf.append(t.astype(np.int32))
                     out_pos.extend(p.astype(np.int32) for p in pos)
+                    out_len.append(decode_block_lens(lb).astype(np.int32))
                 if not out_doc:
                     yield pd.DataFrame(
                         {
@@ -427,21 +443,29 @@ class SegmentedIndex:
                             "term": pd.Series([], dtype="object"),
                             "tf": pd.Series([], dtype="int32"),
                             "positions": pd.Series([], dtype="object"),
+                            "length": pd.Series([], dtype="int32"),
+                            "norm_byte": pd.Series([], dtype="int32"),
                         }
                     )
                     continue
+                lens = np.concatenate(out_len)
                 yield pd.DataFrame(
                     {
                         "doc_id": np.concatenate(out_doc),
                         "term": np.asarray(out_term, dtype=object),
                         "tf": np.concatenate(out_tf),
                         "positions": out_pos,
+                        "length": lens,
+                        "norm_byte": encode_norm(lens).astype(np.int32),
                     }
                 )
 
         postings = enc.mapInPandas(
             decode_kernel,
-            schema="doc_id long, term string, tf int, positions array<int>",
+            schema=(
+                "doc_id long, term string, tf int, positions array<int>, "
+                "length int, norm_byte int"
+            ),
         )
         norms = self.norms().select("doc_id", "length", "norm_byte")
         term_stats = self.term_stats()
@@ -532,6 +556,7 @@ class SegmentedIndex:
 
         def _remerge(pdf: pd.DataFrame) -> pd.DataFrame:
             from lucene_solr_spark.codecs.postings import (
+                decode_block_lens,
                 decode_block_positions,
                 decode_posting_block,
             )
@@ -539,18 +564,21 @@ class SegmentedIndex:
             out_rows: list[dict] = []
             for term, g in pdf.groupby("term", sort=False):
                 g = g.sort_values(["base_docid", "block_id"])
-                docs_l, tfs_l, pos_l = [], [], []
-                for base, cnt, db, tb, pb in zip(
-                    g["base_docid"], g["count"], g["docs_bin"], g["tfs_bin"], g["pos_bin"]
+                docs_l, tfs_l, pos_l, lens_l = [], [], [], []
+                for base, cnt, db, tb, pb, lb in zip(
+                    g["base_docid"], g["count"], g["docs_bin"], g["tfs_bin"],
+                    g["pos_bin"], g["lens_bin"],
                 ):
                     d, t = decode_posting_block(base, cnt, db, tb)
                     docs_l.append(d)
                     tfs_l.append(t)
                     pos_l.extend(decode_block_positions(t, pb))
+                    lens_l.append(decode_block_lens(lb))
                 docs = np.concatenate(docs_l)
                 tfs = np.concatenate(tfs_l)
                 pos = np.concatenate(pos_l) if pos_l else np.array([], dtype=np.uint64)
-                for rec in encode_posting_blocks(docs, tfs, pos):
+                lens = np.concatenate(lens_l)
+                for rec in encode_posting_blocks(docs, tfs, pos, doc_lens=lens):
                     rec["term"] = term
                     out_rows.append(rec)
             if not out_rows:
@@ -558,6 +586,7 @@ class SegmentedIndex:
                     {k: _EMPTY[k] for k in (
                         "term", "block_id", "base_docid", "count", "max_docid",
                         "max_tf", "sum_tf", "docs_bin", "tfs_bin", "pos_bin",
+                        "lens_bin",
                     )}
                 )
             out = pd.DataFrame(out_rows)
@@ -565,6 +594,7 @@ class SegmentedIndex:
                 [
                     "term", "block_id", "base_docid", "count", "max_docid",
                     "max_tf", "sum_tf", "docs_bin", "tfs_bin", "pos_bin",
+                    "lens_bin",
                 ]
             ]
 
@@ -575,7 +605,8 @@ class SegmentedIndex:
                 schema=(
                     "term string, block_id int, base_docid long, count int, "
                     "max_docid long, max_tf int, sum_tf long, "
-                    "docs_bin binary, tfs_bin binary, pos_bin binary"
+                    "docs_bin binary, tfs_bin binary, pos_bin binary, "
+                    "lens_bin binary"
                 ),
             )
             .select(
@@ -583,9 +614,11 @@ class SegmentedIndex:
                 F.lit(new_segment).alias("segment"),
                 "term", "block_id", "base_docid", "count", "max_docid",
                 "max_tf", "sum_tf", "docs_bin", "tfs_bin", "pos_bin",
+                "lens_bin",
                 F.lit(None).cast("long").alias("doc_id"),
                 F.lit(None).cast("int").alias("length"),
                 F.lit(None).cast("int").alias("norm_byte"),
+                F.lit(None).cast("long").alias("sum_len"),
             )
         )
         norm_rows = (
@@ -623,6 +656,7 @@ class SegmentedIndex:
             wall_s=round(time.time() - t0, 3),
             generation=max(i.generation for i in infos) + 1,
             merged_from=[int(s) for s in seg_ids],
+            sum_len=sum(i.sum_len for i in infos),
         )
         # commit point: new manifest first, then drop the old entries
         # (old data files stay until a cleaner runs — IndexFileDeleter analog)

@@ -21,21 +21,24 @@ from lucene_solr_spark.index.segments import SegmentedIndex
 from lucene_solr_spark.queries.searcher import IndexSearcher
 
 _DECODED_SCHEMA = (
-    "doc_id long, term string, tf int, positions array<int>"
+    "doc_id long, term string, tf int, positions array<int>, "
+    "length int, norm_byte int"
 )
 
 
 def _decode_batches(batches):
     from lucene_solr_spark.codecs.postings import (
+        decode_block_lens,
         decode_block_positions,
         decode_posting_block,
     )
+    from lucene_solr_spark.scoring.bm25 import encode_norm
 
     for pdf in batches:
-        out_doc, out_term, out_tf, out_pos = [], [], [], []
-        for term, base, cnt, db, tb, pb in zip(
+        out_doc, out_term, out_tf, out_pos, out_len = [], [], [], [], []
+        for term, base, cnt, db, tb, pb, lb in zip(
             pdf["term"], pdf["base_docid"], pdf["count"],
-            pdf["docs_bin"], pdf["tfs_bin"], pdf["pos_bin"],
+            pdf["docs_bin"], pdf["tfs_bin"], pdf["pos_bin"], pdf["lens_bin"],
         ):
             d, t = decode_posting_block(base, cnt, db, tb)
             pos = decode_block_positions(t, pb)
@@ -43,6 +46,7 @@ def _decode_batches(batches):
             out_term.extend([term] * d.size)
             out_tf.append(t.astype(np.int32))
             out_pos.extend(p.astype(np.int32) for p in pos)
+            out_len.append(decode_block_lens(lb).astype(np.int32))
         if not out_doc:
             yield pd.DataFrame(
                 {
@@ -50,15 +54,20 @@ def _decode_batches(batches):
                     "term": pd.Series([], dtype="object"),
                     "tf": pd.Series([], dtype="int32"),
                     "positions": pd.Series([], dtype="object"),
+                    "length": pd.Series([], dtype="int32"),
+                    "norm_byte": pd.Series([], dtype="int32"),
                 }
             )
             continue
+        lens = np.concatenate(out_len)
         yield pd.DataFrame(
             {
                 "doc_id": np.concatenate(out_doc),
                 "term": np.asarray(out_term, dtype=object),
                 "tf": np.concatenate(out_tf),
                 "positions": out_pos,
+                "length": lens,
+                "norm_byte": encode_norm(lens).astype(np.int32),
             }
         )
 
@@ -136,28 +145,22 @@ class SegmentSearcher(IndexSearcher):
             key = hash(tuple(sorted(terms)))
             decoded = self._exp.get(key)
             if decoded is None:
-                # norms are joined BEFORE the persist: the cached frame
-                # carries (norm_byte, length) so a warm query runs zero
-                # doc_id joins for its postings (the per-segment reader
-                # of the reference holds .nvd alongside .doc the same
-                # way); the join itself stays a distributed doc_id join
-                # (norms never broadcast at 10^12 docs)
-                decoded = (
-                    self._decode(self._enc.filter(F.col("term").isin(terms)))
-                    .join(self._norms, "doc_id")
-                    .persist()
-                )
+                # (norm_byte, length) decode straight out of each
+                # block's lens_bin payload — the per-segment reader of
+                # the reference holds .nvd alongside .doc the same way;
+                # no doc_id join at all, cold or warm
+                decoded = self._decode(
+                    self._enc.filter(F.col("term").isin(terms))
+                ).persist()
                 self._exp[key] = decoded
             return decoded
         parts = []
         for t in terms:
             df = self._dec.get(t)
             if df is None:
-                df = (
-                    self._decode(self._enc.filter(F.col("term") == t))
-                    .join(self._norms, "doc_id")
-                    .persist()
-                )
+                df = self._decode(
+                    self._enc.filter(F.col("term") == t)
+                ).persist()
                 self._dec[t] = df
             parts.append(df)
         out = parts[0]

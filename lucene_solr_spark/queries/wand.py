@@ -58,24 +58,29 @@ def _segment_wand(
     """WAND over one segment's block rows + norm rows → local top-k.
 
     ``cache`` is the 256-entry byte315 norm cache (float32 lucene mode);
-    ``cache=None`` switches to EXACT double scoring where the norm column
-    carries the raw field length and the freq-independent denominator is
-    computed directly as k1·((1−b) + b·dl/avgdl) — same bound logic, no
-    quantization.
+    ``cache=None`` switches to EXACT double scoring where the block's
+    lens payload carries the raw field length and the freq-independent
+    denominator is computed directly as k1·((1−b) + b·dl/avgdl) — same
+    bound logic, no quantization.
+
+    Norms come from each block's own ``lens_bin`` payload — the group
+    receives ONLY term-pruned block rows, never the norms table (the
+    per-leaf .nvd locality of Lucene70NormsFormat.java:37; previously
+    every query shuffled the whole collection's norm rows into every
+    segment group).
     """
-    from lucene_solr_spark.codecs.postings import decode_posting_block
+    from lucene_solr_spark.codecs.postings import (
+        decode_block_lens,
+        decode_posting_block,
+    )
+    from lucene_solr_spark.scoring.bm25 import encode_norm
 
     exact = cache is None
-    norms = pdf[pdf["kind"] == 1]
-    norm_docs = norms["doc_id"].to_numpy(np.int64)
-    norm_order = np.argsort(norm_docs, kind="stable")
-    norm_docs = norm_docs[norm_order]
-    norm_bytes = norms["norm_byte"].to_numpy(np.int64)[norm_order]
 
     terms = sorted(term_weights)
     blocks: list[dict] = []  # flat block table across terms
     for ti, term in enumerate(terms):
-        g = pdf[(pdf["kind"] == 0) & (pdf["term"] == term)]
+        g = pdf[pdf["term"] == term]
         if g.empty:
             continue
         if exact:
@@ -83,9 +88,9 @@ def _segment_wand(
         else:
             wv = np.float32(np.float32(term_weights[term]) * np.float32(k1 + 1))
         g = g.sort_values("base_docid")
-        for base, cnt, mx, mtf, db, tb in zip(
+        for base, cnt, mx, mtf, db, tb, lb in zip(
             g["base_docid"], g["count"], g["max_docid"], g["max_tf"],
-            g["docs_bin"], g["tfs_bin"],
+            g["docs_bin"], g["tfs_bin"], g["lens_bin"],
         ):
             mtf64 = float(mtf)
             ub = float(wv) * mtf64 / (mtf64 + k1 * (1.0 - b))
@@ -99,6 +104,7 @@ def _segment_wand(
                     "count": int(cnt),
                     "docs_bin": db,
                     "tfs_bin": tb,
+                    "lens_bin": lb,
                     "decoded": None,
                 }
             )
@@ -146,22 +152,25 @@ def _segment_wand(
         seg_scores: list[np.ndarray] = []
         for blk in active_list:
             if blk["decoded"] is None:
-                blk["decoded"] = decode_posting_block(
+                d_, t_ = decode_posting_block(
                     blk["lo"], blk["count"], blk["docs_bin"], blk["tfs_bin"]
                 )
-            d, t = blk["decoded"]
+                lens_ = decode_block_lens(blk["lens_bin"]).astype(np.int64)
+                blk["decoded"] = (d_, t_, lens_)
+            d, t, lens = blk["decoded"]
             a = np.searchsorted(d, lo, side="left")
             z = np.searchsorted(d, hi, side="right")
             if a == z:
                 continue
             docs = d[a:z].astype(np.int64)
-            nb = norm_bytes[np.searchsorted(norm_docs, docs)]
             if exact:
                 tfs = t[a:z].astype(np.float64)
-                norm_add = k1 * ((1.0 - b) + b * nb.astype(np.float64) / avgdl)
+                dl = lens[a:z].astype(np.float64)
+                norm_add = k1 * ((1.0 - b) + b * dl / avgdl)
                 s = blk["wv"] * tfs / (tfs + norm_add)
             else:
                 tfs = t[a:z].astype(np.float32)
+                nb = encode_norm(lens[a:z])
                 s = (blk["wv"] * tfs / (tfs + cache[nb & 0xFF])).astype(
                     np.float32
                 )
@@ -222,15 +231,15 @@ def wand_topk(
     uniq = sorted(set(terms))
     stats_rows = index.term_stats().filter(F.col("term").isin(uniq)).collect()
     df_by_term = {r["term"]: int(r["df"]) for r in stats_rows}
-    cagg = index.norms().agg(
-        F.count("*").alias("dc"), F.sum("length").alias("sttf")
-    ).collect()[0]
-    doc_count = int(cagg["dc"] or 0)
+    # collection stats straight from the manifest (SegmentInfos carries
+    # num_docs + sum_len per segment) — no data scan, the role of
+    # Lucene's in-memory SegmentInfos + CollectionStatistics
+    man = index.manifest().values()
+    doc_count = sum(i.num_docs for i in man)
+    sum_len = sum(i.sum_len for i in man)
     bm25 = BM25(k1=k1, b=b)
     if exact:
-        avgdl = (
-            float(cagg["sttf"] or 0) / doc_count if doc_count else 1.0
-        )
+        avgdl = float(sum_len) / doc_count if doc_count else 1.0
         cache = None
         # math.log(1.0 + x), NOT log1p: bit-matches the exact searcher
         # (searcher.py idf) and DuckDB's ln(1 + x)
@@ -242,7 +251,7 @@ def wand_topk(
             if df_by_term.get(t, 0) > 0
         }
     else:
-        avgdl = bm25.avgdl(int(cagg["sttf"] or 0), doc_count)
+        avgdl = bm25.avgdl(sum_len, doc_count)
         cache = bm25.cache(avgdl)
         weights = {
             t: float(bm25.weight(idf32(df_by_term[t], doc_count)))
@@ -253,40 +262,24 @@ def wand_topk(
     if not weights:
         return spark.createDataFrame([], f"doc_id long, score {score_t}")
 
+    # term-pruned block rows ONLY — norms ride inside each block's
+    # lens_bin payload, so the shuffle into the per-segment WAND groups
+    # is O(matching blocks), independent of collection size
     posts = (
         index.postings()
         .filter(F.col("term").isin(list(weights)))
         .select(
-            "segment", F.lit(0).alias("kind"), "term", "block_id", "base_docid",
+            "segment", "term", "block_id", "base_docid",
             "count", "max_docid", "max_tf", "docs_bin", "tfs_bin",
-            F.lit(None).cast("long").alias("doc_id"),
-            F.lit(None).cast("int").alias("norm_byte"),
+            "lens_bin",
         )
-    )
-    norms = index.norms().select(
-        "segment", F.lit(1).alias("kind"),
-        F.lit(None).cast("string").alias("term"),
-        F.lit(None).cast("int").alias("block_id"),
-        F.lit(None).cast("long").alias("base_docid"),
-        F.lit(None).cast("int").alias("count"),
-        F.lit(None).cast("long").alias("max_docid"),
-        F.lit(None).cast("int").alias("max_tf"),
-        F.lit(None).cast("binary").alias("docs_bin"),
-        F.lit(None).cast("binary").alias("tfs_bin"),
-        "doc_id",
-        # exact mode ships the raw field length through the norm slot
-        (F.col("length") if exact else F.col("norm_byte"))
-        .cast("int")
-        .alias("norm_byte"),
     )
 
     def kernel(pdf):
         return _segment_wand(pdf, weights, cache, k, k1, b, avgdl=float(avgdl))
 
-    local = (
-        posts.unionByName(norms)
-        .groupBy("segment")
-        .applyInPandas(kernel, schema=f"doc_id long, score {score_t}")
+    local = posts.groupBy("segment").applyInPandas(
+        kernel, schema=f"doc_id long, score {score_t}"
     )
     # TopDocs.merge: global k with the HitQueue tie-break
     return local.orderBy(F.col("score").desc(), F.col("doc_id").asc()).limit(k)

@@ -92,23 +92,13 @@ def test_wand_actually_skips_blocks(monkeypatch):
         ("rare", rare_docs, rare_tfs),
         ("common", common_docs, common_tfs),
     ):
-        for rec in encode_posting_blocks(docs, tfs):
+        lens = np.full(docs.size, 50, dtype=np.int64)
+        for rec in encode_posting_blocks(docs, tfs, doc_lens=lens):
             rec["term"] = term
             rec["kind"] = 0
             rows.append(rec)
     n_blocks = len(rows)
-    all_docs = np.concatenate([rare_docs, common_docs])
-    lengths = np.full(all_docs.size, 50, dtype=np.int64)
-    norm_rows = pd.DataFrame(
-        {
-            "kind": 1,
-            "doc_id": np.unique(all_docs).astype(np.int64),
-            "norm_byte": encode_norm(lengths[: np.unique(all_docs).size]).astype(
-                np.int64
-            ),
-        }
-    )
-    pdf = pd.concat([pd.DataFrame(rows), norm_rows], ignore_index=True)
+    pdf = pd.DataFrame(rows)
 
     calls = {"n": 0}
     orig = cp.decode_posting_block
