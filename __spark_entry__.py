@@ -432,7 +432,11 @@ def q_term_query_lucene(spark: SparkSession, sf_dir: str) -> DataFrame:
     recovers the byte315 norm byte from the SQL field length via the
     spec boundary table.  A 4k-style buffer is fetched by UNROUNDED
     float32 score, then re-ranked by the 4-decimal ROUNDED score with
-    the HitQueue tie-break — the same ordering the oracle uses."""
+    the HitQueue tie-break — the same ordering the oracle uses.  The
+    k=40 buffer is verified safe on this deterministic corpus: no
+    rounded-score tie group crosses the buffer edge at sf0.001/sf0.01
+    (tests/test_entry.py::test_lucene_buffer_boundary pins buffer ==
+    exhaustive re-rank, the ADVICE r2 boundary concern)."""
     s = _searcher(spark, sf_dir, scoring="lucene")
     raw = s.search(parse_query("+spark +window vector"), k=40, use_cache=False)
     return _topk(raw, 10)
@@ -563,16 +567,21 @@ def q_valuesource_extended(spark: SparkSession, sf_dir: str) -> DataFrame:
     (OrdFieldSource/ReverseOrdFieldSource — ordinal in the sorted value
     dictionary), boolean/comparison combinators (and/gt/lte → if), and
     the pi() constant — all parsed from Solr function syntax."""
-    from lucene_solr_spark.functions.valuesource import parse_function_query
+    from lucene_solr_spark.functions.valuesource import (
+        apply_function_query,
+        parse_function_query,
+    )
 
     d = _table(spark, sf_dir, "documents")
-    lang_ord = parse_function_query("ord(lang)", d)
-    lang_rord = parse_function_query("rord(lang)", d)
+    # ord/rord: dense_rank'd distinct-value dictionary broadcast-joined
+    # back — no driver-side collect of field values at any cardinality
+    d1, lang_ord = apply_function_query(d, "ord(lang)")
+    d2, lang_rord = apply_function_query(d1, "rord(lang)")
     in_range = parse_function_query(
         "if(and(gt(n_chars, 100), lte(n_chars, 400)), 1, 0)"
     )
     twopi = parse_function_query("product(pi(), 2)")
-    return d.select(
+    return d2.select(
         "doc_id",
         lang_ord.alias("lang_ord"),
         lang_rord.alias("lang_rord"),
@@ -1319,7 +1328,14 @@ def q_stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(300)
+        if not q.awaitTermination(300):
+            # a timed-out stream would otherwise cache a PARTIAL memory
+            # sink as the (sticky) gate result — fail loudly instead
+            q.stop()
+            raise TimeoutError(
+                "sessionize stream did not finish within 300s; "
+                "refusing to cache a partial result"
+            )
         rows = [
             tuple(r)
             for r in spark.table(qname)

@@ -77,6 +77,9 @@ class _Parser:
         self.pos = 0
         self.df = df
         self.tables = tables  # IndexTables for maxdoc/numdocs/ttf/sttf
+        # (dict_frame, join_key) pairs queued by ord()/rord() — the
+        # caller (apply_function_query) broadcast-joins them onto df
+        self.joins: list[tuple[DataFrame, str]] = []
 
     def peek(self) -> str | None:
         return self.toks[self.pos] if self.pos < len(self.toks) else None
@@ -124,23 +127,44 @@ class _Parser:
     # schema field name token directly)
     _RAW_ARG_FNS = {"field", "ord", "rord", "totaltermfreq", "sumtotaltermfreq"}
 
-    def _ordinals(self, field: str) -> Column:
+    def _ordinals(self, field: str, reverse: bool = False) -> Column:
         """ord(field): 1-based ordinal of the doc's value in the sorted
-        value dictionary (OrdFieldSource.java).  The dictionary is
-        collected driver-side and broadcast as an array literal — the
-        same shape as the reference's per-segment terms dict (ordinal
-        lookup needs the whole sorted dictionary by definition); at
-        scale this is a dictionary-sized broadcast, not a data shuffle."""
+        value dictionary (OrdFieldSource.java / ReverseOrdFieldSource).
+
+        Implemented as a dense_rank over the DISTINCT-value frame
+        broadcast-joined back onto the data — the reference's sorted
+        terms dict as a dictionary-sized side relation.  Nothing is
+        ever collected to the driver (the old array_position-over-
+        collected-literal OOMed the driver and scanned O(cardinality)
+        per row); the window runs over dictionary-sized input only.
+        The join is queued on ``self.joins`` and applied by
+        apply_function_query."""
         if self.df is None:
             raise ValueError("ord()/rord() need the DataFrame context")
-        vals = sorted(
-            r[0]
-            for r in self.df.select(field).distinct().collect()
-            if r[0] is not None
-        )
-        return F.array_position(
-            F.array(*[F.lit(v) for v in vals]), F.col(field)
-        ).cast("double")
+        from pyspark.sql import Window
+
+        name = f"__{'rord' if reverse else 'ord'}_{field}"
+        if all(name not in d.columns for d, _ in self.joins):
+            w = Window.orderBy(field)
+            dict_df = (
+                self.df.select(field)
+                .filter(F.col(field).isNotNull())
+                .distinct()
+                .withColumn("__o", F.dense_rank().over(w))
+                .withColumn("__n", F.count("*").over(Window.partitionBy()))
+            )
+            dict_df = dict_df.select(
+                field,
+                (
+                    (F.col("__n") + 1 - F.col("__o"))
+                    if reverse
+                    else F.col("__o")
+                )
+                .cast("double")
+                .alias(name),
+            )
+            self.joins.append((dict_df, field))
+        return F.col(name)
 
     def _call_raw(self, name: str, raw: list[str]) -> Column:
         if name == "field":
@@ -157,13 +181,7 @@ class _Parser:
             return self._ordinals(raw[0])
         if name == "rord":
             # reverse ordinal: #values + 1 − ord (ReverseOrdFieldSource)
-            if self.df is None:
-                raise ValueError("rord() needs the DataFrame context")
-            nvals = (
-                self.df.select(raw[0]).filter(F.col(raw[0]).isNotNull())
-                .distinct().count()
-            )
-            return F.lit(float(nvals + 1)) - self._ordinals(raw[0])
+            return self._ordinals(raw[0], reverse=True)
         if name == "totaltermfreq":
             # totaltermfreq(field, term): Σ tf over all docs (constant)
             if self.tables is None:
@@ -344,4 +362,30 @@ def parse_function_query(
     out = p.expr()
     if p.peek() is not None:
         raise ValueError(f"trailing input: {p.toks[p.pos:]}")
+    if p.joins:
+        raise ValueError(
+            "ord()/rord() produce a dictionary join — evaluate with "
+            "apply_function_query(df, text) instead"
+        )
     return out
+
+
+def apply_function_query(
+    df: DataFrame, text: str, tables=None
+) -> tuple[DataFrame, Column]:
+    """Parse a function query AND apply any dictionary joins it needs.
+
+    Returns (df_with_side_relations, column).  ord()/rord() queue a
+    broadcast join against their dense_rank'd distinct-value frame;
+    every other function is a pure column expression and df is
+    returned unchanged.  Missing values (NULL field) yield NULL
+    ordinals via the left join, matching OrdFieldSource's absent-doc
+    behavior."""
+    p = _Parser(text, df, tables)
+    col = p.expr()
+    if p.peek() is not None:
+        raise ValueError(f"trailing input: {p.toks[p.pos:]}")
+    out = df
+    for dict_df, key in p.joins:
+        out = out.join(F.broadcast(dict_df), key, "left")
+    return out, col

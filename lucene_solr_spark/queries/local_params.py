@@ -175,6 +175,27 @@ def parse_local_params(
     return ptype or "lucene", kv, rest
 
 
+class _WrongCorpusSearcher:
+    """Stand-in searcher for {!join fromIndex=X} inner queries: any
+    text-query dispatch is an error (the inner query must run against
+    the fromIndex corpus, not this collection's inverted index —
+    JoinQParserPlugin.java resolves the fromIndex core's searcher)."""
+
+    def __init__(self, from_index: str) -> None:
+        self.from_index = from_index
+
+    def __getattr__(self, name: str):
+        if name in ("docs", "search", "count", "parse"):
+            raise NotImplementedError(
+                f"{{!join fromIndex={self.from_index}}} with a text-query "
+                "inner clause needs a per-index text searcher; only "
+                "doc-values-side inner queries (frange/geofilt/bbox) are "
+                "supported against a fromIndex table"
+            )
+        # benign introspection (e.g. getattr(searcher, "tables", None))
+        raise AttributeError(name)
+
+
 class SolrQueryDispatcher:
     """Routes local-params query strings onto the engine's operators.
 
@@ -334,8 +355,20 @@ class SolrQueryDispatcher:
             )
             if src is None:
                 raise ValueError("{!join} needs a from-side doc_values table")
+            # fromIndex swaps only the doc_values side; this collection's
+            # TEXT searcher must not silently serve the inner query (it
+            # would match the wrong corpus — JoinQParserPlugin runs the
+            # whole inner query against the fromIndex core).  Until a
+            # per-table searcher registry exists, doc-values-side inner
+            # queries (frange/geofilt/bbox) are supported and text inner
+            # queries fail loudly.
+            inner_searcher = (
+                _WrongCorpusSearcher(q.from_index)
+                if q.from_index is not None
+                else self.searcher
+            )
             sub = SolrQueryDispatcher(
-                self.searcher, src, self.params, self.default_field, self.tables
+                inner_searcher, src, self.params, self.default_field, self.tables
             )
             vals = (
                 sub.docs(q.inner)
@@ -363,18 +396,39 @@ class SolrQueryDispatcher:
             lat_c = F.col(f"{q.sfield}_lat")
             lon_c = F.col(f"{q.sfield}_lon")
             if q.bbox:
-                # SpatialUtils.calcBoxByDistFromPt: the superset box —
-                # ±d/R latitude, ±d/(R·cos φ) longitude (degrees).
-                dlat = math.degrees(q.d_km / EARTH_RADIUS_KM)
-                dlon = math.degrees(
-                    q.d_km / (EARTH_RADIUS_KM * math.cos(math.radians(q.lat)))
-                )
-                cond = (
-                    (lat_c >= q.lat - dlat)
-                    & (lat_c <= q.lat + dlat)
-                    & (lon_c >= q.lon - dlon)
-                    & (lon_c <= q.lon + dlon)
-                )
+                # DistanceUtils.calcBoxByDistFromPtDEG (LatLonType.
+                # createSpatialQuery): dlat = d/R; dlon uses the
+                # asin(sin(d/R)/cos φ) form, a guaranteed SUPERSET of
+                # the circle (the linear d/(R·cos φ) approximation
+                # under-covers points near the east/west extremes).
+                # Pole crossing clamps latitude and admits every
+                # longitude; dateline crossing splits into two ranges.
+                r = q.d_km / EARTH_RADIUS_KM
+                dlat = math.degrees(r)
+                lat_min, lat_max = q.lat - dlat, q.lat + dlat
+                if lat_min <= -90.0 or lat_max >= 90.0:
+                    cond = (lat_c >= max(lat_min, -90.0)) & (
+                        lat_c <= min(lat_max, 90.0)
+                    )
+                else:
+                    dlon = math.degrees(
+                        math.asin(
+                            min(1.0, math.sin(r) / math.cos(math.radians(q.lat)))
+                        )
+                    )
+                    lon_min, lon_max = q.lon - dlon, q.lon + dlon
+                    lat_cond = (lat_c >= lat_min) & (lat_c <= lat_max)
+                    if lon_min < -180.0:
+                        lon_cond = (lon_c >= lon_min + 360.0) | (
+                            lon_c <= lon_max
+                        )
+                    elif lon_max > 180.0:
+                        lon_cond = (lon_c >= lon_min) | (
+                            lon_c <= lon_max - 360.0
+                        )
+                    else:
+                        lon_cond = (lon_c >= lon_min) & (lon_c <= lon_max)
+                    cond = lat_cond & lon_cond
             else:
                 cond = (
                     geodist_km(F.lit(q.lat), F.lit(q.lon), lat_c, lon_c)

@@ -68,3 +68,16 @@ def test_entry_smoke(spark):
     df = entrymod.entry(spark)
     rows = df.collect()
     assert len(rows) >= 0 and set(df.columns) == {"doc_id", "score"}
+
+
+def test_lucene_buffer_boundary(spark):
+    """q_term_query_lucene's k=40 unrounded-score buffer must contain
+    the full rounded top-10 (a rounded tie group crossing the buffer
+    edge would let an outside doc into the oracle's rounded ranking)."""
+    from lucene_solr_spark.queries.parser import parse_query
+
+    got = [tuple(r) for r in entrymod.q_term_query_lucene(spark, SF_DIR).collect()]
+    s = entrymod._searcher(spark, SF_DIR, scoring="lucene")
+    raw = s.search(parse_query("+spark +window vector"), k=100000, use_cache=False)
+    want = [tuple(r) for r in entrymod._topk(raw, 10).collect()]
+    assert got == want

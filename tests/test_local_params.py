@@ -181,3 +181,54 @@ def test_geofilt_and_bbox_superset(spark):
     # the box is a SUPERSET of the circle (SpatialUtils.calcBoxByDistFromPt)
     assert set(circle) <= set(box)
     assert 2 not in box
+
+
+def test_bbox_east_west_extreme_included(spark):
+    """The asin-form longitude half-width must cover points just inside
+    the circle at the due-east extreme, where the linear d/(R·cos φ)
+    approximation under-covers (DistanceUtils.calcBoxByDistFromPtDEG)."""
+    import math
+
+    from lucene_solr_spark.functions.valuesource import EARTH_RADIUS_KM
+    from lucene_solr_spark.queries.local_params import SolrQueryDispatcher
+
+    lat, lon, d_km = 60.0, 10.0, 1000.0
+    # the true easternmost point of the circle is NOT at the center's
+    # latitude; place a point near the maximal longitude offset
+    r = d_km / EARTH_RADIUS_KM
+    dlon_true = math.degrees(math.asin(math.sin(r) / math.cos(math.radians(lat))))
+    pts = spark.createDataFrame(
+        [(0, 61.2, lon + dlon_true * 0.999)],
+        "doc_id long, store_lat double, store_lon double",
+    )
+    disp = SolrQueryDispatcher(None, pts)
+    box = {r["doc_id"] for r in disp.docs(
+        f"{{!bbox sfield=store pt={lat},{lon} d={d_km}}}").collect()}
+    assert 0 in box
+
+
+def test_bbox_dateline_and_pole(spark):
+    from lucene_solr_spark.queries.local_params import SolrQueryDispatcher
+
+    pts = spark.createDataFrame(
+        [
+            (0, 0.0, 179.5),    # just west of the dateline
+            (1, 0.0, -179.5),   # just east, across the dateline
+            (2, 0.0, 170.0),    # well outside a 100 km box at (0, 179.9)
+            (3, 89.5, 13.0),    # near the north pole, arbitrary lon
+            (4, 89.5, -120.0),  # near the pole, other side
+        ],
+        "doc_id long, store_lat double, store_lon double",
+    )
+    disp = SolrQueryDispatcher(None, pts)
+    near_dateline = {
+        r["doc_id"]
+        for r in disp.docs("{!bbox sfield=store pt=0,179.9 d=100}").collect()
+    }
+    assert near_dateline == {0, 1}
+    near_pole = {
+        r["doc_id"]
+        for r in disp.docs("{!bbox sfield=store pt=89.9,0 d=100}").collect()
+    }
+    # circle crosses the pole: every longitude in the lat band qualifies
+    assert near_pole == {3, 4}

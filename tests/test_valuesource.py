@@ -116,12 +116,26 @@ def test_ms_single_and_double(spark):
 
 def test_ord_rord(spark):
     d = spark.createDataFrame([("b",), ("a",), ("c",), ("b",)], ["s"])
-    from lucene_solr_spark.functions.valuesource import parse_function_query as p
+    from lucene_solr_spark.functions.valuesource import apply_function_query
 
-    rows = d.select("s", p("ord(s)", d).alias("o"), p("rord(s)", d).alias("r")).collect()
+    d1, o = apply_function_query(d, "ord(s)")
+    d2, r = apply_function_query(d1, "rord(s)")
+    rows = d2.select("s", o.alias("o"), r.alias("r")).collect()
     got = {r["s"]: (r["o"], r["r"]) for r in rows}
     # sorted dictionary a<b<c → ords 1,2,3; rord = 4 − ord
     assert got == {"a": (1.0, 3.0), "b": (2.0, 2.0), "c": (3.0, 1.0)}
+
+
+def test_ord_requires_apply(spark):
+    """parse_function_query must refuse ord()/rord() (they need a
+    dictionary join) and no field values may ever be collected."""
+    import pytest
+
+    d = spark.createDataFrame([("a",)], ["s"])
+    from lucene_solr_spark.functions.valuesource import parse_function_query
+
+    with pytest.raises(ValueError, match="apply_function_query"):
+        parse_function_query("ord(s)", d)
 
 
 def test_index_stats_functions(spark):
