@@ -2090,6 +2090,39 @@ def q_classic_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _topk(s.docs(TermQuery("spark")), 10)
 
 
+def q_lm_dirichlet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LM-Dirichlet (mu=2000) top-10 for the SHOULD disjunction
+    'spark window' — float32-faithful to LMDirichletSimilarity.java:
+    65-70 (p(w|C) = (ttf+1F)/(sttf+1F), quantized byte315 docLen from
+    SimilarityBase.decodeNormValue, per-doc clamp at 0, double
+    cross-term sum cast to float).  The oracle replays every float32
+    op in DuckDB FLOAT arithmetic and recovers the quantized docLen
+    via the byte315 boundary table."""
+    s = _searcher(spark, sf_dir, scoring="lm_dirichlet")
+    q = BooleanQuery(
+        (
+            BooleanClause(Occur.SHOULD, TermQuery("spark")),
+            BooleanClause(Occur.SHOULD, TermQuery("window")),
+        )
+    )
+    return _topk(s.docs(q), 10)
+
+
+def q_dfr_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DFR In-L-H2 top-10 for 'spark window' (DFRSimilarity.java:
+    110-114 with BasicModelIn.java:33-37, AfterEffectL.java:32-34,
+    NormalizationH2.java:52-54, c=1) — float32-faithful including the
+    float-op log2 argument and avgdl = (float)sttf/N."""
+    s = _searcher(spark, sf_dir, scoring="dfr_in_l_h2")
+    q = BooleanQuery(
+        (
+            BooleanClause(Occur.SHOULD, TermQuery("spark")),
+            BooleanClause(Occur.SHOULD, TermQuery("window")),
+        )
+    )
+    return _topk(s.docs(q), 10)
+
+
 # --------------------------------------------------------------------------
 # span queries (SURVEY §2.3 — spans/; see queries/spans.py)
 # --------------------------------------------------------------------------
@@ -2214,6 +2247,8 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "span_first": q_span_first,
         "span_or": q_span_or,
         "classic_tfidf": q_classic_tfidf,
+        "lm_dirichlet": q_lm_dirichlet,
+        "dfr_similarity": q_dfr_similarity,
         "delete_by_query": q_delete_by_query,
         "exact_dedup": q_exact_dedup,
         "ngram_jaccard": q_ngram_jaccard,
@@ -3860,6 +3895,88 @@ scored AS (
   JOIN norms nm USING (doc_id)
   CROSS JOIN cstats c
   WHERE p.term = 'spark'
+)
+{_TOPK_TAIL.format(k=10)}
+"""
+
+    # ---- LM-Dirichlet float32 replica (LMDirichletSimilarity.java:
+    # 65-70): p(w|C) = (ttf+1F)/(sttf+1F), mu·p folded in FLOAT, the
+    # log arguments built from FLOAT ops, ln in double, (a1+a2) cast
+    # FLOAT, per-doc clamp at 0, cross-term double sum cast FLOAT.
+    # Quantized docLen comes from the byte315 boundary table (nt).
+    sqls["lm_dirichlet"] = f"""
+WITH {_IDX},
+{_bm25_f32_ctes()},
+tstats2 AS (
+  SELECT term, count(*) AS df, CAST(sum(tf) AS BIGINT) AS ttf
+  FROM postings GROUP BY term
+),
+lmw AS (
+  SELECT t.term,
+         CAST(CAST(2000 AS FLOAT) *
+              CAST(CAST(t.ttf + 1 AS FLOAT) / CAST(c.sttf + 1 AS FLOAT)
+                   AS FLOAT) AS FLOAT) AS mu_p
+  FROM tstats2 t CROSS JOIN cstats c
+  WHERE t.term IN ('spark', 'window')
+),
+per AS (
+  SELECT p.doc_id,
+         CAST(CAST(1 AS FLOAT) * CAST(
+           ln(CAST(CAST(1 AS FLOAT)
+                   + CAST(CAST(p.tf AS FLOAT) / w.mu_p AS FLOAT) AS FLOAT))
+           + ln(CAST(CAST(2000 AS FLOAT)
+                     / CAST(cv.nt + CAST(2000 AS FLOAT) AS FLOAT) AS FLOAT))
+         AS FLOAT) AS FLOAT) AS s
+  FROM postings p
+  JOIN lmw w USING (term)
+  JOIN norms nm USING (doc_id)
+  JOIN b315 cv ON nm.length BETWEEN cv.lo AND cv.hi
+),
+scored AS (
+  SELECT doc_id,
+         CAST(CAST(SUM(CAST(CASE WHEN s > 0 THEN s ELSE CAST(0 AS FLOAT) END
+                            AS DOUBLE)) AS FLOAT) AS DOUBLE) AS score
+  FROM per GROUP BY doc_id
+)
+{_TOPK_TAIL.format(k=10)}
+"""
+
+    # ---- DFR In-L-H2 float32 replica (DFRSimilarity.java:110-114;
+    # BasicModelIn:33-37, AfterEffectL:32-34, NormalizationH2:52-54):
+    # avgdl = (float)sttf/N; the log2 argument is all FLOAT ops; tfn is
+    # tf·log2(..) in double cast FLOAT once; then three left-to-right
+    # FLOAT multiplies boost·basic·afterEffect.
+    sqls["dfr_similarity"] = f"""
+WITH {_IDX},
+{_bm25_f32_ctes()},
+avgf2 AS (SELECT CAST(CAST(sttf AS FLOAT) / CAST(n AS FLOAT) AS FLOAT)
+                 AS avgdl FROM cstats),
+dfrw AS (
+  SELECT t.term,
+         CAST(ln((c.n + 1) / (t.df + 0.5)) / ln(2) AS FLOAT) AS in_w
+  FROM tstats t CROSS JOIN cstats c
+  WHERE t.term IN ('spark', 'window')
+),
+per AS (
+  SELECT p.doc_id,
+         CAST(p.tf * (ln(CAST(CAST(1 AS FLOAT)
+             + CAST(CAST(CAST(1 AS FLOAT) * a.avgdl AS FLOAT) / cv.nt
+                    AS FLOAT) AS FLOAT)) / ln(2)) AS FLOAT) AS tfn,
+         w.in_w
+  FROM postings p
+  JOIN dfrw w USING (term)
+  JOIN norms nm USING (doc_id)
+  JOIN b315 cv ON nm.length BETWEEN cv.lo AND cv.hi
+  CROSS JOIN avgf2 a
+),
+scored AS (
+  SELECT doc_id,
+         CAST(CAST(SUM(CAST(
+           CAST(CAST(CAST(1 AS FLOAT) * CAST(tfn * in_w AS FLOAT) AS FLOAT)
+                * CAST(CAST(1 AS FLOAT) / CAST(tfn + CAST(1 AS FLOAT)
+                                               AS FLOAT) AS FLOAT) AS FLOAT)
+         AS DOUBLE)) AS FLOAT) AS DOUBLE) AS score
+  FROM per GROUP BY doc_id
 )
 {_TOPK_TAIL.format(k=10)}
 """

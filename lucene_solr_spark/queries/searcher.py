@@ -107,14 +107,23 @@ class IndexSearcher:
         cache_postings: bool = True,
         tombstones: DataFrame | None = None,
     ) -> None:
-        if scoring not in ("lucene", "exact", "classic", "classic_exact"):
+        if scoring not in (
+            "lucene", "exact", "classic", "classic_exact",
+            "lm_dirichlet", "dfr_in_l_h2",
+        ):
             raise ValueError(f"unknown scoring mode {scoring!r}")
         self.tables = tables
         self.bm25 = BM25(k1=k1, b=b)
         self.scoring = scoring
         # float32-faithful modes (Java float arithmetic); the *_exact
         # modes are the ANSI-SQL-expressible double variants
-        self._f32 = scoring in ("lucene", "classic")
+        self._f32 = scoring in (
+            "lucene", "classic", "lm_dirichlet", "dfr_in_l_h2"
+        )
+        # SimilarityBase-family modes: per-term stats beyond docFreq
+        # feed the kernel directly (_score_col_sb); the idf/weight
+        # protocol below is TFIDF-family only
+        self._sb = scoring in ("lm_dirichlet", "dfr_in_l_h2")
         self.stats = tables.stats
         # Denormalize norms onto postings once (the per-segment norms file
         # read of the reference); at scale this join happens at build time.
@@ -337,7 +346,7 @@ class IndexSearcher:
 
         if isinstance(q, BoostQuery):
             return self._explain(q.query, doc_id, boost * q.boost)
-        if isinstance(q, TermQuery):
+        if isinstance(q, TermQuery) and not self._sb:
             row = (
                 self._term_postings(q.term)
                 .filter(F.col("doc_id") == doc_id)
@@ -490,8 +499,40 @@ class IndexSearcher:
             ),
         )
 
+    def _score_col_sb(
+        self, boost: float, doc_freq: int, ttf: int, df_in: DataFrame
+    ) -> DataFrame:
+        """SimilarityBase-family kernels (per-term stats, quantized
+        docLen): LM-Dirichlet and DFR In-L-H2 — float32-faithful,
+        whole-stage-codegen column expressions like the BM25 kernel."""
+        from lucene_solr_spark.scoring.similarities import (
+            dfr_in_l_h2_score,
+            lm_dirichlet_score,
+        )
+
+        if self.scoring == "lm_dirichlet":
+            col = lm_dirichlet_score(
+                F.col("freq"), F.col("norm_byte"), boost,
+                ttf, self.stats.sum_total_term_freq,
+            )
+        else:
+            col = dfr_in_l_h2_score(
+                F.col("freq"), F.col("norm_byte"), boost,
+                doc_freq, self.stats.doc_count,
+                self.stats.sum_total_term_freq,
+            )
+        return df_in.withColumn("score", col)
+
     def _idf(self, doc_freq: int) -> float:
         n = self.stats.doc_count
+        if self._sb:
+            raise NotImplementedError(
+                f"scoring mode {self.scoring!r} supports term and "
+                "boolean queries (SimilarityBase per-term stats don't "
+                "flow through the TFIDF idf/weight protocol used by "
+                "phrase/synonym scoring; reference MultiStats summing "
+                "is a future extension)"
+            )
         if self.scoring == "lucene":
             return float(idf32(doc_freq, n))
         if self.scoring == "classic":
@@ -552,16 +593,20 @@ class IndexSearcher:
                 "doc_id", F.lit(score).alias("score")
             )
         if isinstance(q, TermQuery):
-            df_, _ttf = self.term_statistics([q.term])[q.term]
+            df_, ttf = self.term_statistics([q.term])[q.term]
             if df_ == 0:
                 return self._empty_scored()
-            weight = self._weight(self._idf(df_), boost)
             pl = self._term_postings(q.term).select(
                 "doc_id",
                 F.col("tf").alias("freq"),
                 "norm_byte",
                 "length",
             )
+            if self._sb:
+                return self._score_col_sb(boost, df_, ttf, pl).select(
+                    "doc_id", "score"
+                )
+            weight = self._weight(self._idf(df_), boost)
             return self._score_col(weight, pl).select("doc_id", "score")
         if isinstance(q, SynonymQuery):
             return self._exec_synonym(q, boost)

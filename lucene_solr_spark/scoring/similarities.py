@@ -1,0 +1,121 @@
+"""SimilarityBase-family scoring kernels: LM-Dirichlet and DFR.
+
+Float32-faithful column kernels for the two most-requested non-BM25
+similarities, replaying the reference's arithmetic bit-for-bit:
+
+- LM-Dirichlet (similarities/LMDirichletSimilarity.java:34-76 +
+  LMSimilarity.DefaultCollectionModel:154-156):
+      p(w|C) = (ttf + 1f) / (sumTotalTermFreq + 1f)          [float]
+      score  = boost * (float)(log(1 + freq/(mu·p(w|C)))
+                               + log(mu/(docLen + mu)))
+      clamped at 0 for below-collection-model docs.
+- DFR In-L-H2 (similarities/DFRSimilarity.java:110-114,
+  BasicModelIn.java:33-37, AfterEffectL.java:32-34,
+  NormalizationH2.java:52-54, c = 1):
+      tfn    = (float)(freq · log2(1 + avgdl/docLen))
+      score  = boost · tfn·(float)log2((N+1)/(df+0.5)) · 1/(tfn+1)
+
+Both use the QUANTIZED docLen the reference scores with —
+SimilarityBase.decodeNormValue reads NORM_TABLE[norm_byte]
+(SimilarityBase.java:220-246, the byte315 table shared with BM25), and
+avgdl = (float)sumTotalTermFreq / numberOfDocuments
+(SimilarityBase.java:129).
+
+Every float32 op is emulated JVM-side as double-op-then-cast-to-float
+(bit-exact for +,−,×,÷ on binary32 inputs: binary64 p=53 ≥ 2·24+2);
+the kernels stay inside whole-stage codegen — no Python in the hot
+path, so the plan shape is identical to the BM25 kernel's.
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+from lucene_solr_spark.scoring.bm25 import NORM_TABLE
+
+_LOG2 = math.log(2.0)
+
+
+def _f32(col: Column) -> Column:
+    """Emulate one Java float op: compute in double, round to binary32."""
+    return col.cast("float").cast("double")
+
+
+def _doclen_col(norm_byte: Column) -> Column:
+    """Quantized document length from the stored norm byte
+    (SimilarityBase.decodeNormValue → NORM_TABLE[b & 0xFF])."""
+    arr = F.array(*[F.lit(float(v)) for v in NORM_TABLE.astype(np.float64)])
+    return F.element_at(arr, norm_byte.bitwiseAND(F.lit(255)) + F.lit(1))
+
+
+def lm_dirichlet_score(
+    freq: Column,
+    norm_byte: Column,
+    boost: float,
+    ttf: int,
+    sum_total_term_freq: int,
+    mu: float = 2000.0,
+) -> Column:
+    """LM-Dirichlet float32 score column (LMDirichletSimilarity.java:65-70).
+
+    ``freq`` int/float tf column; ``norm_byte`` byte315 norm column.
+    The per-term constant mu·p(w|C) folds driver-side in float32.
+    """
+    p_wc = np.float32(np.float32(ttf + 1.0) / np.float32(sum_total_term_freq + 1.0))
+    mu32 = np.float32(mu)
+    mu_p = np.float32(mu32 * p_wc)
+    # term weight: log(1 + freq/(mu·p)) — freq/(mu·p) and 1+x in float,
+    # Math.log in double (Java promotes the float arg)
+    x = _f32(freq.cast("double") / F.lit(float(mu_p)))
+    l1 = F.log(_f32(F.lit(1.0) + x))
+    # document norm: log(mu/(docLen + mu)) — float ops, double log
+    dl = _doclen_col(norm_byte)
+    l2 = F.log(_f32(F.lit(float(mu32)) / _f32(dl + F.lit(float(mu32)))))
+    s = (l1 + l2).cast("float").cast("double")
+    score = (F.lit(float(np.float32(boost))) * s).cast("float")
+    return F.when(score > 0.0, score).otherwise(F.lit(0.0).cast("float"))
+
+
+def dfr_in_l_h2_score(
+    freq: Column,
+    norm_byte: Column,
+    boost: float,
+    doc_freq: int,
+    num_docs: int,
+    sum_total_term_freq: int,
+    c: float = 1.0,
+) -> Column:
+    """DFR(BasicModelIn, AfterEffectL, NormalizationH2) float32 score.
+
+    tfn = (float)(freq·log2(1 + c·avgdl/docLen)); score = boost ·
+    tfn·log2((N+1)/(df+0.5)) · 1/(tfn+1), float multiplications in
+    reference order (DFRSimilarity.java:110-114)."""
+    # SimilarityBase.fillBasicStats:120-129 — avgdl = (float)sttf / N
+    # (float division), with the degenerate-field fallback of 1
+    if sum_total_term_freq <= 0:
+        avgdl = np.float32(1.0)
+    else:
+        avgdl = np.float32(
+            np.float32(sum_total_term_freq) / np.float32(num_docs)
+        )
+    dl = _doclen_col(norm_byte)
+    # NormalizationH2.tfn: (float)(tf * log2(1 + c*avgdl/len)) — the
+    # log2 ARGUMENT is all float ops (c·avgdl float mult, float divide
+    # by len, 1+ float add), promoted to double only at the log2 call;
+    # tf·log2(..) runs in double and is cast to float ONCE
+    ca = np.float32(np.float32(c) * avgdl)
+    ratio = _f32(F.lit(float(ca)) / dl)
+    one_plus = _f32(F.lit(1.0) + ratio)
+    tfn = _f32(freq.cast("double") * (F.log(one_plus) / F.lit(_LOG2)))
+    # BasicModelIn: tfn * (float)log2((N+1)/(n+0.5)) — float multiply
+    in_w = np.float32(math.log((num_docs + 1) / (doc_freq + 0.5)) / _LOG2)
+    basic = _f32(tfn * F.lit(float(in_w)))
+    # AfterEffectL: 1/(tfn+1) — float ops
+    ae = _f32(F.lit(1.0) / _f32(tfn + F.lit(1.0)))
+    # stats.getBoost() * basic * ae — left-to-right float multiplies
+    score = _f32(_f32(F.lit(float(np.float32(boost))) * basic) * ae)
+    return score.cast("float")

@@ -1,0 +1,116 @@
+"""LM-Dirichlet and DFR In-L-H2 scoring modes (SimilarityBase family).
+
+The float32 arithmetic itself is gated bit-for-bit against the DuckDB
+FLOAT oracles in tests/test_entry.py (lm_dirichlet / dfr_similarity
+entries); these tests pin mode-specific semantics the oracle replay
+doesn't isolate: the below-collection-model clamp, reference formula
+spot values, and the loud failure for unsupported query shapes.
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from lucene_solr_spark.queries import IndexSearcher
+from lucene_solr_spark.queries.query import PhraseQuery, TermQuery
+
+
+@pytest.fixture(scope="module")
+def lm_searcher(spark, docs_df):
+    from lucene_solr_spark.index import build_tables
+
+    t = build_tables(docs_df, id_col="doc_id", text_col="text")
+    return IndexSearcher(t, scoring="lm_dirichlet"), t
+
+
+def test_lm_dirichlet_matches_reference_formula(lm_searcher):
+    """Replay LMDirichletSimilarity.java:65-70 in numpy float32 for a
+    few (tf, docLen) pairs and compare to the engine's column kernel."""
+    s, t = lm_searcher
+    from lucene_solr_spark.scoring.bm25 import NORM_TABLE
+
+    rows = (
+        s._term_postings("spark")
+        .select("doc_id", "tf", "norm_byte")
+        .orderBy("doc_id")
+        .limit(20)
+        .collect()
+    )
+    assert rows
+    got = {
+        r["doc_id"]: r["score"]
+        for r in s.docs(TermQuery("spark")).orderBy("doc_id").collect()
+    }
+    ttf = int(
+        t.term_stats.filter(F.col("term") == "spark").first()["ttf"]
+    )
+    sttf = t.stats.sum_total_term_freq
+    p = np.float32(np.float32(ttf + 1.0) / np.float32(sttf + 1.0))
+    mu = np.float32(2000.0)
+    mu_p = np.float32(mu * p)
+    for r in rows:
+        freq = np.float32(r["tf"])
+        dl = np.float32(NORM_TABLE[r["norm_byte"] & 0xFF])
+        want = np.float32(
+            np.float32(1.0)
+            * np.float32(
+                math.log(np.float32(1.0 + np.float32(freq / mu_p)))
+                + math.log(np.float32(mu / np.float32(dl + mu)))
+            )
+        )
+        want = want if want > 0 else np.float32(0.0)
+        assert got[r["doc_id"]] == pytest.approx(float(want), abs=0), (
+            r["doc_id"], got[r["doc_id"]], float(want)
+        )
+
+
+def test_lm_dirichlet_clamps_below_model_docs(lm_searcher):
+    """Docs whose tf is below the collection-model expectation score
+    exactly 0 (the reference clamp), never negative."""
+    s, t = lm_searcher
+    # the highest-ttf term has the largest mu·p(w|C), so tf=1 docs in
+    # long documents go negative pre-clamp on this corpus
+    top = (
+        t.term_stats.orderBy(F.col("ttf").desc()).first()["term"]
+    )
+    scores = [r["score"] for r in s.docs(TermQuery(top)).collect()]
+    assert scores and min(scores) >= 0.0
+
+
+def test_sb_modes_reject_phrase_queries(lm_searcher):
+    s, _ = lm_searcher
+    with pytest.raises(NotImplementedError, match="term and boolean"):
+        s.docs(PhraseQuery(("spark", "window")))
+
+
+def test_dfr_spot_value(spark, docs_df):
+    """One hand-computed DFR In-L-H2 score (float32 reference order)."""
+    from lucene_solr_spark.index import build_tables
+    from lucene_solr_spark.scoring.bm25 import NORM_TABLE
+
+    t = build_tables(docs_df, id_col="doc_id", text_col="text")
+    s = IndexSearcher(t, scoring="dfr_in_l_h2")
+    row = (
+        s._term_postings("spark").select("doc_id", "tf", "norm_byte").first()
+    )
+    df_ = int(t.term_stats.filter(F.col("term") == "spark").first()["df"])
+    N = t.stats.doc_count
+    avgdl = np.float32(np.float32(t.stats.sum_total_term_freq) / np.float32(N))
+    dl = np.float32(NORM_TABLE[row["norm_byte"] & 0xFF])
+    tfn = np.float32(
+        float(row["tf"])
+        * math.log2(np.float32(1.0 + np.float32(np.float32(1.0) * avgdl / dl)))
+    )
+    want = np.float32(
+        np.float32(np.float32(1.0) * np.float32(tfn * np.float32(
+            math.log2((N + 1) / (df_ + 0.5))
+        ))) * np.float32(np.float32(1.0) / np.float32(tfn + np.float32(1.0)))
+    )
+    got = {
+        r["doc_id"]: r["score"] for r in s.docs(TermQuery("spark")).collect()
+    }[row["doc_id"]]
+    assert got == pytest.approx(float(want), abs=0)
