@@ -905,6 +905,31 @@ def q_facet_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         "uniq_sources",
     ).orderBy("lang")
 
+def q_facet_exclude_tags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-select faceting: JSON facet domain excludeTags
+    (solr/search/facet/FacetRequest.java:86-99).  The user has selected
+    lang=en ({!tag=LANG}) and n_chars>400 ({!tag=LEN}); the lang facet
+    excludes its OWN tag, so all language buckets stay visible with
+    counts computed under the OTHER filters only — returned beside the
+    fully-filtered selection facet to pin both domains."""
+    from lucene_solr_spark.queries.facets import facet_field
+
+    s = _searcher(spark, sf_dir)
+    d = _table(spark, sf_dir, "documents")
+    filters = {
+        "LANG": F.col("lang") == "en",
+        "LEN": F.col("n_chars") > 400,
+    }
+    q = TermQuery("spark")
+    multi = facet_field(
+        s, d, q, "lang", filters, exclude_tags=("LANG",), top_n=10
+    ).select(F.lit("exclude_LANG").alias("domain"), "bucket", "cnt")
+    selected = facet_field(s, d, q, "lang", filters, top_n=10).select(
+        F.lit("selected").alias("domain"), "bucket", "cnt"
+    )
+    return multi.unionByName(selected).orderBy("domain", "bucket")
+
+
 def q_facet_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Field facet: top buckets by count (SimpleFacets.java:344-452)."""
     s = _searcher(spark, sf_dir)
@@ -1724,6 +1749,43 @@ def q_english_analyzer(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_html_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Char-filter stage: HTML strip + ASCII folding before tokenize
+    (charfilter/HTMLStripCharFilter.java as a regex column pass;
+    miscellaneous/ASCIIFoldingFilter.java:1-2104 as translate tables).
+    Each doc is wrapped in deterministic markup — comment, attributes,
+    a <script> body that must NOT tokenize, entities, and accented
+    words — so the oracle knows the exact post-filter text (plain text
+    plus 'resume cafe strasse') without reimplementing the filters."""
+    from lucene_solr_spark.analysis.charfilters import (
+        ascii_fold_col,
+        html_strip_col,
+    )
+
+    d = _table(spark, sf_dir, "documents")
+    html = F.concat(
+        F.lit('<html><!-- strip me --><body class="x"><p>'),
+        F.col("text"),
+        F.lit(
+            "</p><script>var dropped = 1;</script>"
+            "<p>résumé café &amp; straße</p></body></html>"
+        ),
+    )
+    t = build_tables(
+        d.select("doc_id", html.alias("text")),
+        id_col="doc_id",
+        text_col="text",
+        char_filters=[html_strip_col, ascii_fold_col],
+    )
+    return (
+        t.term_stats.select(
+            "term", "df", F.col("ttf").cast("long").alias("ttf")
+        )
+        .orderBy(F.col("df").desc(), F.col("term").asc())
+        .limit(20)
+    )
+
+
 def q_synonym_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Index-time synonym filter (analysis/synonym/SynonymGraphFilter.java
     + FlattenGraphFilter; rules per solr SolrSynonymParser.java): chain
@@ -2249,6 +2311,8 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "classic_tfidf": q_classic_tfidf,
         "lm_dirichlet": q_lm_dirichlet,
         "dfr_similarity": q_dfr_similarity,
+        "html_analysis": q_html_analysis,
+        "facet_exclude_tags": q_facet_exclude_tags,
         "delete_by_query": q_delete_by_query,
         "exact_dedup": q_exact_dedup,
         "ngram_jaccard": q_ngram_jaccard,
@@ -2615,6 +2679,42 @@ sdf AS (
   SELECT term, count(DISTINCT doc_id) AS df FROM stemmed GROUP BY term
 )
 SELECT term, df FROM sdf ORDER BY df DESC, term ASC LIMIT 20
+"""
+
+    # char-filter chain: the markup is constructed IN the gate, so the
+    # stripped+folded text is exactly text || ' resume cafe strasse'
+    # (script body and comment gone, entities handled, accents folded)
+    sqls["facet_exclude_tags"] = f"""
+WITH {_IDX},
+m AS (SELECT DISTINCT doc_id FROM postings WHERE term = 'spark'),
+ex AS (
+  SELECT 'exclude_LANG' AS domain, d.lang AS bucket, count(*) AS cnt
+  FROM documents d JOIN m USING (doc_id)
+  WHERE d.n_chars > 400
+  GROUP BY d.lang
+),
+sel AS (
+  SELECT 'selected' AS domain, d.lang AS bucket, count(*) AS cnt
+  FROM documents d JOIN m USING (doc_id)
+  WHERE d.n_chars > 400 AND d.lang = 'en'
+  GROUP BY d.lang
+)
+SELECT * FROM (
+  SELECT * FROM ex UNION ALL SELECT * FROM sel
+) ORDER BY domain, bucket
+"""
+
+    sqls["html_analysis"] = f"""
+WITH toks AS (
+  SELECT doc_id,
+         unnest(string_split(text || ' resume cafe strasse', ' ')) AS term
+  FROM documents
+),
+kept2 AS (SELECT doc_id, term FROM toks WHERE term NOT IN ({_STOP})),
+p AS (SELECT doc_id, term, count(*) AS tf FROM kept2 GROUP BY doc_id, term)
+SELECT term, count(*) AS df, CAST(sum(tf) AS BIGINT) AS ttf
+FROM p GROUP BY term
+ORDER BY df DESC, term ASC LIMIT 20
 """
 
     sqls["synonym_analysis"] = f"""

@@ -262,11 +262,21 @@ def build_tables(
     text_col: str = "content",
     cache: bool = True,
     analyzer="standard",
+    char_filters=None,
 ) -> IndexTables:
     """Build the logical index tables from a corpus DataFrame.
 
     ``cache=True`` persists postings (they feed three downstream aggs).
+    ``char_filters`` is an optional list of Column→Column transforms
+    (e.g. charfilters.html_strip_col, ascii_fold_col) applied to the
+    text column BEFORE tokenization — the CharFilter stage of the
+    reference's analyzer chain, kept JVM-side as column expressions.
     """
+    if char_filters:
+        col = F.col(text_col)
+        for cf in char_filters:
+            col = cf(col)
+        corpus = corpus.withColumn(text_col, col)
     postings = invert(corpus, id_col, text_col, analyzer=analyzer)
     if cache:
         postings = postings.persist()

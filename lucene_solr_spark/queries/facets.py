@@ -1,0 +1,63 @@
+"""JSON facet domain changes: tagged filters + excludeTags.
+
+Multi-select faceting (solr/core/src/java/org/apache/solr/search/facet/
+FacetRequest.java:86-99 — FacetContext re-computes the domain DocSet
+with the named tagged filters excluded): every faceted UI applies the
+user's own selection as a tagged fq and facets each field over the
+domain that EXCLUDES its own tag, so the other buckets of a selected
+field stay visible with correct counts.
+
+Spark shape: the domain is the conjunction of the main query's match
+set with every non-excluded filter (left-semi joins — no payload
+shuffles); the facet itself is the usual groupBy over the domain
+joined to the doc-values table.  At 10^12 docs each filter DocSet is a
+distributed frame, never a collected bitset.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def facet_domain(
+    searcher,
+    doc_values: DataFrame,
+    query,
+    tagged_filters: "dict[str, Column]",
+    exclude_tags: "tuple[str, ...] | list[str]" = (),
+) -> DataFrame:
+    """The facet's domain DocSet: main query matches, intersected with
+    every tagged doc-values filter whose tag is NOT excluded."""
+    dom = searcher._match(query).select("doc_id")
+    for tag, pred in tagged_filters.items():
+        if tag in exclude_tags:
+            continue
+        dom = dom.join(
+            doc_values.filter(pred).select("doc_id"), "doc_id", "left_semi"
+        )
+    return dom
+
+
+def facet_field(
+    searcher,
+    doc_values: DataFrame,
+    query,
+    field: str,
+    tagged_filters: "dict[str, Column] | None" = None,
+    exclude_tags: "tuple[str, ...] | list[str]" = (),
+    top_n: int = 10,
+) -> DataFrame:
+    """Field facet over a (possibly excludeTags-reduced) domain —
+    buckets ordered count DESC then value ASC, the facet.sort=count
+    default of SimpleFacets."""
+    dom = facet_domain(
+        searcher, doc_values, query, tagged_filters or {}, exclude_tags
+    )
+    return (
+        doc_values.join(dom, "doc_id", "left_semi")
+        .groupBy(F.col(field).alias("bucket"))
+        .agg(F.count("*").alias("cnt"))
+        .orderBy(F.col("cnt").desc(), F.col("bucket").asc())
+        .limit(top_n)
+    )
