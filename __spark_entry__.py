@@ -930,6 +930,23 @@ def q_facet_exclude_tags(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multi.unionByName(selected).orderBy("domain", "bucket")
 
 
+def q_spellcheck_collate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spellcheck collation (SpellCheckComponent.collateResults): the
+    misspelled query 'sprak windoq' is rewritten term-by-term with the
+    top DirectSpellChecker suggestion (edit distance ASC, docFreq DESC,
+    term ASC) and the collation is VERIFIED against the index — the
+    returned hit count is the conjunction count of the corrected
+    query.  Oracle: DuckDB levenshtein over the same term dictionary +
+    the same INTERSECT count."""
+    from lucene_solr_spark.queries.mlt import spellcheck_collate
+
+    s = _searcher(spark, sf_dir)
+    collation, hits = spellcheck_collate(s, ["sprak", "windoq"])
+    return spark.createDataFrame(
+        [(collation, int(hits))], "collation string, hits long"
+    )
+
+
 def q_facet_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Field facet: top buckets by count (SimpleFacets.java:344-452)."""
     s = _searcher(spark, sf_dir)
@@ -1046,6 +1063,33 @@ def q_grouping_collapse(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") == 1)
         .select("lang", "doc_id", "score")
         .orderBy("lang")
+    )
+
+
+def q_expand_component(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ExpandComponent (solr/handler/component/ExpandComponent.java:
+    1-837): re-expand the groups hidden by field collapse — for every
+    collapsed group, the top expand.rows=3 members EXCLUDING the
+    representative, ordered by the same score-then-docid discipline.
+    One ranked window over the collapsed join: rn=1 is the collapsed
+    head, rn 2..4 are the expand rows — no second query pass."""
+    s = _searcher(spark, sf_dir)
+    sc = _scored(s.docs(TermQuery("query")))
+    d = _table(spark, sf_dir, "documents").select("doc_id", "lang")
+    j = sc.join(d, "doc_id")
+    w = Window.partitionBy("lang").orderBy(
+        F.col("score").desc(), F.col("doc_id").asc()
+    )
+    return (
+        j.withColumn("rn", F.row_number().over(w))
+        .filter((F.col("rn") >= 2) & (F.col("rn") <= 4))
+        .select(
+            "lang",
+            (F.col("rn") - 1).alias("expand_rank"),
+            "doc_id",
+            "score",
+        )
+        .orderBy("lang", "expand_rank")
     )
 
 
@@ -1786,6 +1830,42 @@ def q_html_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+FRENCH_GATE_PHRASE = (
+    "chevaux l'avion majestueusement investissement chantés les baronnes"
+)
+
+
+def q_french_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FrenchAnalyzer chain (analysis/fr/FrenchAnalyzer.java:99-156:
+    tokenize → elision → lowercase → snowball stop → UniNE light stem,
+    FrenchLightStemmer.java:66-264).  Docs are extended with a fixed
+    French phrase exercising elision (l'avion), plural-x (chevaux),
+    -issement, accents and the stop list.  The oracle maps each closed-
+    vocabulary surface form to its stem via an embedded VALUES map;
+    the stemmer itself is pinned against the reference's FULL 20,403-
+    pair frlight.txt goldens (sampled in fixtures/stemmer_goldens,
+    tests/test_light_stemmers.py) — same discipline as the Porter gate."""
+    d = _table(spark, sf_dir, "documents")
+    t = build_tables(
+        d.select(
+            "doc_id",
+            F.concat(F.col("text"), F.lit(" " + FRENCH_GATE_PHRASE)).alias(
+                "text"
+            ),
+        ),
+        id_col="doc_id",
+        text_col="text",
+        analyzer="french",
+    )
+    return (
+        t.term_stats.select(
+            "term", "df", F.col("ttf").cast("long").alias("ttf")
+        )
+        .orderBy(F.col("df").desc(), F.col("term").asc())
+        .limit(20)
+    )
+
+
 def q_synonym_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Index-time synonym filter (analysis/synonym/SynonymGraphFilter.java
     + FlattenGraphFilter; rules per solr SolrSynonymParser.java): chain
@@ -2313,6 +2393,9 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dfr_similarity": q_dfr_similarity,
         "html_analysis": q_html_analysis,
         "facet_exclude_tags": q_facet_exclude_tags,
+        "expand_component": q_expand_component,
+        "spellcheck_collate": q_spellcheck_collate,
+        "french_analysis": q_french_analysis,
         "delete_by_query": q_delete_by_query,
         "exact_dedup": q_exact_dedup,
         "ngram_jaccard": q_ngram_jaccard,
@@ -2702,6 +2785,48 @@ sel AS (
 SELECT * FROM (
   SELECT * FROM ex UNION ALL SELECT * FROM sel
 ) ORDER BY domain, bucket
+"""
+
+    # FrenchAnalyzer gate: closed vocabulary (31 corpus words + the
+    # fixed phrase), so the oracle embeds the exact surface→stem map
+    # (elision + stop filtering applied at map-build time; the stemmer
+    # is pinned by the reference's full frlight.txt goldens in pytest)
+    from lucene_solr_spark.analysis.light_stemmers import (
+        french_elision,
+        french_light_stem,
+    )
+    from lucene_solr_spark.analysis.snowball_stops import FRENCH_STOP
+
+    _corpus_vocab = [
+        "a", "agg", "batch", "big", "column", "customer", "data", "dup",
+        "fast", "filter", "group", "hash", "join", "key", "line", "merge",
+        "order", "part", "query", "row", "scan", "slow", "small", "sort",
+        "spark", "stream", "table", "the", "value", "vector", "window",
+    ]
+    _fr_stops = frozenset(FRENCH_STOP)
+    _fr_map = []
+    for _tok in sorted(set(_corpus_vocab + FRENCH_GATE_PHRASE.split())):
+        _el = french_elision(_tok)
+        if not _el or _el in _fr_stops:
+            continue
+        _fr_map.append(
+            "(" + "'" + _tok.replace("'", "''") + "','"
+            + french_light_stem(_el).replace("'", "''") + "')"
+        )
+    sqls["french_analysis"] = f"""
+WITH toks AS (
+  SELECT doc_id,
+         unnest(string_split(text || ' {FRENCH_GATE_PHRASE.replace("'", "''")}', ' ')) AS tok
+  FROM documents
+),
+smap(tok, stem) AS (VALUES {",".join(_fr_map)}),
+p AS (
+  SELECT t.doc_id, m.stem AS term, count(*) AS tf
+  FROM toks t JOIN smap m USING (tok) GROUP BY t.doc_id, m.stem
+)
+SELECT term, count(*) AS df, CAST(sum(tf) AS BIGINT) AS ttf
+FROM p GROUP BY term
+ORDER BY df DESC, term ASC LIMIT 20
 """
 
     sqls["html_analysis"] = f"""
@@ -3495,6 +3620,45 @@ r AS (
   FROM j
 )
 SELECT lang, doc_id, score FROM r WHERE rn = 1 ORDER BY lang
+"""
+
+    sqls["spellcheck_collate"] = f"""
+WITH {_IDX},
+sug1 AS (
+  SELECT term FROM tstats
+  WHERE levenshtein(term, 'sprak') <= 2 AND term <> 'sprak'
+  ORDER BY levenshtein(term, 'sprak') ASC, df DESC, term ASC LIMIT 1
+),
+sug2 AS (
+  SELECT term FROM tstats
+  WHERE levenshtein(term, 'windoq') <= 2 AND term <> 'windoq'
+  ORDER BY levenshtein(term, 'windoq') ASC, df DESC, term ASC LIMIT 1
+),
+hits AS (
+  SELECT count(*) AS n FROM (
+    SELECT doc_id FROM postings WHERE term = (SELECT term FROM sug1)
+    INTERSECT
+    SELECT doc_id FROM postings WHERE term = (SELECT term FROM sug2)
+  )
+)
+SELECT (SELECT term FROM sug1) || ' ' || (SELECT term FROM sug2) AS collation,
+       CAST((SELECT n FROM hits) AS BIGINT) AS hits
+"""
+
+    sqls["expand_component"] = f"""
+WITH {_IDX},
+scored AS ({_bm25_sql("query")}),
+j AS (
+  SELECT d.lang, s.doc_id, ROUND(s.score, 4) AS score
+  FROM scored s JOIN documents d USING (doc_id)
+),
+r AS (
+  SELECT lang, doc_id, score,
+         row_number() OVER (PARTITION BY lang ORDER BY score DESC, doc_id ASC) AS rn
+  FROM j
+)
+SELECT lang, CAST(rn - 1 AS INT) AS expand_rank, doc_id, score
+FROM r WHERE rn BETWEEN 2 AND 4 ORDER BY lang, expand_rank
 """
 
     sqls["significant_terms"] = f"""

@@ -1,0 +1,311 @@
+"""Light stemmers + analyzer chains for French / German / Spanish.
+
+Implements Jacques Savoy's UniNE "light stemming" algorithms — the
+reference's FrenchLightStemmer.java, GermanLightStemmer.java and
+SpanishLightStemmer.java (analysis/{fr,de,es}/), which the
+French/German/SpanishAnalyzer chains apply after tokenize → (elision)
+→ lowercase → snowball stop removal (FrenchAnalyzer.java:99-156 et
+al.).  The stemmers are reimplemented from the published algorithm;
+per-token work happens inside the flat Arrow-batched analyzer kernels
+(vocabulary-deduplicated: each UNIQUE token stems once per batch).
+
+Stopword lists are the Snowball lists the reference loads at runtime
+(analysis/snowball/{french,german,spanish}_stop.txt — public Snowball
+data).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+
+# --------------------------------------------------------------- Spanish
+def spanish_light_stem(w: str) -> str:
+    """SpanishLightStemmer.java:64-108 (Savoy)."""
+    if len(w) < 5:
+        return w
+    s = list(
+        w.translate(str.maketrans("àáâäòóôöèéêëùúûüìíîï",
+                                  "aaaaoooo" "eeee" "uuuu" "iiii"))
+    )
+    last = s[-1]
+    if last in ("o", "a", "e"):
+        return "".join(s[:-1])
+    if last == "s":
+        if s[-2] == "e" and s[-3] == "s" and s[-4] == "e":
+            return "".join(s[:-2])
+        if s[-2] == "e" and s[-3] == "c":
+            s[-3] = "z"
+            return "".join(s[:-2])
+        if s[-2] in ("o", "a", "e"):
+            return "".join(s[:-2])
+    return "".join(s)
+
+
+# ---------------------------------------------------------------- German
+_DE_ST_END = set("bdfghklmnt")
+
+
+def german_light_stem(w: str) -> str:
+    """GermanLightStemmer.java:64-135 (Savoy): umlaut fold, then two
+    suffix-strip steps."""
+    s = w.translate(str.maketrans("äàáâöòóôïìíîüùúû",
+                                  "aaaa" "oooo" "iiii" "uuuu"))
+    # step 1
+    n = len(s)
+    if n > 5 and s.endswith("ern"):
+        s = s[:-3]
+    elif n > 4 and s[-2:] in ("em", "en", "er", "es"):
+        s = s[:-2]
+    elif n > 3 and s[-1] == "e":
+        s = s[:-1]
+    elif n > 3 and s[-1] == "s" and s[-2] in _DE_ST_END:
+        s = s[:-1]
+    # step 2
+    n = len(s)
+    if n > 5 and s.endswith("est"):
+        s = s[:-3]
+    elif n > 4 and (s.endswith("er") or s.endswith("en")):
+        s = s[:-2]
+    elif n > 4 and s.endswith("st") and s[-3] in _DE_ST_END:
+        s = s[:-2]
+    return s
+
+
+# ---------------------------------------------------------------- French
+def _fr_norm(s: list[str]) -> str:
+    """FrenchLightStemmer.norm (FrenchLightStemmer.java:229-264):
+    accent fold, collapse consecutive duplicate letters, then the
+    ie/r/e/e + final-duplicate tail strips."""
+    if len(s) > 4:
+        t = "".join(s).translate(
+            str.maketrans("àáâôèéêùûîç", "aaao" "eee" "uu" "ic")
+        )
+        s = list(t)
+        # collapse runs of the same letter
+        out = [s[0]]
+        for ch in s[1:]:
+            if ch == out[-1] and ch.isalpha():
+                continue
+            out.append(ch)
+        s = out
+    if len(s) > 4 and s[-2:] == ["i", "e"]:
+        s = s[:-2]
+    if len(s) > 4:
+        if s[-1] == "r":
+            s = s[:-1]
+        if s and s[-1] == "e":
+            s = s[:-1]
+        if s and s[-1] == "e":
+            s = s[:-1]
+        if len(s) >= 2 and s[-1] == s[-2] and s[-1].isalpha():
+            s = s[:-1]
+    return "".join(s)
+
+
+def french_light_stem(w: str) -> str:  # noqa: C901 — mirrors the reference's rule ladder
+    """FrenchLightStemmer.java:66-227 (Savoy) — the ordered suffix
+    rule ladder, each rule rewriting the buffer then running norm."""
+    s = list(w)
+    if len(s) > 5 and s[-1] == "x":
+        if s[-3] == "a" and s[-2] == "u" and s[-4] != "e":
+            s[-2] = "l"
+        s = s[:-1]
+    if len(s) > 3 and s[-1] == "x":
+        s = s[:-1]
+    if len(s) > 3 and s[-1] == "s":
+        s = s[:-1]
+    w2 = "".join(s)
+    n = len(s)
+    if n > 9 and w2.endswith("issement"):
+        s = s[: n - 6]
+        s[-1] = "r"
+        return _fr_norm(s)
+    if n > 8 and w2.endswith("issant"):
+        s = s[: n - 4]
+        s[-1] = "r"
+        return _fr_norm(s)
+    if n > 6 and w2.endswith("ement"):
+        s = s[: n - 4]
+        if len(s) > 3 and "".join(s).endswith("ive"):
+            s = s[:-1]
+            s[-1] = "f"
+        return _fr_norm(s)
+    if n > 11 and w2.endswith("ficatrice"):
+        s = s[: n - 5]
+        s[-2] = "e"
+        s[-1] = "r"
+        return _fr_norm(s)
+    if n > 10 and w2.endswith("ficateur"):
+        s = s[: n - 4]
+        s[-2] = "e"
+        s[-1] = "r"
+        return _fr_norm(s)
+    if n > 9 and w2.endswith("catrice"):
+        s = s[: n - 3]
+        s[-4] = "q"
+        s[-3] = "u"
+        s[-2] = "e"
+        return _fr_norm(s)
+    if n > 8 and w2.endswith("cateur"):
+        s = s[: n - 2]
+        s[-4] = "q"
+        s[-3] = "u"
+        s[-2] = "e"
+        s[-1] = "r"
+        return _fr_norm(s)
+    if n > 8 and w2.endswith("atrice"):
+        s = s[: n - 4]
+        s[-2] = "e"
+        s[-1] = "r"
+        return _fr_norm(s)
+    if n > 7 and w2.endswith("ateur"):
+        s = s[: n - 3]
+        s[-2] = "e"
+        s[-1] = "r"
+        return _fr_norm(s)
+    if n > 6 and w2.endswith("trice"):
+        s = s[:-1]
+        s[-3] = "e"
+        s[-2] = "u"
+        s[-1] = "r"
+        w2 = "".join(s)
+        n = len(s)
+    if n > 5 and w2.endswith("ième"):
+        return _fr_norm(s[: n - 4])
+    if n > 7 and w2.endswith("teuse"):
+        s = s[: n - 2]
+        s[-1] = "r"
+        return _fr_norm(s)
+    if n > 6 and w2.endswith("teur"):
+        s = s[:-1]
+        s[-1] = "r"
+        return _fr_norm(s)
+    if n > 5 and w2.endswith("euse"):
+        return _fr_norm(s[: n - 2])
+    if n > 8 and w2.endswith("ère"):
+        s = s[:-1]
+        s[-2] = "e"
+        return _fr_norm(s)
+    if n > 7 and w2.endswith("ive"):
+        s = s[:-1]
+        s[-1] = "f"
+        return _fr_norm(s)
+    if n > 4 and (w2.endswith("folle") or w2.endswith("molle")):
+        s = s[: n - 2]
+        s[-1] = "u"
+        return _fr_norm(s)
+    if n > 9 and w2.endswith("nnelle"):
+        return _fr_norm(s[: n - 5])
+    if n > 9 and w2.endswith("nnel"):
+        return _fr_norm(s[: n - 3])
+    if n > 4 and w2.endswith("ète"):
+        s = s[:-1]
+        s[-2] = "e"
+        w2 = "".join(s)
+        n = len(s)
+    if n > 8 and w2.endswith("ique"):
+        s = s[: n - 4]
+        w2 = "".join(s)
+        n = len(s)
+    if n > 8 and w2.endswith("esse"):
+        return _fr_norm(s[: n - 3])
+    if n > 7 and w2.endswith("inage"):
+        return _fr_norm(s[: n - 3])
+    if n > 9 and w2.endswith("isation"):
+        s = s[: n - 7]
+        if len(s) > 5 and "".join(s).endswith("ual"):
+            s[-2] = "e"
+        return _fr_norm(s)
+    if n > 9 and w2.endswith("isateur"):
+        return _fr_norm(s[: n - 7])
+    if n > 8 and w2.endswith("ation"):
+        return _fr_norm(s[: n - 5])
+    if n > 8 and w2.endswith("ition"):
+        return _fr_norm(s[: n - 5])
+    return _fr_norm(s)
+
+
+# ----------------------------------------------------- analyzer chains
+# FrenchAnalyzer.DEFAULT_ARTICLES (analysis/fr/FrenchAnalyzer.java:68-72)
+_FR_ARTICLES = ("l", "m", "t", "qu", "n", "s", "j")
+
+
+def french_elision(tok: str) -> str:
+    """ElisionFilter: strip a leading article + apostrophe (l'avion →
+    avion)."""
+    for ap in ("'", "’"):
+        if ap in tok:
+            head, _, rest = tok.partition(ap)
+            if head in _FR_ARTICLES and rest:
+                return rest
+    return tok
+
+
+def _load_stops() -> dict[str, frozenset]:
+    from lucene_solr_spark.analysis.snowball_stops import (
+        FRENCH_STOP,
+        GERMAN_STOP,
+        SPANISH_STOP,
+    )
+
+    return {
+        "french": frozenset(FRENCH_STOP),
+        "german": frozenset(GERMAN_STOP),
+        "spanish": frozenset(SPANISH_STOP),
+    }
+
+
+def _light_analyze_flat(content: pd.Series, lang: str):
+    """Flat analyzer kernel: tokenize → (elision fr) → lowercase →
+    snowball stop → light stem, with per-batch vocabulary dedup so each
+    unique surface form stems exactly once."""
+    stops = _load_stops()[lang]
+    stem = {
+        "french": french_light_stem,
+        "german": german_light_stem,
+        "spanish": spanish_light_stem,
+    }[lang]
+
+    doc_idx_parts, term_parts, pos_parts = [], [], []
+    for di, text in enumerate(content.to_numpy()):
+        toks = str(text).split()
+        terms, poss = [], []
+        for pos, tok in enumerate(toks):
+            t = tok.lower()
+            if lang == "french":
+                t = french_elision(t)
+            if not t or t in stops:
+                continue
+            terms.append(t)
+            poss.append(pos)
+        if terms:
+            doc_idx_parts.append(np.full(len(terms), di, dtype=np.int64))
+            term_parts.append(np.asarray(terms, dtype=object))
+            pos_parts.append(np.asarray(poss, dtype=np.int64))
+    if not term_parts:
+        return (
+            np.zeros(0, dtype=np.int64),
+            np.zeros(0, dtype=object),
+            np.zeros(0, dtype=np.int64),
+        )
+    doc_idx = np.concatenate(doc_idx_parts)
+    terms = np.concatenate(term_parts)
+    poss = np.concatenate(pos_parts)
+    # vocabulary-level stemming: unique surface forms stem once
+    vocab, inv = np.unique(terms.astype(str), return_inverse=True)
+    stemmed = np.array([stem(v) for v in vocab], dtype=object)
+    return doc_idx, stemmed[inv], poss
+
+
+def french_analyze_batch_flat(content: pd.Series):
+    return _light_analyze_flat(content, "french")
+
+
+def german_analyze_batch_flat(content: pd.Series):
+    return _light_analyze_flat(content, "german")
+
+
+def spanish_analyze_batch_flat(content: pd.Series):
+    return _light_analyze_flat(content, "spanish")

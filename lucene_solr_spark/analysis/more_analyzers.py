@@ -134,10 +134,26 @@ def cjk_analyze_batch_flat(content: pd.Series):
     return _flatten(tok_lists, pos_lists)
 
 
+def _lazy_light(lang):
+    def run(content):
+        from lucene_solr_spark.analysis.light_stemmers import (
+            _light_analyze_flat,
+        )
+
+        return _light_analyze_flat(content, lang)
+
+    return run
+
+
 NAMED_ANALYZERS = {
     "whitespace": whitespace_analyze_batch_flat,
     "simple": simple_analyze_batch_flat,
     "keyword": keyword_analyze_batch_flat,
     "stop": stop_analyze_batch_flat,
     "cjk": cjk_analyze_batch_flat,
+    # UniNE light-stemming chains (FrenchAnalyzer.java:99-156 et al.):
+    # tokenize -> (elision fr) -> lowercase -> snowball stop -> light stem
+    "french": _lazy_light("french"),
+    "german": _lazy_light("german"),
+    "spanish": _lazy_light("spanish"),
 }

@@ -99,6 +99,47 @@ def spellcheck(
     )
 
 
+def spellcheck_collate(
+    searcher: IndexSearcher,
+    terms: list[str],
+    max_edits: int = 2,
+) -> tuple[str, int]:
+    """Spellcheck collation: rewrite the WHOLE query with the best
+    correction per unknown term and verify the rewritten query against
+    the index (SpellCheckComponent.collateResults / SpellingQueryConverter
+    — a collation is only returned if it actually yields hits).
+
+    Known terms (df>0) are kept verbatim; each unknown term takes its
+    top DirectSpellChecker-ranked suggestion (edit distance ASC, docFreq
+    DESC, term ASC).  Returns (collated_query, hits) where hits is the
+    verified conjunction hit count — 0 if any term has no suggestion.
+    The per-term suggestion lookups are dictionary-sized term_stats
+    scans; the verification is one boolean count — no per-row driver
+    work beyond the ≤|terms| loop."""
+    from lucene_solr_spark.queries.query import (
+        BooleanClause,
+        BooleanQuery,
+        Occur,
+        TermQuery,
+    )
+
+    stats = searcher.term_statistics(list(terms))
+    collated: list[str] = []
+    for t in terms:
+        if stats[t][0] > 0:
+            collated.append(t)
+            continue
+        sug = spellcheck(searcher, t, max_suggestions=1, max_edits=max_edits)
+        row = sug.first()
+        if row is None:
+            return (" ".join(terms), 0)
+        collated.append(row["term"])
+    q = BooleanQuery(
+        tuple(BooleanClause(Occur.MUST, TermQuery(t)) for t in collated)
+    )
+    return (" ".join(collated), searcher.count(q))
+
+
 def term_vector(searcher: IndexSearcher, doc_id: int) -> DataFrame:
     """A single document's term vector: (term, tf, positions) — the
     per-doc row view of the inverted index (lucene/index/TermVectors,
