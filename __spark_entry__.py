@@ -2265,6 +2265,68 @@ def q_dfr_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _topk(s.docs(q), 10)
 
 
+def q_lm_jelinek_mercer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LM-Jelinek-Mercer (λ=0.1) top-10 for 'spark window'
+    (LMJelinekMercerSimilarity.java:53-58) — float32-faithful: (1−λ)
+    evaluates in float, ·freq/docLen stay float, λ·p(w|C) folds in
+    float32, Math.log promotes to double with one cast back."""
+    s = _searcher(spark, sf_dir, scoring="lm_jelinek_mercer")
+    q = BooleanQuery(
+        (
+            BooleanClause(Occur.SHOULD, TermQuery("spark")),
+            BooleanClause(Occur.SHOULD, TermQuery("window")),
+        )
+    )
+    return _topk(s.docs(q), 10)
+
+
+def q_ib_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IB(DistributionSPL, LambdaDF, NormalizationH2) top-10 for
+    'spark window' (IBSimilarity.java:98-104, DistributionSPL.java:
+    36-42, LambdaDF.java:31-34) — float32-faithful including the H2
+    tfn, the float λ=(df+1F)/(N+1F), the float (1−λ), and the double
+    pow/log core."""
+    s = _searcher(spark, sf_dir, scoring="ib_spl_df")
+    q = BooleanQuery(
+        (
+            BooleanClause(Occur.SHOULD, TermQuery("spark")),
+            BooleanClause(Occur.SHOULD, TermQuery("window")),
+        )
+    )
+    return _topk(s.docs(q), 10)
+
+
+def q_axiomatic_f2exp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Axiomatic F2EXP (s=0.25, k=0.35) top-10 for 'spark window'
+    (Axiomatic.java:102-109, AxiomaticF2EXP.java:58-93) — tfln·idf in
+    float32, idf = (float)pow((N+1.0)/df, (double)0.35f), quantized
+    byte315 docLen, avgdl = (float)sttf/N.  The reference's score()
+    ignores the query boost (boost only appears in explain())."""
+    s = _searcher(spark, sf_dir, scoring="axiomatic_f2exp")
+    q = BooleanQuery(
+        (
+            BooleanClause(Occur.SHOULD, TermQuery("spark")),
+            BooleanClause(Occur.SHOULD, TermQuery("window")),
+        )
+    )
+    return _topk(s.docs(q), 10)
+
+
+def q_boolean_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BooleanSimilarity top-10 for 'spark window' (BooleanSimilarity
+    .java:62-75): each matching term scores exactly its query boost —
+    no tf, no norms, no collection stats; the SHOULD sum makes the
+    score the count of matched query terms, ties broken by doc_id."""
+    s = _searcher(spark, sf_dir, scoring="boolean_sim")
+    q = BooleanQuery(
+        (
+            BooleanClause(Occur.SHOULD, TermQuery("spark")),
+            BooleanClause(Occur.SHOULD, TermQuery("window")),
+        )
+    )
+    return _topk(s.docs(q), 10)
+
+
 # --------------------------------------------------------------------------
 # span queries (SURVEY §2.3 — spans/; see queries/spans.py)
 # --------------------------------------------------------------------------
@@ -2391,6 +2453,10 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "classic_tfidf": q_classic_tfidf,
         "lm_dirichlet": q_lm_dirichlet,
         "dfr_similarity": q_dfr_similarity,
+        "lm_jelinek_mercer": q_lm_jelinek_mercer,
+        "ib_similarity": q_ib_similarity,
+        "axiomatic_f2exp": q_axiomatic_f2exp,
+        "boolean_similarity": q_boolean_similarity,
         "html_analysis": q_html_analysis,
         "facet_exclude_tags": q_facet_exclude_tags,
         "expand_component": q_expand_component,
@@ -4245,6 +4311,147 @@ scored AS (
 {_TOPK_TAIL.format(k=10)}
 """
 
+    # ---- LM-Jelinek-Mercer float32 replica (LMJelinekMercerSimilarity
+    # .java:53-58, λ=0.1).  0.10000000149011612 is (double)0.1f and
+    # 0.8999999761581421 is (double)(1f−0.1f) — spec constants of the
+    # reference's float arithmetic, not engine-derived values.
+    sqls["lm_jelinek_mercer"] = f"""
+WITH {_IDX},
+{_bm25_f32_ctes()},
+tstats2 AS (
+  SELECT term, count(*) AS df, CAST(sum(tf) AS BIGINT) AS ttf
+  FROM postings GROUP BY term
+),
+jmw AS (
+  SELECT t.term,
+         CAST(CAST(0.10000000149011612 AS FLOAT) *
+              CAST(CAST(t.ttf + 1 AS FLOAT) / CAST(c.sttf + 1 AS FLOAT)
+                   AS FLOAT) AS FLOAT) AS lam_p
+  FROM tstats2 t CROSS JOIN cstats c
+  WHERE t.term IN ('spark', 'window')
+),
+per AS (
+  SELECT p.doc_id,
+         CAST(CAST(1 AS FLOAT) * CAST(
+           ln(CAST(CAST(1 AS FLOAT) + CAST(
+                CAST(CAST(CAST(0.8999999761581421 AS FLOAT)
+                          * CAST(p.tf AS FLOAT) AS FLOAT) / cv.nt AS FLOAT)
+                / w.lam_p AS FLOAT) AS FLOAT))
+         AS FLOAT) AS FLOAT) AS s
+  FROM postings p
+  JOIN jmw w USING (term)
+  JOIN norms nm USING (doc_id)
+  JOIN b315 cv ON nm.length BETWEEN cv.lo AND cv.hi
+),
+scored AS (
+  SELECT doc_id,
+         CAST(CAST(SUM(CAST(s AS DOUBLE)) AS FLOAT) AS DOUBLE) AS score
+  FROM per GROUP BY doc_id
+)
+{_TOPK_TAIL.format(k=10)}
+"""
+
+    # ---- IB SPL-D-H2 float32 replica (IBSimilarity.java:98-104,
+    # DistributionSPL.java:36-42, LambdaDF.java:31-34, NormalizationH2
+    # .java:52-54).  tfn is the DFR H2 tfn; λ and (1−λ) evaluate in
+    # FLOAT, the pow/log core in DOUBLE, one cast back to FLOAT.
+    sqls["ib_similarity"] = f"""
+WITH {_IDX},
+{_bm25_f32_ctes()},
+avgf2 AS (SELECT CAST(CAST(sttf AS FLOAT) / CAST(n AS FLOAT) AS FLOAT)
+                 AS avgdl FROM cstats),
+ibw AS (
+  SELECT t.term,
+         CAST(CAST(t.df + 1 AS FLOAT) / CAST(c.n + 1 AS FLOAT) AS FLOAT)
+           AS lam,
+         CAST(CAST(1 AS FLOAT)
+              - CAST(CAST(t.df + 1 AS FLOAT) / CAST(c.n + 1 AS FLOAT)
+                     AS FLOAT) AS FLOAT) AS om
+  FROM tstats t CROSS JOIN cstats c
+  WHERE t.term IN ('spark', 'window')
+),
+tf_n AS (
+  SELECT p.doc_id, p.term,
+         CAST(p.tf * (ln(CAST(CAST(1 AS FLOAT)
+             + CAST(CAST(CAST(1 AS FLOAT) * a.avgdl AS FLOAT) / cv.nt
+                    AS FLOAT) AS FLOAT)) / ln(2)) AS FLOAT) AS tfn
+  FROM postings p
+  JOIN norms nm USING (doc_id)
+  JOIN b315 cv ON nm.length BETWEEN cv.lo AND cv.hi
+  CROSS JOIN avgf2 a
+  WHERE p.term IN ('spark', 'window')
+),
+per AS (
+  SELECT t.doc_id,
+         CAST(CAST(1 AS FLOAT) * CAST(
+           -ln((POW(CAST(w.lam AS DOUBLE),
+                    CAST(CAST(t.tfn / CAST(t.tfn + CAST(1 AS FLOAT) AS FLOAT)
+                              AS FLOAT) AS DOUBLE))
+                - CAST(w.lam AS DOUBLE)) / CAST(w.om AS DOUBLE))
+         AS FLOAT) AS FLOAT) AS s
+  FROM tf_n t JOIN ibw w USING (term)
+),
+scored AS (
+  SELECT doc_id,
+         CAST(CAST(SUM(CAST(s AS DOUBLE)) AS FLOAT) AS DOUBLE) AS score
+  FROM per GROUP BY doc_id
+)
+{_TOPK_TAIL.format(k=10)}
+"""
+
+    # ---- Axiomatic F2EXP float32 replica (Axiomatic.java:102-109,
+    # AxiomaticF2EXP.java:58-93; s=0.25, k=0.35).  0.3499999940395355
+    # is (double)0.35f — Java promotes the float hyperparam at the
+    # Math.pow call.  score = tfln·idf (tf = ln = 1f, gamma = 0f, and
+    # the reference's score() never multiplies the boost).
+    sqls["axiomatic_f2exp"] = f"""
+WITH {_IDX},
+{_bm25_f32_ctes()},
+avgf2 AS (SELECT CAST(CAST(sttf AS FLOAT) / CAST(n AS FLOAT) AS FLOAT)
+                 AS avgdl FROM cstats),
+axw AS (
+  SELECT t.term,
+         CAST(POW((c.n + 1.0) / t.df, 0.3499999940395355) AS FLOAT) AS idf
+  FROM tstats t CROSS JOIN cstats c
+  WHERE t.term IN ('spark', 'window')
+),
+per AS (
+  SELECT p.doc_id,
+         CAST(CAST(CAST(p.tf AS FLOAT) /
+           CAST(CAST(CAST(p.tf AS FLOAT) + CAST(0.25 AS FLOAT) AS FLOAT)
+                + CAST(CAST(CAST(0.25 AS FLOAT) * cv.nt AS FLOAT) / a.avgdl
+                       AS FLOAT) AS FLOAT) AS FLOAT) * w.idf AS FLOAT) AS s
+  FROM postings p
+  JOIN axw w USING (term)
+  JOIN norms nm USING (doc_id)
+  JOIN b315 cv ON nm.length BETWEEN cv.lo AND cv.hi
+  CROSS JOIN avgf2 a
+),
+scored AS (
+  SELECT doc_id,
+         CAST(CAST(SUM(CAST(s AS DOUBLE)) AS FLOAT) AS DOUBLE) AS score
+  FROM per GROUP BY doc_id
+)
+{_TOPK_TAIL.format(k=10)}
+"""
+
+    # ---- BooleanSimilarity (BooleanSimilarity.java:62-75): each
+    # matched term contributes exactly its boost (1f here); the SHOULD
+    # sum is the matched-term count.
+    sqls["boolean_similarity"] = f"""
+WITH {_IDX},
+per AS (
+  SELECT doc_id, CAST(1 AS FLOAT) AS s
+  FROM postings WHERE term IN ('spark', 'window')
+),
+scored AS (
+  SELECT doc_id,
+         CAST(CAST(SUM(CAST(s AS DOUBLE)) AS FLOAT) AS DOUBLE) AS score
+  FROM per GROUP BY doc_id
+)
+{_TOPK_TAIL.format(k=10)}
+"""
+
     # ---- span queries.  Shared tail: BM25 over a per-doc sloppy freq
     # with idf summed over the tree's distinct terms (SpanWeight).
     # Ordered near: the driver clause iterates its positions in order;
@@ -4465,7 +4672,8 @@ ORDER BY ida, idb
         for _d, _v in enumerate(_feat):
             _rows.append(f"({_i}, 'image', {_d}, {float(_v)!r})")
     sqls["multimodal_features"] = (
-        "SELECT media_id, kind, d, ROUND(value, 4) AS value FROM (VALUES\n"
+        "SELECT media_id, kind, d, ROUND(CAST(value AS DOUBLE), 4)"
+        " AS value FROM (VALUES\n"
         + ",\n".join(_rows)
         + "\n) AS t(media_id, kind, d, value) ORDER BY media_id, d"
     )

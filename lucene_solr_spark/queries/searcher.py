@@ -109,7 +109,8 @@ class IndexSearcher:
     ) -> None:
         if scoring not in (
             "lucene", "exact", "classic", "classic_exact",
-            "lm_dirichlet", "dfr_in_l_h2",
+            "lm_dirichlet", "dfr_in_l_h2", "lm_jelinek_mercer",
+            "ib_spl_df", "axiomatic_f2exp", "boolean_sim",
         ):
             raise ValueError(f"unknown scoring mode {scoring!r}")
         self.tables = tables
@@ -118,12 +119,17 @@ class IndexSearcher:
         # float32-faithful modes (Java float arithmetic); the *_exact
         # modes are the ANSI-SQL-expressible double variants
         self._f32 = scoring in (
-            "lucene", "classic", "lm_dirichlet", "dfr_in_l_h2"
+            "lucene", "classic", "lm_dirichlet", "dfr_in_l_h2",
+            "lm_jelinek_mercer", "ib_spl_df", "axiomatic_f2exp",
+            "boolean_sim",
         )
         # SimilarityBase-family modes: per-term stats beyond docFreq
         # feed the kernel directly (_score_col_sb); the idf/weight
         # protocol below is TFIDF-family only
-        self._sb = scoring in ("lm_dirichlet", "dfr_in_l_h2")
+        self._sb = scoring in (
+            "lm_dirichlet", "dfr_in_l_h2", "lm_jelinek_mercer",
+            "ib_spl_df", "axiomatic_f2exp", "boolean_sim",
+        )
         self.stats = tables.stats
         # Denormalize norms onto postings once (the per-segment norms file
         # read of the reference); at scale this join happens at build time.
@@ -503,11 +509,16 @@ class IndexSearcher:
         self, boost: float, doc_freq: int, ttf: int, df_in: DataFrame
     ) -> DataFrame:
         """SimilarityBase-family kernels (per-term stats, quantized
-        docLen): LM-Dirichlet and DFR In-L-H2 — float32-faithful,
-        whole-stage-codegen column expressions like the BM25 kernel."""
+        docLen): LM-Dirichlet, LM-Jelinek-Mercer, DFR In-L-H2,
+        IB SPL-D-H2, Axiomatic F2EXP, BooleanSimilarity —
+        float32-faithful, whole-stage-codegen column expressions like
+        the BM25 kernel."""
         from lucene_solr_spark.scoring.similarities import (
+            axiomatic_f2exp_score,
             dfr_in_l_h2_score,
+            ib_spl_df_score,
             lm_dirichlet_score,
+            lm_jelinek_mercer_score,
         )
 
         if self.scoring == "lm_dirichlet":
@@ -515,6 +526,27 @@ class IndexSearcher:
                 F.col("freq"), F.col("norm_byte"), boost,
                 ttf, self.stats.sum_total_term_freq,
             )
+        elif self.scoring == "lm_jelinek_mercer":
+            col = lm_jelinek_mercer_score(
+                F.col("freq"), F.col("norm_byte"), boost,
+                ttf, self.stats.sum_total_term_freq,
+            )
+        elif self.scoring == "ib_spl_df":
+            col = ib_spl_df_score(
+                F.col("freq"), F.col("norm_byte"), boost,
+                doc_freq, self.stats.doc_count,
+                self.stats.sum_total_term_freq,
+            )
+        elif self.scoring == "axiomatic_f2exp":
+            col = axiomatic_f2exp_score(
+                F.col("freq"), F.col("norm_byte"),
+                doc_freq, self.stats.doc_count,
+                self.stats.sum_total_term_freq,
+            )
+        elif self.scoring == "boolean_sim":
+            # BooleanSimilarity.java:62-75 — score is the query boost,
+            # independent of tf/norms/collection stats
+            col = F.lit(float(np.float32(boost))).cast("float")
         else:
             col = dfr_in_l_h2_score(
                 F.col("freq"), F.col("norm_byte"), boost,

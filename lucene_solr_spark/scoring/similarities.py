@@ -119,3 +119,111 @@ def dfr_in_l_h2_score(
     # stats.getBoost() * basic * ae — left-to-right float multiplies
     score = _f32(_f32(F.lit(float(np.float32(boost))) * basic) * ae)
     return score.cast("float")
+
+
+def lm_jelinek_mercer_score(
+    freq: Column,
+    norm_byte: Column,
+    boost: float,
+    ttf: int,
+    sum_total_term_freq: int,
+    lam: float = 0.1,
+) -> Column:
+    """LM-Jelinek-Mercer float32 score column
+    (LMJelinekMercerSimilarity.java:53-58).
+
+        score = boost * (float)log(1 + ((1-λ)·freq/docLen)
+                                       / (λ·p(w|C)))
+
+    Java evaluation order: (1-λ) is a float constant, ·freq float,
+    /docLen float; λ·p(w|C) folds driver-side in float32; the float
+    ratio and 1+x stay float; Math.log promotes to double; one cast
+    back to float; boost multiply in float."""
+    p_wc = np.float32(np.float32(ttf + 1.0) / np.float32(sum_total_term_freq + 1.0))
+    lam32 = np.float32(lam)
+    one_minus = np.float32(np.float32(1.0) - lam32)
+    denom = np.float32(lam32 * p_wc)
+    num = _f32(_f32(F.lit(float(one_minus)) * freq.cast("double")) / _doclen_col(norm_byte))
+    x = _f32(num / F.lit(float(denom)))
+    s = F.log(_f32(F.lit(1.0) + x)).cast("float").cast("double")
+    return (F.lit(float(np.float32(boost))) * s).cast("float")
+
+
+def ib_spl_df_score(
+    freq: Column,
+    norm_byte: Column,
+    boost: float,
+    doc_freq: int,
+    num_docs: int,
+    sum_total_term_freq: int,
+    c: float = 1.0,
+) -> Column:
+    """IB(DistributionSPL, LambdaDF, NormalizationH2) float32 score
+    (IBSimilarity.java:98-104, DistributionSPL.java:36-42,
+    LambdaDF.java:31-34, NormalizationH2.java:52-54).
+
+        tfn    = (float)(freq · log2(1 + c·avgdl/docLen))   [H2, as DFR]
+        λ      = (df+1F)/(N+1F)                              [float]
+        score  = boost · (float)-log((λ^(tfn/(tfn+1)) − λ)/(1 − λ))
+
+    tfn/(tfn+1) is a float divide; Math.pow/Math.log run in double
+    with λ promoted; the subtraction and the (1−λ) divide are double;
+    one cast to float, then the float boost multiply."""
+    if sum_total_term_freq <= 0:
+        avgdl = np.float32(1.0)
+    else:
+        avgdl = np.float32(
+            np.float32(sum_total_term_freq) / np.float32(num_docs)
+        )
+    dl = _doclen_col(norm_byte)
+    ca = np.float32(np.float32(c) * avgdl)
+    ratio = _f32(F.lit(float(ca)) / dl)
+    one_plus = _f32(F.lit(1.0) + ratio)
+    tfn = _f32(freq.cast("double") * (F.log(one_plus) / F.lit(_LOG2)))
+    lam = np.float32(np.float32(doc_freq + 1.0) / np.float32(num_docs + 1.0))
+    if float(lam) == 1.0:
+        lam = np.float32(0.99)  # DistributionSPL.java:37-39
+    lam_d = float(lam)  # double promotion of the float λ
+    # (1 − λ) evaluates in FLOAT first (int−float), then promotes
+    one_minus = float(np.float32(np.float32(1.0) - lam))
+    expo = _f32(tfn / _f32(tfn + F.lit(1.0)))  # float divide
+    inner = (F.pow(F.lit(lam_d), expo) - F.lit(lam_d)) / F.lit(one_minus)
+    s = (-F.log(inner)).cast("float").cast("double")
+    return (F.lit(float(np.float32(boost))) * s).cast("float")
+
+
+def axiomatic_f2exp_score(
+    freq: Column,
+    norm_byte: Column,
+    doc_freq: int,
+    num_docs: int,
+    sum_total_term_freq: int,
+    s: float = 0.25,
+    k: float = 0.35,
+) -> Column:
+    """Axiomatic F2EXP float32 score (Axiomatic.java:102-109 with
+    AxiomaticF2EXP.java:58-93: tf = ln = 1f, gamma = 0f).
+
+        tfln  = freq / ((freq + s) + (s·docLen)/avgdl)       [float]
+        idf   = (float)pow((N+1.0)/df, k)                    [double pow]
+        score = (float)(1f·1f·tfln·idf) − 0f
+
+    Note the reference's score() does NOT multiply stats.getBoost()
+    (Axiomatic.java:102-109 — boost appears only in explain());
+    avgdl = (float)sumTotalTermFreq/N (SimilarityBase.java:129)."""
+    if sum_total_term_freq <= 0:
+        avgdl = np.float32(1.0)
+    else:
+        avgdl = np.float32(
+            np.float32(sum_total_term_freq) / np.float32(num_docs)
+        )
+    s32 = np.float32(s)
+    dl = _doclen_col(norm_byte)
+    fre = freq.cast("double")  # int tf — exact in float32 range here
+    denom = _f32(
+        _f32(fre + F.lit(float(s32)))
+        + _f32(_f32(F.lit(float(s32)) * dl) / F.lit(float(avgdl)))
+    )
+    tfln = _f32(fre / denom)
+    idf = np.float32(math.pow((num_docs + 1.0) / doc_freq, float(np.float32(k))))
+    return _f32(tfln * F.lit(float(idf))).cast("float")

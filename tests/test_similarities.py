@@ -87,6 +87,94 @@ def test_sb_modes_reject_phrase_queries(lm_searcher):
         s.docs(PhraseQuery(("spark", "window")))
 
 
+def test_jm_spot_value(spark, docs_df):
+    """One hand-computed LM-Jelinek-Mercer score (float32 reference
+    order, LMJelinekMercerSimilarity.java:53-58, λ=0.1)."""
+    from lucene_solr_spark.index import build_tables
+    from lucene_solr_spark.scoring.bm25 import NORM_TABLE
+
+    t = build_tables(docs_df, id_col="doc_id", text_col="text")
+    s = IndexSearcher(t, scoring="lm_jelinek_mercer")
+    row = (
+        s._term_postings("spark").select("doc_id", "tf", "norm_byte").first()
+    )
+    ttf = int(t.term_stats.filter(F.col("term") == "spark").first()["ttf"])
+    sttf = t.stats.sum_total_term_freq
+    p = np.float32(np.float32(ttf + 1.0) / np.float32(sttf + 1.0))
+    lam = np.float32(0.1)
+    dl = np.float32(NORM_TABLE[row["norm_byte"] & 0xFF])
+    x = np.float32(
+        np.float32(np.float32(np.float32(1.0) - lam) * np.float32(row["tf"]) / dl)
+        / np.float32(lam * p)
+    )
+    want = np.float32(math.log(np.float32(1.0) + x))
+    got = {
+        r["doc_id"]: r["score"] for r in s.docs(TermQuery("spark")).collect()
+    }[row["doc_id"]]
+    assert got == pytest.approx(float(want), abs=0)
+
+
+def test_ib_lambda_clamp(spark, docs_df):
+    """A term present in EVERY doc drives λ=(df+1)/(N+1)=1, which the
+    reference clamps to 0.99 (DistributionSPL.java:37-39) — scores must
+    stay finite, not NaN from log(0/0)."""
+    from lucene_solr_spark.index import build_tables
+
+    t = build_tables(docs_df, id_col="doc_id", text_col="text")
+    s = IndexSearcher(t, scoring="ib_spl_df")
+    top = (
+        t.term_stats.orderBy(F.col("df").desc()).first()
+    )
+    scores = [r["score"] for r in s.docs(TermQuery(top["term"])).collect()]
+    assert scores and all(math.isfinite(x) for x in scores)
+
+
+def test_axiomatic_ignores_boost(spark, docs_df):
+    """Axiomatic.score() never multiplies the query boost
+    (Axiomatic.java:102-109 — boost appears only in explain())."""
+    from lucene_solr_spark.index import build_tables
+    from lucene_solr_spark.queries.query import BoostQuery
+
+    t = build_tables(docs_df, id_col="doc_id", text_col="text")
+    s = IndexSearcher(t, scoring="axiomatic_f2exp")
+    plain = {
+        r["doc_id"]: r["score"] for r in s.docs(TermQuery("spark")).collect()
+    }
+    boosted = {
+        r["doc_id"]: r["score"]
+        for r in s.docs(BoostQuery(TermQuery("spark"), 3.0)).collect()
+    }
+    assert plain and boosted == plain
+
+
+def test_boolean_sim_counts_matched_terms(spark, docs_df):
+    """BooleanSimilarity: every match scores the boost (1f), so a
+    two-SHOULD query scores the matched-term count — no tf/norm
+    dependence (BooleanSimilarity.java:62-75)."""
+    from lucene_solr_spark.index import build_tables
+    from lucene_solr_spark.queries.query import (
+        BooleanClause, BooleanQuery, Occur,
+    )
+
+    t = build_tables(docs_df, id_col="doc_id", text_col="text")
+    s = IndexSearcher(t, scoring="boolean_sim")
+    q = BooleanQuery(
+        (
+            BooleanClause(Occur.SHOULD, TermQuery("spark")),
+            BooleanClause(Occur.SHOULD, TermQuery("window")),
+        )
+    )
+    scores = {r["doc_id"]: r["score"] for r in s.docs(q).collect()}
+    assert scores and set(scores.values()) <= {1.0, 2.0}
+    both = (
+        s._term_postings("spark")
+        .select("doc_id")
+        .join(s._term_postings("window").select("doc_id"), "doc_id")
+    )
+    for r in both.collect():
+        assert scores[r["doc_id"]] == 2.0
+
+
 def test_dfr_spot_value(spark, docs_df):
     """One hand-computed DFR In-L-H2 score (float32 reference order)."""
     from lucene_solr_spark.index import build_tables
