@@ -2394,6 +2394,33 @@ def q_span_or(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _scored(s.docs(SpanOrQuery((SpanTermQuery("merge"), SpanTermQuery("batch")))))
 
 
+def q_surround_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SurroundQParserPlugin ({!surround}2w(s*, window)) — the span
+    proximity language (lucene/queryparser/surround/parser/QueryParser
+    .jj; solr/.../search/SurroundQParserPlugin.java): the ``s*``
+    truncation expands against the term dictionary
+    (SrndTruncQuery.visitMatchingTerms) into the SpanOr driver clause
+    of an ordered distance-2 near (slop 1 — every slop factor dyadic,
+    so double arithmetic is order-independent across engines)."""
+    from lucene_solr_spark.queries.local_params import SolrQueryDispatcher
+
+    s = _searcher(spark, sf_dir)
+    disp = SolrQueryDispatcher(s)
+    return _scored(disp.docs("{!surround}2w(s*, window)"))
+
+
+def q_complexphrase_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ComplexPhraseQParserPlugin ({!complexphrase}"merge s*"~1) —
+    wildcard-bearing phrase rewritten to SpanNear over per-slot spans
+    (ComplexPhraseQueryParser.ComplexPhraseQuery.rewrite): the ``s*``
+    slot expands to a SpanOr, slop 1, in order."""
+    from lucene_solr_spark.queries.local_params import SolrQueryDispatcher
+
+    s = _searcher(spark, sf_dir)
+    disp = SolrQueryDispatcher(s)
+    return _scored(disp.docs('{!complexphrase}"merge s*"~1'))
+
+
 # --------------------------------------------------------------------------
 # the three driver hooks
 # --------------------------------------------------------------------------
@@ -2534,6 +2561,8 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ltr_trees": q_ltr_trees,
         "valuesource_extended": q_valuesource_extended,
         "local_params": q_local_params,
+        "surround_query": q_surround_query,
+        "complexphrase_query": q_complexphrase_query,
         "join_qparser": q_join_qparser,
         "geofilt_query": q_geofilt_query,
         "core_analyzers": q_core_analyzers,
@@ -4551,6 +4580,49 @@ fr AS (
 """
 
     # SpanOr(merge, batch): union of width-0 term spans ⇒ freq = Σ tf.
+    # Surround {!surround}2w(s*, window): the s* truncation expands
+    # against the term dictionary (the tstats term set — identical to
+    # the engine's term_stats expansion), the expansion is the SpanOr
+    # DRIVER clause of the ordered near, and the idf sum runs over the
+    # expanded terms plus 'window' (SpanWeight's termContexts).
+    sqls["surround_query"] = f"""
+WITH {_IDX},
+pa AS (
+  SELECT k.doc_id, k.pos FROM kept k WHERE k.term LIKE 's%'
+),
+pb AS (SELECT doc_id, pos FROM kept WHERE term = 'window'),
+m AS (
+  SELECT a.doc_id, a.pos AS p1, min(b.pos) AS p2
+  FROM pa a JOIN pb b ON b.doc_id = a.doc_id AND b.pos >= a.pos + 1
+  GROUP BY a.doc_id, a.pos
+),
+fr AS (
+  SELECT doc_id, sum(1.0 / (1 + (p2 - p1 - 1))) AS freq
+  FROM m WHERE p2 - p1 - 1 <= 1 GROUP BY doc_id
+),
+{_span_score("SELECT term FROM tstats WHERE term LIKE 's%' UNION ALL SELECT 'window'")}
+"""
+
+    # ComplexPhrase {!complexphrase}"merge s*"~1: wildcard slot → the
+    # SpanOr SECOND clause, slop 1 ordered; same convention as above.
+    sqls["complexphrase_query"] = f"""
+WITH {_IDX},
+pa AS (SELECT doc_id, pos FROM kept WHERE term = 'merge'),
+pb AS (
+  SELECT k.doc_id, k.pos FROM kept k WHERE k.term LIKE 's%'
+),
+m AS (
+  SELECT a.doc_id, a.pos AS p1, min(b.pos) AS p2
+  FROM pa a JOIN pb b ON b.doc_id = a.doc_id AND b.pos >= a.pos + 1
+  GROUP BY a.doc_id, a.pos
+),
+fr AS (
+  SELECT doc_id, sum(1.0 / (1 + (p2 - p1 - 1))) AS freq
+  FROM m WHERE p2 - p1 - 1 <= 1 GROUP BY doc_id
+),
+{_span_score("SELECT term FROM tstats WHERE term LIKE 's%' UNION ALL SELECT 'merge'")}
+"""
+
     sqls["span_or"] = f"""
 WITH {_IDX},
 fr AS (

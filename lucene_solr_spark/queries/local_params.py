@@ -40,9 +40,20 @@ field (our Term analog carries the field via the wrapper).
   (SpatialUtils.calcBoxByDistFromPt: ±d/R latitude, ±d/(R·cos lat)
   longitude — the standard cheap superset box)
 
+- ``{!term}`` / ``{!raw}``  → verbatim TermQuery, no analysis
+- ``{!field f}value``       → analyzed term/phrase (FieldQParserPlugin)
+- ``{!switch case… default}`` → routes the input onto another query
+  string (SwitchQParserPlugin)
+- ``{!surround}``           → span proximity language (W/N/AND/OR/NOT,
+  truncations) via queries/surround.py (SurroundQParserPlugin)
+- ``{!complexphrase}"a b*"~2`` → wildcard-bearing phrase as span-near
+  (ComplexPhraseQParserPlugin)
+
 Not routed here (already first-class elsewhere, as the SURVEY table
 maps them): collapse → grouping_collapse, rerank → queries/rerank.py,
-graph → streaming/graph.py, xmlparser/surround → out of scope.
+graph → streaming/graph.py, parent/child block join → the block-join
+operator (q_block_join), xmlparser → out of scope (XML syntax tree for
+the same spans/boolean surface parsed here).
 """
 
 from __future__ import annotations
@@ -120,7 +131,8 @@ class GeoFilterQuery(Query):
     bbox: bool = False
 
 
-_KV = re.compile(r"""(\w+)=(?:"([^"]*)"|'([^']*)'|(\S+))|(\S+)""")
+# keys may be dotted (SwitchQParserPlugin's case.<value> params)
+_KV = re.compile(r"""([\w.]+)=(?:"([^"]*)"|'([^']*)'|(\S+))|(\S+)""")
 
 
 def _split_local_params(s: str) -> tuple[str, str] | None:
@@ -234,8 +246,57 @@ class SolrQueryDispatcher:
                 return FieldQuery(f, q)
             return q
 
-        if ptype == "term":
+        if ptype in ("term", "raw"):
+            # TermQParserPlugin / RawQParserPlugin: both build the Term
+            # from the raw value with no analysis (TermQParserPlugin
+            # .java createParser; RawQParserPlugin.java)
             return wrap_field(TermQuery(one("v", rest) or ""))
+        if ptype == "field":
+            # FieldQParserPlugin.java: analyze the value with the
+            # field's analyzer; one token → TermQuery, several →
+            # PhraseQuery with the analysis positions (stop gaps kept)
+            from lucene_solr_spark.analysis import analyze_text
+
+            toks, pos = analyze_text(one("v", rest) or "")
+            if not toks:
+                from .query import MatchNoDocsQuery
+
+                return MatchNoDocsQuery("field value analyzed to no terms")
+            if len(toks) == 1:
+                return wrap_field(TermQuery(toks[0]))
+            from .query import PhraseQuery
+
+            return wrap_field(PhraseQuery(tuple(toks), tuple(pos)))
+        if ptype == "switch":
+            # SwitchQParserPlugin.java: route on the trimmed input —
+            # empty input → case=, else case.<input>=, else default=
+            val = (one("v", rest) or "").strip()
+            target = one("case") if not val else one(f"case.{val}")
+            if target is None:
+                target = one("default")
+            if target is None:
+                raise ValueError(
+                    f"{{!switch}} has no case matching {val!r} and no "
+                    "default"
+                )
+            return self.parse(target)
+        if ptype == "surround":
+            from .surround import parse_surround
+
+            return parse_surround(
+                one("v", rest) or "", self.searcher._expand_terms
+            )
+        if ptype == "complexphrase":
+            from lucene_solr_spark.analysis import analyze_text
+
+            from .surround import parse_complex_phrase
+
+            return parse_complex_phrase(
+                one("v", rest) or "",
+                self.searcher._expand_terms,
+                analyze_text,
+                in_order=(one("inOrder", "true") == "true"),
+            )
         if ptype == "prefix":
             return wrap_field(PrefixQuery(one("v", rest) or ""))
         if ptype == "terms":

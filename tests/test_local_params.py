@@ -232,3 +232,106 @@ def test_bbox_dateline_and_pole(spark):
     }
     # circle crosses the pole: every longitude in the lat band qualifies
     assert near_pole == {3, 4}
+
+
+# ---------------------------------------------------------------------------
+# round-3 plugins: field / raw / switch / surround / complexphrase
+# ---------------------------------------------------------------------------
+
+def test_field_parser_analyzes(spark, corpus):
+    from lucene_solr_spark.queries.query import PhraseQuery
+
+    s, docs = corpus
+    d = _dispatcher(s, docs)
+    # single token → term; no analysis for raw
+    assert d.parse("{!field}Spark") == TermQuery("spark")
+    assert d.parse("{!raw}Spark") == TermQuery("Spark")
+    q = d.parse("{!field}Spark Index")
+    assert isinstance(q, PhraseQuery) and q.terms == ("spark", "index")
+    ids = sorted(r["doc_id"] for r in d.docs("{!field}Spark Index").collect())
+    assert ids == [0]
+
+
+def test_switch_parser_routes(spark, corpus):
+    s, docs = corpus
+    d = _dispatcher(s, docs)
+    q = '{!switch case.a="{!term v=spark}" default="{!term v=hash}"}a'
+    assert d.parse(q) == TermQuery("spark")
+    q2 = '{!switch case.a="{!term v=spark}" default="{!term v=hash}"}zz'
+    assert d.parse(q2) == TermQuery("hash")
+    with pytest.raises(ValueError, match="no case"):
+        d.parse("{!switch case.a=x}b")
+
+
+def test_surround_parse_and_exec(spark, corpus):
+    from lucene_solr_spark.queries.spans import (
+        SpanNearQuery,
+        SpanOrQuery,
+        SpanTermQuery,
+    )
+
+    s, docs = corpus
+    d = _dispatcher(s, docs)
+    q = d.parse("{!surround}3w(spark, merge)")
+    assert q == SpanNearQuery(
+        (SpanTermQuery("spark"), SpanTermQuery("merge")), slop=2, in_order=True
+    )
+    # infix W = distance 1 ordered; N unordered
+    assert d.parse("{!surround}spark w index") == SpanNearQuery(
+        (SpanTermQuery("spark"), SpanTermQuery("index")), slop=0, in_order=True
+    )
+    assert d.parse("{!surround}index n spark") == SpanNearQuery(
+        (SpanTermQuery("index"), SpanTermQuery("spark")),
+        slop=0,
+        in_order=False,
+    )
+    # truncation inside a distance op expands to SpanOr
+    q2 = d.parse("{!surround}w(spark, me*)")
+    assert isinstance(q2.clauses[1], SpanOrQuery)
+    assert {c.term for c in q2.clauses[1].clauses} == {"merge"}
+    # boolean level
+    from lucene_solr_spark.queries.query import BooleanQuery, Occur
+
+    q3 = d.parse("{!surround}spark AND merge")
+    assert isinstance(q3, BooleanQuery)
+    assert all(c.occur == Occur.MUST for c in q3.clauses)
+    # execution: ordered adjacency matches doc 0 only ("spark index
+    # merge"); unordered matches the same tokens reversed
+    ids = sorted(r["doc_id"] for r in d.docs("{!surround}spark w index").collect())
+    assert ids == [0]
+    ids = sorted(r["doc_id"] for r in d.docs("{!surround}index n spark").collect())
+    assert ids == [0]
+    ids = sorted(
+        r["doc_id"] for r in d.docs("{!surround}2n(merge, sort)").collect()
+    )
+    assert ids == [3]
+    # AND/NOT are illegal inside a distance op
+    with pytest.raises(ValueError, match="distance subquery"):
+        d.parse("{!surround}w(spark AND merge, index)")
+
+
+def test_complexphrase_parse_and_exec(spark, corpus):
+    from lucene_solr_spark.queries.spans import SpanNearQuery, SpanOrQuery
+
+    s, docs = corpus
+    d = _dispatcher(s, docs)
+    q = d.parse('{!complexphrase}"spark inde*"')
+    assert isinstance(q, SpanNearQuery) and q.slop == 0 and q.in_order
+    ids = sorted(
+        r["doc_id"]
+        for r in d.docs('{!complexphrase}"spark inde*"').collect()
+    )
+    assert ids == [0]
+    # slop form
+    q2 = d.parse('{!complexphrase}"spark mer*"~2')
+    assert q2.slop == 2
+    ids = sorted(
+        r["doc_id"] for r in d.docs('{!complexphrase}"spark mer*"~2').collect()
+    )
+    assert ids == [0]
+    # wildcard that matches nothing → MatchNoDocs
+    from lucene_solr_spark.queries.query import MatchNoDocsQuery
+
+    assert isinstance(
+        d.parse('{!complexphrase}"zzz* spark"'), MatchNoDocsQuery
+    )
