@@ -2421,6 +2421,35 @@ def q_complexphrase_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _scored(disp.docs('{!complexphrase}"merge s*"~1'))
 
 
+def q_stream_expression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming-expression LANGUAGE end-to-end
+    (io/stream/expr/StreamExpressionParser.java + StreamFactory.java):
+    one nested expression string — search → innerJoin → rollup →
+    having — parsed and evaluated against the DataFrame algebra.
+    Metric columns keep the reference's tuple keys (sum(l_quantity),
+    count(*)); l_quantity is integral so the double sums are exact and
+    order-independent across engines."""
+    from lucene_solr_spark.streaming.expressions import StreamFactory
+
+    fac = StreamFactory(
+        {
+            "orders": _table(spark, sf_dir, "orders"),
+            "lineitem": _table(spark, sf_dir, "lineitem"),
+        }
+    )
+    return fac.df(
+        'having('
+        '  rollup('
+        '    innerJoin('
+        '      search(orders, fl="o_orderkey,o_orderpriority", sort="o_orderkey asc"),'
+        '      search(lineitem, fl="l_orderkey,l_quantity", sort="l_orderkey asc"),'
+        '      on="o_orderkey=l_orderkey"),'
+        '    over="o_orderpriority",'
+        '    sum(l_quantity), count(*)),'
+        '  gt(count(*), 100))'
+    )
+
+
 # --------------------------------------------------------------------------
 # the three driver hooks
 # --------------------------------------------------------------------------
@@ -2563,6 +2592,7 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "local_params": q_local_params,
         "surround_query": q_surround_query,
         "complexphrase_query": q_complexphrase_query,
+        "stream_expression": q_stream_expression,
         "join_qparser": q_join_qparser,
         "geofilt_query": q_geofilt_query,
         "core_analyzers": q_core_analyzers,
@@ -4580,6 +4610,19 @@ fr AS (
 """
 
     # SpanOr(merge, batch): union of width-0 term spans ⇒ freq = Σ tf.
+    # Streaming-expression language gate: the nested string evaluates
+    # to search→innerJoin→rollup→having; count(*) BIGINT in both
+    # engines, sum over integral doubles exact in any order.
+    sqls["stream_expression"] = """
+SELECT o.o_orderpriority,
+       SUM(li.l_quantity) AS "sum(l_quantity)",
+       COUNT(*) AS "count(*)"
+FROM orders o JOIN lineitem li ON o.o_orderkey = li.l_orderkey
+GROUP BY o.o_orderpriority
+HAVING COUNT(*) > 100
+ORDER BY o.o_orderpriority
+"""
+
     # Surround {!surround}2w(s*, window): the s* truncation expands
     # against the term dictionary (the tstats term set — identical to
     # the engine's term_stats expansion), the expansion is the SpanOr

@@ -133,6 +133,15 @@ def main() -> None:
     seg_docs = sum(i.num_docs for i in man.values())
 
     # --- BM25 top-k p50 latency (lucene float32 mode, warm index) ------
+    # Phase reset: the 30 per-query gates above each persisted their own
+    # decoded/index frames; by this point the session is aged (storage
+    # eviction + ContextCleaner pressure made the batch phase swing
+    # 5.7s → 60s between otherwise-identical runs).  A serving node
+    # owns its cache — measure the latency phases on a fresh searcher
+    # whose warm-up queries below rebuild exactly the state they need.
+    spark.catalog.clearCache()
+    entrymod._SEGIDX.clear()
+    entrymod._SEARCHERS.clear()
     searcher = entrymod._searcher(spark, sf_dir, scoring="lucene")
     searcher.search(parse_query("+spark +window vector"), k=10).collect()  # warm
     lat = []

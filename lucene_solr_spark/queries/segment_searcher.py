@@ -129,6 +129,33 @@ class SegmentSearcher(IndexSearcher):
         super().__init__(tables, k1=k1, b=b, scoring=scoring, cache_postings=False)
 
     _CACHE_MAX_TERMS = 8  # multi-term expansions decode in one pass instead
+    # LRU bounds on the persisted decoded frames (the reference's
+    # SolrIndexSearcher caches are size-bounded LRUs, solrconfig.xml
+    # 443-459; an unbounded persist would accumulate executor storage
+    # under a hot wildcard workload on a long-lived searcher)
+    _DEC_CACHE_MAX = 256   # per-term decoded posting frames
+    _EXP_CACHE_MAX = 32    # per-expansion bulk-decoded frames
+
+    @staticmethod
+    def _cache_put(cache: dict, key, df: DataFrame, max_size: int) -> None:
+        """Insert as most-recent; evict + unpersist the LRU overflow."""
+        cache[key] = df
+        while len(cache) > max_size:
+            old_key = next(iter(cache))
+            old = cache.pop(old_key)
+            try:
+                old.unpersist()
+            except Exception:  # noqa: BLE001 — eviction must never fail a query
+                pass
+
+    @staticmethod
+    def _cache_get(cache: dict, key):
+        """Get + refresh recency (dict preserves insertion order)."""
+        df = cache.get(key)
+        if df is not None:
+            del cache[key]
+            cache[key] = df
+        return df
 
     def _decode(self, enc: DataFrame) -> DataFrame:
         return enc.mapInPandas(_decode_batches, schema=_DECODED_SCHEMA)
@@ -143,7 +170,7 @@ class SegmentSearcher(IndexSearcher):
             # repeated wildcard/prefix queries hit the persisted frame
             # instead of building one cached frame per expanded term
             key = hash(tuple(sorted(terms)))
-            decoded = self._exp.get(key)
+            decoded = self._cache_get(self._exp, key)
             if decoded is None:
                 # (norm_byte, length) decode straight out of each
                 # block's lens_bin payload — the per-segment reader of
@@ -152,16 +179,16 @@ class SegmentSearcher(IndexSearcher):
                 decoded = self._decode(
                     self._enc.filter(F.col("term").isin(terms))
                 ).persist()
-                self._exp[key] = decoded
+                self._cache_put(self._exp, key, decoded, self._EXP_CACHE_MAX)
             return decoded
         parts = []
         for t in terms:
-            df = self._dec.get(t)
+            df = self._cache_get(self._dec, t)
             if df is None:
                 df = self._decode(
                     self._enc.filter(F.col("term") == t)
                 ).persist()
-                self._dec[t] = df
+                self._cache_put(self._dec, t, df, self._DEC_CACHE_MAX)
             parts.append(df)
         out = parts[0]
         for p in parts[1:]:

@@ -1,0 +1,505 @@
+"""Streaming-expression language: parse + evaluate Solr stream strings.
+
+Ref: solr/solrj/src/java/org/apache/solr/client/solrj/io/stream/expr/
+{StreamExpressionParser,StreamFactory}.java (the expression grammar and
+the function-name → stream-class registry) and the individual stream
+classes under solr/solrj/.../io/stream/*.java cited per handler below.
+
+The reference's users express pipelines as nested function strings —
+``innerJoin(search(...), search(...), on="a=b")`` — sent to the
+``/stream`` handler.  This module is that surface for the Spark engine:
+the parser produces a small AST and the factory maps each function onto
+the DataFrame algebra (the stream classes' openStream/read loop becomes
+a declarative plan; Catalyst picks merge-join vs hash-join vs broadcast
+instead of the reference's hand-rolled iterators, which is the whole
+point of the Spark-first design).
+
+Supported functions (→ reference class):
+
+- ``search(table, q=…, fl=…, sort=…, rows=…)``  → CloudSolrStream /
+  SearchStream (q runs through the engine's query parser + BM25
+  searcher when the table is the indexed collection; ``*:*`` scans)
+- ``select(stream, "a", "b as c")``              → SelectStream
+- ``innerJoin/leftOuterJoin/hashJoin(l, r, on=)``→ {Inner,LeftOuter,
+  Hash}JoinStream (equi-join; ``on="a=b"`` or ``on="a"``)
+- ``merge(s1, s2, on="f asc")``                  → MergeStream
+- ``sort(stream, by="f asc, g desc")``           → SortStream
+- ``unique(stream, over="f")``                   → UniqueStream
+- ``top(n=…, stream, sort=…)``                   → RankStream
+- ``rollup(stream, over="a,b", sum(x), …)``      → RollupStream
+- ``stats(stream, sum(x), …)``                   → StatsStream
+- ``having(stream, gt(f, v))``                   → HavingStream with
+  the boolean evaluators (eq/gt/lt/gteq/lteq/and/or/not)
+- ``facet(table, buckets=, bucketSizeLimit=, metrics…)`` → FacetStream
+- ``intersect/complement(l, r, on=)``            → Intersect/
+  ComplementStream (semi/anti join)
+- ``cartesianProduct(stream, field)``            → CartesianProductStream
+  (explodes a multivalued field)
+- ``fetch(table, stream, on=, fl=)``             → FetchStream
+- ``let(a=expr, …, body)`` / ``get(a)``          → LetStream/GetStream
+- ``echo("text")`` / ``tuple(k=v, …)``           → EchoStream/TupStream
+
+Metric names follow the reference's tuple keys exactly: ``sum(x)``,
+``count(*)``, ``avg(x)``, ``min(x)``, ``max(x)`` (RollupStream emits
+metric.getIdentifier()).
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass, field
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+# --------------------------------------------------------------------------
+# parser (StreamExpressionParser.java)
+# --------------------------------------------------------------------------
+
+@dataclass
+class StreamExpr:
+    """``name(positional…, key=value…)`` — values are nested exprs or
+    plain strings (quoted strings lose their quotes, as in the
+    reference's StreamExpressionValue)."""
+
+    name: str
+    args: list = field(default_factory=list)
+    named: dict = field(default_factory=dict)
+
+
+class _Parser:
+    def __init__(self, text: str) -> None:
+        self.s = text
+        self.i = 0
+
+    def _ws(self) -> None:
+        while self.i < len(self.s) and self.s[self.i].isspace():
+            self.i += 1
+
+    def _ident(self) -> str:
+        m = re.match(r"[A-Za-z_][\w.*]*", self.s[self.i:])
+        if not m:
+            raise ValueError(f"expected identifier at {self.s[self.i:self.i+20]!r}")
+        self.i += m.end()
+        return m.group(0)
+
+    def _value(self) -> "StreamExpr | str":
+        self._ws()
+        c = self.s[self.i] if self.i < len(self.s) else ""
+        if c in "\"'":
+            j = self.s.index(c, self.i + 1)
+            v = self.s[self.i + 1: j]
+            self.i = j + 1
+            return v
+        # bare token up to , or ) — may be an identifier opening a call
+        m = re.match(r"[^,()=\s]+", self.s[self.i:])
+        if m and self.i + m.end() < len(self.s) and self.s[self.i + m.end()] == "(":
+            return self.expr()
+        if not m:
+            raise ValueError(f"expected value at {self.s[self.i:self.i+20]!r}")
+        self.i += m.end()
+        return m.group(0)
+
+    def expr(self) -> StreamExpr:
+        self._ws()
+        name = self._ident()
+        self._ws()
+        if self.i >= len(self.s) or self.s[self.i] != "(":
+            raise ValueError(f"expected '(' after {name}")
+        self.i += 1
+        node = StreamExpr(name)
+        self._ws()
+        if self.i < len(self.s) and self.s[self.i] == ")":
+            self.i += 1
+            return node
+        while True:
+            self._ws()
+            # named parameter?  ident '=' value (but not inside a call)
+            m = re.match(r"([A-Za-z_][\w.]*)\s*=", self.s[self.i:])
+            if m and self.s[self.i + m.end():].lstrip()[:1] != "=":
+                self.i += m.end()
+                node.named[m.group(1)] = self._value()
+            else:
+                node.args.append(self._value())
+            self._ws()
+            if self.i < len(self.s) and self.s[self.i] == ",":
+                self.i += 1
+                continue
+            if self.i < len(self.s) and self.s[self.i] == ")":
+                self.i += 1
+                return node
+            raise ValueError(f"expected ',' or ')' at {self.s[self.i:self.i+20]!r}")
+
+
+def parse_expression(text: str) -> StreamExpr:
+    p = _Parser(text.strip())
+    node = p.expr()
+    p._ws()
+    if p.i != len(p.s):
+        raise ValueError(f"trailing input: {p.s[p.i:]!r}")
+    return node
+
+
+# --------------------------------------------------------------------------
+# factory (StreamFactory.java)
+# --------------------------------------------------------------------------
+
+_METRICS = {"sum", "avg", "min", "max", "count"}
+_BOOL_OPS = {"eq", "gt", "lt", "gteq", "lteq", "and", "or", "not"}
+
+
+def _sort_cols(spec: str) -> list[Column]:
+    cols = []
+    for part in spec.split(","):
+        toks = part.split()
+        c = F.col(toks[0])
+        if len(toks) > 1 and toks[1].lower() == "desc":
+            c = c.desc()
+        else:
+            c = c.asc()
+        cols.append(c)
+    return cols
+
+
+class StreamFactory:
+    """Evaluate stream expressions over named tables.
+
+    ``tables`` maps collection name → DataFrame; ``searcher`` (optional)
+    serves ``search(…, q=…)`` full-text queries for ``search_collection``
+    (joined back by doc_id, exactly the /select handler the reference's
+    SearchStream wraps)."""
+
+    def __init__(
+        self,
+        tables: dict[str, DataFrame],
+        searcher=None,
+        search_collection: str | None = None,
+    ) -> None:
+        self.tables = tables
+        self.searcher = searcher
+        self.search_collection = search_collection
+        self._lets: dict[str, DataFrame] = {}
+
+    # ------------------------------------------------------------- entry
+    def df(self, expr: str | StreamExpr) -> DataFrame:
+        node = parse_expression(expr) if isinstance(expr, str) else expr
+        return self._eval(node)
+
+    # ------------------------------------------------------------- eval
+    def _eval(self, n: "StreamExpr | str") -> DataFrame:
+        if isinstance(n, str):
+            raise ValueError(f"expected a stream, got bare value {n!r}")
+        h = getattr(self, f"_h_{n.name}", None)
+        if h is None:
+            raise ValueError(f"unknown stream function {n.name!r}")
+        return h(n)
+
+    def _one(self, n: StreamExpr, key: str, default: str | None = None) -> str | None:
+        v = n.named.get(key, default)
+        if isinstance(v, StreamExpr):
+            raise ValueError(f"{key} must be a plain value")
+        return v
+
+    # --------------------------------------------------------- leaf
+    def _h_search(self, n: StreamExpr) -> DataFrame:
+        """SearchStream/CloudSolrStream: q over a collection, project
+        fl, sort.  q='*:*' (or absent) scans; a real q needs the
+        searcher for this collection."""
+        if not n.args or isinstance(n.args[0], StreamExpr):
+            raise ValueError("search() needs a collection name")
+        table = self.tables[n.args[0]]
+        q = self._one(n, "q", "*:*")
+        if q != "*:*":
+            if self.searcher is None or n.args[0] != self.search_collection:
+                raise ValueError(
+                    f"search(q={q!r}) needs a text searcher for "
+                    f"{n.args[0]!r}"
+                )
+            hits = self.searcher.docs(q).select("doc_id", "score")
+            table = table.join(hits, "doc_id")
+        fl = self._one(n, "fl")
+        if fl:
+            table = table.select(*[c.strip() for c in fl.split(",")])
+        sort = self._one(n, "sort")
+        if sort:
+            table = table.orderBy(*_sort_cols(sort))
+        rows = self._one(n, "rows")
+        if rows:
+            table = table.limit(int(rows))
+        return table
+
+    def _h_echo(self, n: StreamExpr) -> DataFrame:
+        spark = next(iter(self.tables.values())).sparkSession
+        return spark.createDataFrame([(n.args[0],)], ["echo"])
+
+    def _h_tuple(self, n: StreamExpr) -> DataFrame:
+        spark = next(iter(self.tables.values())).sparkSession
+        keys = list(n.named)
+        return spark.createDataFrame([tuple(n.named[k] for k in keys)], keys)
+
+    # --------------------------------------------------------- unary
+    def _h_select(self, n: StreamExpr) -> DataFrame:
+        src = self._eval(n.args[0])
+        cols = []
+        for a in n.args[1:]:
+            m = re.fullmatch(r"(\S+)\s+as\s+(\S+)", a, re.I)
+            cols.append(
+                F.col(m.group(1)).alias(m.group(2)) if m else F.col(a)
+            )
+        return src.select(*cols)
+
+    def _h_sort(self, n: StreamExpr) -> DataFrame:
+        by = self._one(n, "by")
+        if by is None:
+            raise ValueError("sort() needs by=")
+        return self._eval(n.args[0]).orderBy(*_sort_cols(by))
+
+    def _h_unique(self, n: StreamExpr) -> DataFrame:
+        """UniqueStream: first tuple per ``over`` group of the sorted
+        input.  Deterministic Spark shape: row_number over the group
+        ordered by the remaining columns."""
+        from pyspark.sql import Window
+
+        src = self._eval(n.args[0])
+        over = [c.strip() for c in (self._one(n, "over") or "").split(",") if c]
+        if not over:
+            raise ValueError("unique() needs over=")
+        rest = [c for c in src.columns if c not in over]
+        w = Window.partitionBy(*over).orderBy(*rest) if rest else Window.partitionBy(*over).orderBy(over[0])
+        return (
+            src.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .drop("_rn")
+        )
+
+    def _h_top(self, n: StreamExpr) -> DataFrame:
+        k = int(self._one(n, "n") or 10)
+        sort = self._one(n, "sort")
+        if sort is None:
+            raise ValueError("top() needs sort=")
+        stream = next(a for a in n.args if isinstance(a, StreamExpr))
+        return self._eval(stream).orderBy(*_sort_cols(sort)).limit(k)
+
+    def _h_cartesianProduct(self, n: StreamExpr) -> DataFrame:
+        src = self._eval(n.args[0])
+        fld = n.args[1] if len(n.args) > 1 else self._one(n, "field")
+        if fld is None:
+            raise ValueError("cartesianProduct() needs a field to explode")
+        others = [c for c in src.columns if c != fld]
+        return src.select(*others, F.explode(F.col(fld)).alias(fld))
+
+    # --------------------------------------------------------- metrics
+    def _metric(self, m: StreamExpr) -> Column:
+        if m.name not in _METRICS:
+            raise ValueError(f"unknown metric {m.name!r}")
+        arg = m.args[0] if m.args else "*"
+        ident = f"{m.name}({arg})"
+        if m.name == "count":
+            return F.count("*" if arg == "*" else F.col(arg)).alias(ident)
+        fn = {"sum": F.sum, "avg": F.avg, "min": F.min, "max": F.max}[m.name]
+        return fn(F.col(arg)).alias(ident)
+
+    def _h_rollup(self, n: StreamExpr) -> DataFrame:
+        src = self._eval(n.args[0])
+        over = [c.strip() for c in (self._one(n, "over") or "").split(",") if c]
+        metrics = [self._metric(a) for a in n.args[1:] if isinstance(a, StreamExpr)]
+        if not metrics:
+            raise ValueError("rollup() needs at least one metric")
+        return src.groupBy(*over).agg(*metrics).orderBy(*over)
+
+    def _h_stats(self, n: StreamExpr) -> DataFrame:
+        src = self._eval(n.args[0]) if isinstance(n.args[0], StreamExpr) else self.tables[n.args[0]]
+        metrics = [self._metric(a) for a in n.args[1:] if isinstance(a, StreamExpr)]
+        return src.agg(*metrics)
+
+    def _h_facet(self, n: StreamExpr) -> DataFrame:
+        if isinstance(n.args[0], StreamExpr):
+            src = self._eval(n.args[0])
+        else:
+            src = self.tables[n.args[0]]
+        buckets = [
+            c.strip() for c in (self._one(n, "buckets") or "").split(",") if c
+        ]
+        if not buckets:
+            raise ValueError("facet() needs buckets=")
+        metrics = [self._metric(a) for a in n.args[1:] if isinstance(a, StreamExpr)]
+        out = src.groupBy(*buckets).agg(*metrics)
+        sorts = self._one(n, "bucketSorts")
+        if sorts:
+            cols = []
+            for part in sorts.split(","):
+                toks = part.split()
+                c = F.col(toks[0])
+                cols.append(
+                    c.desc() if len(toks) > 1 and toks[1].lower() == "desc" else c.asc()
+                )
+            out = out.orderBy(*cols)
+        limit = self._one(n, "bucketSizeLimit")
+        if limit:
+            out = out.limit(int(limit))
+        return out
+
+    # --------------------------------------------------------- having
+    def _bool_col(self, m: "StreamExpr | str") -> Column:
+        if isinstance(m, str):
+            raise ValueError(f"expected boolean evaluator, got {m!r}")
+        if m.name == "and":
+            out = self._bool_col(m.args[0])
+            for a in m.args[1:]:
+                out = out & self._bool_col(a)
+            return out
+        if m.name == "or":
+            out = self._bool_col(m.args[0])
+            for a in m.args[1:]:
+                out = out | self._bool_col(a)
+            return out
+        if m.name == "not":
+            return ~self._bool_col(m.args[0])
+        if m.name not in _BOOL_OPS:
+            raise ValueError(f"unknown boolean evaluator {m.name!r}")
+        lhs, rhs = m.args
+
+        def side(v):
+            if isinstance(v, StreamExpr):  # nested metric name e.g. count(*)
+                return F.col(f"{v.name}({v.args[0] if v.args else '*'})")
+            try:
+                return F.lit(float(v)) if "." in v else F.lit(int(v))
+            except ValueError:
+                return F.col(v)
+
+        a, b = side(lhs), side(rhs)
+        return {
+            "eq": a == b,
+            "gt": a > b,
+            "lt": a < b,
+            "gteq": a >= b,
+            "lteq": a <= b,
+        }[m.name]
+
+    def _h_having(self, n: StreamExpr) -> DataFrame:
+        src = self._eval(n.args[0])
+        return src.filter(self._bool_col(n.args[1]))
+
+    # --------------------------------------------------------- binary
+    @staticmethod
+    def _on_pairs(on: str) -> list[tuple[str, str]]:
+        pairs = []
+        for part in on.split(","):
+            part = part.strip()
+            if "=" in part:
+                a, b = part.split("=", 1)
+                pairs.append((a.strip(), b.strip()))
+            else:
+                pairs.append((part, part))
+        return pairs
+
+    def _join(self, n: StreamExpr, how: str) -> DataFrame:
+        left, right = (self._eval(a) for a in n.args[:2])
+        on = self._one(n, "on")
+        if on is None:
+            raise ValueError("join needs on=")
+        pairs = self._on_pairs(on)
+        cond = None
+        for a, b in pairs:
+            c = left[a] == right[b]
+            cond = c if cond is None else cond & c
+        out = left.join(right, cond, how)
+        if how in ("inner", "left_outer"):
+            # drop the duplicated right-side key columns (JoinStream
+            # emits one merged tuple)
+            for a, b in pairs:
+                if b in right.columns and a == b:
+                    out = out.drop(right[b])
+        return out
+
+    def _h_innerJoin(self, n: StreamExpr) -> DataFrame:
+        return self._join(n, "inner")
+
+    def _h_leftOuterJoin(self, n: StreamExpr) -> DataFrame:
+        return self._join(n, "left_outer")
+
+    def _h_hashJoin(self, n: StreamExpr) -> DataFrame:
+        """HashJoinStream builds a hash table of the hashed= side; the
+        declarative analog marks that side broadcastable and lets
+        Catalyst pick broadcast-hash when it fits."""
+        left, right = (self._eval(a) for a in n.args[:2])
+        on = self._one(n, "on")
+        if on is None:
+            raise ValueError("hashJoin needs on=")
+        pairs = self._on_pairs(on)
+        cond = None
+        for a, b in pairs:
+            c = left[a] == right[b]
+            cond = c if cond is None else cond & c
+        out = left.join(F.broadcast(right), cond, "inner")
+        for a, b in pairs:
+            if a == b:
+                out = out.drop(right[b])
+        return out
+
+    def _h_merge(self, n: StreamExpr) -> DataFrame:
+        on = self._one(n, "on")
+        if on is None:
+            raise ValueError("merge() needs on=")
+        streams = [self._eval(a) for a in n.args if isinstance(a, StreamExpr)]
+        out = streams[0]
+        for s in streams[1:]:
+            out = out.unionByName(s)
+        return out.orderBy(*_sort_cols(on))
+
+    def _h_intersect(self, n: StreamExpr) -> DataFrame:
+        left, right = (self._eval(a) for a in n.args[:2])
+        on = self._one(n, "on")
+        pairs = self._on_pairs(on or "")
+        cond = None
+        for a, b in pairs:
+            c = left[a] == right[b]
+            cond = c if cond is None else cond & c
+        return left.join(right, cond, "left_semi")
+
+    def _h_complement(self, n: StreamExpr) -> DataFrame:
+        left, right = (self._eval(a) for a in n.args[:2])
+        on = self._one(n, "on")
+        pairs = self._on_pairs(on or "")
+        cond = None
+        for a, b in pairs:
+            c = left[a] == right[b]
+            cond = c if cond is None else cond & c
+        return left.join(right, cond, "left_anti")
+
+    def _h_fetch(self, n: StreamExpr) -> DataFrame:
+        """FetchStream: decorate stream tuples with fl fields fetched
+        from a collection by key (batched lookups → a plain equi-join;
+        broadcast the stream side when small is Catalyst's call)."""
+        table_name = next(a for a in n.args if not isinstance(a, StreamExpr))
+        stream = next(a for a in n.args if isinstance(a, StreamExpr))
+        src = self._eval(stream)
+        table = self.tables[table_name]
+        on = self._one(n, "on")
+        if on is None:
+            raise ValueError("fetch() needs on=")
+        (a, b), = self._on_pairs(on)
+        fl = [c.strip() for c in (self._one(n, "fl") or "").split(",") if c]
+        proj = table.select(F.col(b).alias("_fk"), *[c for c in fl if c != b])
+        return src.join(proj, src[a] == proj["_fk"], "left_outer").drop("_fk")
+
+    # --------------------------------------------------------- let/get
+    def _h_let(self, n: StreamExpr) -> DataFrame:
+        """LetStream: bind named streams, evaluate the body with the
+        bindings visible to get()."""
+        saved = dict(self._lets)
+        try:
+            for k, v in n.named.items():
+                self._lets[k] = self._eval(v) if isinstance(v, StreamExpr) else self.tables[v]
+            if not n.args:
+                raise ValueError("let() needs a body stream")
+            return self._eval(n.args[-1])
+        finally:
+            self._lets = saved
+
+    def _h_get(self, n: StreamExpr) -> DataFrame:
+        name = n.args[0]
+        if name not in self._lets:
+            raise ValueError(f"get({name!r}): no such let binding")
+        return self._lets[name]

@@ -1,0 +1,166 @@
+"""Streaming-expression language (StreamExpressionParser + StreamFactory
+— solr/solrj/.../io/stream/expr/*.java)."""
+
+from __future__ import annotations
+
+import pytest
+
+from lucene_solr_spark.streaming.expressions import (
+    StreamExpr,
+    StreamFactory,
+    parse_expression,
+)
+
+
+# --------------------------------------------------------------- parser
+
+def test_parse_nested_expression():
+    n = parse_expression(
+        'innerJoin(search(a, q="*:*", fl="x,y"), search(b), on="x=z")'
+    )
+    assert n.name == "innerJoin"
+    assert [a.name for a in n.args] == ["search", "search"]
+    assert n.named == {"on": "x=z"}
+    inner = n.args[0]
+    assert inner.args == ["a"]
+    assert inner.named == {"q": "*:*", "fl": "x,y"}
+
+
+def test_parse_quotes_and_metrics():
+    n = parse_expression('rollup(search(t), over="a", sum(x), count(*))')
+    assert n.named["over"] == "a"
+    assert [a.name for a in n.args[1:]] == ["sum", "count"]
+    assert n.args[1].args == ["x"]
+    assert n.args[2].args == ["*"]
+
+
+def test_parse_errors():
+    with pytest.raises(ValueError, match="trailing"):
+        parse_expression("search(a) extra")
+    with pytest.raises(ValueError):
+        parse_expression("search(a")
+    with pytest.raises(ValueError):
+        parse_expression("(a)")
+
+
+# -------------------------------------------------------------- factory
+
+@pytest.fixture(scope="module")
+def factory(spark):
+    people = spark.createDataFrame(
+        [(1, "ada", 10), (2, "bob", 20), (3, "cat", 20), (4, "dan", 30)],
+        ["id", "name", "dept"],
+    )
+    depts = spark.createDataFrame(
+        [(10, "eng"), (20, "ops"), (30, "hr")], ["dept_id", "dept_name"]
+    )
+    tags = spark.createDataFrame(
+        [(1, ["red", "blue"]), (2, ["red"])], ["id", "tags"]
+    )
+    return StreamFactory({"people": people, "depts": depts, "tags": tags})
+
+
+def _rows(df):
+    return [tuple(r) for r in df.collect()]
+
+
+def test_search_select_sort(factory):
+    got = _rows(factory.df('search(people, fl="name,dept", sort="name desc", rows=2)'))
+    assert got == [("dan", 30), ("cat", 20)]
+    got = _rows(factory.df('select(search(people, fl="id,name"), "id", "name as who")'))
+    assert ("who" in factory.df(
+        'select(search(people, fl="id,name"), "id", "name as who")'
+    ).columns) and len(got) == 4
+
+
+def test_joins_and_fetch(factory):
+    j = factory.df(
+        'innerJoin(search(people, fl="id,name,dept", sort="id asc"),'
+        ' search(depts, sort="dept_id asc"), on="dept=dept_id")'
+    )
+    got = {(r["name"], r["dept_name"]) for r in j.collect()}
+    assert got == {("ada", "eng"), ("bob", "ops"), ("cat", "ops"), ("dan", "hr")}
+    h = factory.df(
+        'hashJoin(search(people, fl="id,dept"), search(depts), on="dept=dept_id")'
+    )
+    assert h.count() == 4
+    f = factory.df(
+        'fetch(depts, search(people, fl="id,name,dept"), on="dept=dept_id", fl="dept_name")'
+    )
+    assert {r["dept_name"] for r in f.collect()} == {"eng", "ops", "hr"}
+
+
+def test_rollup_having_stats(factory):
+    r = factory.df(
+        'rollup(search(people, fl="dept,id", sort="dept asc"), over="dept",'
+        " count(*), sum(id))"
+    )
+    assert r.columns == ["dept", "count(*)", "sum(id)"]
+    got = {r["dept"]: (r["count(*)"], r["sum(id)"]) for r in r.collect()}
+    assert got == {10: (1, 1), 20: (2, 5), 30: (1, 4)}
+    h = factory.df(
+        'having(rollup(search(people, fl="dept,id", sort="dept asc"),'
+        ' over="dept", count(*)), gt(count(*), 1))'
+    )
+    assert _rows(h) == [(20, 2)]
+    s = factory.df("stats(people, sum(dept), max(id))")
+    assert _rows(s) == [(80, 4)]
+
+
+def test_merge_unique_top_intersect_complement(factory):
+    m = factory.df(
+        'merge(search(people, fl="id,name"), search(people, fl="id,name"),'
+        ' on="id asc")'
+    )
+    assert m.count() == 8
+    u = factory.df('unique(search(people, fl="dept,name"), over="dept")')
+    assert u.count() == 3
+    t = factory.df('top(n=1, search(people, fl="id,name"), sort="id desc")')
+    assert _rows(t) == [(4, "dan")]
+    i = factory.df(
+        'intersect(search(people, fl="id,name"),'
+        ' search(tags, fl="id"), on="id=id")'
+    )
+    assert sorted(r["id"] for r in i.collect()) == [1, 2]
+    c = factory.df(
+        'complement(search(people, fl="id,name"),'
+        ' search(tags, fl="id"), on="id=id")'
+    )
+    assert sorted(r["id"] for r in c.collect()) == [3, 4]
+
+
+def test_cartesian_let_get_echo(factory):
+    x = factory.df("cartesianProduct(search(tags), tags)")
+    assert sorted((r["id"], r["tags"]) for r in x.collect()) == [
+        (1, "blue"), (1, "red"), (2, "red"),
+    ]
+    l = factory.df(
+        'let(a=search(people, fl="id,dept"),'
+        ' having(rollup(get(a), over="dept", count(*)), gt(count(*), 1)))'
+    )
+    assert _rows(l) == [(20, 2)]
+    e = factory.df('echo("hello world")')
+    assert _rows(e) == [("hello world",)]
+
+
+def test_facet_expression(factory):
+    f = factory.df(
+        'facet(people, buckets="dept", bucketSorts="count(*) desc, dept asc",'
+        " bucketSizeLimit=2, count(*))"
+    )
+    assert _rows(f) == [(20, 2), (10, 1)]
+
+
+def test_boolean_evaluators(factory):
+    h = factory.df(
+        'having(search(people, fl="id,dept"),'
+        " and(gteq(id, 2), not(eq(dept, 30))))"
+    )
+    assert sorted(r["id"] for r in h.collect()) == [2, 3]
+
+
+def test_unknown_function_raises(factory):
+    with pytest.raises(ValueError, match="unknown stream function"):
+        factory.df("bogus(search(people))")
+    with pytest.raises(ValueError, match="needs a text searcher"):
+        factory.df('search(people, q="name:ada")')

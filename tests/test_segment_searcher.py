@@ -47,3 +47,33 @@ def test_term_filter_pushdown_before_decode(seg_searcher):
 
 def test_segment_searcher_count(searcher, seg_searcher):
     assert seg_searcher.count("window") == searcher.count("window")
+
+
+def test_decoded_cache_lru_eviction(spark):
+    """The per-term decoded cache is a bounded LRU: overflowing it
+    evicts + unpersists the least-recently-used frame (the reference's
+    searcher caches are size-bounded, solrconfig.xml:443-459)."""
+    from lucene_solr_spark.queries.segment_searcher import SegmentSearcher
+
+    cache: dict = {}
+    frames = []
+
+    class _FakeDF:
+        def __init__(self, i):
+            self.i = i
+            self.persisted = True
+
+        def unpersist(self):
+            self.persisted = False
+
+    for i in range(5):
+        df = _FakeDF(i)
+        frames.append(df)
+        SegmentSearcher._cache_put(cache, f"t{i}", df, max_size=3)
+    # 0 and 1 evicted and unpersisted, 2..4 resident
+    assert [f.persisted for f in frames] == [False, False, True, True, True]
+    assert list(cache) == ["t2", "t3", "t4"]
+    # touching t2 refreshes recency: t3 is now the LRU
+    assert SegmentSearcher._cache_get(cache, "t2") is frames[2]
+    SegmentSearcher._cache_put(cache, "t5", _FakeDF(5), max_size=3)
+    assert not frames[3].persisted and list(cache) == ["t4", "t2", "t5"]
