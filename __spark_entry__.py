@@ -1642,10 +1642,14 @@ def q_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF-Flat approximate NN: deterministic k-means coarse quantizer,
-    nprobe nearest centroids exact-reranked — k-means iterations are
-    not SQL-expressible ⇒ rows-only; pytest checks recall vs brute
-    force and rebuild determinism."""
+    """IVF-Flat NN through the full index machinery — deterministic
+    k-means coarse quantizer, per-cell partitioned candidate read,
+    exact rerank — probed at nprobe = num_centroids, where IVF is
+    EXACTLY brute force (recall 1.0 by construction), so the driver
+    gate hash-matches the brute-force SQL oracle while still executing
+    the assign→partition→probe→rerank path end-to-end.  Pruned-probe
+    behavior (nprobe < K) is pinned by the recall/determinism pytest
+    (k-means iterations are not SQL-expressible)."""
     e = _table(spark, sf_dir, "embeddings")
     qv = e.filter(F.col("vec_id") == 0).select("embedding").first()[0]
     ikey = (spark.sparkContext.applicationId, sf_dir, "ivf")
@@ -1655,7 +1659,7 @@ def q_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
         ivf = (ivf[0].persist(), ivf[1])
         _SEGIDX[ikey] = ivf
     out = similarity.ivf_ann_topk(
-        e, [float(x) for x in qv], k=10, num_centroids=8, nprobe=3, index=ivf
+        e, [float(x) for x in qv], k=10, num_centroids=8, nprobe=8, index=ivf
     )
     return out.select("vec_id", F.round(F.col("cosine"), 4).alias("cosine"))
 
@@ -4711,6 +4715,25 @@ d AS (
          sqrt(list_dot_product(c.v, c.v)) AS nx,
          sqrt(list_dot_product(q.qv, q.qv)) AS ny
   FROM cand c, q
+)
+SELECT vec_id, ROUND(dot / (nx * ny), 4) AS cosine
+FROM d WHERE nx > 0
+ORDER BY dot / (nx * ny) DESC, vec_id ASC LIMIT 10
+"""
+
+    # IVF at nprobe = num_centroids is exactly brute force (every cell
+    # probed, exact rerank): the oracle is the exhaustive cosine top-k,
+    # and the gate's value is that the distributed index path (assign →
+    # partition-pruned read → rerank) reproduces it bit-for-bit.
+    sqls["ivf_ann"] = """
+WITH b AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+q AS (SELECT v AS qv FROM b WHERE vec_id = 0),
+d AS (
+  SELECT b.vec_id,
+         list_dot_product(b.v, q.qv) AS dot,
+         sqrt(list_dot_product(b.v, b.v)) AS nx,
+         sqrt(list_dot_product(q.qv, q.qv)) AS ny
+  FROM b, q
 )
 SELECT vec_id, ROUND(dot / (nx * ny), 4) AS cosine
 FROM d WHERE nx > 0
