@@ -49,11 +49,15 @@ field (our Term analog carries the field via the wrapper).
 - ``{!complexphrase}"a b*"~2`` → wildcard-bearing phrase as span-near
   (ComplexPhraseQParserPlugin)
 
+- ``{!graph from to maxDepth returnRoot}`` → iterative frontier
+  traversal over doc-values edges (GraphQParserPlugin)
+- ``{!mlt maxqt}docid``     → interesting-terms boolean (MLTQParserPlugin)
+
 Not routed here (already first-class elsewhere, as the SURVEY table
 maps them): collapse → grouping_collapse, rerank → queries/rerank.py,
-graph → streaming/graph.py, parent/child block join → the block-join
-operator (q_block_join), xmlparser → out of scope (XML syntax tree for
-the same spans/boolean surface parsed here).
+parent/child block join → the block-join operator (q_block_join),
+xmlparser → out of scope (XML syntax tree for the same spans/boolean
+surface parsed here).
 """
 
 from __future__ import annotations
@@ -116,6 +120,30 @@ class JoinQuery(Query):
     to_field: str
     inner: Query
     from_index: str | None = None
+
+
+@dataclass(frozen=True)
+class GraphQuery(Query):
+    """{!graph} traversal filter (search/join/GraphQuery.java via
+    GraphQParserPlugin): starting from the root query's matches,
+    repeatedly find docs whose ``to_field`` value appears among the
+    frontier's ``from_field`` values; ``max_depth=-1`` walks to the
+    fixpoint.  Constant score, ``return_root`` as in the reference."""
+
+    from_field: str
+    to_field: str
+    root: Query
+    max_depth: int = -1
+    return_root: bool = True
+
+
+@dataclass(frozen=True)
+class MoreLikeThisQuery(Query):
+    """{!mlt}docid (MLTQParserPlugin): boolean SHOULD over the doc's
+    interesting terms, source doc excluded."""
+
+    doc_id: int
+    max_query_terms: int = 25
 
 
 @dataclass(frozen=True)
@@ -339,6 +367,22 @@ class SolrQueryDispatcher:
             if b is None:
                 raise ValueError("{!boost} requires b=<function>")
             return BoostByFunctionQuery(self.parse(rest), b)
+        if ptype == "graph":
+            frm, to = one("from"), one("to")
+            if not frm or not to:
+                raise ValueError("{!graph} requires from= and to=")
+            return GraphQuery(
+                frm,
+                to,
+                self.parse(rest),
+                max_depth=int(one("maxDepth", "-1") or -1),
+                return_root=(one("returnRoot", "true") == "true"),
+            )
+        if ptype == "mlt":
+            return MoreLikeThisQuery(
+                int(one("v", rest) or 0),
+                max_query_terms=int(one("maxqt", "25") or 25),
+            )
         if ptype == "join":
             frm, to = one("from"), one("to")
             if not frm or not to:
@@ -445,6 +489,71 @@ class SolrQueryDispatcher:
                 )
                 .select("doc_id", F.lit(1.0).alias("score"))
             )
+        if isinstance(q, FieldQuery) and (
+            self.doc_values is not None
+            and q.field in self.doc_values.columns
+            and isinstance(q.query, TermQuery)
+        ):
+            # a term query against a non-text (docValues string) field
+            # is an exact value match, as the reference's StrField
+            # produces (schema.FieldType term query on an untokenized
+            # field); constant score like the other filter parsers
+            return self.doc_values.filter(
+                F.col(q.field) == q.query.term
+            ).select("doc_id", F.lit(1.0).alias("score"))
+        if isinstance(q, GraphQuery):
+            # GraphQuery.createWeight's frontier loop: each hop is a
+            # distinct-project of the frontier's from-values + a semi-
+            # join against the to-field — the same narrow-row shuffle
+            # shape as {!join}; visited accumulates doc ids so a cyclic
+            # graph terminates (frontier strictly shrinks to empty).
+            if self.doc_values is None:
+                raise ValueError("{!graph} needs a doc_values table")
+            dv = self.doc_values
+            roots = self.docs(q.root).select("doc_id")
+            visited = roots
+            frontier = roots
+            depth = 0
+            while q.max_depth < 0 or depth < q.max_depth:
+                vals = (
+                    frontier.join(dv, "doc_id")
+                    .select(F.col(q.from_field).alias("_gv"))
+                    .distinct()
+                )
+                nxt = (
+                    dv.join(vals, dv[q.to_field] == vals["_gv"], "left_semi")
+                    .select("doc_id")
+                    .join(visited, "doc_id", "left_anti")
+                )
+                # driver-side emptiness probe bounds the loop (the
+                # reference's traversal is likewise iterative); rows are
+                # never collected, only counted
+                if nxt.isEmpty():
+                    break
+                visited = visited.unionByName(nxt).persist()
+                frontier = nxt
+                depth += 1
+            out = visited if q.return_root else visited.join(
+                roots, "doc_id", "left_anti"
+            )
+            return out.select("doc_id", F.lit(1.0).alias("score"))
+        if isinstance(q, MoreLikeThisQuery):
+            from .mlt import interesting_terms
+
+            terms = [
+                t
+                for t, _ in interesting_terms(
+                    self.searcher, q.doc_id, q.max_query_terms
+                )
+            ]
+            if not terms:
+                return self.searcher._empty_scored()
+            bq = BooleanQuery(
+                tuple(
+                    BooleanClause(Occur.SHOULD, TermQuery(t)) for t in terms
+                )
+            )
+            return self.searcher.docs(bq).filter(F.col("doc_id") != q.doc_id)
         if isinstance(q, GeoFilterQuery):
             from lucene_solr_spark.functions.valuesource import (
                 EARTH_RADIUS_KM,

@@ -335,3 +335,45 @@ def test_complexphrase_parse_and_exec(spark, corpus):
     assert isinstance(
         d.parse('{!complexphrase}"zzz* spark"'), MatchNoDocsQuery
     )
+
+
+def test_graph_qparser_traversal(spark, corpus):
+    """{!graph from=mgr to=emp} walks the edge relation to the fixpoint;
+    maxDepth bounds hops; returnRoot=false drops the roots."""
+    s, _ = corpus
+    org = spark.createDataFrame(
+        # doc: (id, emp, mgr) — 1←2←3 chain plus isolated 4
+        [(0, "a", ""), (1, "b", "a"), (2, "c", "b"), (3, "d", "zz")],
+        ["doc_id", "emp", "mgr"],
+    )
+    d = _dispatcher(s, org)
+    # roots: doc 0 (emp=a); frontier from-values = emp; match docs whose
+    # mgr equals a frontier emp → walks down the reporting chain
+    ids = sorted(
+        r["doc_id"]
+        for r in d.docs('{!graph from=emp to=mgr}{!term f=emp v=a}').collect()
+    )
+    assert ids == [0, 1, 2]
+    ids = sorted(
+        r["doc_id"]
+        for r in d.docs(
+            '{!graph from=emp to=mgr maxDepth=1}{!term f=emp v=a}'
+        ).collect()
+    )
+    assert ids == [0, 1]
+    ids = sorted(
+        r["doc_id"]
+        for r in d.docs(
+            '{!graph from=emp to=mgr returnRoot=false}{!term f=emp v=a}'
+        ).collect()
+    )
+    assert ids == [1, 2]
+
+
+def test_mlt_qparser(spark, corpus):
+    s, docs = corpus
+    d = _dispatcher(s, docs)
+    got = {r["doc_id"] for r in d.docs("{!mlt}0").collect()}
+    # doc 0 = "spark index merge": docs sharing any interesting term,
+    # source excluded
+    assert 0 not in got and got and got <= {1, 2, 3}
