@@ -2454,6 +2454,45 @@ def q_stream_expression(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_xml_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """{!xmlparser} CoreParser XML query end-to-end
+    (lucene/queryparser/xml/CoreParser.java via XmlQParserPlugin.java):
+    a BooleanQuery element tree with must / mustNot / should clauses,
+    the should clause a TermsQuery whose text runs through the
+    analyzer.  Scores must equal the classic-parser equivalent —
+    the XML layer is pure routing onto the same scorers."""
+    from lucene_solr_spark.queries.xmlparser import parse_xml_query
+
+    s = _searcher(spark, sf_dir)
+    q = parse_xml_query(
+        "<BooleanQuery>"
+        "<Clause occurs='must'><TermQuery>vector</TermQuery></Clause>"
+        "<Clause occurs='mustNot'><TermQuery>window</TermQuery></Clause>"
+        "<Clause occurs='should'><TermsQuery>Hash Dup</TermsQuery></Clause>"
+        "</BooleanQuery>"
+    )
+    return _scored(s.docs(q))
+
+
+def q_null_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Plumbing streams (io/stream/{NullStream,ListStream}.java):
+    null(list(s1, s2)) — list concatenates, null drains distributed
+    and emits the tuple count (the reference's timer field is omitted:
+    wall-clock, nondeterministic)."""
+    from lucene_solr_spark.streaming.expressions import StreamFactory
+
+    fac = StreamFactory(
+        {
+            "orders": _table(spark, sf_dir, "orders"),
+            "lineitem": _table(spark, sf_dir, "lineitem"),
+        }
+    )
+    return fac.df(
+        'null(list(search(orders, fl="o_orderkey"),'
+        ' search(lineitem, fl="l_orderkey")))'
+    )
+
+
 # --------------------------------------------------------------------------
 # the three driver hooks
 # --------------------------------------------------------------------------
@@ -2494,12 +2533,14 @@ _GATE_WINDOW = [
     "lm_dirichlet", "dfr_similarity", "lm_jelinek_mercer",
     "ib_similarity", "axiomatic_f2exp", "boolean_similarity",
     "html_analysis", "facet_exclude_tags", "expand_component",
-    "spellcheck_collate", "french_analysis",
-    # re-gates: code paths changed this round
+    "spellcheck_collate", "french_analysis", "xml_query", "null_stream",
+    # re-gates: code paths changed this round (minhash_lsh/cosine_topk
+    # rotated out for the two new entries above — both unchanged since
+    # their r2 green rows and still oracle-replicated in tests/test_entry)
     "wand_topk", "term_query_lucene", "classic_tfidf", "edismax",
     "local_params", "join_qparser", "geofilt_query",
     "stream_sessionize", "english_analyzer", "sloppy_phrase",
-    "unified_highlight", "minhash_lsh", "cosine_topk",
+    "unified_highlight",
 ]
 
 
@@ -2597,6 +2638,8 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "surround_query": q_surround_query,
         "complexphrase_query": q_complexphrase_query,
         "stream_expression": q_stream_expression,
+        "xml_query": q_xml_query,
+        "null_stream": q_null_stream,
         "join_qparser": q_join_qparser,
         "geofilt_query": q_geofilt_query,
         "core_analyzers": q_core_analyzers,
@@ -2821,6 +2864,27 @@ s1 AS ({_bm25_sql("vector")}),
 ex AS (SELECT doc_id FROM postings WHERE term = 'window')
 SELECT doc_id, ROUND(score, 4) AS score FROM s1
 WHERE doc_id NOT IN (SELECT doc_id FROM ex)
+"""
+
+    sqls["xml_query"] = f"""
+WITH {_IDX},
+s1 AS ({_bm25_sql("vector")}),
+s2 AS ({_bm25_sql("hash")}),
+s3 AS ({_bm25_sql("dup")}),
+ex AS (SELECT doc_id FROM postings WHERE term = 'window'),
+opt AS (
+  SELECT doc_id, sum(score) AS score
+  FROM (SELECT * FROM s2 UNION ALL SELECT * FROM s3) GROUP BY doc_id
+)
+SELECT s1.doc_id, ROUND(s1.score + COALESCE(opt.score, 0), 4) AS score
+FROM s1 LEFT JOIN opt USING (doc_id)
+WHERE s1.doc_id NOT IN (SELECT doc_id FROM ex)
+"""
+
+    sqls["null_stream"] = """
+SELECT CAST(
+  (SELECT count(*) FROM orders) + (SELECT count(*) FROM lineitem)
+  AS BIGINT) AS nullCount
 """
 
     sqls["boolean_filter"] = f"""

@@ -1,17 +1,17 @@
-"""Light stemmers + analyzer chains for French / German / Spanish.
+"""Light stemmers + analyzer chains for French / German / Spanish /
+Italian / Portuguese.
 
 Implements Jacques Savoy's UniNE "light stemming" algorithms — the
-reference's FrenchLightStemmer.java, GermanLightStemmer.java and
-SpanishLightStemmer.java (analysis/{fr,de,es}/), which the
-French/German/SpanishAnalyzer chains apply after tokenize → (elision)
-→ lowercase → snowball stop removal (FrenchAnalyzer.java:99-156 et
-al.).  The stemmers are reimplemented from the published algorithm;
-per-token work happens inside the flat Arrow-batched analyzer kernels
+reference's {French,German,Spanish,Italian,Portuguese}LightStemmer.java
+(analysis/{fr,de,es,it,pt}/), which the language analyzer chains apply
+after tokenize → (elision) → lowercase → snowball stop removal
+(FrenchAnalyzer.java:99-156, ItalianAnalyzer.java:120-134 et al.).
+The stemmers are reimplemented from the published algorithm; per-token
+work happens inside the flat Arrow-batched analyzer kernels
 (vocabulary-deduplicated: each UNIQUE token stems once per batch).
 
 Stopword lists are the Snowball lists the reference loads at runtime
-(analysis/snowball/{french,german,spanish}_stop.txt — public Snowball
-data).
+(analysis/snowball/*_stop.txt — public Snowball project data).
 """
 
 from __future__ import annotations
@@ -227,26 +227,153 @@ def french_light_stem(w: str) -> str:  # noqa: C901 — mirrors the reference's 
     return _fr_norm(s)
 
 
+# --------------------------------------------------------------- Italian
+_IT_FOLD = str.maketrans(
+    "àáâäòóôöèéêëùúûüìíîï", "aaaa" "oooo" "eeee" "uuuu" "iiii"
+)
+
+
+def italian_light_stem(w: str) -> str:
+    """ItalianLightStemmer.java:64-115 (Savoy CLEF-2001): accent fold
+    over the whole buffer, then one vowel-suffix strip (a/e/i/o, two
+    chars when preceded by i/h per the rule table)."""
+    if len(w) < 6:
+        return w
+    s = w.translate(_IT_FOLD)
+    last, prev = s[-1], s[-2]
+    if last == "e":
+        return s[:-2] if prev in "ih" else s[:-1]
+    if last == "i":
+        return s[:-2] if prev in "hi" else s[:-1]
+    if last in "ao":
+        return s[:-2] if prev == "i" else s[:-1]
+    return s
+
+
+# ------------------------------------------------------------ Portuguese
+_PT_FOLD = str.maketrans(
+    "àáâäãòóôöõèéêëùúûüìíîïç", "aaaaa" "ooooo" "eeee" "uuuu" "iiii" "c"
+)
+
+
+def _pt_remove_suffix(s: list[str]) -> list[str]:
+    """PortugueseLightStemmer.removeSuffix (the ordered plural /
+    adverb rule ladder)."""
+    n = len(s)
+    if n > 4 and s[-2:] == ["e", "s"] and s[-3] in "rslz":
+        return s[:-2]
+    if n > 3 and s[-2:] == ["n", "s"]:
+        s = s[:-1]
+        s[-1] = "m"
+        return s
+    if n > 4 and (s[-3:] == ["e", "i", "s"] or s[-3:] == ["é", "i", "s"]):
+        s = s[:-1]
+        s[-2] = "e"
+        s[-1] = "l"
+        return s
+    if n > 4 and s[-3:] == ["a", "i", "s"]:
+        s = s[:-1]
+        s[-1] = "l"
+        return s
+    if n > 4 and s[-3:] == ["ó", "i", "s"]:
+        s = s[:-1]
+        s[-2] = "o"
+        s[-1] = "l"
+        return s
+    if n > 4 and s[-2:] == ["i", "s"]:
+        s[-1] = "l"
+        return s
+    if n > 3 and (s[-3:] == ["õ", "e", "s"] or s[-3:] == ["ã", "e", "s"]):
+        s = s[:-1]
+        s[-2] = "ã"
+        s[-1] = "o"
+        return s
+    if n > 6 and s[-5:] == ["m", "e", "n", "t", "e"]:
+        return s[:-5]
+    if n > 3 and s[-1] == "s":
+        return s[:-1]
+    return s
+
+
+def _pt_norm_feminine(s: list[str]) -> list[str]:
+    """PortugueseLightStemmer.normFeminine (a-final rewrite rules)."""
+    n = len(s)
+    tail4 = "".join(s[-4:])
+    if n > 7 and tail4 in ("inha", "iaca", "eira"):
+        s[-1] = "o"
+        return s
+    if n > 6:
+        tail3 = "".join(s[-3:])
+        if tail3 in ("osa", "ica", "ida", "ada", "iva", "ama"):
+            s[-1] = "o"
+            return s
+        if tail3 == "ona":
+            s = s[:-1]
+            s[-2] = "ã"
+            s[-1] = "o"
+            return s
+        if tail3 == "ora":
+            return s[:-1]
+        if tail3 == "esa":
+            s[-3] = "ê"
+            return s[:-1]
+        if "".join(s[-2:]) == "na":
+            s[-1] = "o"
+            return s
+    return s
+
+
+def portuguese_light_stem(w: str) -> str:
+    """PortugueseLightStemmer.java:65-110 (Savoy UniNE): plural strip →
+    feminine normalization → final-vowel strip → accent fold."""
+    if len(w) < 4:
+        return w
+    s = _pt_remove_suffix(list(w))
+    if len(s) > 3 and s[-1] == "a":
+        s = _pt_norm_feminine(s)
+    if len(s) > 4 and s[-1] in "eao":
+        s = s[:-1]
+    return "".join(s).translate(_PT_FOLD)
+
+
 # ----------------------------------------------------- analyzer chains
 # FrenchAnalyzer.DEFAULT_ARTICLES (analysis/fr/FrenchAnalyzer.java:68-72)
 _FR_ARTICLES = ("l", "m", "t", "qu", "n", "s", "j")
 
 
-def french_elision(tok: str) -> str:
+# ItalianAnalyzer.DEFAULT_ARTICLES (analysis/it/ItalianAnalyzer.java:49-54)
+_IT_ARTICLES = (
+    "c", "l", "all", "dall", "dell", "nell", "sull", "coll", "pell",
+    "gl", "agl", "dagl", "degl", "negl", "sugl", "un", "m", "t", "s",
+    "v", "d",
+)
+
+
+def _elision(tok: str, articles: tuple[str, ...]) -> str:
     """ElisionFilter: strip a leading article + apostrophe (l'avion →
     avion)."""
     for ap in ("'", "’"):
         if ap in tok:
             head, _, rest = tok.partition(ap)
-            if head in _FR_ARTICLES and rest:
+            if head in articles and rest:
                 return rest
     return tok
+
+
+def french_elision(tok: str) -> str:
+    return _elision(tok, _FR_ARTICLES)
+
+
+def italian_elision(tok: str) -> str:
+    return _elision(tok, _IT_ARTICLES)
 
 
 def _load_stops() -> dict[str, frozenset]:
     from lucene_solr_spark.analysis.snowball_stops import (
         FRENCH_STOP,
         GERMAN_STOP,
+        ITALIAN_STOP,
+        PORTUGUESE_STOP,
         SPANISH_STOP,
     )
 
@@ -254,6 +381,8 @@ def _load_stops() -> dict[str, frozenset]:
         "french": frozenset(FRENCH_STOP),
         "german": frozenset(GERMAN_STOP),
         "spanish": frozenset(SPANISH_STOP),
+        "italian": frozenset(ITALIAN_STOP),
+        "portuguese": frozenset(PORTUGUESE_STOP),
     }
 
 
@@ -266,6 +395,8 @@ def _light_analyze_flat(content: pd.Series, lang: str):
         "french": french_light_stem,
         "german": german_light_stem,
         "spanish": spanish_light_stem,
+        "italian": italian_light_stem,
+        "portuguese": portuguese_light_stem,
     }[lang]
 
     doc_idx_parts, term_parts, pos_parts = [], [], []
@@ -276,6 +407,8 @@ def _light_analyze_flat(content: pd.Series, lang: str):
             t = tok.lower()
             if lang == "french":
                 t = french_elision(t)
+            elif lang == "italian":
+                t = italian_elision(t)
             if not t or t in stops:
                 continue
             terms.append(t)
@@ -309,3 +442,11 @@ def german_analyze_batch_flat(content: pd.Series):
 
 def spanish_analyze_batch_flat(content: pd.Series):
     return _light_analyze_flat(content, "spanish")
+
+
+def italian_analyze_batch_flat(content: pd.Series):
+    return _light_analyze_flat(content, "italian")
+
+
+def portuguese_analyze_batch_flat(content: pd.Series):
+    return _light_analyze_flat(content, "portuguese")

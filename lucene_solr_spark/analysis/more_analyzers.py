@@ -156,4 +156,6 @@ NAMED_ANALYZERS = {
     "french": _lazy_light("french"),
     "german": _lazy_light("german"),
     "spanish": _lazy_light("spanish"),
+    "italian": _lazy_light("italian"),
+    "portuguese": _lazy_light("portuguese"),
 }

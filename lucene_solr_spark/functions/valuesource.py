@@ -21,11 +21,12 @@ between timestamps), ord/rord(1: ordinal in the sorted value dictionary
 — the dictionary is collected like the reference's per-segment terms
 dict; needs df context), maxdoc()/numdocs()/totaltermfreq(2)/
 sumtotaltermfreq(1) (need index-tables context via ``tables=``).
+geohash(2: encode lat/lon → 12-char cell), ghhsin(3: haversine between
+two geohash cell centers on a given-radius sphere).
 termfreq/docfreq/idf/norm live in the searcher layer (per-doc index
 state).  Out of scope (documented): currency (needs exchange-rate
-provider), geohash (geohash grid not part of the engine), joindf,
-childfield (block-join internal); agg_* are the facet aggregates
-(facet_metrics / facet_hll gates).
+provider), joindf, childfield (block-join internal); agg_* are the
+facet aggregates (facet_metrics / facet_hll gates).
 """
 
 from __future__ import annotations
@@ -50,6 +51,100 @@ def geodist_km(lat1, lon1, lat2, lon2) -> Column:
         + F.cos(rlat1) * F.cos(rlat2) * F.sin(dlon / 2) * F.sin(dlon / 2)
     )
     return F.lit(2.0 * EARTH_RADIUS_KM) * F.asin(F.sqrt(a))
+
+
+# Geohash (GeohashFunction.java / GeohashHaversineFunction.java via
+# spatial4j GeohashUtils — the public geohash spec: base-32 alphabet,
+# lon-first bit interleave, 12-char default precision).  Both encode
+# and decode are pure column expressions: the bisection loop of the
+# textbook encoder is equivalent to taking the top 30 bits of the
+# scaled offset ((lat+90)/180 · 2^30), so the whole thing unrolls into
+# static bit arithmetic that whole-stage codegen compiles — no UDF.
+GEOHASH_ALPHABET = "0123456789bcdefghjkmnpqrstuvwxyz"
+GEOHASH_PRECISION = 12  # spatial4j GeohashUtils default for encodeLatLon
+
+
+def geohash_encode(lat, lon) -> Column:
+    """geohash(lat, lon) → 12-char geohash string."""
+    two30 = float(1 << 30)
+    lat_code = F.least(
+        F.floor((lat + F.lit(90.0)) / F.lit(180.0) * two30).cast("long"),
+        F.lit((1 << 30) - 1),
+    )
+    lon_code = F.least(
+        F.floor((lon + F.lit(180.0)) / F.lit(360.0) * two30).cast("long"),
+        F.lit((1 << 30) - 1),
+    )
+    alpha = F.array(*[F.lit(c) for c in GEOHASH_ALPHABET])
+    chars = []
+    # 12 chars × 5 bits; even bit positions (MSB-first) come from lon
+    for ci in range(GEOHASH_PRECISION):
+        digit = F.lit(0).cast("long")
+        for bi in range(5):
+            pos = ci * 5 + bi  # global bit position, 0 = MSB
+            src, idx = (lon_code, pos // 2) if pos % 2 == 0 else (lat_code, pos // 2)
+            bit = F.shiftright(src, 29 - idx).bitwiseAND(F.lit(1))
+            digit = digit + F.shiftleft(bit, 4 - bi)
+        chars.append(F.element_at(alpha, (digit + 1).cast("int")))
+    return F.concat(*chars)
+
+
+def _geohash_decode(gh) -> tuple[Column, Column]:
+    """Geohash string → (lat, lon) cell-center, any length ≤ 12
+    (GeohashUtils.decode returns the cell midpoint).
+
+    Flat closed form, NOT a fold: with L chars the global bit at
+    position p (0 = MSB) carries weight 2^(bits_axis − 1 − ⌊p/2⌋) on
+    its axis, so the code value is a SUM of independent per-bit terms.
+    (A when(...)-chained accumulator would reference itself twice per
+    bit — a 2^60-node expression tree; this form is linear and
+    codegen-friendly.)"""
+    alpha = F.array(*[F.lit(c) for c in GEOHASH_ALPHABET])
+    nbits = F.length(gh).cast("int") * 5
+    lon_bits = ((nbits + 1) / 2).cast("int")  # even positions, lon first
+    lat_bits = (nbits / 2).cast("int")
+    lat_val: Column = F.lit(0.0)
+    lon_val: Column = F.lit(0.0)
+    for ci in range(GEOHASH_PRECISION):
+        has = F.length(gh) > ci
+        # array_position is 1-based (0 = absent); alphabet chars are
+        # unique so value = pos − 1
+        digit = (
+            F.array_position(alpha, F.substring(gh, ci + 1, 1)) - 1
+        ).cast("long")
+        for bi in range(5):
+            pos = ci * 5 + bi
+            bit = F.when(
+                has, F.shiftright(digit, 4 - bi).bitwiseAND(F.lit(1))
+            ).otherwise(F.lit(0))
+            axis_idx = pos // 2  # 0-based bit index on its axis, MSB first
+            if pos % 2 == 0:
+                w = F.pow(F.lit(2.0), (lon_bits - 1 - axis_idx).cast("double"))
+                lon_val = lon_val + bit.cast("double") * w
+            else:
+                w = F.pow(F.lit(2.0), (lat_bits - 1 - axis_idx).cast("double"))
+                lat_val = lat_val + bit.cast("double") * w
+    lat = F.lit(-90.0) + F.lit(180.0) * (lat_val + 0.5) / F.pow(
+        F.lit(2.0), lat_bits.cast("double")
+    )
+    lon = F.lit(-180.0) + F.lit(360.0) * (lon_val + 0.5) / F.pow(
+        F.lit(2.0), lon_bits.cast("double")
+    )
+    return lat, lon
+
+
+def ghhsin_dist(radius, gh1, gh2) -> Column:
+    """ghhsin(radius, gh1, gh2): haversine between two geohash cell
+    centers on a sphere of ``radius`` (GeohashHaversineFunction.java:
+    decode both, DistanceUtils.distHaversineRAD · radius)."""
+    lat1, lon1 = _geohash_decode(gh1)
+    lat2, lon2 = _geohash_decode(gh2)
+    rlat1, rlat2 = F.radians(lat1), F.radians(lat2)
+    h = (
+        F.sin((rlat2 - rlat1) / 2) ** 2
+        + F.cos(rlat1) * F.cos(rlat2) * F.sin((F.radians(lon2) - F.radians(lon1)) / 2) ** 2
+    )
+    return 2 * radius * F.asin(F.sqrt(h))
 
 
 def strdist_edit(a, b) -> Column:
@@ -293,6 +388,12 @@ class _Parser:
                 + F.cos(rx1) * F.cos(rx2) * F.sin((ry2 - ry1) / 2) ** 2
             )
             return 2 * radius * F.asin(F.sqrt(h))
+        if n == "geohash":
+            # GeohashFunction: encode(lat, lon) at the default precision
+            return geohash_encode(a[0], a[1])
+        if n == "ghhsin":
+            # GeohashHaversineFunction: ghhsin(radius, gh1, gh2)
+            return ghhsin_dist(a[0], a[1], a[2])
         if n == "strdist":
             return strdist_edit(a[0], a[1])
         if n == "ms":

@@ -53,11 +53,17 @@ field (our Term analog carries the field via the wrapper).
   traversal over doc-values edges (GraphQParserPlugin)
 - ``{!mlt maxqt}docid``     → interesting-terms boolean (MLTQParserPlugin)
 
+- ``{!xmlparser}<BooleanQuery>…`` → CoreParser XML element vocabulary
+  (queries/xmlparser.py; XmlQParserPlugin.java)
+- ``{!maxscore tie=}``     → lucene parse with top-level SHOULD
+  clauses folded into DisjunctionMax (MaxScoreQParser.java)
+
 Not routed here (already first-class elsewhere, as the SURVEY table
 maps them): collapse → grouping_collapse, rerank → queries/rerank.py,
 parent/child block join → the block-join operator (q_block_join),
-xmlparser → out of scope (XML syntax tree for the same spans/boolean
-surface parsed here).
+payload_score / payload_check → queries/payloads.py (they query the
+payload postings table, a different index surface than this
+dispatcher's searcher).
 """
 
 from __future__ import annotations
@@ -308,6 +314,39 @@ class SolrQueryDispatcher:
                     "default"
                 )
             return self.parse(target)
+        if ptype == "maxscore":
+            # MaxScoreQParser.java:56-89: parse exactly like lucene,
+            # then pull the top-level SHOULD clauses into one
+            # DisjunctionMaxQuery(tie) SHOULD clause; MUST/MUST_NOT/
+            # FILTER clauses pass through unchanged.
+            from .query import DisjunctionMaxQuery
+
+            q = parse_query(one("v", rest) or "")
+            if not isinstance(q, BooleanQuery):
+                return q
+            tie = float(one("tie", "0") or 0)
+            should = [c.query for c in q.clauses if c.occur == Occur.SHOULD]
+            rest_clauses = [c for c in q.clauses if c.occur != Occur.SHOULD]
+            if should:
+                rest_clauses.append(
+                    BooleanClause(
+                        Occur.SHOULD,
+                        DisjunctionMaxQuery(tuple(should), tie_breaker=tie),
+                    )
+                )
+            return BooleanQuery(
+                tuple(rest_clauses),
+                minimum_number_should_match=q.minimum_number_should_match,
+            )
+        if ptype == "xmlparser":
+            # XmlQParserPlugin.java → SolrCoreParser (CoreParser over
+            # the solr schema analyzers); the element vocabulary lives
+            # in queries/xmlparser.py
+            from .xmlparser import parse_xml_query
+
+            return parse_xml_query(
+                one("v", rest) or "", default_field=self.default_field
+            )
         if ptype == "surround":
             from .surround import parse_surround
 

@@ -73,6 +73,53 @@ def payload_postings(
     )
 
 
+def payload_check(
+    postings: DataFrame,
+    terms: list[str],
+    want_payloads: list[float],
+) -> DataFrame:
+    """SpanPayloadCheckQuery analog → (doc_id, spans).
+
+    Ref: lucene/queries/.../payloads/SpanPayloadCheckQuery.java (keep a
+    span match only when the payloads collected at its positions equal
+    the required list) surfaced in Solr as {!payload_check}
+    (PayloadCheckQParserPlugin.java: analyzed value terms + one payload
+    per term).
+
+    ``terms`` form a consecutive-position phrase; a span at start p
+    matches when term i sits at p+i with payload == want_payloads[i].
+    Plan shape: one term-filtered explode per clause (term pushdown on
+    the postings scan) equi-joined on (doc_id, aligned start) — the
+    standard distributed phrase join, never a per-doc loop."""
+    if len(terms) != len(want_payloads):
+        raise ValueError(
+            "payload_check needs exactly one payload per term "
+            f"({len(terms)} terms, {len(want_payloads)} payloads)"
+        )
+    if not terms:
+        raise ValueError("payload_check needs at least one term")
+    base: DataFrame | None = None
+    for i, (t, w) in enumerate(zip(terms, want_payloads)):
+        leg = (
+            postings.filter(F.col("term") == t)
+            .select(
+                "doc_id",
+                F.explode(
+                    F.arrays_zip(
+                        F.col("positions").alias("pos"),
+                        F.col("payloads").alias("payload"),
+                    )
+                ).alias("_pp"),
+            )
+            .filter(F.col("_pp.payload") == F.lit(float(w)))
+            .select("doc_id", (F.col("_pp.pos") - i).alias("_start"))
+        )
+        base = leg if base is None else base.join(leg, ["doc_id", "_start"])
+    return base.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("int").alias("spans")
+    )
+
+
 def payload_score(
     postings: DataFrame, term: str, func: str = "sum"
 ) -> DataFrame:

@@ -38,6 +38,21 @@ Supported functions (→ reference class):
 - ``fetch(table, stream, on=, fl=)``             → FetchStream
 - ``let(a=expr, …, body)`` / ``get(a)``          → LetStream/GetStream
 - ``echo("text")`` / ``tuple(k=v, …)``           → EchoStream/TupStream
+- ``null(stream)``                               → NullStream (drain the
+  stream, emit one ``nullCount`` tuple; the reference also emits a
+  wall-clock ``timer`` — deliberately omitted so results stay
+  deterministic / engine-comparable)
+- ``list(s1, s2, …)`` / ``plist(…)``             → ListStream/
+  ParallelListStream (concatenate streams; relationally both are a
+  union — the reference's sequential-vs-parallel *open* distinction is
+  scheduling, which Spark owns, so plist is the same plan)
+- ``eval(stream)``                               → EvalStream (read the
+  first tuple, parse its ``expr_s`` field as a stream expression,
+  emit THAT stream)
+- ``daemon(stream, id=, runInterval=)``          → DaemonStream (one
+  batch iteration of the inner stream; recurring execution is the
+  host's trigger loop — see streaming/topic.py for the incremental
+  cursor the reference's daemon+topic pairing uses)
 
 Metric names follow the reference's tuple keys exactly: ``sum(x)``,
 ``count(*)``, ``avg(x)``, ``min(x)``, ``max(x)`` (RollupStream emits
@@ -503,3 +518,56 @@ class StreamFactory:
         if name not in self._lets:
             raise ValueError(f"get({name!r}): no such let binding")
         return self._lets[name]
+
+    # --------------------------------------------------------- plumbing
+    def _h_null(self, n: StreamExpr) -> DataFrame:
+        """NullStream (io/stream/NullStream.java): drain the inner
+        stream and emit a single tuple with the tuple count.  The
+        reference emits ``nullCount`` + ``timer``; ``timer`` is
+        wall-clock and therefore omitted (kept deterministic).  The
+        drain is a distributed count — never a collect."""
+        src = self._eval(n.args[0])
+        return src.agg(F.count(F.lit(1)).alias("nullCount"))
+
+    def _h_list(self, n: StreamExpr) -> DataFrame:
+        """ListStream (io/stream/ListStream.java): emit each inner
+        stream's tuples in stream order.  Relationally a union with
+        missing columns null-filled (the reference's tuples are
+        schemaless maps); arg order is preserved per-partition, and
+        callers that need a total order sort downstream as in the
+        reference's own examples."""
+        streams = [self._eval(a) for a in n.args if isinstance(a, StreamExpr)]
+        if not streams:
+            raise ValueError("list() needs at least one stream")
+        out = streams[0]
+        for s in streams[1:]:
+            out = out.unionByName(s, allowMissingColumns=True)
+        return out
+
+    # ParallelListStream opens its inner streams concurrently; the plan
+    # is identical — concurrency of *execution* is Spark's scheduler's
+    # job, which runs union legs in parallel anyway.
+    _h_plist = _h_list
+
+    def _h_eval(self, n: StreamExpr) -> DataFrame:
+        """EvalStream (io/stream/EvalStream.java): read the FIRST tuple
+        of the inner stream, parse its ``expr_s`` field as a stream
+        expression, and emit that stream.  The one-tuple read is
+        driver-side by contract (the reference reads exactly one tuple
+        too)."""
+        src = self._eval(n.args[0])
+        if "expr_s" not in src.columns:
+            raise ValueError("eval(): inner stream has no expr_s field")
+        first = src.select("expr_s").head()
+        if first is None or first["expr_s"] is None:
+            raise ValueError("eval(): inner stream has no expr_s tuple")
+        return self.df(first["expr_s"])
+
+    def _h_daemon(self, n: StreamExpr) -> DataFrame:
+        """DaemonStream (io/stream/DaemonStream.java): one iteration of
+        the wrapped stream.  The reference's run-loop (id, runInterval,
+        queue) is scheduling, owned here by the host's trigger —
+        Structured Streaming or a cron over TopicCursor
+        (streaming/topic.py) for the daemon+topic incremental pattern."""
+        inner = next(a for a in n.args if isinstance(a, StreamExpr))
+        return self._eval(inner)

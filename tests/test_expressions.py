@@ -164,3 +164,36 @@ def test_unknown_function_raises(factory):
         factory.df("bogus(search(people))")
     with pytest.raises(ValueError, match="needs a text searcher"):
         factory.df('search(people, q="name:ada")')
+
+
+def test_null_list_plist(factory):
+    # null() drains and counts — one tuple, no timer field (deterministic)
+    out = factory.df("null(search(people))").collect()
+    assert len(out) == 1 and out[0]["nullCount"] == 4
+    # list() concatenates; missing columns null-fill
+    rows = factory.df(
+        'list(search(people, fl="id,name"), search(depts))'
+    ).collect()
+    assert len(rows) == 7
+    # people rows have no dept_id (null-filled); depts rows have no id
+    assert sum(r["dept_id"] is None for r in rows) == 4
+    assert sum(r["id"] is None for r in rows) == 3
+    # plist is the same plan
+    assert factory.df("plist(search(people), search(people))").count() == 8
+    with pytest.raises(ValueError, match="at least one"):
+        factory.df("list()")
+
+
+def test_eval_stream(factory):
+    expr = 'eval(tuple(expr_s="sort(search(people, fl=\'id\'), by=\'id desc\')"))'
+    rows = factory.df(expr).collect()
+    assert [r["id"] for r in rows] == [4, 3, 2, 1]
+    with pytest.raises(ValueError, match="expr_s"):
+        factory.df('eval(tuple(other="x"))')
+
+
+def test_daemon_stream(factory):
+    rows = factory.df(
+        'daemon(search(people, fl="id"), id="d1", runInterval="1000")'
+    ).collect()
+    assert len(rows) == 4

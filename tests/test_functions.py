@@ -311,3 +311,44 @@ def test_video_frame_sampling(spark):
     pdf = frames.toPandas()
     assert (pdf.groupby("media_id").size() >= 3).all()
     assert (pdf["frame_ts"] % 500 == 0).all()
+
+
+def test_lexicon_hits_equals_filter_semantics(spark):
+    """The regexp_count rewrite of stopword counting must equal the
+    original split+filter token-equality semantics exactly (the gate
+    oracles encode the latter)."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from lucene_solr_spark.functions.textstats import (
+        LANG_LEXICONS,
+        _lexicon_hits,
+    )
+
+    rng = random.Random(7)
+    vocab = (
+        [w for lex in LANG_LEXICONS.values() for w in lex]
+        + ["spark", "x", "thee", "a.", "the,", "und!", "", " ", "\tthe", "a\r"]
+    )
+    texts = []
+    for _ in range(300):
+        n = rng.randint(0, 12)
+        sep = lambda: " " * rng.randint(1, 3)  # noqa: E731
+        texts.append(sep().join(rng.choice(vocab) for _ in range(n)))
+    texts += ["", " ", "the", " the ", "the the", "a  a   a", "la\nde"]
+    d = spark.createDataFrame([(t,) for t in texts], ["text"])
+    norm = F.lower(F.trim(F.col("text")))
+    words = F.split(norm, " +")
+    def _old(lex):
+        # closure factory: a 2-arg lambda would receive (element, index)
+        return F.size(F.filter(words, lambda w: w.isin(lex)))
+
+    cols = {}
+    for lang, lex in LANG_LEXICONS.items():
+        cols[f"new_{lang}"] = _lexicon_hits(norm, lex)
+        cols[f"old_{lang}"] = _old(lex)
+    rows = d.select([v.alias(k) for k, v in cols.items()]).collect()
+    for r in rows:
+        for lang in LANG_LEXICONS:
+            assert r[f"new_{lang}"] == r[f"old_{lang}"], (lang, dict(r.asDict()))

@@ -18,6 +18,9 @@ from lucene_solr_spark.analysis.light_stemmers import (
     french_elision,
     french_light_stem,
     german_light_stem,
+    italian_elision,
+    italian_light_stem,
+    portuguese_light_stem,
     spanish_light_stem,
 )
 
@@ -30,6 +33,8 @@ FIX = Path(__file__).parent.parent / "fixtures" / "stemmer_goldens"
         ("fr_light.tsv", french_light_stem),
         ("de_light.tsv", german_light_stem),
         ("es_light.tsv", spanish_light_stem),
+        ("it_light.tsv", italian_light_stem),
+        ("pt_light.tsv", portuguese_light_stem),
     ],
 )
 def test_light_stemmer_goldens(fname, stem):
@@ -65,3 +70,34 @@ def test_light_analyzer_chain(spark):
     # les/et are snowball stops; chevaux→cheval, l'avion→avion,
     # chantés→chant (reference goldens)
     assert terms == {"cheval", "avion", "chant"}
+
+
+def test_italian_elision():
+    assert italian_elision("l'aereo") == "aereo"
+    assert italian_elision("dell'arte") == "arte"
+    assert italian_elision("un'idea") == "idea"  # "un" is in the article set
+    assert italian_elision("po'") == "po'"  # no article head
+    assert italian_elision("aereo") == "aereo"
+
+
+def test_it_pt_analyzer_chains(spark):
+    from lucene_solr_spark.index import build_tables
+
+    df = spark.createDataFrame(
+        [(0, "le automobili e l'aereo cantato")], ["doc_id", "text"]
+    )
+    t = build_tables(df, id_col="doc_id", text_col="text", analyzer="italian")
+    terms = {r["term"] for r in t.postings.select("term").collect()}
+    # le/e are snowball stops; automobili→automobil, l'aereo→aereo,
+    # cantato→cantat (reference goldens)
+    assert terms == {"automobil", "aereo", "cantat"}
+
+    df = spark.createDataFrame(
+        [(0, "as canções dos animais cantadas")], ["doc_id", "text"]
+    )
+    t = build_tables(df, id_col="doc_id", text_col="text", analyzer="portuguese")
+    terms = {r["term"] for r in t.postings.select("term").collect()}
+    # as/dos are snowball stops; canções→canca (plural rewrite, then
+    # final-vowel strip + accent fold), animais→animal, cantadas→cantad
+    # (reference goldens)
+    assert terms == {"canca", "animal", "cantad"}

@@ -377,3 +377,20 @@ def test_mlt_qparser(spark, corpus):
     # doc 0 = "spark index merge": docs sharing any interesting term,
     # source excluded
     assert 0 not in got and got and got <= {1, 2, 3}
+
+
+def test_maxscore_parser():
+    """{!maxscore}: SHOULD clauses → one DisjunctionMax SHOULD clause,
+    MUST/MUST_NOT pass through (MaxScoreQParser.java:56-89)."""
+    from lucene_solr_spark.queries.query import DisjunctionMaxQuery
+
+    d = _dispatcher()
+    q = d.parse("{!maxscore tie=0.3}+spark merge sort -probe")
+    assert isinstance(q, BooleanQuery)
+    occs = [c.occur for c in q.clauses]
+    assert occs.count(Occur.SHOULD) == 1
+    dm = next(c.query for c in q.clauses if c.occur == Occur.SHOULD)
+    assert isinstance(dm, DisjunctionMaxQuery) and dm.tie_breaker == 0.3
+    assert {getattr(x, "term", None) for x in dm.disjuncts} == {"merge", "sort"}
+    # non-boolean passthrough
+    assert d.parse("{!maxscore}spark") == TermQuery("spark")

@@ -70,3 +70,33 @@ def test_offsets_postings_and_highlight(spark):
     assert len(hl) == 1
     assert hl[0]["snippet"] == "spark engine"
     assert hl[0]["first_start"] == 4
+
+
+def test_payload_check(spark):
+    from lucene_solr_spark.queries.payloads import payload_check
+
+    df = spark.createDataFrame(
+        [
+            (1, "big|2 data|3 big|2 deal|3"),
+            (2, "big|2 data|1"),
+            (3, "big|9 data|3"),
+            (4, "data|3 big|2"),
+        ],
+        ["doc_id", "text"],
+    )
+    posts = payload_postings(df)
+    # phrase "big data" with payloads [2, 3]: doc 1 only (doc 2 wrong
+    # payload, doc 3 wrong first payload, doc 4 wrong order)
+    got = {
+        r["doc_id"]: r["spans"]
+        for r in payload_check(posts, ["big", "data"], [2.0, 3.0]).collect()
+    }
+    assert got == {1: 1}
+    # single-term check: payload equality at any position
+    got = {
+        r["doc_id"]: r["spans"]
+        for r in payload_check(posts, ["big"], [2.0]).collect()
+    }
+    assert got == {1: 2, 2: 1, 4: 1}
+    with pytest.raises(ValueError, match="one payload per term"):
+        payload_check(posts, ["big"], [1.0, 2.0])

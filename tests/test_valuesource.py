@@ -4,6 +4,7 @@
 import math
 
 import pytest
+from pyspark.sql import functions as F
 
 from lucene_solr_spark.functions.valuesource import parse_function_query
 
@@ -161,3 +162,77 @@ def test_parse_errors(spark):
         parse_function_query("sum(1, 2")
     with pytest.raises(ValueError):
         parse_function_query("sum(1) trailing")
+
+
+# ---------------------------------------------------------------- geohash
+
+def _geohash_py(lat, lon, precision=12):
+    """Independent textbook bisection encoder (the spatial4j
+    GeohashUtils.encodeLatLon algorithm) for cross-checking the
+    column-expression implementation."""
+    alpha = "0123456789bcdefghjkmnpqrstuvwxyz"
+    lat_lo, lat_hi, lon_lo, lon_hi = -90.0, 90.0, -180.0, 180.0
+    bits, out, even = 0, [], True
+    ch = 0
+    while len(out) < precision:
+        if even:
+            mid = (lon_lo + lon_hi) / 2
+            if lon >= mid:
+                ch = (ch << 1) | 1
+                lon_lo = mid
+            else:
+                ch <<= 1
+                lon_hi = mid
+        else:
+            mid = (lat_lo + lat_hi) / 2
+            if lat >= mid:
+                ch = (ch << 1) | 1
+                lat_lo = mid
+            else:
+                ch <<= 1
+                lat_hi = mid
+        even = not even
+        bits += 1
+        if bits == 5:
+            out.append(alpha[ch])
+            bits, ch = 0, 0
+    return "".join(out)
+
+
+def test_geohash_encode_matches_reference_spec(spark):
+    import random
+
+    rng = random.Random(42)
+    pts = [(rng.uniform(-90, 90), rng.uniform(-180, 180)) for _ in range(50)]
+    pts += [(0.0, 0.0), (90.0, 180.0), (-90.0, -180.0), (57.64911, 10.40744)]
+    d = spark.createDataFrame(pts, ["lat", "lon"])
+    from lucene_solr_spark.functions.valuesource import geohash_encode
+
+    rows = d.select("lat", "lon", geohash_encode(F.col("lat"), F.col("lon")).alias("gh")).collect()
+    for r in rows:
+        assert r["gh"] == _geohash_py(r["lat"], r["lon"]), (r["lat"], r["lon"])
+    # the canonical published example (wikipedia): u4pruydqqvj8
+    assert _geohash_py(57.64911, 10.40744) == "u4pruydqqvj8"
+
+
+def test_ghhsin_decode_roundtrip(spark):
+    # ghhsin between a geohash and itself is 0; between two cells equals
+    # haversine of the decoded centers (checked against geodist of the
+    # original points within cell-size tolerance)
+    km = 6371.0087714
+    v = _one(
+        spark,
+        f'ghhsin({km}, geohash(lat, lon), geohash(lat, lon))',
+        lat=32.0,
+        lon=-79.0,
+    )
+    assert v == pytest.approx(0.0, abs=1e-9)
+    v = _one(
+        spark,
+        f"ghhsin({km}, geohash(32, -79), geohash(33, -80))",
+    )
+    want = _one(spark, "geodist(32, -79, 33, -80)")
+    assert v == pytest.approx(want, abs=0.01)  # 12-char cells are ~cm
+    # shorter (literal) geohash strings decode at their own precision
+    v = _one(spark, f'ghhsin({km}, "u4pruydqqvj8", "u4pruydqqvj8")')
+    assert v == pytest.approx(0.0, abs=1e-9)
