@@ -2493,6 +2493,137 @@ def q_null_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _block_doc_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents + the nested-doc block model for the block-join gates:
+    blocks of 4 consecutive docIDs, the LAST doc of each block is the
+    parent (Lucene's positional block layout), every doc carries its
+    block root in ``_root_`` (Solr's _root_ field — the relational
+    form of the consecutive-docID block)."""
+    d = _table(spark, sf_dir, "documents")
+    root = (F.col("doc_id") - F.col("doc_id") % 4 + F.lit(3)).cast("long")
+    return d.withColumn("_root_", root).withColumn(
+        "kind", F.when(F.col("doc_id") % 4 == 3, "p").otherwise("c")
+    )
+
+
+def q_parent_qparser(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """{!parent which= score=max} block join to parents
+    (search/join/BlockJoinParentQParser.java → lucene/join/
+    ToParentBlockJoinQuery.java, ScoreMode.Max): parents whose block
+    holds a child matching the BM25 child query; parent score = max
+    child score.  Executed as child-match → root shuffle → groupBy-max
+    → semi-join the which-parents set."""
+    from lucene_solr_spark.queries.local_params import SolrQueryDispatcher
+
+    s = _searcher(spark, sf_dir)
+    d = _block_doc_values(spark, sf_dir)
+    disp = SolrQueryDispatcher(s, d)
+    out = disp.docs("{!parent which='{!term f=kind v=p}' score=max}vector")
+    return _scored(out).orderBy("doc_id")
+
+
+def q_child_qparser(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """{!child of=} block join to children (BlockJoinChildQParser.java →
+    ToChildBlockJoinQuery.java): every non-parent doc whose block parent
+    matches the BM25 parent query, child score = the parent's score
+    (ChildScorer.score() returns parentScore)."""
+    from lucene_solr_spark.queries.local_params import SolrQueryDispatcher
+
+    s = _searcher(spark, sf_dir)
+    d = _block_doc_values(spark, sf_dir)
+    disp = SolrQueryDispatcher(s, d)
+    out = disp.docs("{!child of='{!term f=kind v=p}'}hash")
+    return _scored(out).orderBy("doc_id")
+
+
+def q_facet_block_children(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON facet domain change ``domain: {blockChildren: ...}``
+    (search/facet/FacetRequest.java:86-99): facet ``lang`` over the
+    CHILDREN of the parents matched by the main query."""
+    from lucene_solr_spark.queries.facets import (
+        facet_field_over,
+        to_children_domain,
+    )
+
+    s = _searcher(spark, sf_dir)
+    d = _block_doc_values(spark, sf_dir)
+    parents = d.filter(F.col("kind") == "p").select("doc_id")
+    dom = s._match(TermQuery("vector")).select("doc_id")
+    child_dom = to_children_domain(dom, d, parents)
+    return facet_field_over(child_dom, d, "lang", top_n=10)
+
+
+def q_facet_block_parent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON facet domain change ``domain: {blockParent: ...}``: facet
+    ``lang`` over the PARENTS of the child docs matched by the main
+    query."""
+    from lucene_solr_spark.queries.facets import (
+        facet_field_over,
+        to_parent_domain,
+    )
+
+    s = _searcher(spark, sf_dir)
+    d = _block_doc_values(spark, sf_dir)
+    parents = d.filter(F.col("kind") == "p").select("doc_id")
+    dom = (
+        s._match(TermQuery("vector"))
+        .select("doc_id")
+        .join(parents, "doc_id", "left_anti")
+    )
+    par_dom = to_parent_domain(dom, d, parents)
+    return facet_field_over(par_dom, d, "lang", top_n=10)
+
+
+def _payload_dispatcher(spark: SparkSession, sf_dir: str):
+    """Dispatcher over deterministic payload postings: every token of
+    ``documents.text`` annotated 'word|payload' with payload =
+    1 + position % 3 (DelimitedPayloadTokenFilter input shape), then
+    indexed by payload_postings()."""
+    from lucene_solr_spark.queries.local_params import SolrQueryDispatcher
+    from lucene_solr_spark.queries.payloads import payload_postings
+
+    d = _table(spark, sf_dir, "documents")
+    annotated = d.select(
+        "doc_id",
+        F.array_join(
+            F.transform(
+                F.split(F.col("text"), " "),
+                lambda w, i: F.concat(
+                    w, F.lit("|"), (F.lit(1) + i % 3).cast("string")
+                ),
+            ),
+            " ",
+        ).alias("text"),
+    )
+    pp = payload_postings(annotated)
+    return SolrQueryDispatcher(None, d, payload_postings=pp)
+
+
+def q_payload_score_qparser(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """{!payload_score func=max} (PayloadScoreQParserPlugin.java →
+    queries/payloads/PayloadScoreQuery.java, includeSpanScore=false):
+    score = max payload over the term's matched positions."""
+    disp = _payload_dispatcher(spark, sf_dir)
+    return (
+        disp.docs("{!payload_score func=max}vector")
+        .select("doc_id", F.col("score").cast("double").alias("score"))
+        .orderBy("doc_id")
+    )
+
+
+def q_payload_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """{!payload_check payloads='1 2'} (PayloadCheckQParserPlugin.java →
+    SpanPayloadCheckQuery.java): consecutive-position phrase kept only
+    where the span's per-position payloads equal the required list —
+    constant score filter semantics."""
+    disp = _payload_dispatcher(spark, sf_dir)
+    return (
+        disp.docs("{!payload_check payloads='1 2'}spark window")
+        .select("doc_id", F.col("score").cast("double").alias("score"))
+        .orderBy("doc_id")
+    )
+
+
 # --------------------------------------------------------------------------
 # the three driver hooks
 # --------------------------------------------------------------------------
@@ -2534,13 +2665,16 @@ _GATE_WINDOW = [
     "ib_similarity", "axiomatic_f2exp", "boolean_similarity",
     "html_analysis", "facet_exclude_tags", "expand_component",
     "spellcheck_collate", "french_analysis", "xml_query", "null_stream",
-    # re-gates: code paths changed this round (minhash_lsh/cosine_topk
-    # rotated out for the two new entries above — both unchanged since
-    # their r2 green rows and still oracle-replicated in tests/test_entry)
-    "wand_topk", "term_query_lucene", "classic_tfidf", "edismax",
-    "local_params", "join_qparser", "geofilt_query",
-    "stream_sessionize", "english_analyzer", "sloppy_phrase",
-    "unified_highlight",
+    "parent_qparser", "child_qparser", "facet_block_children",
+    "facet_block_parent", "payload_score_qparser", "payload_check",
+    # re-gates: code paths changed this round.  Rotated out for the new
+    # entries above (all green in r1/r2 and still oracle-replicated
+    # in-suite by tests/test_entry.py): minhash_lsh, cosine_topk,
+    # classic_tfidf, edismax, english_analyzer, sloppy_phrase,
+    # unified_highlight, geofilt_query.
+    "wand_topk", "term_query_lucene",
+    "local_params", "join_qparser",
+    "stream_sessionize",
 ]
 
 
@@ -2640,6 +2774,12 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_expression": q_stream_expression,
         "xml_query": q_xml_query,
         "null_stream": q_null_stream,
+        "parent_qparser": q_parent_qparser,
+        "child_qparser": q_child_qparser,
+        "facet_block_children": q_facet_block_children,
+        "facet_block_parent": q_facet_block_parent,
+        "payload_score_qparser": q_payload_score_qparser,
+        "payload_check": q_payload_check,
         "join_qparser": q_join_qparser,
         "geofilt_query": q_geofilt_query,
         "core_analyzers": q_core_analyzers,
@@ -2885,6 +3025,100 @@ WHERE s1.doc_id NOT IN (SELECT doc_id FROM ex)
 SELECT CAST(
   (SELECT count(*) FROM orders) + (SELECT count(*) FROM lineitem)
   AS BIGINT) AS nullCount
+"""
+
+    sqls["parent_qparser"] = f"""
+WITH {_IDX},
+s AS ({_bm25_sql("vector")}),
+childs AS (SELECT doc_id, score FROM s WHERE doc_id % 4 <> 3),
+grouped AS (
+  SELECT (doc_id - (doc_id % 4) + 3) AS doc_id, max(score) AS score
+  FROM childs GROUP BY 1
+)
+SELECT g.doc_id, ROUND(g.score, 4) AS score
+FROM grouped g
+JOIN (SELECT doc_id FROM documents WHERE doc_id % 4 = 3) p USING (doc_id)
+ORDER BY doc_id
+"""
+
+    sqls["child_qparser"] = f"""
+WITH {_IDX},
+s AS ({_bm25_sql("hash")}),
+phits AS (SELECT doc_id, score FROM s WHERE doc_id % 4 = 3)
+SELECT d.doc_id, ROUND(p.score, 4) AS score
+FROM documents d
+JOIN phits p ON (d.doc_id - (d.doc_id % 4) + 3) = p.doc_id
+WHERE d.doc_id % 4 <> 3
+ORDER BY d.doc_id
+"""
+
+    sqls["facet_block_children"] = """
+WITH hits AS (
+  SELECT DISTINCT doc_id FROM (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+  ) WHERE term = 'vector'
+),
+par_dom AS (SELECT doc_id FROM hits WHERE doc_id % 4 = 3)
+SELECT d.lang AS bucket, count(*) AS cnt
+FROM documents d
+JOIN par_dom p ON (d.doc_id - (d.doc_id % 4) + 3) = p.doc_id
+WHERE d.doc_id % 4 <> 3
+GROUP BY d.lang
+ORDER BY cnt DESC, bucket ASC
+LIMIT 10
+"""
+
+    sqls["facet_block_parent"] = """
+WITH hits AS (
+  SELECT DISTINCT doc_id FROM (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+  ) WHERE term = 'vector'
+),
+child_hits AS (SELECT doc_id FROM hits WHERE doc_id % 4 <> 3),
+roots AS (
+  SELECT DISTINCT (doc_id - (doc_id % 4) + 3) AS doc_id FROM child_hits
+),
+par_dom AS (
+  SELECT r.doc_id FROM roots r
+  JOIN documents d ON d.doc_id = r.doc_id AND d.doc_id % 4 = 3
+)
+SELECT d.lang AS bucket, count(*) AS cnt
+FROM documents d JOIN par_dom p USING (doc_id)
+GROUP BY d.lang
+ORDER BY cnt DESC, bucket ASC
+LIMIT 10
+"""
+
+    # payload gates: payload = 1 + position % 3 over ALL tokens of the
+    # space-split text (payload_postings numbers positions before any
+    # filtering, 0-based — same as DuckDB's range())
+    sqls["payload_score_qparser"] = """
+WITH toks AS (
+  SELECT doc_id,
+         unnest(string_split(text, ' ')) AS term,
+         unnest(range(len(string_split(text, ' ')))) AS pos
+  FROM documents
+)
+SELECT doc_id, CAST(max(1 + pos % 3) AS DOUBLE) AS score
+FROM toks WHERE term = 'vector'
+GROUP BY doc_id ORDER BY doc_id
+"""
+
+    sqls["payload_check"] = """
+WITH toks AS (
+  SELECT doc_id,
+         unnest(string_split(text, ' ')) AS term,
+         unnest(range(len(string_split(text, ' ')))) AS pos
+  FROM documents
+),
+t1 AS (SELECT doc_id, pos FROM toks WHERE term = 'spark' AND 1 + pos % 3 = 1),
+t2 AS (
+  SELECT doc_id, pos - 1 AS pos FROM toks
+  WHERE term = 'window' AND 1 + pos % 3 = 2
+)
+SELECT DISTINCT t1.doc_id, CAST(1.0 AS DOUBLE) AS score
+FROM t1 JOIN t2 USING (doc_id, pos)
+ORDER BY doc_id
 """
 
     sqls["boolean_filter"] = f"""

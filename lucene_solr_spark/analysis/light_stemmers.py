@@ -336,6 +336,315 @@ def portuguese_light_stem(w: str) -> str:
     return "".join(s).translate(_PT_FOLD)
 
 
+# --------------------------------------------------------------- Swedish
+def swedish_light_stem(w: str) -> str:
+    """SwedishLightStemmer.java:67-110 (Savoy CLEF-2003): possessive -s
+    strip, then one ordered suffix strip + final-letter strip."""
+    s = w
+    if len(s) > 4 and s[-1] == "s":
+        s = s[:-1]
+    n = len(s)
+    if n > 7 and s[-5:] in ("elser", "heten"):
+        return s[:-5]
+    if n > 6 and s[-4:] in (
+        "arne", "erna", "ande", "else", "aste", "orna", "aren"
+    ):
+        return s[:-4]
+    if n > 5 and s[-3:] in ("are", "ast", "het"):
+        return s[:-3]
+    if n > 4 and s[-2:] in ("ar", "er", "or", "en", "at", "te", "et"):
+        return s[:-2]
+    if n > 3 and s[-1] in "taen":
+        return s[:-1]
+    return s
+
+
+# -------------------------------------------------------------- Norwegian
+def norwegian_light_stem(w: str, nynorsk: bool = False) -> str:
+    """NorwegianLightStemmer.java:75-174 (BOKMAAL default, NYNORSK
+    optional): possessive -s strip, then the ordered common-ending
+    ladder (bokmål/nynorsk rows gated per flag)."""
+    bok, nyn = not nynorsk, nynorsk
+    s = w
+    if len(s) > 4 and s[-1] == "s":
+        s = s[:-1]
+    n = len(s)
+    if n > 7 and (
+        (bok and s[-5:] in ("heter", "heten")) or (nyn and s[-5:] == "heita")
+    ):
+        return s[:-5]
+    if n > 8 and nyn and s[-6:] in ("heiter", "leiken", "leikar"):
+        return s[:-6]
+    if n > 5 and (s[-3:] == "dom" or (bok and s[-3:] == "het")):
+        return s[:-3]
+    if n > 6 and nyn and s[-4:] in ("heit", "semd", "leik"):
+        return s[:-4]
+    if n > 7 and s[-5:] in ("elser", "elsen"):
+        return s[:-5]
+    if n > 6 and (
+        (bok and s[-4:] in ("ende", "este", "eren"))
+        or (nyn and s[-4:] in ("ande", "aste", "aren"))
+        or s[-4:] == "else"
+    ):
+        return s[:-4]
+    if n > 5 and (
+        (bok and s[-3:] in ("ere", "est"))
+        or (nyn and s[-3:] in ("are", "ast", "ane"))
+        or s[-3:] == "ene"
+    ):
+        return s[:-3]
+    if n > 4 and (
+        s[-2:] in ("er", "en", "et", "te")
+        or (nyn and s[-2:] == "ar")
+        or (bok and s[-2:] == "st")
+    ):
+        return s[:-2]
+    if n > 3 and s[-1] in "aen":
+        return s[:-1]
+    return s
+
+
+def norwegian_minimal_stem(w: str, nynorsk: bool = False) -> str:
+    """NorwegianMinimalStemmer.java:72-101: genitive -s, plural/definite
+    noun endings only."""
+    s = w
+    if len(s) > 4 and s[-1] == "s":
+        s = s[:-1]
+    n = len(s)
+    if n > 5 and (s[-3:] == "ene" or (nynorsk and s[-3:] == "ane")):
+        return s[:-3]
+    if n > 4 and (
+        s[-2:] in ("er", "en", "et") or (nynorsk and s[-2:] == "ar")
+    ):
+        return s[:-2]
+    if n > 3 and s[-1] in "ae":
+        return s[:-1]
+    return s
+
+
+# --------------------------------------------------------------- Russian
+_RU_3 = (
+    "иям", "иях", "оях", "ями", "оям", "оьв", "ами", "его", "ему", "ери",
+    "ими", "ого", "ому", "ыми", "оев",
+)
+_RU_2 = (
+    "ая", "яя", "ях", "юю", "ах", "ею", "их", "ия", "ию", "ьв", "ою",
+    "ую", "ям", "ых", "ея", "ам", "ем", "ей", "ём", "ев", "ий", "им",
+    "ое", "ой", "ом", "ов", "ые", "ый", "ым", "ми",
+)
+
+
+def russian_light_stem(w: str) -> str:
+    """RussianLightStemmer.java:57-127 (Savoy CLEF): case-ending strip
+    over Cyrillic, then the ь/и/нн normalization."""
+    s = w
+    n = len(s)
+    if n > 6 and s[-4:] in ("иями", "оями"):
+        s = s[:-4]
+    elif n > 5 and s[-3:] in _RU_3:
+        s = s[:-3]
+    elif n > 4 and s[-2:] in _RU_2:
+        s = s[:-2]
+    elif n > 3 and s[-1] in "аеиоуйыяь":
+        s = s[:-1]
+    n = len(s)
+    if n > 3:
+        if s[-1] in "ьи":
+            return s[:-1]
+        if s[-1] == "н" and s[-2] == "н":
+            return s[:-1]
+    return s
+
+
+# --------------------------------------------------------------- Finnish
+_FI_VOWELS = set("aeiouy")
+
+
+def finnish_light_stem(w: str) -> str:  # noqa: C901 — mirrors the reference's rule ladder
+    """FinnishLightStemmer.java:61-237 (Savoy CLEF-2003): ä/å/ö fold,
+    step1 (enclitic strip) → step2 → step3 (case endings) → norm1 →
+    norm2 (final-vowel + k/p/t gemination collapse)."""
+    if len(w) < 4:
+        return w
+    s = w.translate(str.maketrans("äåö", "aao"))
+
+    # step1: recursive -kin / -ko strip
+    while True:
+        n = len(s)
+        if n > 8 and s.endswith("kin"):
+            s = s[:-3]
+            continue
+        if n > 8 and s.endswith("ko"):
+            s = s[:-2]
+            continue
+        break
+    n = len(s)
+    if n > 11:
+        if s.endswith("dellinen"):
+            s = s[:-8]
+        elif s.endswith("dellisuus"):
+            s = s[:-9]
+
+    # step2
+    n = len(s)
+    if n > 5:
+        if s[-3:] in ("lla", "tse", "sti"):
+            s = s[:-3]
+        elif s.endswith("ni"):
+            s = s[:-2]
+        elif s.endswith("aa"):
+            s = s[:-1]
+
+    # step3
+    s = _fi_step3(s)
+    # norm1
+    n = len(s)
+    if n > 5 and s.endswith("hde"):
+        s = s[:-3] + "ksi"
+    n = len(s)
+    if n > 4 and (s.endswith("ei") or s.endswith("at")):
+        s = s[:-2]
+    elif n > 3 and s[-1] in "tsjeai":
+        s = s[:-1]
+    # norm2
+    if len(s) > 8 and s[-1] in "eou":
+        s = s[:-1]
+    if len(s) > 4:
+        if s[-1] == "i":
+            s = s[:-1]
+        if len(s) > 4:
+            # collapse doubled k/p/t anywhere in the buffer
+            out = [s[0]]
+            for ch in s[1:]:
+                if ch == out[-1] and ch in "kpt":
+                    continue
+                out.append(ch)
+            s = "".join(out)
+    return s
+
+
+def _fi_step3(s: str) -> str:  # noqa: C901
+    n = len(s)
+    if n > 8:
+        if s.endswith("nnen"):
+            return s[:-4] + "s"
+        if s.endswith("ntena"):
+            return s[:-5] + "s"
+        if s.endswith("tten"):
+            return s[:-4]
+        if s.endswith("eiden"):
+            return s[:-5]
+    if n > 6:
+        if s[-4:] in ("neen", "niin", "seen", "teen", "inen"):
+            return s[:-4]
+        if s[-3] == "h" and s[-2] in _FI_VOWELS and s[-1] == "n":
+            return s[:-3]
+        if s.endswith("den"):
+            return s[:-3] + "s"
+        if s.endswith("ksen"):
+            return s[:-4] + "s"
+        if s[-3:] in ("ssa", "sta", "lla", "lta", "tta", "ksi", "lle"):
+            return s[:-3]
+    if n > 5:
+        if s[-2:] in ("na", "ne"):
+            return s[:-2]
+        if s.endswith("nei"):
+            return s[:-3]
+    if n > 4:
+        if s[-2:] in ("ja", "ta"):
+            return s[:-2]
+        if s[-1] == "a":
+            return s[:-1]
+        if s[-1] == "n" and s[-2] in _FI_VOWELS:
+            return s[:-2]
+        if s[-1] == "n":
+            return s[:-1]
+    return s
+
+
+# -------------------------------------------------------------- Hungarian
+_HU_FOLD = str.maketrans("áëéíóőõöúűũûü", "a" "ee" "i" "oooo" "uuuuu")
+_HU_VOWELS = set("aeiouy")
+
+
+def _hu_remove_case(s: str) -> str:  # noqa: C901
+    n = len(s)
+    if n > 6 and s.endswith("kent"):
+        return s[:-4]
+    if n > 5:
+        if s[-3:] in (
+            "nak", "nek", "val", "vel", "ert", "rol", "ban", "ben",
+            "bol", "nal", "nel", "hoz", "hez", "tol",
+        ):
+            return s[:-3]
+        if s[-2:] in ("al", "el"):
+            if s[-3] not in _HU_VOWELS and s[-3] == s[-4]:
+                return s[:-3]
+    if n > 4:
+        if s[-2:] in (
+            "at", "et", "ot", "va", "ve", "ra", "re", "ba", "be",
+            "ul", "ig",
+        ):
+            return s[:-2]
+        if s[-2:] in ("on", "en") and s[-3] not in _HU_VOWELS:
+            return s[:-2]
+        if s[-1] in "tn":
+            return s[:-1]
+        if s[-1] in "ae" and s[-2] == s[-3] and s[-2] not in _HU_VOWELS:
+            return s[:-2]
+    return s
+
+
+def _hu_remove_possessive(s: str) -> str:  # noqa: C901
+    n = len(s)
+    if n > 6:
+        if s[-5] not in _HU_VOWELS and s[-4:] in ("atok", "otok", "etek"):
+            return s[:-4]
+        if s[-4:] in ("itek", "itok"):
+            return s[:-4]
+    if n > 5:
+        if s[-4] not in _HU_VOWELS and s[-3:] in ("unk", "tok", "tek"):
+            return s[:-3]
+        if s[-4] in _HU_VOWELS and s[-3:] == "juk":
+            return s[:-3]
+        if s[-3:] == "ink":
+            return s[:-3]
+    if n > 4:
+        if s[-3] not in _HU_VOWELS and s[-2:] in (
+            "am", "em", "om", "ad", "ed", "od", "uk"
+        ):
+            return s[:-2]
+        if s[-3] in _HU_VOWELS and s[-2:] in ("nk", "ja", "je"):
+            return s[:-2]
+        if s[-2:] in ("im", "id", "ik"):
+            return s[:-2]
+    if n > 3:
+        if s[-1] in "ae" and s[-2] not in _HU_VOWELS:
+            return s[:-1]
+        if s[-1] in "md" and s[-2] in _HU_VOWELS:
+            return s[:-1]
+        if s[-1] == "i":
+            return s[:-1]
+    return s
+
+
+def hungarian_light_stem(w: str) -> str:
+    """HungarianLightStemmer.java:61-214 (Savoy CLEF-2004): accent fold
+    → removeCase → removePossessive → removePlural → normalize."""
+    s = w.translate(_HU_FOLD)
+    s = _hu_remove_case(s)
+    s = _hu_remove_possessive(s)
+    # removePlural (intentional fallthrough: a/o/e at len>4 drops two,
+    # anything else — including a/o/e at len==4 — drops the k alone)
+    n = len(s)
+    if n > 3 and s[-1] == "k":
+        s = s[:-2] if (s[-2] in "aoe" and n > 4) else s[:-1]
+    # normalize
+    if len(s) > 3 and s[-1] in "aeio":
+        s = s[:-1]
+    return s
+
+
 # ----------------------------------------------------- analyzer chains
 # FrenchAnalyzer.DEFAULT_ARTICLES (analysis/fr/FrenchAnalyzer.java:68-72)
 _FR_ARTICLES = ("l", "m", "t", "qu", "n", "s", "j")

@@ -39,6 +39,66 @@ def facet_domain(
     return dom
 
 
+def to_parent_domain(
+    domain: DataFrame,
+    doc_values: DataFrame,
+    parents: DataFrame,
+    root_field: str = "_root_",
+) -> DataFrame:
+    """JSON facet ``domain: {blockParent: "<allParents>"}`` —
+    FacetRequest.java:86-99 domain changes: map a child-doc domain to
+    the set of their block parents.  ``parents`` is the all-parents
+    DocSet (doc_id); blocks are keyed by the ``root_field`` doc-values
+    column (Solr's ``_root_``).  One narrow shuffle on root."""
+    roots = (
+        domain.join(
+            doc_values.select("doc_id", root_field), "doc_id"
+        )
+        .select(F.col(root_field).alias("doc_id"))
+        .distinct()
+    )
+    return roots.join(parents, "doc_id", "left_semi")
+
+
+def to_children_domain(
+    domain: DataFrame,
+    doc_values: DataFrame,
+    parents: DataFrame,
+    root_field: str = "_root_",
+) -> DataFrame:
+    """JSON facet ``domain: {blockChildren: "<allParents>"}`` — expand a
+    parent-doc domain to its (non-parent) block children."""
+    dom_roots = (
+        domain.join(parents, "doc_id", "left_semi")
+        .select(F.col("doc_id").alias("_r"))
+    )
+    children = doc_values.select(
+        "doc_id", F.col(root_field).alias("_root")
+    ).join(parents, "doc_id", "left_anti")
+    return (
+        children.join(
+            dom_roots, children["_root"] == dom_roots["_r"], "left_semi"
+        )
+        .select("doc_id")
+    )
+
+
+def facet_field_over(
+    domain: DataFrame,
+    doc_values: DataFrame,
+    field: str,
+    top_n: int = 10,
+) -> DataFrame:
+    """Field facet over an explicit (already domain-changed) DocSet."""
+    return (
+        doc_values.join(domain, "doc_id", "left_semi")
+        .groupBy(F.col(field).alias("bucket"))
+        .agg(F.count("*").alias("cnt"))
+        .orderBy(F.col("cnt").desc(), F.col("bucket").asc())
+        .limit(top_n)
+    )
+
+
 def facet_field(
     searcher,
     doc_values: DataFrame,

@@ -58,12 +58,15 @@ field (our Term analog carries the field via the wrapper).
 - ``{!maxscore tie=}``     → lucene parse with top-level SHOULD
   clauses folded into DisjunctionMax (MaxScoreQParser.java)
 
+- ``{!parent which score}``/``{!child of}`` → block join over the
+  ``_root_`` doc-values column (BlockJoinParentQParser.java /
+  BlockJoinChildQParser.java; Solr's nested docs carry the block root
+  in _root_, the relational form of Lucene's consecutive-docID blocks)
+- ``{!payload_check f v payloads}``/``{!payload_score f v func}`` →
+  queries/payloads.py span queries over the payload postings table
+
 Not routed here (already first-class elsewhere, as the SURVEY table
-maps them): collapse → grouping_collapse, rerank → queries/rerank.py,
-parent/child block join → the block-join operator (q_block_join),
-payload_score / payload_check → queries/payloads.py (they query the
-payload postings table, a different index surface than this
-dispatcher's searcher).
+maps them): collapse → grouping_collapse, rerank → queries/rerank.py.
 """
 
 from __future__ import annotations
@@ -75,6 +78,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from .parser import parse_query
+from .payloads import _PayloadQueryBase
 from .query import (
     BooleanClause,
     BooleanQuery,
@@ -150,6 +154,39 @@ class MoreLikeThisQuery(Query):
 
     doc_id: int
     max_query_terms: int = 25
+
+
+@dataclass(frozen=True)
+class BlockJoinParentQuery(Query):
+    """{!parent which=<allParents> score=<mode>}childQuery
+    (search/join/BlockJoinParentQParser.java → lucene/join/
+    ToParentBlockJoinQuery.java): match the parents whose block contains
+    a child matching ``child``; parent score aggregates the block's
+    child scores per ScoreMode (none|avg|max|min|total).
+
+    The reference encodes blocks positionally (consecutive docIDs,
+    parent last); the relational equivalent is Solr's own ``_root_``
+    field — every doc carries its block root — which is what the
+    dispatcher's ``root_field`` doc-values column holds.  Spark shape:
+    child matches → root via the root column → groupBy(root) agg →
+    semi-join the ``which`` parent set.  One narrow shuffle on root;
+    no positional scan."""
+
+    which: Query
+    child: Query
+    score_mode: str = "none"
+
+
+@dataclass(frozen=True)
+class BlockJoinChildQuery(Query):
+    """{!child of=<allParents>}parentQuery (BlockJoinChildQParser.java →
+    ToChildBlockJoinQuery.java): match every NON-parent doc whose block
+    root matched ``parent``; each child inherits its parent's score
+    (ToChildBlockJoinQuery.java ChildScorer.score() returns
+    parentScore)."""
+
+    of: Query
+    parent: Query
 
 
 @dataclass(frozen=True)
@@ -255,6 +292,8 @@ class SolrQueryDispatcher:
         params: dict[str, str] | None = None,
         default_field: str | None = None,
         tables: dict[str, DataFrame] | None = None,
+        root_field: str = "_root_",
+        payload_postings: DataFrame | None = None,
     ):
         self.searcher = searcher
         self.doc_values = doc_values
@@ -263,6 +302,12 @@ class SolrQueryDispatcher:
         # {!join fromIndex=name} cross-collection sources (each a
         # doc-values DataFrame carrying doc_id — the other "core").
         self.tables = tables or {}
+        # block-join root column (Solr's _root_ nested-doc field): every
+        # doc's doc-values row names its block root's doc_id
+        self.root_field = root_field
+        # {!payload_score}/{!payload_check} query the payload postings
+        # table (queries/payloads.py), a parallel index surface
+        self.payload_postings = payload_postings
 
     # ------------------------------------------------------------ parse
     def parse(self, qstr: str) -> Query:
@@ -422,6 +467,41 @@ class SolrQueryDispatcher:
                 int(one("v", rest) or 0),
                 max_query_terms=int(one("maxqt", "25") or 25),
             )
+        if ptype == "parent":
+            # BlockJoinParentQParser.java: which= names the all-parents
+            # filter; score= the ScoreMode (default none)
+            which = one("which")
+            if which is None:
+                raise ValueError("{!parent} requires which=<allParents>")
+            mode = (one("score", "none") or "none").lower()
+            if mode not in ("none", "avg", "max", "min", "total"):
+                raise ValueError(f"unknown block-join score mode {mode!r}")
+            return BlockJoinParentQuery(
+                self.parse(which), self.parse(one("v", rest) or ""), mode
+            )
+        if ptype == "child":
+            of = one("of")
+            if of is None:
+                raise ValueError("{!child} requires of=<allParents>")
+            return BlockJoinChildQuery(
+                self.parse(of), self.parse(one("v", rest) or "")
+            )
+        if ptype in ("payload_check", "payload_score"):
+            # PayloadCheckQParserPlugin.java / PayloadScoreQParserPlugin
+            # .java: whitespace-analyzed value terms over the payload
+            # postings; payloads= one required payload per term, func=
+            # the PayloadFunction
+            from .payloads import PayloadCheckQuery, PayloadScoreQuery
+
+            terms = tuple((one("v", rest) or "").split())
+            if ptype == "payload_check":
+                pay = one("payloads")
+                if pay is None:
+                    raise ValueError("{!payload_check} requires payloads=")
+                return PayloadCheckQuery(
+                    terms, tuple(float(p) for p in pay.split())
+                )
+            return PayloadScoreQuery(terms, one("func", "sum") or "sum")
         if ptype == "join":
             frm, to = one("from"), one("to")
             if not frm or not to:
@@ -528,6 +608,74 @@ class SolrQueryDispatcher:
                 )
                 .select("doc_id", F.lit(1.0).alias("score"))
             )
+        if isinstance(q, BlockJoinParentQuery):
+            if (
+                self.doc_values is None
+                or self.root_field not in self.doc_values.columns
+            ):
+                raise ValueError(
+                    "{!parent} needs a doc_values table with a "
+                    f"{self.root_field!r} block-root column"
+                )
+            parents = self.docs(q.which).select("doc_id")
+            # a child query matching a parent doc is illegal in the
+            # reference (ToParentBlockJoinQuery asserts child < parent);
+            # the relational equivalent drops parent rows from the
+            # child match set
+            child_hits = self.docs(q.child).join(
+                parents, "doc_id", "left_anti"
+            )
+            rooted = child_hits.join(
+                self.doc_values.select(
+                    "doc_id", F.col(self.root_field).alias("_root")
+                ),
+                "doc_id",
+            )
+            agg = {
+                "none": F.lit(1.0),
+                "avg": F.avg("score"),
+                "max": F.max("score"),
+                "min": F.min("score"),
+                "total": F.sum("score"),
+            }[q.score_mode]
+            if q.score_mode == "none":
+                grouped = (
+                    rooted.select(F.col("_root").alias("doc_id"))
+                    .distinct()
+                    .select("doc_id", F.lit(1.0).alias("score"))
+                )
+            else:
+                grouped = rooted.groupBy(
+                    F.col("_root").alias("doc_id")
+                ).agg(agg.cast("double").alias("score"))
+            return grouped.join(parents, "doc_id", "left_semi")
+        if isinstance(q, BlockJoinChildQuery):
+            if (
+                self.doc_values is None
+                or self.root_field not in self.doc_values.columns
+            ):
+                raise ValueError(
+                    "{!child} needs a doc_values table with a "
+                    f"{self.root_field!r} block-root column"
+                )
+            of_set = self.docs(q.of).select("doc_id")
+            parent_hits = (
+                self.docs(q.parent)
+                .join(of_set, "doc_id", "left_semi")
+                .select(F.col("doc_id").alias("_p"), "score")
+            )
+            children = self.doc_values.select(
+                "doc_id", F.col(self.root_field).alias("_root")
+            ).join(of_set, "doc_id", "left_anti")
+            return children.join(
+                parent_hits, children["_root"] == parent_hits["_p"]
+            ).select("doc_id", F.col("score").cast("double").alias("score"))
+        if isinstance(q, _PayloadQueryBase):
+            if self.payload_postings is None:
+                raise ValueError(
+                    "payload queries need a payload_postings table"
+                )
+            return q.docs(self.payload_postings)
         if isinstance(q, FieldQuery) and (
             self.doc_values is not None
             and q.field in self.doc_values.columns

@@ -15,8 +15,12 @@ pushdown story of the core index.
 
 from __future__ import annotations
 
+from dataclasses import dataclass
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+from .query import Query
 
 PAYLOAD_FUNCS = ("sum", "avg", "max", "min")
 
@@ -118,6 +122,91 @@ def payload_check(
     return base.groupBy("doc_id").agg(
         F.count(F.lit(1)).cast("int").alias("spans")
     )
+
+
+def _phrase_span_payloads(
+    postings: DataFrame, terms: "tuple[str, ...] | list[str]"
+) -> DataFrame:
+    """(doc_id, _start, payload) — one row per (matched consecutive-
+    position span, clause): the payloads PayloadFunction folds over.
+    Same per-clause pushdown-explode + aligned equi-join plan as
+    payload_check, without the payload equality filter."""
+    if not terms:
+        raise ValueError("payload span query needs at least one term")
+    base: DataFrame | None = None
+    for i, t in enumerate(terms):
+        leg = (
+            postings.filter(F.col("term") == t)
+            .select(
+                "doc_id",
+                F.explode(
+                    F.arrays_zip(
+                        F.col("positions").alias("pos"),
+                        F.col("payloads").alias("payload"),
+                    )
+                ).alias("_pp"),
+            )
+            .select(
+                "doc_id",
+                (F.col("_pp.pos") - i).alias("_start"),
+                F.col("_pp.payload").alias(f"_pay{i}"),
+            )
+        )
+        base = leg if base is None else base.join(leg, ["doc_id", "_start"])
+    pays = F.array(*[F.col(f"_pay{i}") for i in range(len(terms))])
+    return base.select(
+        "doc_id", "_start", F.explode(pays).alias("payload")
+    )
+
+
+class _PayloadQueryBase(Query):
+    """Marker base: queries executed against the payload postings table
+    (a parallel index surface to the text searcher's postings)."""
+
+
+@dataclass(frozen=True)
+class PayloadCheckQuery(_PayloadQueryBase):
+    """{!payload_check f v payloads} (PayloadCheckQParserPlugin.java →
+    SpanPayloadCheckQuery): filter semantics — constant score 1.0 for
+    docs holding at least one span whose per-position payloads equal
+    the required list."""
+
+    terms: "tuple[str, ...]"
+    payloads: "tuple[float, ...]"
+
+    def docs(self, postings: DataFrame) -> DataFrame:
+        return payload_check(postings, list(self.terms), list(self.payloads)).select(
+            "doc_id", F.lit(1.0).alias("score")
+        )
+
+
+@dataclass(frozen=True)
+class PayloadScoreQuery(_PayloadQueryBase):
+    """{!payload_score f v func} (PayloadScoreQParserPlugin.java →
+    PayloadScoreQuery): score = PayloadFunction folded over every
+    payload at the matched spans' positions (includeSpanScore=false,
+    the qparser default)."""
+
+    terms: "tuple[str, ...]"
+    func: str = "sum"
+
+    def docs(self, postings: DataFrame) -> DataFrame:
+        if self.func not in PAYLOAD_FUNCS:
+            raise ValueError(f"unknown payload function {self.func!r}")
+        if len(self.terms) == 1:
+            return payload_score(postings, self.terms[0], self.func).select(
+                "doc_id", F.col("score").cast("double").alias("score")
+            )
+        spans = _phrase_span_payloads(postings, self.terms)
+        agg = {
+            "sum": F.sum("payload"),
+            "avg": F.avg("payload"),
+            "max": F.max("payload"),
+            "min": F.min("payload"),
+        }[self.func]
+        return spans.groupBy("doc_id").agg(
+            agg.cast("double").alias("score")
+        )
 
 
 def payload_score(

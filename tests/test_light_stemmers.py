@@ -4,8 +4,10 @@ fixtures/stemmer_goldens/*.tsv are deterministic 1-in-20 samples of
 the reference's FULL test vocabularies (frlight.txt 20,403 pairs,
 delight.txt 35,033, eslight.txt 28,377 — analysis/common/src/test/
 org/apache/lucene/analysis/{fr,de,es}/*testdata.zip); the complete
-files were verified 100% exact during development.  No Spark needed —
-the stemmers are pure functions.
+files were verified 100% exact during development (incl. svlight.txt
+30,623, rulight.txt 49,673, filight.txt 50,000, hulight.txt 30,000;
+the four Norwegian nb/nn vocabularies are committed whole).  No Spark
+needed — the stemmers are pure functions.
 """
 
 from __future__ import annotations
@@ -15,13 +17,19 @@ from pathlib import Path
 import pytest
 
 from lucene_solr_spark.analysis.light_stemmers import (
+    finnish_light_stem,
     french_elision,
     french_light_stem,
     german_light_stem,
+    hungarian_light_stem,
     italian_elision,
     italian_light_stem,
+    norwegian_light_stem,
+    norwegian_minimal_stem,
     portuguese_light_stem,
+    russian_light_stem,
     spanish_light_stem,
+    swedish_light_stem,
 )
 
 FIX = Path(__file__).parent.parent / "fixtures" / "stemmer_goldens"
@@ -35,6 +43,10 @@ FIX = Path(__file__).parent.parent / "fixtures" / "stemmer_goldens"
         ("es_light.tsv", spanish_light_stem),
         ("it_light.tsv", italian_light_stem),
         ("pt_light.tsv", portuguese_light_stem),
+        ("sv_light.tsv", swedish_light_stem),
+        ("ru_light.tsv", russian_light_stem),
+        ("fi_light.tsv", finnish_light_stem),
+        ("hu_light.tsv", hungarian_light_stem),
     ],
 )
 def test_light_stemmer_goldens(fname, stem):
@@ -47,6 +59,30 @@ def test_light_stemmer_goldens(fname, stem):
         if got != want:
             bad.append((w, got, want))
     assert n > 1000
+    assert not bad, bad[:10]
+
+
+@pytest.mark.parametrize(
+    "fname,stem",
+    [
+        ("nb_light.tsv", lambda w: norwegian_light_stem(w)),
+        ("nn_light.tsv", lambda w: norwegian_light_stem(w, nynorsk=True)),
+        ("nb_minimal.tsv", lambda w: norwegian_minimal_stem(w)),
+        ("nn_minimal.tsv", lambda w: norwegian_minimal_stem(w, nynorsk=True)),
+    ],
+)
+def test_norwegian_stemmer_goldens(fname, stem):
+    """The reference's COMPLETE nb/nn vocabularies (analysis/no/
+    {nb,nn}_{light,minimal}.txt) — small enough to keep whole."""
+    bad = []
+    n = 0
+    for line in (FIX / fname).read_text(encoding="utf-8").splitlines():
+        w, want = line.split("\t")
+        n += 1
+        got = stem(w)
+        if got != want:
+            bad.append((w, got, want))
+    assert n > 50
     assert not bad, bad[:10]
 
 

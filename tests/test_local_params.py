@@ -394,3 +394,136 @@ def test_maxscore_parser():
     assert {getattr(x, "term", None) for x in dm.disjuncts} == {"merge", "sort"}
     # non-boolean passthrough
     assert d.parse("{!maxscore}spark") == TermQuery("spark")
+
+
+# ------------------------------------------------------- block join
+@pytest.fixture(scope="module")
+def block_corpus(spark):
+    """Two 3-doc blocks: parent last (Lucene's positional block), each
+    doc carrying its block root in _root_ (Solr's _root_ field)."""
+    from lucene_solr_spark.index import build_tables
+    from lucene_solr_spark.queries.searcher import IndexSearcher
+
+    docs = spark.createDataFrame(
+        [
+            (0, "spark child red", 2, "c"),
+            (1, "child blue", 2, "c"),
+            (2, "parent alpha spark", 2, "p"),
+            (3, "spark spark child", 5, "c"),
+            (4, "child green", 5, "c"),
+            (5, "parent beta", 5, "p"),
+        ],
+        ["doc_id", "text", "_root_", "kind"],
+    )
+    t = build_tables(docs, id_col="doc_id", text_col="text")
+    s = IndexSearcher(t, scoring="exact")
+    return s, docs
+
+
+def test_parent_qparser(spark, block_corpus):
+    """{!parent}: parents of blocks with a child match; score modes
+    aggregate CHILD scores only (the parent's own 'spark' in doc 2
+    must not contribute — ToParentBlockJoinQuery's child/parent
+    disjointness)."""
+    s, docs = block_corpus
+    d = _dispatcher(s, docs)
+    base = "{!parent which='{!term f=kind v=p}' score=%s}spark"
+    got = {r["doc_id"]: r["score"] for r in d.docs(base % "none").collect()}
+    assert got == {2: 1.0, 5: 1.0}
+    child = {r["doc_id"]: r["score"] for r in d.docs("{!term v=spark}").collect()}
+    mx = {r["doc_id"]: r["score"] for r in d.docs(base % "max").collect()}
+    assert mx[2] == pytest.approx(child[0])
+    assert mx[5] == pytest.approx(child[3])
+    tot = {r["doc_id"]: r["score"] for r in d.docs(base % "total").collect()}
+    assert tot[2] == pytest.approx(child[0])
+    assert tot[5] == pytest.approx(child[3])
+    # a child-only term: block 2 has no child match -> only parent 2
+    got = {
+        r["doc_id"]
+        for r in d.docs("{!parent which='{!term f=kind v=p}'}red").collect()
+    }
+    assert got == {2}
+
+
+def test_child_qparser(spark, block_corpus):
+    """{!child}: children of matched parents, inheriting the parent's
+    score (ToChildBlockJoinQuery ChildScorer.score())."""
+    s, docs = block_corpus
+    d = _dispatcher(s, docs)
+    parent = {r["doc_id"]: r["score"] for r in d.docs("{!term v=alpha}").collect()}
+    got = {
+        r["doc_id"]: r["score"]
+        for r in d.docs("{!child of='{!term f=kind v=p}'}alpha").collect()
+    }
+    assert set(got) == {0, 1}
+    assert got[0] == pytest.approx(parent[2])
+    assert got[1] == pytest.approx(parent[2])
+
+
+def test_block_join_requires_root_column(spark, corpus):
+    s, docs = corpus  # no _root_ column
+    d = _dispatcher(s, docs)
+    with pytest.raises(ValueError, match="_root_"):
+        d.docs("{!parent which='{!term f=kind v=p}'}spark")
+
+
+def test_facet_block_domains(spark, block_corpus):
+    """blockChildren / blockParent domain changes (FacetRequest.java
+    :86-99) over the _root_ column."""
+    from lucene_solr_spark.queries.facets import (
+        to_children_domain,
+        to_parent_domain,
+    )
+
+    _, docs = block_corpus
+    parents = docs.filter(F.col("kind") == "p").select("doc_id")
+    dom = spark.createDataFrame([(2,)], ["doc_id"])
+    kids = sorted(
+        r["doc_id"] for r in to_children_domain(dom, docs, parents).collect()
+    )
+    assert kids == [0, 1]
+    dom = spark.createDataFrame([(3,), (4,)], ["doc_id"])
+    pars = sorted(
+        r["doc_id"] for r in to_parent_domain(dom, docs, parents).collect()
+    )
+    assert pars == [5]
+
+
+# ---------------------------------------------------------- payloads
+def test_payload_qparser_dispatch(spark):
+    """{!payload_score}/{!payload_check} route onto the payload
+    postings surface (PayloadScoreQParserPlugin.java /
+    PayloadCheckQParserPlugin.java)."""
+    from lucene_solr_spark.queries.payloads import payload_postings
+
+    docs = spark.createDataFrame(
+        [
+            (0, "go|1 fast|3 go|2"),
+            (1, "go|5 slow|1"),
+            (2, "stop|4 go|1 fast|2"),
+        ],
+        ["doc_id", "text"],
+    )
+    pp = payload_postings(docs)
+    d = SolrQueryDispatcher(None, docs, payload_postings=pp)
+    got = {
+        r["doc_id"]: r["score"]
+        for r in d.docs("{!payload_score func=max}go").collect()
+    }
+    assert got == {0: 2.0, 1: 5.0, 2: 1.0}
+    # phrase payload_score: fold over BOTH clause payloads of each span
+    got = {
+        r["doc_id"]: r["score"]
+        for r in d.docs("{!payload_score func=sum}go fast").collect()
+    }
+    assert got == {0: 4.0, 2: 3.0}
+    # payload_check: span kept only when payloads equal the list
+    got = {
+        r["doc_id"]: r["score"]
+        for r in d.docs("{!payload_check payloads='1 3'}go fast").collect()
+    }
+    assert got == {0: 1.0}
+    with pytest.raises(ValueError, match="payloads="):
+        d.parse("{!payload_check}go fast")
+    with pytest.raises(ValueError, match="payload_postings"):
+        SolrQueryDispatcher(None, docs).docs("{!payload_score}go")
