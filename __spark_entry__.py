@@ -1847,6 +1847,39 @@ FRENCH_GATE_PHRASE = (
     "chevaux l'avion majestueusement investissement chantés les baronnes"
 )
 
+SWEDISH_GATE_PHRASE = (
+    "och abborrarna jakten hemligheter fiskarens husen detta"
+)
+
+
+def q_nordic_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Swedish light-stem chain (the solr.SwedishLightStemFilterFactory
+    configuration; SwedishLightStemmer.java:67-110, Savoy CLEF-2003):
+    tokenize → lowercase → snowball stop → light stem.  Docs extended
+    with a fixed Swedish phrase exercising the possessive -s, -arna /
+    -heter endings and the stop list.  Oracle: closed-vocabulary VALUES
+    stem map (the stemmer itself is pinned against the reference's FULL
+    30,623-pair svlight.txt, sampled in fixtures/stemmer_goldens)."""
+    d = _table(spark, sf_dir, "documents")
+    t = build_tables(
+        d.select(
+            "doc_id",
+            F.concat(F.col("text"), F.lit(" " + SWEDISH_GATE_PHRASE)).alias(
+                "text"
+            ),
+        ),
+        id_col="doc_id",
+        text_col="text",
+        analyzer="swedish",
+    )
+    return (
+        t.term_stats.select(
+            "term", "df", F.col("ttf").cast("long").alias("ttf")
+        )
+        .orderBy(F.col("df").desc(), F.col("term").asc())
+        .limit(20)
+    )
+
 
 def q_french_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
     """FrenchAnalyzer chain (analysis/fr/FrenchAnalyzer.java:99-156:
@@ -2712,6 +2745,7 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "expand_component": q_expand_component,
         "spellcheck_collate": q_spellcheck_collate,
         "french_analysis": q_french_analysis,
+        "nordic_analysis": q_nordic_analysis,
         "delete_by_query": q_delete_by_query,
         "exact_dedup": q_exact_dedup,
         "ngram_jaccard": q_ngram_jaccard,
@@ -3255,6 +3289,31 @@ SELECT * FROM (
             "(" + "'" + _tok.replace("'", "''") + "','"
             + french_light_stem(_el).replace("'", "''") + "')"
         )
+    from lucene_solr_spark.analysis.light_stemmers import swedish_light_stem
+    from lucene_solr_spark.analysis.snowball_stops import SWEDISH_STOP
+
+    _sv_stops = frozenset(SWEDISH_STOP)
+    _sv_map = []
+    for _tok in sorted(set(_corpus_vocab + SWEDISH_GATE_PHRASE.split())):
+        if _tok in _sv_stops:
+            continue
+        _sv_map.append(f"('{_tok}','{swedish_light_stem(_tok)}')")
+    sqls["nordic_analysis"] = f"""
+WITH toks AS (
+  SELECT doc_id,
+         unnest(string_split(text || ' {SWEDISH_GATE_PHRASE}', ' ')) AS tok
+  FROM documents
+),
+smap(tok, stem) AS (VALUES {",".join(_sv_map)}),
+p AS (
+  SELECT t.doc_id, m.stem AS term, count(*) AS tf
+  FROM toks t JOIN smap m USING (tok) GROUP BY t.doc_id, m.stem
+)
+SELECT term, count(*) AS df, CAST(sum(tf) AS BIGINT) AS ttf
+FROM p GROUP BY term
+ORDER BY df DESC, term ASC LIMIT 20
+"""
+
     sqls["french_analysis"] = f"""
 WITH toks AS (
   SELECT doc_id,

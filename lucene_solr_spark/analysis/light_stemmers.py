@@ -1,5 +1,6 @@
 """Light stemmers + analyzer chains for French / German / Spanish /
-Italian / Portuguese.
+Italian / Portuguese / Swedish / Russian / Finnish / Hungarian /
+Norwegian (bokmål + nynorsk, light + minimal).
 
 Implements Jacques Savoy's UniNE "light stemming" algorithms — the
 reference's {French,German,Spanish,Italian,Portuguese}LightStemmer.java
@@ -679,11 +680,16 @@ def italian_elision(tok: str) -> str:
 
 def _load_stops() -> dict[str, frozenset]:
     from lucene_solr_spark.analysis.snowball_stops import (
+        FINNISH_STOP,
         FRENCH_STOP,
         GERMAN_STOP,
+        HUNGARIAN_STOP,
         ITALIAN_STOP,
+        NORWEGIAN_STOP,
         PORTUGUESE_STOP,
+        RUSSIAN_STOP,
         SPANISH_STOP,
+        SWEDISH_STOP,
     )
 
     return {
@@ -692,6 +698,11 @@ def _load_stops() -> dict[str, frozenset]:
         "spanish": frozenset(SPANISH_STOP),
         "italian": frozenset(ITALIAN_STOP),
         "portuguese": frozenset(PORTUGUESE_STOP),
+        "swedish": frozenset(SWEDISH_STOP),
+        "russian": frozenset(RUSSIAN_STOP),
+        "finnish": frozenset(FINNISH_STOP),
+        "hungarian": frozenset(HUNGARIAN_STOP),
+        "norwegian": frozenset(NORWEGIAN_STOP),
     }
 
 
@@ -706,6 +717,11 @@ def _light_analyze_flat(content: pd.Series, lang: str):
         "spanish": spanish_light_stem,
         "italian": italian_light_stem,
         "portuguese": portuguese_light_stem,
+        "swedish": swedish_light_stem,
+        "russian": russian_light_stem,
+        "finnish": finnish_light_stem,
+        "hungarian": hungarian_light_stem,
+        "norwegian": norwegian_light_stem,
     }[lang]
 
     doc_idx_parts, term_parts, pos_parts = [], [], []

@@ -158,4 +158,14 @@ NAMED_ANALYZERS = {
     "spanish": _lazy_light("spanish"),
     "italian": _lazy_light("italian"),
     "portuguese": _lazy_light("portuguese"),
+    # the solr.*LightStemFilterFactory chains for these five (their
+    # DEFAULT analyzers end in SnowballFilter; the light-stem chain is
+    # the documented lighter-weight configuration — e.g.
+    # SwedishLightStemFilterFactory.java): tokenize -> lowercase ->
+    # snowball stop -> UniNE light stem
+    "swedish": _lazy_light("swedish"),
+    "russian": _lazy_light("russian"),
+    "finnish": _lazy_light("finnish"),
+    "hungarian": _lazy_light("hungarian"),
+    "norwegian": _lazy_light("norwegian"),
 }

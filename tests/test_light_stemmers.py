@@ -137,3 +137,24 @@ def test_it_pt_analyzer_chains(spark):
     # final-vowel strip + accent fold), animais→animal, cantadas→cantad
     # (reference goldens)
     assert terms == {"canca", "animal", "cantad"}
+
+
+def test_new_language_chains(spark):
+    """sv/ru/fi/hu/no light-stem chains (the solr.*LightStemFilter
+    Factory configuration): stop removal + light stem end-to-end."""
+    from lucene_solr_spark.index import build_tables
+
+    cases = [
+        # (analyzer, text, expected terms): stops from snowball lists,
+        # stems verified against the reference vocabularies
+        ("swedish", "och abborrarna jakten", {"abborrarn", "jakt"}),
+        ("russian", "и колхозного проживавшей", {"колхозн", "проживавш"}),
+        ("finnish", "ja edeltäjiensä edellisen", {"edeltajien", "edell"}),
+        ("hungarian", "és abbahagyásával hallgatóinak", {"abbahagyas", "hallgat"}),
+        ("norwegian", "og havnedistriktene havnedistrikt", {"havnedistrikt"}),
+    ]
+    for analyzer, text, want in cases:
+        df = spark.createDataFrame([(0, text)], ["doc_id", "text"])
+        t = build_tables(df, id_col="doc_id", text_col="text", analyzer=analyzer)
+        terms = {r["term"] for r in t.postings.select("term").collect()}
+        assert terms == want, (analyzer, terms, want)
