@@ -64,9 +64,10 @@ field (our Term analog carries the field via the wrapper).
   in _root_, the relational form of Lucene's consecutive-docID blocks)
 - ``{!payload_check f v payloads}``/``{!payload_score f v func}`` →
   queries/payloads.py span queries over the payload postings table
-
-Not routed here (already first-class elsewhere, as the SURVEY table
-maps them): collapse → grouping_collapse, rerank → queries/rerank.py.
+- ``{!collapse field=}`` → max-score head per group value
+  (CollapsingQParserPlugin.java, nullPolicy=ignore)
+- ``{!rerank reRankQuery reRankDocs reRankWeight}`` → queries/rerank.py
+  two-pass window rescoring (ReRankQParserPlugin.java)
 """
 
 from __future__ import annotations
@@ -187,6 +188,30 @@ class BlockJoinChildQuery(Query):
 
     of: Query
     parent: Query
+
+
+@dataclass(frozen=True)
+class CollapseQuery(Query):
+    """{!collapse field=} (search/CollapsingQParserPlugin.java): keep
+    one representative per group value — the max-score head, doc_id
+    tie-break (the plugin's default score selector); docs with a null
+    group value are dropped (nullPolicy=ignore, the default)."""
+
+    field: str
+    inner: Query
+
+
+@dataclass(frozen=True)
+class ReRankQuery(Query):
+    """{!rerank reRankQuery= reRankDocs= reRankWeight=}main
+    (search/ReRankQParserPlugin.java): two-pass scoring over the main
+    query's top-reRankDocs window."""
+
+    main: Query
+    rerank_q: Query
+    rerank_docs: int = 200
+    rerank_weight: float = 2.0
+    rows: int = 10
 
 
 @dataclass(frozen=True)
@@ -467,6 +492,22 @@ class SolrQueryDispatcher:
                 int(one("v", rest) or 0),
                 max_query_terms=int(one("maxqt", "25") or 25),
             )
+        if ptype == "collapse":
+            fld = one("field")
+            if fld is None:
+                raise ValueError("{!collapse} requires field=")
+            return CollapseQuery(fld, self.parse(one("v", rest) or ""))
+        if ptype == "rerank":
+            rq = one("reRankQuery")
+            if rq is None:
+                raise ValueError("{!rerank} requires reRankQuery=")
+            return ReRankQuery(
+                self.parse(one("v", rest) or ""),
+                self.parse(rq),
+                rerank_docs=int(one("reRankDocs", "200") or 200),
+                rerank_weight=float(one("reRankWeight", "2.0") or 2.0),
+                rows=int(one("rows", "10") or 10),
+            )
         if ptype == "parent":
             # BlockJoinParentQParser.java: which= names the all-parents
             # filter; score= the ScoreMode (default none)
@@ -607,6 +648,34 @@ class SolrQueryDispatcher:
                     vals, self.doc_values[q.to_field] == vals["_jv"], "left_semi"
                 )
                 .select("doc_id", F.lit(1.0).alias("score"))
+            )
+        if isinstance(q, CollapseQuery):
+            from pyspark.sql import Window
+
+            if self.doc_values is None or q.field not in self.doc_values.columns:
+                raise ValueError(
+                    f"{{!collapse}} needs a doc_values column {q.field!r}"
+                )
+            hits = self.docs(q.inner).join(
+                self.doc_values.select("doc_id", q.field), "doc_id"
+            ).filter(F.col(q.field).isNotNull())
+            w = Window.partitionBy(q.field).orderBy(
+                F.col("score").desc(), F.col("doc_id").asc()
+            )
+            return (
+                hits.withColumn("_rn", F.row_number().over(w))
+                .filter(F.col("_rn") == 1)
+                .select("doc_id", "score")
+            )
+        if isinstance(q, ReRankQuery):
+            from .rerank import rerank
+
+            return rerank(
+                self.docs(q.main),
+                self.docs(q.rerank_q),
+                rerank_weight=q.rerank_weight,
+                rerank_docs=q.rerank_docs,
+                k=q.rows,
             )
         if isinstance(q, BlockJoinParentQuery):
             if (

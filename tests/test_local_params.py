@@ -527,3 +527,33 @@ def test_payload_qparser_dispatch(spark):
         d.parse("{!payload_check}go fast")
     with pytest.raises(ValueError, match="payload_postings"):
         SolrQueryDispatcher(None, docs).docs("{!payload_score}go")
+
+
+def test_collapse_qparser(spark, corpus):
+    """{!collapse field=}: max-score head per group, doc_id tie-break
+    (CollapsingQParserPlugin.java default score selector)."""
+    s, docs = corpus
+    d = _dispatcher(s, docs.withColumn(
+        "grp", (F.col("doc_id") % 2).cast("string")))
+    base = {r["doc_id"]: r["score"] for r in d.docs("{!term v=spark}").collect()}
+    got = {r["doc_id"]: r["score"]
+           for r in d.docs("{!collapse field=grp}{!term v=spark}").collect()}
+    # docs 0 (grp 0) and 1 (grp 1) both match -> both are their group's head
+    assert set(got) == {0, 1}
+    assert got[0] == pytest.approx(base[0])
+    with pytest.raises(ValueError, match="field="):
+        d.parse("{!collapse}spark")
+
+
+def test_rerank_qparser(spark, corpus):
+    """{!rerank}: combined = main + weight*rerank within the window
+    (ReRankQParserPlugin.java)."""
+    s, docs = corpus
+    d = _dispatcher(s, docs, params={"rqq": "{!term v=merge}"})
+    main = {r["doc_id"]: r["score"] for r in d.docs("{!term v=spark}").collect()}
+    rr = {r["doc_id"]: r["score"] for r in d.docs("{!term v=merge}").collect()}
+    got = {r["doc_id"]: r["score"] for r in d.docs(
+        "{!rerank reRankQuery=$rqq reRankWeight=3}{!term v=spark}").collect()}
+    assert set(got) == set(main)
+    for did, sc in got.items():
+        assert sc == pytest.approx(main[did] + 3 * rr.get(did, 0.0))
