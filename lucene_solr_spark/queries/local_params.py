@@ -191,6 +191,21 @@ class BlockJoinChildQuery(Query):
 
 
 @dataclass(frozen=True)
+class HashQuery(Query):
+    """{!hash workers=N worker=i keys=f1,f2}
+    (search/HashQParserPlugin.java:50-95, the ParallelStream worker
+    filter): constant-score filter keeping the docs whose key-hash
+    lands on this worker.  The reference's contract is a deterministic
+    disjoint-and-covering partition of the doc set by key — the hash
+    function itself is engine-internal (here xxhash64, Spark's native
+    shuffle hash family)."""
+
+    workers: int
+    worker: int
+    keys: "tuple[str, ...]"
+
+
+@dataclass(frozen=True)
 class CollapseQuery(Query):
     """{!collapse field=} (search/CollapsingQParserPlugin.java): keep
     one representative per group value — the max-score head, doc_id
@@ -492,6 +507,15 @@ class SolrQueryDispatcher:
                 int(one("v", rest) or 0),
                 max_query_terms=int(one("maxqt", "25") or 25),
             )
+        if ptype == "hash":
+            keys = tuple((one("keys") or "").split(","))
+            if not keys or keys == ("",):
+                raise ValueError("{!hash} requires keys=")
+            return HashQuery(
+                int(one("workers", "1") or 1),
+                int(one("worker", "0") or 0),
+                keys,
+            )
         if ptype == "collapse":
             fld = one("field")
             if fld is None:
@@ -648,6 +672,18 @@ class SolrQueryDispatcher:
                     vals, self.doc_values[q.to_field] == vals["_jv"], "left_semi"
                 )
                 .select("doc_id", F.lit(1.0).alias("score"))
+            )
+        if isinstance(q, HashQuery):
+            if self.doc_values is None:
+                raise ValueError("{!hash} needs a doc_values table")
+            missing = [k for k in q.keys if k not in self.doc_values.columns]
+            if missing:
+                raise ValueError(f"{{!hash}} unknown key columns {missing}")
+            part = F.pmod(
+                F.xxhash64(*[F.col(k) for k in q.keys]), F.lit(q.workers)
+            )
+            return self.doc_values.filter(part == q.worker).select(
+                "doc_id", F.lit(1.0).alias("score")
             )
         if isinstance(q, CollapseQuery):
             from pyspark.sql import Window

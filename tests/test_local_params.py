@@ -557,3 +557,24 @@ def test_rerank_qparser(spark, corpus):
     assert set(got) == set(main)
     for did, sc in got.items():
         assert sc == pytest.approx(main[did] + 3 * rr.get(did, 0.0))
+
+
+def test_hash_qparser(spark, corpus):
+    """{!hash}: the N worker filters partition the doc set disjointly
+    and completely (HashQParserPlugin.java's ParallelStream contract)."""
+    s, docs = corpus
+    d = _dispatcher(s, docs)
+    parts = [
+        {r["doc_id"] for r in d.docs(
+            f"{{!hash workers=3 worker={w} keys=doc_id}}").collect()}
+        for w in range(3)
+    ]
+    all_ids = {r["doc_id"] for r in docs.select("doc_id").collect()}
+    assert set().union(*parts) == all_ids
+    assert sum(len(p) for p in parts) == len(all_ids)
+    # deterministic across invocations
+    again = {r["doc_id"] for r in d.docs(
+        "{!hash workers=3 worker=0 keys=doc_id}").collect()}
+    assert again == parts[0]
+    with pytest.raises(ValueError, match="keys="):
+        d.parse("{!hash workers=2 worker=0}")
