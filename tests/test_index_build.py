@@ -53,6 +53,29 @@ def test_corpus_sha256_preserved(spark):
         assert hashlib.sha256(r["content"].encode()).hexdigest() == r["content_sha256"]
 
 
+def test_corpus_sha256_roundtrip_full(spark, tmp_path):
+    """The north-rule per-row invariant, end-to-end and over EVERY row:
+    write the docID-assigned corpus to the parquet store (the Iceberg-
+    equivalent stored-fields table), read it back, and require the
+    (doc_id, content_sha256) set to match the input exactly — checked
+    with distributed anti-joins, no driver-side sampling."""
+    corpus = assign_doc_ids(with_sha256(generate_corpus(spark, 300)))
+    out = str(tmp_path / "stored")
+    corpus.write.mode("overwrite").parquet(out)
+    back = spark.read.parquet(out)
+    # recompute the hash from the stored content and compare against
+    # the carried invariant column (JVM sha2 == input hash per row)
+    bad = back.filter(
+        F.sha2(F.col("content"), 256) != F.col("content_sha256")
+    ).count()
+    assert bad == 0
+    a = corpus.select("doc_id", "content_sha256")
+    b = back.select("doc_id", "content_sha256")
+    assert a.join(b, ["doc_id", "content_sha256"], "left_anti").count() == 0
+    assert b.join(a, ["doc_id", "content_sha256"], "left_anti").count() == 0
+    assert back.count() == corpus.count()
+
+
 def test_doc_ids_stable_across_runs(spark):
     corpus = generate_corpus(spark, 200)
     a = assign_doc_ids(corpus).select("repo", "path", "doc_id").toPandas()
