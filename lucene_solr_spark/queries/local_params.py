@@ -123,14 +123,19 @@ class BoostByFunctionQuery(Query):
 
 @dataclass(frozen=True)
 class JoinQuery(Query):
-    """Field-value semi-join (search/JoinQParserPlugin.java → JoinQuery):
-    match docs whose ``to_field`` value appears among the ``from_field``
-    values of ``inner``-matched docs (scores=none ⇒ constant score)."""
+    """Field-value join (search/JoinQParserPlugin.java → JoinQuery;
+    score= modes from ScoreJoinQParserPlugin.java → lucene/join/
+    JoinUtil.createJoinQuery ScoreMode): match docs whose ``to_field``
+    value appears among the ``from_field`` values of ``inner``-matched
+    docs.  score=none (default) ⇒ constant score semi-join;
+    avg/max/min/total aggregate the from-side scores per join value and
+    carry them to the to-side docs."""
 
     from_field: str
     to_field: str
     inner: Query
     from_index: str | None = None
+    score_mode: str = "none"
 
 
 @dataclass(frozen=True)
@@ -571,7 +576,12 @@ class SolrQueryDispatcher:
             frm, to = one("from"), one("to")
             if not frm or not to:
                 raise ValueError("{!join} requires from= and to=")
-            return JoinQuery(frm, to, self.parse(rest), one("fromIndex"))
+            mode = (one("score", "none") or "none").lower()
+            if mode not in ("none", "avg", "max", "min", "total"):
+                raise ValueError(f"unknown join score mode {mode!r}")
+            return JoinQuery(
+                frm, to, self.parse(rest), one("fromIndex"), mode
+            )
         if ptype in ("geofilt", "bbox"):
             sfield = one("sfield")
             pt = one("pt")
@@ -659,19 +669,39 @@ class SolrQueryDispatcher:
             sub = SolrQueryDispatcher(
                 inner_searcher, src, self.params, self.default_field, self.tables
             )
-            vals = (
-                sub.docs(q.inner)
-                .join(src, "doc_id")
-                .select(F.col(q.from_field).alias("_jv"))
-                .distinct()
-            )
             if self.doc_values is None:
                 raise ValueError("{!join} needs a to-side doc_values table")
+            inner_hits = sub.docs(q.inner).join(src, "doc_id")
+            if q.score_mode == "none":
+                vals = inner_hits.select(
+                    F.col(q.from_field).alias("_jv")
+                ).distinct()
+                return (
+                    self.doc_values.join(
+                        vals,
+                        self.doc_values[q.to_field] == vals["_jv"],
+                        "left_semi",
+                    )
+                    .select("doc_id", F.lit(1.0).alias("score"))
+                )
+            # ScoreJoinQParserPlugin / JoinUtil ScoreMode: aggregate the
+            # from-side scores per join value (partial+final agg — the
+            # same one-narrow-shuffle shape as the semi-join), then an
+            # inner join carries the value's score to the to-side docs
+            agg = {
+                "avg": F.avg("score"),
+                "max": F.max("score"),
+                "min": F.min("score"),
+                "total": F.sum("score"),
+            }[q.score_mode]
+            vals = inner_hits.groupBy(
+                F.col(q.from_field).alias("_jv")
+            ).agg(agg.cast("double").alias("_jscore"))
             return (
                 self.doc_values.join(
-                    vals, self.doc_values[q.to_field] == vals["_jv"], "left_semi"
+                    vals, self.doc_values[q.to_field] == vals["_jv"]
                 )
-                .select("doc_id", F.lit(1.0).alias("score"))
+                .select("doc_id", F.col("_jscore").alias("score"))
             )
         if isinstance(q, HashQuery):
             if self.doc_values is None:

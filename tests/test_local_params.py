@@ -578,3 +578,29 @@ def test_hash_qparser(spark, corpus):
     assert again == parts[0]
     with pytest.raises(ValueError, match="keys="):
         d.parse("{!hash workers=2 worker=0}")
+
+
+def test_join_qparser_score_modes(spark):
+    """{!join score=max|total|avg|min} (ScoreJoinQParserPlugin.java →
+    JoinUtil ScoreMode): from-side scores aggregate per join value and
+    carry to the to-side docs."""
+    cust = spark.createDataFrame(
+        [(1, 50.0), (2, 200.0), (3, 500.0), (4, 300.0)],
+        "doc_id long, c_acctbal double",
+    ).withColumn("grp", (F.col("doc_id") % 2))
+    orders = spark.createDataFrame(
+        [(10, 0), (11, 1), (14, 9)], "doc_id long, o_grp long",
+    )
+    d = SolrQueryDispatcher(None, orders, tables={"cust": cust})
+    base = "{!join from=grp to=o_grp fromIndex=cust score=%s}{!func}c_acctbal"
+    # grp 0: custs 2 (200), 4 (300); grp 1: custs 1 (50), 3 (500)
+    for mode, want in [
+        ("max", {(10, 300.0), (11, 500.0)}),
+        ("min", {(10, 200.0), (11, 50.0)}),
+        ("total", {(10, 500.0), (11, 550.0)}),
+        ("avg", {(10, 250.0), (11, 275.0)}),
+    ]:
+        got = {(r["doc_id"], r["score"]) for r in d.docs(base % mode).collect()}
+        assert got == want, (mode, got)
+    with pytest.raises(ValueError, match="score mode"):
+        d.parse("{!join from=grp to=o_grp score=nope}x")
