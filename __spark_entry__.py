@@ -2311,6 +2311,22 @@ def q_dfr_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _topk(s.docs(q), 10)
 
 
+def q_dfr_pl2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DFR PL2 top-10 for 'spark window' — the canonical DFR config
+    (BasicModelP.java:38-44 Poisson, AfterEffectB.java:31-36 Bernoulli,
+    NormalizationH2, c=1) — float32-faithful: λ=(float)(F+1)/(N+1),
+    float divisions inside the log2 arguments, double log2 terms, one
+    float cast per model component, left-to-right float multiplies."""
+    s = _searcher(spark, sf_dir, scoring="dfr_pl2")
+    q = BooleanQuery(
+        (
+            BooleanClause(Occur.SHOULD, TermQuery("spark")),
+            BooleanClause(Occur.SHOULD, TermQuery("window")),
+        )
+    )
+    return _topk(s.docs(q), 10)
+
+
 def q_lm_jelinek_mercer(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LM-Jelinek-Mercer (λ=0.1) top-10 for 'spark window'
     (LMJelinekMercerSimilarity.java:53-58) — float32-faithful: (1−λ)
@@ -2736,6 +2752,7 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "classic_tfidf": q_classic_tfidf,
         "lm_dirichlet": q_lm_dirichlet,
         "dfr_similarity": q_dfr_similarity,
+        "dfr_pl2": q_dfr_pl2,
         "lm_jelinek_mercer": q_lm_jelinek_mercer,
         "ib_similarity": q_ib_similarity,
         "axiomatic_f2exp": q_axiomatic_f2exp,
@@ -4742,6 +4759,62 @@ scored AS (
                                                AS FLOAT) AS FLOAT) AS FLOAT)
          AS DOUBLE)) AS FLOAT) AS DOUBLE) AS score
   FROM per GROUP BY doc_id
+)
+{_TOPK_TAIL.format(k=10)}
+"""
+
+    # ---- DFR PL2 float32 replica (BasicModelP + AfterEffectB + H2).
+    # λ, the float divisions and the per-component float casts mirror
+    # the reference's promotion points; log2 terms run in double like
+    # Java's log2(double).  0.6931471805599453 = ln 2 (spec constant).
+    sqls["dfr_pl2"] = f"""
+WITH {_IDX},
+{_bm25_f32_ctes()},
+avgf2 AS (SELECT CAST(CAST(sttf AS FLOAT) / CAST(n AS FLOAT) AS FLOAT)
+                 AS avgdl FROM cstats),
+tstats2 AS (
+  SELECT term, count(*) AS df, sum(tf) AS ttf
+  FROM postings GROUP BY term
+),
+plw AS (
+  SELECT t.term, t.df, t.ttf,
+         CAST(CAST(t.ttf + 1 AS FLOAT) / CAST(c.n + 1 AS FLOAT) AS FLOAT)
+           AS lam
+  FROM tstats2 t CROSS JOIN cstats c
+  WHERE t.term IN ('spark', 'window')
+),
+per AS (
+  SELECT p.doc_id,
+         CAST(p.tf * (ln(CAST(CAST(1 AS FLOAT)
+             + CAST(CAST(CAST(1 AS FLOAT) * a.avgdl AS FLOAT) / cv.nt
+                    AS FLOAT) AS FLOAT)) / ln(2)) AS FLOAT) AS tfn,
+         w.lam, w.df, w.ttf
+  FROM postings p
+  JOIN plw w USING (term)
+  JOIN norms nm USING (doc_id)
+  JOIN b315 cv ON nm.length BETWEEN cv.lo AND cv.hi
+  CROSS JOIN avgf2 a
+),
+comp AS (
+  SELECT doc_id,
+         CAST(
+           tfn * (ln(CAST(tfn / lam AS FLOAT)) / ln(2))
+           + CAST(CAST(lam + CAST(1 / CAST(12 * tfn AS FLOAT) AS FLOAT)
+                       AS FLOAT) - tfn AS FLOAT) * (1 / ln(2))
+           + 0.5 * (ln(2 * pi() * tfn) / ln(2))
+         AS FLOAT) AS basic,
+         CAST(CAST(ttf + 2 AS FLOAT)
+              / CAST(CAST(df + 1 AS FLOAT)
+                     * CAST(tfn + CAST(1 AS FLOAT) AS FLOAT) AS FLOAT)
+         AS FLOAT) AS ae
+  FROM per
+),
+scored AS (
+  SELECT doc_id,
+         CAST(CAST(SUM(CAST(
+           CAST(CAST(CAST(1 AS FLOAT) * basic AS FLOAT) * ae AS FLOAT)
+         AS DOUBLE)) AS FLOAT) AS DOUBLE) AS score
+  FROM comp GROUP BY doc_id
 )
 {_TOPK_TAIL.format(k=10)}
 """

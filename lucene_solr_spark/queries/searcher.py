@@ -109,7 +109,7 @@ class IndexSearcher:
     ) -> None:
         if scoring not in (
             "lucene", "exact", "classic", "classic_exact",
-            "lm_dirichlet", "dfr_in_l_h2", "lm_jelinek_mercer",
+            "lm_dirichlet", "dfr_in_l_h2", "dfr_pl2", "lm_jelinek_mercer",
             "ib_spl_df", "axiomatic_f2exp", "boolean_sim",
         ):
             raise ValueError(f"unknown scoring mode {scoring!r}")
@@ -120,15 +120,16 @@ class IndexSearcher:
         # modes are the ANSI-SQL-expressible double variants
         self._f32 = scoring in (
             "lucene", "classic", "lm_dirichlet", "dfr_in_l_h2",
-            "lm_jelinek_mercer", "ib_spl_df", "axiomatic_f2exp",
-            "boolean_sim",
+            "dfr_pl2", "lm_jelinek_mercer", "ib_spl_df",
+            "axiomatic_f2exp", "boolean_sim",
         )
         # SimilarityBase-family modes: per-term stats beyond docFreq
         # feed the kernel directly (_score_col_sb); the idf/weight
         # protocol below is TFIDF-family only
         self._sb = scoring in (
-            "lm_dirichlet", "dfr_in_l_h2", "lm_jelinek_mercer",
-            "ib_spl_df", "axiomatic_f2exp", "boolean_sim",
+            "lm_dirichlet", "dfr_in_l_h2", "dfr_pl2",
+            "lm_jelinek_mercer", "ib_spl_df", "axiomatic_f2exp",
+            "boolean_sim",
         )
         self.stats = tables.stats
         # Denormalize norms onto postings once (the per-segment norms file
@@ -516,6 +517,7 @@ class IndexSearcher:
         from lucene_solr_spark.scoring.similarities import (
             axiomatic_f2exp_score,
             dfr_in_l_h2_score,
+            dfr_pl2_score,
             ib_spl_df_score,
             lm_dirichlet_score,
             lm_jelinek_mercer_score,
@@ -530,6 +532,12 @@ class IndexSearcher:
             col = lm_jelinek_mercer_score(
                 F.col("freq"), F.col("norm_byte"), boost,
                 ttf, self.stats.sum_total_term_freq,
+            )
+        elif self.scoring == "dfr_pl2":
+            col = dfr_pl2_score(
+                F.col("freq"), F.col("norm_byte"), boost,
+                doc_freq, ttf, self.stats.doc_count,
+                self.stats.sum_total_term_freq,
             )
         elif self.scoring == "ib_spl_df":
             col = ib_spl_df_score(

@@ -149,6 +149,60 @@ def lm_jelinek_mercer_score(
     return (F.lit(float(np.float32(boost))) * s).cast("float")
 
 
+def dfr_pl2_score(
+    freq: Column,
+    norm_byte: Column,
+    boost: float,
+    doc_freq: int,
+    ttf: int,
+    num_docs: int,
+    sum_total_term_freq: int,
+    c: float = 1.0,
+) -> Column:
+    """DFR PL2 — the canonical DFR configuration: BasicModelP (Poisson
+    approximation, BasicModelP.java:38-44), AfterEffectB (Bernoulli,
+    AfterEffectB.java:31-36), NormalizationH2 — float32-faithful.
+
+    λ = (float)(ttf+1) / (N+1); P = (float)(tfn·log2(tfn/λ) +
+    (λ + 1/(12·tfn) − tfn)·log2(e) + 0.5·log2(2π·tfn)) with the inner
+    divisions/adds in float and the log2 terms in double, exactly the
+    reference's promotion points; B = (F+1)/(n·(tfn+1)) in float with
+    F = ttf+1, n = df+1; score = boost·P·B left-to-right float
+    multiplies (DFRSimilarity.java:110-114)."""
+    if sum_total_term_freq <= 0:
+        avgdl = np.float32(1.0)
+    else:
+        avgdl = np.float32(
+            np.float32(sum_total_term_freq) / np.float32(num_docs)
+        )
+    dl = _doclen_col(norm_byte)
+    # NormalizationH2.tfn — identical promotion order to dfr_in_l_h2
+    ca = np.float32(np.float32(c) * avgdl)
+    ratio = _f32(F.lit(float(ca)) / dl)
+    one_plus = _f32(F.lit(1.0) + ratio)
+    tfn = _f32(freq.cast("double") * (F.log(one_plus) / F.lit(_LOG2)))
+    # BasicModelP: λ is a float division of a float cast by a long
+    lam = np.float32(np.float32(ttf + 1) / np.float32(num_docs + 1))
+    # tfn/λ is a FLOAT division, its log2 runs in double, ×tfn double
+    t1 = tfn * (F.log(_f32(tfn / F.lit(float(lam)))) / F.lit(_LOG2))
+    # (λ + 1/(12·tfn) − tfn): all float ops, then × log2(e) in double
+    twelve_tfn = _f32(F.lit(12.0) * tfn)
+    inv = _f32(F.lit(1.0) / twelve_tfn)
+    t2 = _f32(_f32(F.lit(float(lam)) + inv) - tfn) * F.lit(
+        math.log(math.e, 2.0)
+    )
+    # 0.5·log2(2π·tfn): double throughout (2·Math.PI is a double)
+    t3 = F.lit(0.5) * (F.log(F.lit(2.0 * math.pi) * tfn) / F.lit(_LOG2))
+    basic = _f32(t1 + t2 + t3)
+    # AfterEffectB: longs F+1 / n convert to float at the arithmetic
+    ae = _f32(
+        F.lit(float(np.float32(ttf + 2)))
+        / _f32(F.lit(float(np.float32(doc_freq + 1))) * _f32(tfn + F.lit(1.0)))
+    )
+    score = _f32(_f32(F.lit(float(np.float32(boost))) * basic) * ae)
+    return score.cast("float")
+
+
 def ib_spl_df_score(
     freq: Column,
     norm_byte: Column,

@@ -202,3 +202,42 @@ def test_dfr_spot_value(spark, docs_df):
         r["doc_id"]: r["score"] for r in s.docs(TermQuery("spark")).collect()
     }[row["doc_id"]]
     assert got == pytest.approx(float(want), abs=0)
+
+
+def test_pl2_spot_value(spark, docs_df):
+    """One hand-computed DFR PL2 score (BasicModelP + AfterEffectB + H2,
+    float32 reference promotion points)."""
+    from lucene_solr_spark.index import build_tables
+    from lucene_solr_spark.scoring.bm25 import NORM_TABLE
+
+    t = build_tables(docs_df, id_col="doc_id", text_col="text")
+    s = IndexSearcher(t, scoring="dfr_pl2")
+    row = (
+        s._term_postings("spark").select("doc_id", "tf", "norm_byte").first()
+    )
+    st = t.term_stats.filter(F.col("term") == "spark").first()
+    df_, ttf = int(st["df"]), int(st["ttf"])
+    N = t.stats.doc_count
+    avgdl = np.float32(np.float32(t.stats.sum_total_term_freq) / np.float32(N))
+    dl = np.float32(NORM_TABLE[row["norm_byte"] & 0xFF])
+    tfn = np.float32(
+        float(row["tf"])
+        * math.log2(np.float32(1.0 + np.float32(np.float32(1.0) * avgdl / dl)))
+    )
+    lam = np.float32(np.float32(ttf + 1) / np.float32(N + 1))
+    basic = np.float32(
+        float(tfn) * math.log2(np.float32(tfn / lam))
+        + float(np.float32(np.float32(lam + np.float32(
+            np.float32(1.0) / np.float32(np.float32(12.0) * tfn))) - tfn))
+        * math.log2(math.e)
+        + 0.5 * math.log2(2.0 * math.pi * float(tfn))
+    )
+    ae = np.float32(
+        np.float32(ttf + 2)
+        / np.float32(np.float32(df_ + 1) * np.float32(tfn + np.float32(1.0)))
+    )
+    want = np.float32(np.float32(np.float32(1.0) * basic) * ae)
+    got = {
+        r["doc_id"]: r["score"] for r in s.docs(TermQuery("spark")).collect()
+    }[row["doc_id"]]
+    assert got == pytest.approx(float(want), abs=0)
