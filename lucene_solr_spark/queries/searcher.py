@@ -506,14 +506,9 @@ class IndexSearcher:
             ),
         )
 
-    def _score_col_sb(
-        self, boost: float, doc_freq: int, ttf: int, df_in: DataFrame
-    ) -> DataFrame:
-        """SimilarityBase-family kernels (per-term stats, quantized
-        docLen): LM-Dirichlet, LM-Jelinek-Mercer, DFR In-L-H2,
-        IB SPL-D-H2, Axiomatic F2EXP, BooleanSimilarity —
-        float32-faithful, whole-stage-codegen column expressions like
-        the BM25 kernel."""
+    def _sb_kernel(self, boost: float, doc_freq: int, ttf: int):
+        """One SimilarityBase kernel Column over (freq, norm_byte) rows
+        for a single term's BasicStats — the unit MultiSimScorer sums."""
         from lucene_solr_spark.scoring.similarities import (
             axiomatic_f2exp_score,
             dfr_in_l_h2_score,
@@ -561,17 +556,51 @@ class IndexSearcher:
                 doc_freq, self.stats.doc_count,
                 self.stats.sum_total_term_freq,
             )
-        return df_in.withColumn("score", col)
+        return col
+
+    def _score_col_sb(
+        self, boost: float, doc_freq: int, ttf: int, df_in: DataFrame
+    ) -> DataFrame:
+        """SimilarityBase-family kernels (per-term stats, quantized
+        docLen): LM-Dirichlet, LM-Jelinek-Mercer, DFR In-L-H2, DFR PL2,
+        IB SPL-D-H2, Axiomatic F2EXP, BooleanSimilarity —
+        float32-faithful, whole-stage-codegen column expressions like
+        the BM25 kernel."""
+        return df_in.withColumn(
+            "score", self._sb_kernel(boost, doc_freq, ttf)
+        )
+
+    def _score_col_sb_multi(
+        self,
+        boost: float,
+        terms: "list[str]",
+        stats: "dict[str, tuple[int, int]]",
+        df_in: DataFrame,
+    ) -> DataFrame:
+        """MultiSimilarity.MultiSimScorer (MultiSimilarity.java:70-84):
+        SimilarityBase scores a phrase with one BasicStats PER PHRASE
+        POSITION (PhraseWeight builds TermStatistics per position,
+        repeats included), each scored at the PHRASE freq, summed in
+        float32 left to right (sum += subScorer.score(doc, freq))."""
+        acc = None
+        for t in terms:
+            df_, ttf = stats[t]
+            col = self._sb_kernel(boost, df_, ttf)
+            acc = (
+                col
+                if acc is None
+                else (acc.cast("double") + col.cast("double")).cast("float")
+            )
+        return df_in.withColumn("score", acc)
 
     def _idf(self, doc_freq: int) -> float:
         n = self.stats.doc_count
         if self._sb:
             raise NotImplementedError(
-                f"scoring mode {self.scoring!r} supports term and "
-                "boolean queries (SimilarityBase per-term stats don't "
-                "flow through the TFIDF idf/weight protocol used by "
-                "phrase/synonym scoring; reference MultiStats summing "
-                "is a future extension)"
+                f"scoring mode {self.scoring!r} uses the SimilarityBase "
+                "kernel protocol (_sb_kernel / _score_col_sb_multi), "
+                "never the TFIDF idf/weight protocol — a path calling "
+                "_idf under an SB mode is a bug"
             )
         if self.scoring == "lucene":
             return float(idf32(doc_freq, n))
@@ -828,7 +857,6 @@ class IndexSearcher:
         df_max = max((s[0] for s in stats.values()), default=0)
         if df_max == 0:
             return self._empty_scored()
-        weight = self._weight(self._idf(df_max), boost)
         pl = (
             self._postings_for_terms(list(q.terms))
             .groupBy("doc_id")
@@ -838,6 +866,14 @@ class IndexSearcher:
                 F.first("length").alias("length"),
             )
         )
+        if self._sb:
+            # one pseudo-term BasicStats: df = max(df_i), ttf = Σ ttf_i
+            # (SynonymQuery.java:130-147)
+            ttf_sum = sum(s[1] for s in stats.values())
+            return self._score_col_sb(boost, df_max, ttf_sum, pl).select(
+                "doc_id", "score"
+            )
+        weight = self._weight(self._idf(df_max), boost)
         return self._score_col(weight, pl).select("doc_id", "score")
 
     def _exec_dismax(self, q: DisjunctionMaxQuery, boost: float) -> DataFrame:
@@ -869,8 +905,20 @@ class IndexSearcher:
         for slot in q.slots:
             if all(stats[t][0] == 0 for t in slot):
                 return self._empty_scored()
-        idf_sum = sum(self._idf(stats[t][0]) for t in all_terms if stats[t][0] > 0)
-        weight = self._weight(idf_sum, boost)
+        if self._sb:
+            # MultiPhraseQuery under SimilarityBase: MultiStats over the
+            # flattened slot terms (MultiPhraseQuery.createWeight builds
+            # TermStatistics per term), summed at the phrase freq
+            live_terms = [t for t in all_terms if stats[t][0] > 0]
+            _score = lambda d: self._score_col_sb_multi(  # noqa: E731
+                boost, live_terms, stats, d
+            )
+        else:
+            idf_sum = sum(
+                self._idf(stats[t][0]) for t in all_terms if stats[t][0] > 0
+            )
+            weight = self._weight(idf_sum, boost)
+            _score = lambda d: self._score_col(weight, d)  # noqa: E731
         base: DataFrame | None = None
         for i, slot in enumerate(q.slots):
             live = [t for t in slot if stats[t][0] > 0]
@@ -901,7 +949,7 @@ class IndexSearcher:
         ]
         inter = reduce(lambda a, b: F.array_intersect(a, b), shifted)
         out = base.withColumn("freq", F.size(inter)).filter(F.col("freq") > 0)
-        return self._score_col(weight, out).select("doc_id", "score")
+        return _score(out).select("doc_id", "score")
 
     def _exec_phrase(self, q: PhraseQuery, boost: float) -> DataFrame:
         """Two-phase exact phrase: docID conjunction, then JVM-side
@@ -914,10 +962,20 @@ class IndexSearcher:
         stats = self.term_statistics(uniq)
         if any(stats[t][0] == 0 for t in uniq):
             return self._empty_scored()
-        # weight: summed idf over ALL phrase terms incl. repeats, summed in
-        # double then cast (BM25Similarity.idfExplain(termStats[]):196-205)
-        idf_sum = sum(self._idf(stats[t][0]) for t in q.terms)
-        weight = self._weight(idf_sum, boost)
+        if self._sb:
+            # SimilarityBase: no idf/weight protocol — MultiStats sums
+            # per-position kernels at the phrase freq (_score_col_sb_multi)
+            weight = None
+            _score = lambda d: self._score_col_sb_multi(  # noqa: E731
+                boost, list(q.terms), stats, d
+            )
+        else:
+            # weight: summed idf over ALL phrase terms incl. repeats,
+            # summed in double then cast
+            # (BM25Similarity.idfExplain(termStats[]):196-205)
+            idf_sum = sum(self._idf(stats[t][0]) for t in q.terms)
+            weight = self._weight(idf_sum, boost)
+            _score = lambda d: self._score_col(weight, d)  # noqa: E731
         # join rarest-first; broadcast the accumulated (rarest-bounded)
         # side when the lead term is selective enough
         order = sorted(range(len(uniq)), key=lambda i: stats[uniq[i]][0])
@@ -963,7 +1021,7 @@ class IndexSearcher:
             out = base.withColumn(
                 "freq", sloppy_udf(*[F.col(f"_p{i}") for i in range(len(uniq))])
             ).filter(F.col("freq") > 0)
-            return self._score_col(weight, out).select("doc_id", "score")
+            return _score(out).select("doc_id", "score")
 
         def _shift(col_name: str, off: int):
             # NB: F.transform dispatches on lambda arity — a 2-arg lambda
@@ -976,7 +1034,7 @@ class IndexSearcher:
         ]
         inter = reduce(lambda a, b: F.array_intersect(a, b), shifted)
         out = base.withColumn("freq", F.size(inter)).filter(F.col("freq") > 0)
-        return self._score_col(weight, out).select("doc_id", "score")
+        return _score(out).select("doc_id", "score")
 
     # --------------------------------------------------------- spans
     def _span_candidates(self, q: SpanQuery) -> DataFrame:

@@ -81,10 +81,12 @@ def test_lm_dirichlet_clamps_below_model_docs(lm_searcher):
     assert scores and min(scores) >= 0.0
 
 
-def test_sb_modes_reject_phrase_queries(lm_searcher):
+def test_sb_modes_score_phrase_queries(lm_searcher):
+    """SB modes score phrases via MultiStats (was a documented
+    NotImplementedError through round 3 session 4)."""
     s, _ = lm_searcher
-    with pytest.raises(NotImplementedError, match="term and boolean"):
-        s.docs(PhraseQuery(("spark", "window")))
+    rows = s.docs(PhraseQuery(("spark", "window"))).collect()
+    assert rows and all(r["score"] == r["score"] for r in rows)  # no NaN
 
 
 def test_jm_spot_value(spark, docs_df):
@@ -241,3 +243,88 @@ def test_pl2_spot_value(spark, docs_df):
         r["doc_id"]: r["score"] for r in s.docs(TermQuery("spark")).collect()
     }[row["doc_id"]]
     assert got == pytest.approx(float(want), abs=0)
+
+
+def test_sb_phrase_multistats(spark, docs_df):
+    """Phrase under a SimilarityBase mode: MultiSimScorer sums one
+    per-position kernel at the PHRASE freq (MultiSimilarity.java:70-84
+    via SimilarityBase.computeWeight MultiStats)."""
+    from lucene_solr_spark.index import build_tables
+    from lucene_solr_spark.queries.query import PhraseQuery
+    from lucene_solr_spark.scoring.similarities import dfr_in_l_h2_score
+
+    t = build_tables(docs_df, id_col="doc_id", text_col="text")
+    s = IndexSearcher(t, scoring="dfr_in_l_h2")
+    got = {
+        r["doc_id"]: r["score"]
+        for r in s.docs(PhraseQuery(("spark", "window"))).collect()
+    }
+    assert got  # phrase occurs in the corpus
+    # recompute: phrase freq per doc via the exact-phrase definition,
+    # then sum the two per-term kernels at that freq in float32
+    st = s.term_statistics(["spark", "window"])
+    pf = (
+        s._term_postings("spark")
+        .select("doc_id", F.col("positions").alias("pa"), "norm_byte")
+        .join(
+            s._term_postings("window").select(
+                "doc_id", F.col("positions").alias("pb")
+            ),
+            "doc_id",
+        )
+        .withColumn(
+            "freq",
+            F.size(
+                F.array_intersect(
+                    "pa", F.transform(F.col("pb"), lambda x: x - F.lit(1))
+                )
+            ),
+        )
+        .filter(F.col("freq") > 0)
+    )
+    k1 = dfr_in_l_h2_score(
+        F.col("freq"), F.col("norm_byte"), 1.0,
+        st["spark"][0], t.stats.doc_count, t.stats.sum_total_term_freq,
+    )
+    k2 = dfr_in_l_h2_score(
+        F.col("freq"), F.col("norm_byte"), 1.0,
+        st["window"][0], t.stats.doc_count, t.stats.sum_total_term_freq,
+    )
+    want = {
+        r["doc_id"]: r["w"]
+        for r in pf.select(
+            "doc_id",
+            (k1.cast("double") + k2.cast("double")).cast("float").alias("w"),
+        ).collect()
+    }
+    assert got == want
+
+
+def test_sb_synonym_pseudostats(spark, docs_df):
+    """Synonym under a SimilarityBase mode: one pseudo-term BasicStats
+    with df=max(df_i), ttf=sum(ttf_i) (SynonymQuery.java:130-147)."""
+    from lucene_solr_spark.index import build_tables
+    from lucene_solr_spark.queries.query import SynonymQuery
+
+    t = build_tables(docs_df, id_col="doc_id", text_col="text")
+    s = IndexSearcher(t, scoring="lm_dirichlet")
+    got = s.docs(SynonymQuery(("spark", "window"))).collect()
+    # LM-Dirichlet clamps at 0 (LMDirichletSimilarity.java:70), so 0.0
+    # scores are legitimate
+    assert got and all(r["score"] >= 0 for r in got)
+    st = s.term_statistics(["spark", "window"])
+    df_max = max(st["spark"][0], st["window"][0])
+    ttf_sum = st["spark"][1] + st["window"][1]
+    pl = (
+        s._postings_for_terms(["spark", "window"])
+        .groupBy("doc_id")
+        .agg(
+            F.sum("tf").alias("freq"),
+            F.first("norm_byte").alias("norm_byte"),
+        )
+    )
+    want = {
+        r["doc_id"]: r["score"]
+        for r in s._score_col_sb(1.0, df_max, ttf_sum, pl).collect()
+    }
+    assert {r["doc_id"]: r["score"] for r in got} == want
