@@ -2327,6 +2327,16 @@ def q_dfr_pl2(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _topk(s.docs(q), 10)
 
 
+def q_dfr_phrase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact phrase "spark window" scored under DFR In-L-H2 — the
+    SimilarityBase MultiStats protocol (SimilarityBase.computeWeight
+    returns MultiSimilarity.MultiStats for >1 term; MultiSimScorer
+    sums one per-position kernel at the PHRASE freq in float32,
+    MultiSimilarity.java:70-84)."""
+    s = _searcher(spark, sf_dir, scoring="dfr_in_l_h2")
+    return _topk(s.docs(PhraseQuery(("spark", "window"))), 10)
+
+
 def q_lm_jelinek_mercer(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LM-Jelinek-Mercer (λ=0.1) top-10 for 'spark window'
     (LMJelinekMercerSimilarity.java:53-58) — float32-faithful: (1−λ)
@@ -2753,6 +2763,7 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lm_dirichlet": q_lm_dirichlet,
         "dfr_similarity": q_dfr_similarity,
         "dfr_pl2": q_dfr_pl2,
+        "dfr_phrase": q_dfr_phrase,
         "lm_jelinek_mercer": q_lm_jelinek_mercer,
         "ib_similarity": q_ib_similarity,
         "axiomatic_f2exp": q_axiomatic_f2exp,
@@ -4759,6 +4770,53 @@ scored AS (
                                                AS FLOAT) AS FLOAT) AS FLOAT)
          AS DOUBLE)) AS FLOAT) AS DOUBLE) AS score
   FROM per GROUP BY doc_id
+)
+{_TOPK_TAIL.format(k=10)}
+"""
+
+    # ---- DFR In-L-H2 over an exact PHRASE (MultiStats float32 sum of
+    # per-position kernels at the phrase freq, MultiSimilarity.java:78-84)
+    sqls["dfr_phrase"] = f"""
+WITH {_IDX},
+{_bm25_f32_ctes()},
+avgf2 AS (SELECT CAST(CAST(sttf AS FLOAT) / CAST(n AS FLOAT) AS FLOAT)
+                 AS avgdl FROM cstats),
+p1 AS (SELECT doc_id, pos FROM kept WHERE term = 'spark'),
+p2 AS (SELECT doc_id, pos FROM kept WHERE term = 'window'),
+ph AS (
+  SELECT p1.doc_id, count(*) AS freq
+  FROM p1 JOIN p2 ON p1.doc_id = p2.doc_id AND p2.pos = p1.pos + 1
+  GROUP BY p1.doc_id
+),
+dfrw AS (
+  SELECT t.term,
+         CAST(ln((c.n + 1) / (t.df + 0.5)) / ln(2) AS FLOAT) AS in_w
+  FROM tstats t CROSS JOIN cstats c
+  WHERE t.term IN ('spark', 'window')
+),
+per AS (
+  SELECT ph.doc_id,
+         CAST(ph.freq * (ln(CAST(CAST(1 AS FLOAT)
+             + CAST(CAST(CAST(1 AS FLOAT) * a.avgdl AS FLOAT) / cv.nt
+                    AS FLOAT) AS FLOAT)) / ln(2)) AS FLOAT) AS tfn,
+         (SELECT in_w FROM dfrw WHERE term = 'spark') AS w1,
+         (SELECT in_w FROM dfrw WHERE term = 'window') AS w2
+  FROM ph
+  JOIN norms nm USING (doc_id)
+  JOIN b315 cv ON nm.length BETWEEN cv.lo AND cv.hi
+  CROSS JOIN avgf2 a
+),
+scored AS (
+  SELECT doc_id,
+         CAST(CAST(
+           CAST(CAST(CAST(1 AS FLOAT) * CAST(tfn * w1 AS FLOAT) AS FLOAT)
+                * CAST(CAST(1 AS FLOAT) / CAST(tfn + CAST(1 AS FLOAT)
+                                               AS FLOAT) AS FLOAT) AS FLOAT)
+           + CAST(CAST(CAST(1 AS FLOAT) * CAST(tfn * w2 AS FLOAT) AS FLOAT)
+                * CAST(CAST(1 AS FLOAT) / CAST(tfn + CAST(1 AS FLOAT)
+                                               AS FLOAT) AS FLOAT) AS FLOAT)
+         AS FLOAT) AS DOUBLE) AS score
+  FROM per
 )
 {_TOPK_TAIL.format(k=10)}
 """
