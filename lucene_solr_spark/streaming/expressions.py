@@ -563,6 +563,111 @@ class StreamFactory:
             raise ValueError("eval(): inner stream has no expr_s tuple")
         return self.df(first["expr_s"])
 
+    def _h_reduce(self, n: StreamExpr) -> DataFrame:
+        """ReducerStream + GroupOperation (io/stream/ReducerStream.java,
+        ops/GroupOperation.java): group the sorted input by ``by`` and
+        keep each group's top ``n`` tuples under the group sort — a
+        ranked window, the Catalyst plan for sort+group-adjacent
+        reduce."""
+        from pyspark.sql import Window
+
+        src = self._eval(n.args[0])
+        by = [c.strip() for c in (self._one(n, "by") or "").split(",") if c]
+        if not by:
+            raise ValueError("reduce() needs by=")
+        grp = next(
+            (a for a in n.args[1:] if isinstance(a, StreamExpr) and a.name == "group"),
+            None,
+        )
+        if grp is None:
+            raise ValueError("reduce() needs a group(sort=, n=) operation")
+        sort = grp.named.get("sort")
+        if not isinstance(sort, str):
+            raise ValueError("group() needs sort=")
+        k = int(grp.named.get("n", "1"))
+        w = Window.partitionBy(*by).orderBy(*_sort_cols(sort))
+        return (
+            src.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") <= k)
+            .drop("_rn")
+            .orderBy(*by)
+        )
+
+    def _h_parallel(self, n: StreamExpr) -> DataFrame:
+        """ParallelStream (io/stream/ParallelStream.java): send the
+        wrapped expression to N workers, each hash-filtered on partition
+        keys.  Spark's shuffle IS this machinery — the relational result
+        equals the wrapped stream; ``workers``/``partitionKeys`` map to
+        an explicit repartition so the downstream plan runs with the
+        requested parallelism."""
+        inner = next(a for a in n.args if isinstance(a, StreamExpr))
+        out = self._eval(inner)
+        workers = self._one(n, "workers")
+        keys = [
+            c.strip()
+            for c in (self._one(n, "partitionKeys") or "").split(",")
+            if c
+        ]
+        if workers and keys:
+            return out.repartition(int(workers), *[F.col(k) for k in keys])
+        if workers:
+            return out.repartition(int(workers))
+        return out
+
+    def _h_random(self, n: StreamExpr) -> DataFrame:
+        """RandomStream (io/stream/RandomStream.java): pseudo-random
+        rows-sized sample.  Deterministic under a ``seed`` param
+        (engine-reproducible ordering via xxhash64(keys, seed), the
+        md5-derived-fingerprint discipline of doc_fingerprint)."""
+        if not n.args or isinstance(n.args[0], StreamExpr):
+            raise ValueError("random() needs a collection name")
+        src = self.tables[n.args[0]]
+        rows = int(self._one(n, "rows") or 10)
+        seed = int(self._one(n, "seed") or 0)
+        fl = self._one(n, "fl")
+        if fl:
+            src = src.select(*[c.strip() for c in fl.split(",")])
+        return (
+            src.withColumn(
+                "_r", F.xxhash64(F.struct(*src.columns), F.lit(seed))
+            )
+            .orderBy("_r")
+            .limit(rows)
+            .drop("_r")
+        )
+
+    def _h_timeseries(self, n: StreamExpr) -> DataFrame:
+        """TimeSeriesStream (io/stream/TimeSeriesStream.java): tumbling
+        calendar windows over ``field``; gap units DAY/HOUR/MONTH map
+        onto date_trunc buckets (the partial+final agg plan)."""
+        if not n.args or isinstance(n.args[0], StreamExpr):
+            raise ValueError("timeseries() needs a collection name")
+        src = self.tables[n.args[0]]
+        field = self._one(n, "field")
+        if field is None:
+            raise ValueError("timeseries() needs field=")
+        gap = (self._one(n, "gap") or "+1DAY").upper()
+        unit, fmt = {
+            "+1DAY": ("day", "yyyy-MM-dd"),
+            "+1HOUR": ("hour", "yyyy-MM-dd HH"),
+            "+1MONTH": ("month", "yyyy-MM"),
+            "+1YEAR": ("year", "yyyy"),
+        }.get(gap, ("day", "yyyy-MM-dd"))
+        start, end = self._one(n, "start"), self._one(n, "end")
+        if start:
+            src = src.filter(F.col(field) >= start)
+        if end:
+            src = src.filter(F.col(field) < end)
+        metrics = [
+            self._metric(a) for a in n.args[1:] if isinstance(a, StreamExpr)
+        ]
+        if not metrics:
+            metrics = [F.count("*").alias("count(*)")]
+        bucket = F.date_format(
+            F.date_trunc(unit, F.col(field)), fmt
+        ).alias(field)
+        return src.groupBy(bucket).agg(*metrics).orderBy(field)
+
     def _h_daemon(self, n: StreamExpr) -> DataFrame:
         """DaemonStream (io/stream/DaemonStream.java): one iteration of
         the wrapped stream.  The reference's run-loop (id, runInterval,

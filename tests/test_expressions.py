@@ -197,3 +197,66 @@ def test_daemon_stream(factory):
         'daemon(search(people, fl="id"), id="d1", runInterval="1000")'
     ).collect()
     assert len(rows) == 4
+
+
+def test_reduce_stream_expression(spark, factory):
+    """reduce(stream, by=, group(sort=, n=)) — ReducerStream.java +
+    GroupOperation.java: top-n per group of the sorted input."""
+    out = factory.df(
+        'reduce(search(people, fl="id,name,dept"),'
+        ' by="dept", group(sort="id desc", n="1"))'
+    )
+    rows = {r["dept"]: r["id"] for r in out.collect()}
+    # dept 20 has ids 2,3 -> keeps 3 (id desc top-1)
+    assert rows == {10: 1, 20: 3, 30: 4}
+
+
+def test_parallel_stream_expression(spark, factory):
+    """parallel(workers=, partitionKeys=, stream) — result equality with
+    the wrapped stream plus the requested partitioning."""
+    inner = 'rollup(search(people, fl="dept,id"), over="dept", count(*))'
+    seq = {tuple(r) for r in factory.df(inner).collect()}
+    par_df = factory.df(
+        f'parallel(workers="4", partitionKeys="dept", {inner})'
+    )
+    assert {tuple(r) for r in par_df.collect()} == seq
+    assert par_df.rdd.getNumPartitions() == 4
+
+
+def test_random_stream_expression(spark, factory):
+    out1 = factory.df('random(people, rows="2", seed="7", fl="id")')
+    out2 = factory.df('random(people, rows="2", seed="7", fl="id")')
+    a, b = out1.collect(), out2.collect()
+    assert len(a) == 2 and a == b  # deterministic under a seed
+    seen = {
+        tuple(r["id"] for r in factory.df(
+            f'random(people, rows="2", seed="{s}", fl="id")').collect())
+        for s in range(6)
+    }
+    assert len(seen) > 1  # seed actually varies the sample
+
+
+def test_timeseries_stream_expression(spark, factory):
+    import datetime as dt
+
+    ev = factory.tables["people"].sparkSession.createDataFrame(
+        [
+            (dt.datetime(2024, 1, 1, 5), 1.0),
+            (dt.datetime(2024, 1, 1, 9), 2.0),
+            (dt.datetime(2024, 1, 3, 0), 4.0),
+        ],
+        ["ts", "value"],
+    )
+    from lucene_solr_spark.streaming.expressions import StreamFactory
+
+    fac = StreamFactory({"events": ev})
+    out = fac.df(
+        'timeseries(events, field="ts", gap="+1DAY", count(*), sum(value))'
+    )
+    rows = [tuple(r) for r in out.collect()]
+    assert rows == [("2024-01-01", 2, 3.0), ("2024-01-03", 1, 4.0)]
+    out = fac.df(
+        'timeseries(events, field="ts", gap="+1DAY", start="2024-01-02",'
+        ' count(*))'
+    )
+    assert [tuple(r) for r in out.collect()] == [("2024-01-03", 1)]
