@@ -53,6 +53,18 @@ Supported functions (→ reference class):
   batch iteration of the inner stream; recurring execution is the
   host's trigger loop — see streaming/topic.py for the incremental
   cursor the reference's daemon+topic pairing uses)
+- ``reduce(stream, by=, group(sort=, n=))``      → ReducerStream +
+  GroupOperation (top-n per group of the sorted input, ranked window)
+- ``parallel(workers=, partitionKeys=, stream)`` → ParallelStream
+  (Spark's shuffle IS the worker fan-out; maps to repartition)
+- ``random(table, rows=, seed=, fl=)``           → RandomStream
+  (deterministic under seed via xxhash64 ordering)
+- ``timeseries(table, field=, gap=, start=, end=, metrics…)``
+  → TimeSeriesStream (date_trunc calendar buckets per gap unit)
+- ``nodes(edges, root=|rootStream, walk="from->to", maxHops=)``
+  → GatherNodesStream (BFS unique-node expansion, streaming/graph.py)
+- ``shortestPath(edges, from=, to=, edge="from->to", maxDepth=)``
+  → ShortestPathStream (BFS level distance; no tuples if unreachable)
 
 Metric names follow the reference's tuple keys exactly: ``sum(x)``,
 ``count(*)``, ``avg(x)``, ``min(x)``, ``max(x)`` (RollupStream emits
@@ -667,6 +679,67 @@ class StreamFactory:
             F.date_trunc(unit, F.col(field)), fmt
         ).alias(field)
         return src.groupBy(bucket).agg(*metrics).orderBy(field)
+
+    def _h_nodes(self, n: StreamExpr) -> DataFrame:
+        """GatherNodesStream (io/stream/graph/GatherNodesStream.java):
+        nodes(collection, rootStream|root=, walk="from->to",
+        maxHops=) — breadth-first unique-node expansion over the
+        collection's edge relation (streaming/graph.py)."""
+        from lucene_solr_spark.streaming.graph import gather_nodes
+
+        if not n.args or isinstance(n.args[0], StreamExpr):
+            raise ValueError("nodes() needs an edge collection name")
+        edges = self.tables[n.args[0]]
+        walk = self._one(n, "walk")
+        if walk is None or "->" not in walk:
+            raise ValueError('nodes() needs walk="fromCol->toCol"')
+        from_col, to_col = (c.strip() for c in walk.split("->", 1))
+        inner = next((a for a in n.args[1:] if isinstance(a, StreamExpr)), None)
+        if inner is not None:
+            src = self._eval(inner)
+            roots = src.select(F.col(src.columns[0]).alias("node"))
+        else:
+            root = self._one(n, "root")
+            if root is None:
+                raise ValueError("nodes() needs a root stream or root=")
+            spark = edges.sparkSession
+            roots = spark.createDataFrame(
+                [(v.strip(),) for v in root.split(",")], ["node"]
+            ).select(F.col("node").cast(dict(edges.dtypes)[from_col]))
+        hops = int(self._one(n, "maxHops") or 1)
+        return gather_nodes(edges, roots, from_col, to_col, hops).orderBy(
+            "level", "node"
+        )
+
+    def _h_shortestPath(self, n: StreamExpr) -> DataFrame:
+        """ShortestPathStream (io/stream/graph/ShortestPathStream.java):
+        shortestPath(collection, from=, to=, edge="from->to",
+        maxDepth=) — emits one tuple with the BFS level distance (or no
+        tuples when unreachable)."""
+        from lucene_solr_spark.streaming.graph import shortest_path
+
+        if not n.args or isinstance(n.args[0], StreamExpr):
+            raise ValueError("shortestPath() needs an edge collection")
+        edges = self.tables[n.args[0]]
+        edge = self._one(n, "edge")
+        if edge is None or "->" not in edge:
+            raise ValueError('shortestPath() needs edge="fromCol->toCol"')
+        from_col, to_col = (c.strip() for c in edge.split("->", 1))
+        src_v, dst_v = self._one(n, "from"), self._one(n, "to")
+        if src_v is None or dst_v is None:
+            raise ValueError("shortestPath() needs from= and to=")
+        ftype = dict(edges.dtypes)[from_col]
+        if ftype in ("bigint", "int", "long", "smallint"):
+            src_v, dst_v = int(src_v), int(dst_v)
+        dist = shortest_path(
+            edges, src_v, dst_v, from_col, to_col,
+            max_hops=int(self._one(n, "maxDepth") or 6),
+        )
+        spark = edges.sparkSession
+        rows = [] if dist is None else [(src_v, dst_v, dist)]
+        return spark.createDataFrame(
+            rows, f"from_ {ftype}, to_ {ftype}, level int"
+        )
 
     def _h_daemon(self, n: StreamExpr) -> DataFrame:
         """DaemonStream (io/stream/DaemonStream.java): one iteration of

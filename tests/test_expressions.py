@@ -260,3 +260,31 @@ def test_timeseries_stream_expression(spark, factory):
         ' count(*))'
     )
     assert [tuple(r) for r in out.collect()] == [("2024-01-03", 1)]
+
+
+def test_nodes_stream_expression(spark):
+    """nodes() — GatherNodesStream BFS expansion over an edge table."""
+    from lucene_solr_spark.streaming.expressions import StreamFactory
+
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "d"), ("a", "c")], ["src", "dst"]
+    )
+    fac = StreamFactory({"edges": edges})
+    out = fac.df('nodes(edges, root="a", walk="src->dst", maxHops="2")')
+    got = {(r["node"], r["level"]) for r in out.collect()}
+    # level 1: b, c (c via the direct edge); level 2: d (first reached)
+    assert got == {("b", 1), ("c", 1), ("d", 2)}
+
+
+def test_shortest_path_stream_expression(spark):
+    from lucene_solr_spark.streaming.expressions import StreamFactory
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (1, 3)], ["src", "dst"]
+    )
+    fac = StreamFactory({"edges": edges})
+    out = fac.df('shortestPath(edges, from="1", to="4", edge="src->dst")')
+    rows = out.collect()
+    assert len(rows) == 1 and rows[0]["level"] == 2  # 1->3->4
+    out = fac.df('shortestPath(edges, from="4", to="1", edge="src->dst")')
+    assert out.collect() == []  # unreachable -> no tuples
