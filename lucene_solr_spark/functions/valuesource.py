@@ -220,7 +220,10 @@ class _Parser:
     # functions whose arguments are raw field names / keywords, not
     # sub-expressions (FieldValueSourceParser-style parsers take the
     # schema field name token directly)
-    _RAW_ARG_FNS = {"field", "ord", "rord", "totaltermfreq", "sumtotaltermfreq"}
+    _RAW_ARG_FNS = {
+        "field", "ord", "rord", "totaltermfreq", "sumtotaltermfreq",
+        "currency",
+    }
 
     def _ordinals(self, field: str, reverse: bool = False) -> Column:
         """ord(field): 1-based ordinal of the doc's value in the sorted
@@ -291,6 +294,24 @@ class _Parser:
             if self.tables is None:
                 raise ValueError("sumtotaltermfreq() needs tables= context")
             return F.lit(float(self.tables.stats.sum_total_term_freq))
+        if name == "currency":
+            # currency(field [, CODE]): CurrencyFieldType's function
+            # query (solr/schema/CurrencyFieldType.java + the example
+            # currency.xml FileExchangeRateProvider table).  The field
+            # stores "amount,CUR"; the value converts to CODE (default
+            # USD, the table's base) via rate(CODE)/rate(CUR).
+            col = F.col(raw[0])
+            target = (raw[1] if len(raw) > 1 else "USD").upper()
+            if target not in CURRENCY_RATES_USD:
+                raise ValueError(f"unknown currency code {target!r}")
+            amount = F.split(col, ",")[0].cast("double")
+            cur = F.upper(F.coalesce(F.get(F.split(col, ","), 1), F.lit("USD")))
+            rate_map = F.create_map(
+                *[x for k, v in CURRENCY_RATES_USD.items()
+                  for x in (F.lit(k), F.lit(v))]
+            )
+            from_rate = rate_map[cur]
+            return amount / from_rate * F.lit(CURRENCY_RATES_USD[target])
         raise ValueError(f"unknown function {name!r}")
 
     def _minmax(self, field_expr: Column) -> tuple[Column, Column]:
@@ -448,6 +469,23 @@ class _Parser:
                 raise ValueError("numdocs() needs tables= context")
             return F.lit(float(self.tables.stats.doc_count))
         raise ValueError(f"unknown function {name!r}")
+
+
+# USD-based exchange rates from the reference's example currency.xml
+# (solr/server/solr/configsets/basic_configs/conf/currency.xml) — the
+# FileExchangeRateProvider demo table, reproduced as data.
+CURRENCY_RATES_USD = {
+    "USD": 1.0, "ARS": 4.333871, "AUD": 1.025768, "EUR": 0.743676,
+    "BRL": 1.881093, "CAD": 1.030815, "CLP": 519.0996, "CNY": 6.387310,
+    "CZK": 18.47134, "DKK": 5.515436, "HKD": 7.801922, "HUF": 215.6169,
+    "ISK": 118.1280, "INR": 49.49088, "XDR": 0.641358, "ILS": 3.709739,
+    "JPY": 76.32419, "KRW": 1169.173, "KWD": 0.275142, "MXN": 13.85895,
+    "NZD": 1.285159, "NOK": 5.859035, "PKR": 87.57007, "PEN": 2.730683,
+    "PHP": 43.62039, "PLN": 3.310139, "RON": 3.100932, "RUB": 32.14663,
+    "SAR": 3.750465, "SGD": 1.299352, "ZAR": 8.329761, "SEK": 6.883442,
+    "CHF": 0.906035, "TWD": 30.40283, "THB": 30.89487, "AED": 3.672955,
+    "UAH": 7.988582, "GBP": 0.647910, "VEF": 4.284478,
+}
 
 
 def parse_function_query(

@@ -236,3 +236,31 @@ def test_ghhsin_decode_roundtrip(spark):
     # shorter (literal) geohash strings decode at their own precision
     v = _one(spark, f'ghhsin({km}, "u4pruydqqvj8", "u4pruydqqvj8")')
     assert v == pytest.approx(0.0, abs=1e-9)
+
+
+def test_currency_function(spark):
+    """currency(field [, CODE]) — CurrencyFieldType function query over
+    'amount,CUR' stored values, converted through the reference's
+    example currency.xml rate table."""
+    from lucene_solr_spark.functions.valuesource import (
+        CURRENCY_RATES_USD,
+        parse_function_query,
+    )
+
+    df = spark.createDataFrame(
+        [(0, "10.00,USD"), (1, "10.00,EUR"), (2, "100"), (3, None)],
+        ["doc_id", "price"],
+    )
+    col = parse_function_query("currency(price,USD)", df)
+    got = {r["doc_id"]: r["v"] for r in df.select("doc_id", col.alias("v")).collect()}
+    assert got[0] == pytest.approx(10.0)
+    assert got[1] == pytest.approx(10.0 / CURRENCY_RATES_USD["EUR"])
+    assert got[2] == pytest.approx(100.0)  # bare amount: default USD
+    assert got[3] is None
+    # convert the other way
+    col = parse_function_query("currency(price,EUR)", df)
+    got = {r["doc_id"]: r["v"] for r in df.select("doc_id", col.alias("v")).collect()}
+    assert got[0] == pytest.approx(10.0 * CURRENCY_RATES_USD["EUR"])
+    assert got[1] == pytest.approx(10.0)
+    with pytest.raises(ValueError, match="currency code"):
+        parse_function_query("currency(price,ZZZ)", df)
