@@ -222,7 +222,7 @@ class _Parser:
     # schema field name token directly)
     _RAW_ARG_FNS = {
         "field", "ord", "rord", "totaltermfreq", "sumtotaltermfreq",
-        "currency",
+        "currency", "childfield",
     }
 
     def _ordinals(self, field: str, reverse: bool = False) -> Column:
@@ -294,6 +294,35 @@ class _Parser:
             if self.tables is None:
                 raise ValueError("sumtotaltermfreq() needs tables= context")
             return F.lit(float(self.tables.stats.sum_total_term_freq))
+        if name == "childfield":
+            # childfield(field [, max|min]): for a parent doc, the
+            # selected child's field value over its _root_ block —
+            # ChildFieldValueSourceParser.java / ToParentBlockJoinSortField
+            # (ascending sort selects the child MIN, descending the MAX;
+            # both exposed via the selector).  Queued as a grouped
+            # child-side aggregate broadcast-joined on doc_id, the same
+            # side-relation mechanism as ord()/rord().
+            if self.df is None:
+                raise ValueError("childfield() needs the DataFrame context")
+            if "_root_" not in self.df.columns:
+                raise ValueError(
+                    "childfield() needs a _root_ block-root column"
+                )
+            fld = raw[0]
+            sel = (raw[1] if len(raw) > 1 else "max").lower()
+            if sel not in ("min", "max"):
+                raise ValueError(
+                    f"childfield() selector must be min|max, got {raw[1]!r}"
+                )
+            cname = f"__childfield_{sel}_{fld}"
+            if all(cname not in d.columns for d, _ in self.joins):
+                children = self.df.filter(F.col("doc_id") != F.col("_root_"))
+                agg = (F.max if sel == "max" else F.min)(F.col(fld))
+                dict_df = children.groupBy(
+                    F.col("_root_").alias("doc_id")
+                ).agg(agg.cast("double").alias(cname))
+                self.joins.append((dict_df, "doc_id"))
+            return F.col(cname)
         if name == "currency":
             # currency(field [, CODE]): CurrencyFieldType's function
             # query (solr/schema/CurrencyFieldType.java + the example

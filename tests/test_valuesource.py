@@ -264,3 +264,24 @@ def test_currency_function(spark):
     assert got[1] == pytest.approx(10.0)
     with pytest.raises(ValueError, match="currency code"):
         parse_function_query("currency(price,ZZZ)", df)
+
+
+def test_childfield_function(spark):
+    """childfield(field[, max|min]) — parent rows get the selected
+    child's field value over the _root_ block (the
+    ToParentBlockJoinSortField selector semantics)."""
+    from lucene_solr_spark.functions.valuesource import apply_function_query
+
+    df = spark.createDataFrame(
+        [
+            (0, 2, 5.0), (1, 2, 9.0), (2, 2, 1.0),   # block 2: parent id 2
+            (3, 5, 7.0), (4, 5, 3.0), (5, 5, 2.0),   # block 5: parent id 5
+        ],
+        ["doc_id", "_root_", "price"],
+    )
+    out, col = apply_function_query(df, "childfield(price)")
+    got = {r["doc_id"]: r["v"] for r in out.select("doc_id", col.alias("v")).collect()}
+    assert got[2] == 9.0 and got[5] == 7.0  # child max, parent row excluded
+    out, col = apply_function_query(df, "childfield(price,min)")
+    got = {r["doc_id"]: r["v"] for r in out.select("doc_id", col.alias("v")).collect()}
+    assert got[2] == 5.0 and got[5] == 3.0
