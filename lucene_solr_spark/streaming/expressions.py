@@ -741,6 +741,19 @@ class StreamFactory:
             rows, f"from_ {ftype}, to_ {ftype}, level int"
         )
 
+    def _h_sql(self, n: StreamExpr) -> DataFrame:
+        """SqlStream / the Solr SQL handler (solr/handler/sql/ — Calcite
+        over Solr collections): stmt= runs against the factory's tables
+        registered as temp views.  Spark SQL *is* the reference's
+        Calcite layer here — same SELECT surface, Catalyst optimizes."""
+        stmt = self._one(n, "stmt")
+        if stmt is None:
+            raise ValueError("sql() needs stmt=")
+        spark = next(iter(self.tables.values())).sparkSession
+        for name, t in self.tables.items():
+            t.createOrReplaceTempView(name)
+        return spark.sql(stmt)
+
     def _h_daemon(self, n: StreamExpr) -> DataFrame:
         """DaemonStream (io/stream/DaemonStream.java): one iteration of
         the wrapped stream.  The reference's run-loop (id, runInterval,

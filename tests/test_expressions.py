@@ -288,3 +288,13 @@ def test_shortest_path_stream_expression(spark):
     assert len(rows) == 1 and rows[0]["level"] == 2  # 1->3->4
     out = fac.df('shortestPath(edges, from="4", to="1", edge="src->dst")')
     assert out.collect() == []  # unreachable -> no tuples
+
+
+def test_sql_stream_expression(spark, factory):
+    """sql(stmt=) — the Solr SQL handler surface: Spark SQL over the
+    factory's registered collections."""
+    out = factory.df(
+        'sql(stmt="SELECT dept, count(*) AS cnt FROM people'
+        ' GROUP BY dept ORDER BY dept")'
+    )
+    assert [tuple(r) for r in out.collect()] == [(10, 1), (20, 2), (30, 1)]
