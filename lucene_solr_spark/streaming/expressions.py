@@ -741,6 +741,35 @@ class StreamFactory:
             rows, f"from_ {ftype}, to_ {ftype}, level int"
         )
 
+    def _h_update(self, n: StreamExpr) -> DataFrame:
+        """UpdateStream (io/stream/UpdateStream.java): drain the inner
+        stream into the named collection and emit one ``batchIndexed``
+        ack tuple.  The collection is the factory's table registry —
+        the durable form is the segment writer's df.write paths
+        (index/segments.py); this is the language-level sink."""
+        if not n.args or isinstance(n.args[0], StreamExpr):
+            raise ValueError("update() needs a destination collection")
+        dest = n.args[0]
+        inner = next(a for a in n.args[1:] if isinstance(a, StreamExpr))
+        src = self._eval(inner)
+        existing = self.tables.get(dest)
+        self.tables[dest] = (
+            src
+            if existing is None
+            else existing.unionByName(src, allowMissingColumns=True)
+        )
+        count = src.count()
+        spark = src.sparkSession
+        return spark.createDataFrame([(count,)], "batchIndexed bigint")
+
+    def _h_commit(self, n: StreamExpr) -> DataFrame:
+        """CommitStream (io/stream/CommitStream.java): wraps update(),
+        passing its ack tuples through; the durability point is the
+        segment manifest's atomic-rename commit (index/segments.py),
+        owned by the index writer rather than this relational layer."""
+        inner = next(a for a in n.args if isinstance(a, StreamExpr))
+        return self._eval(inner)
+
     def _h_sql(self, n: StreamExpr) -> DataFrame:
         """SqlStream / the Solr SQL handler (solr/handler/sql/ — Calcite
         over Solr collections): stmt= runs against the factory's tables

@@ -298,3 +298,17 @@ def test_sql_stream_expression(spark, factory):
         ' GROUP BY dept ORDER BY dept")'
     )
     assert [tuple(r) for r in out.collect()] == [(10, 1), (20, 2), (30, 1)]
+
+
+def test_update_commit_streams(spark):
+    """update()/commit() — drain into a collection, ack tuple out."""
+    from lucene_solr_spark.streaming.expressions import StreamFactory
+
+    a = spark.createDataFrame([(1, "x"), (2, "y")], ["id", "v"])
+    fac = StreamFactory({"a": a})
+    out = fac.df('commit(dest, update(dest, search(a, fl="id,v")))')
+    assert [tuple(r) for r in out.collect()] == [(2,)]
+    assert {tuple(r) for r in fac.tables["dest"].collect()} == {(1, "x"), (2, "y")}
+    # second update appends
+    fac.df('update(dest, search(a, fl="id,v"))')
+    assert fac.tables["dest"].count() == 4
