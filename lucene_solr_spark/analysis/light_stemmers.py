@@ -337,6 +337,46 @@ def portuguese_light_stem(w: str) -> str:
     return "".join(s).translate(_PT_FOLD)
 
 
+# --------------------------------------------------- French/German minimal
+def french_minimal_stem(w: str) -> str:
+    """FrenchMinimalStemmer.java:57-72 (Savoy UniNE 'minimal'): plural
+    -x (aux→al), then s/r/e/é strips and final-duplicate collapse."""
+    if len(w) < 6:
+        return w
+    s = list(w)
+    if s[-1] == "x":
+        if s[-3] == "a" and s[-2] == "u":
+            s[-2] = "l"
+        return "".join(s[:-1])
+    if s[-1] == "s":
+        s = s[:-1]
+    if s[-1] == "r":
+        s = s[:-1]
+    if s[-1] == "e":
+        s = s[:-1]
+    if s[-1] == "é":
+        s = s[:-1]
+    if s[-1] == s[-2]:
+        s = s[:-1]
+    return "".join(s)
+
+
+def german_minimal_stem(w: str) -> str:
+    """GermanMinimalStemmer.java:57-84 (Savoy UniNE 'minimal'): umlaut
+    fold then one plural/case-ending strip."""
+    if len(w) < 5:
+        return w
+    s = w.translate(str.maketrans("äöü", "aou"))
+    n = len(s)
+    if n > 6 and s.endswith("nen"):
+        return s[:-3]
+    if n > 5 and s[-2:] in ("en", "se", "es", "er"):
+        return s[:-2]
+    if s[-1] in "nesr":
+        return s[:-1]
+    return s
+
+
 # --------------------------------------------------------------- Swedish
 def swedish_light_stem(w: str) -> str:
     """SwedishLightStemmer.java:67-110 (Savoy CLEF-2003): possessive -s
@@ -681,6 +721,7 @@ def italian_elision(tok: str) -> str:
 def _load_stops() -> dict[str, frozenset]:
     from lucene_solr_spark.analysis.snowball_stops import (
         FINNISH_STOP,
+        GALICIAN_STOP,
         FRENCH_STOP,
         GERMAN_STOP,
         HUNGARIAN_STOP,
@@ -703,7 +744,14 @@ def _load_stops() -> dict[str, frozenset]:
         "finnish": frozenset(FINNISH_STOP),
         "hungarian": frozenset(HUNGARIAN_STOP),
         "norwegian": frozenset(NORWEGIAN_STOP),
+        "galician": frozenset(GALICIAN_STOP),
     }
+
+
+def _galician_stem_lazy(w: str) -> str:
+    from lucene_solr_spark.analysis.rslp import galician_stem
+
+    return galician_stem(w)
 
 
 def _light_analyze_flat(content: pd.Series, lang: str):
@@ -722,6 +770,7 @@ def _light_analyze_flat(content: pd.Series, lang: str):
         "finnish": finnish_light_stem,
         "hungarian": hungarian_light_stem,
         "norwegian": norwegian_light_stem,
+        "galician": _galician_stem_lazy,
     }[lang]
 
     doc_idx_parts, term_parts, pos_parts = [], [], []

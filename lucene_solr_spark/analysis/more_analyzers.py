@@ -168,4 +168,7 @@ NAMED_ANALYZERS = {
     "finnish": _lazy_light("finnish"),
     "hungarian": _lazy_light("hungarian"),
     "norwegian": _lazy_light("norwegian"),
+    # GalicianAnalyzer.java: tokenize -> lowercase -> gl stop ->
+    # GalicianStemmer (the full RSLG rule engine, analysis/rslp.py)
+    "galician": _lazy_light("galician"),
 }
