@@ -1852,6 +1852,37 @@ SWEDISH_GATE_PHRASE = (
 )
 
 
+GALICIAN_GATE_PHRASE = "as cancións dos cabalos cantadas felizmente"
+
+
+def q_galician_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GalicianAnalyzer chain (gl/GalicianAnalyzer.java: tokenize →
+    lowercase → gl stop → GalicianStemmer — the FULL RSLG rule engine,
+    analysis/rslp.py).  Docs extended with a Galician phrase exercising
+    plural reduction, adverb -mente and the stop list; oracle: closed-
+    vocabulary VALUES stem map (the engine is pinned against the
+    reference's complete 9,416-pair gl.txt goldens)."""
+    d = _table(spark, sf_dir, "documents")
+    t = build_tables(
+        d.select(
+            "doc_id",
+            F.concat(
+                F.col("text"), F.lit(" " + GALICIAN_GATE_PHRASE)
+            ).alias("text"),
+        ),
+        id_col="doc_id",
+        text_col="text",
+        analyzer="galician",
+    )
+    return (
+        t.term_stats.select(
+            "term", "df", F.col("ttf").cast("long").alias("ttf")
+        )
+        .orderBy(F.col("df").desc(), F.col("term").asc())
+        .limit(20)
+    )
+
+
 def q_nordic_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Swedish light-stem chain (the solr.SwedishLightStemFilterFactory
     configuration; SwedishLightStemmer.java:67-110, Savoy CLEF-2003):
@@ -2774,6 +2805,7 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "spellcheck_collate": q_spellcheck_collate,
         "french_analysis": q_french_analysis,
         "nordic_analysis": q_nordic_analysis,
+        "galician_analysis": q_galician_analysis,
         "delete_by_query": q_delete_by_query,
         "exact_dedup": q_exact_dedup,
         "ngram_jaccard": q_ngram_jaccard,
@@ -3326,6 +3358,31 @@ SELECT * FROM (
         if _tok in _sv_stops:
             continue
         _sv_map.append(f"('{_tok}','{swedish_light_stem(_tok)}')")
+    from lucene_solr_spark.analysis.rslp import galician_stem
+    from lucene_solr_spark.analysis.snowball_stops import GALICIAN_STOP
+
+    _gl_stops = frozenset(GALICIAN_STOP)
+    _gl_map = []
+    for _tok in sorted(set(_corpus_vocab + GALICIAN_GATE_PHRASE.split())):
+        if _tok in _gl_stops:
+            continue
+        _gl_map.append(f"('{_tok}','{galician_stem(_tok)}')")
+    sqls["galician_analysis"] = f"""
+WITH toks AS (
+  SELECT doc_id,
+         unnest(string_split(text || ' {GALICIAN_GATE_PHRASE}', ' ')) AS tok
+  FROM documents
+),
+smap(tok, stem) AS (VALUES {",".join(_gl_map)}),
+p AS (
+  SELECT t.doc_id, m.stem AS term, count(*) AS tf
+  FROM toks t JOIN smap m USING (tok) GROUP BY t.doc_id, m.stem
+)
+SELECT term, count(*) AS df, CAST(sum(tf) AS BIGINT) AS ttf
+FROM p GROUP BY term
+ORDER BY df DESC, term ASC LIMIT 20
+"""
+
     sqls["nordic_analysis"] = f"""
 WITH toks AS (
   SELECT doc_id,
