@@ -722,6 +722,7 @@ def _load_stops() -> dict[str, frozenset]:
     from lucene_solr_spark.analysis.snowball_stops import (
         FINNISH_STOP,
         GALICIAN_STOP,
+        SORANI_STOP,
         FRENCH_STOP,
         GERMAN_STOP,
         HUNGARIAN_STOP,
@@ -745,7 +746,14 @@ def _load_stops() -> dict[str, frozenset]:
         "hungarian": frozenset(HUNGARIAN_STOP),
         "norwegian": frozenset(NORWEGIAN_STOP),
         "galician": frozenset(GALICIAN_STOP),
+        "sorani": frozenset(SORANI_STOP),
     }
+
+
+def _sorani_stem_lazy(w: str) -> str:
+    from lucene_solr_spark.analysis.sorani import sorani_stem
+
+    return sorani_stem(w)
 
 
 def _galician_stem_lazy(w: str) -> str:
@@ -759,6 +767,11 @@ def _light_analyze_flat(content: pd.Series, lang: str):
     snowball stop → light stem, with per-batch vocabulary dedup so each
     unique surface form stems exactly once."""
     stops = _load_stops()[lang]
+    norm = None
+    if lang == "sorani":
+        from lucene_solr_spark.analysis.sorani import sorani_normalize
+
+        norm = sorani_normalize
     stem = {
         "french": french_light_stem,
         "german": german_light_stem,
@@ -771,6 +784,7 @@ def _light_analyze_flat(content: pd.Series, lang: str):
         "hungarian": hungarian_light_stem,
         "norwegian": norwegian_light_stem,
         "galician": _galician_stem_lazy,
+        "sorani": _sorani_stem_lazy,
     }[lang]
 
     doc_idx_parts, term_parts, pos_parts = [], [], []
@@ -783,6 +797,8 @@ def _light_analyze_flat(content: pd.Series, lang: str):
                 t = french_elision(t)
             elif lang == "italian":
                 t = italian_elision(t)
+            if norm is not None:
+                t = norm(t)
             if not t or t in stops:
                 continue
             terms.append(t)

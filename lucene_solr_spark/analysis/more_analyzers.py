@@ -171,4 +171,8 @@ NAMED_ANALYZERS = {
     # GalicianAnalyzer.java: tokenize -> lowercase -> gl stop ->
     # GalicianStemmer (the full RSLG rule engine, analysis/rslp.py)
     "galician": _lazy_light("galician"),
+    # SoraniAnalyzer.java: tokenize -> normalize -> lowercase -> ckb
+    # stop -> SoraniStemmer (analysis/sorani.py; DecimalDigitFilter is
+    # the documented omission — the corpus carries ASCII digits)
+    "sorani": _lazy_light("sorani"),
 }

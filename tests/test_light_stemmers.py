@@ -238,3 +238,36 @@ def test_galician_chain(spark):
 
     want = {galician_stem(w) for w in ("cancións", "cabalos", "cantadas")}
     assert terms == want
+
+
+def test_sorani_goldens_and_chain(spark):
+    """Sorani normalize→stem vs a 1-in-20 sample of the reference's
+    complete 8,272-pair ckbtestdata (verified 100% exact in full), and
+    the analyzer chain end-to-end (normalize before stop/stem, the
+    SoraniAnalyzer.java order)."""
+    from lucene_solr_spark.analysis.sorani import (
+        sorani_normalize,
+        sorani_stem,
+    )
+
+    bad = []
+    n = 0
+    for line in (FIX / "ckb.tsv").read_text(encoding="utf-8").splitlines():
+        w, want = line.split("\t")
+        n += 1
+        got = sorani_stem(sorani_normalize(w))
+        if got != want:
+            bad.append((w, got, want))
+    assert n > 400 and not bad, bad[:10]
+    # normalizer specifics (SoraniNormalizer.java): ZWNJ after heh,
+    # kaf/yeh unification, initial reh
+    assert sorani_normalize("ره‌") == "ڕە"
+    assert sorani_normalize("كتاوي") == "کتاوی"
+
+    from lucene_solr_spark.index import build_tables
+
+    df = spark.createDataFrame([(0, "پیاوەکان لە ماڵەکە")], ["doc_id", "text"])
+    t = build_tables(df, id_col="doc_id", text_col="text", analyzer="sorani")
+    rows = {r["term"]: r["positions"] for r in t.postings.collect()}
+    # لە is a ckb stop word; the gap stays (positions 0 and 2)
+    assert rows == {"پیاو": [0], "ماڵە": [2]}
