@@ -720,6 +720,7 @@ def italian_elision(tok: str) -> str:
 
 def _load_stops() -> dict[str, frozenset]:
     from lucene_solr_spark.analysis.snowball_stops import (
+        ARABIC_STOP,
         FINNISH_STOP,
         GALICIAN_STOP,
         SORANI_STOP,
@@ -747,7 +748,17 @@ def _load_stops() -> dict[str, frozenset]:
         "norwegian": frozenset(NORWEGIAN_STOP),
         "galician": frozenset(GALICIAN_STOP),
         "sorani": frozenset(SORANI_STOP),
+        "arabic": frozenset(ARABIC_STOP),
     }
+
+
+def _arabic_stem_lazy(w: str) -> str:
+    # ArabicAnalyzer order: stop runs BEFORE normalization (the ar
+    # stopword file is written accordingly), so the chain folds
+    # normalize INTO the stem step
+    from lucene_solr_spark.analysis.arabic import arabic_normalize, arabic_stem
+
+    return arabic_stem(arabic_normalize(w))
 
 
 def _sorani_stem_lazy(w: str) -> str:
@@ -785,6 +796,7 @@ def _light_analyze_flat(content: pd.Series, lang: str):
         "norwegian": norwegian_light_stem,
         "galician": _galician_stem_lazy,
         "sorani": _sorani_stem_lazy,
+        "arabic": _arabic_stem_lazy,
     }[lang]
 
     doc_idx_parts, term_parts, pos_parts = [], [], []

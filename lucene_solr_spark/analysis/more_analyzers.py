@@ -175,4 +175,7 @@ NAMED_ANALYZERS = {
     # stop -> SoraniStemmer (analysis/sorani.py; DecimalDigitFilter is
     # the documented omission — the corpus carries ASCII digits)
     "sorani": _lazy_light("sorani"),
+    # ArabicAnalyzer.java: tokenize -> lowercase -> ar stop ->
+    # ArabicNormalizationFilter -> ArabicStemFilter (analysis/arabic.py)
+    "arabic": _lazy_light("arabic"),
 }

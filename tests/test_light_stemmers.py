@@ -271,3 +271,43 @@ def test_sorani_goldens_and_chain(spark):
     rows = {r["term"]: r["positions"] for r in t.postings.collect()}
     # لە is a ckb stop word; the gap stays (positions 0 and 2)
     assert rows == {"پیاو": [0], "ماڵە": [2]}
+
+
+def test_arabic_goldens_and_chain(spark):
+    """Arabic normalizer + light-10 stemmer vs the reference's inline
+    goldens (TestArabicNormalizationFilter / TestArabicStemFilter), and
+    the chain end-to-end (stop before normalize, ArabicAnalyzer order)."""
+    from lucene_solr_spark.analysis.arabic import (
+        arabic_normalize,
+        arabic_stem,
+    )
+
+    stem_cases = [
+        ("الحسن", "حسن"), ("والحسن", "حسن"), ("بالحسن", "حسن"),
+        ("كالحسن", "حسن"), ("فالحسن", "حسن"), ("للاخر", "اخر"),
+        ("وحسن", "حسن"), ("زوجها", "زوج"), ("ساهدان", "ساهد"),
+        ("ساهدات", "ساهد"), ("ساهدون", "ساهد"), ("ساهدين", "ساهد"),
+        ("ساهديه", "ساهد"), ("ساهدية", "ساهد"), ("ساهده", "ساهد"),
+        ("ساهدة", "ساهد"), ("ساهدي", "ساهد"), ("وساهدون", "ساهد"),
+        ("ساهدهات", "ساهد"), ("الو", "الو"), ("English", "English"),
+    ]
+    for w, want in stem_cases:
+        assert arabic_stem(w) == want, (w, arabic_stem(w), want)
+    norm_cases = [
+        ("آجن", "اجن"), ("أحمد", "احمد"), ("إعاذ", "اعاذ"),
+        ("بنى", "بني"), ("فاطمة", "فاطمه"), ("روبرـــــت", "روبرت"),
+        ("مَبنا", "مبنا"), ("علِي", "علي"), ("بُوات", "بوات"),
+        ("ولداً", "ولدا"), ("ولدٍ", "ولد"), ("ولدٌ", "ولد"),
+        ("نلْسون", "نلسون"), ("هتميّ", "هتمي"),
+    ]
+    for w, want in norm_cases:
+        assert arabic_normalize(w) == want, (w, arabic_normalize(w), want)
+
+    from lucene_solr_spark.index import build_tables
+
+    df = spark.createDataFrame([(0, "من الحسن والحسين")], ["doc_id", "text"])
+    t = build_tables(df, id_col="doc_id", text_col="text", analyzer="arabic")
+    rows = {r["term"]: r["positions"] for r in t.postings.collect()}
+    # من is an ar stop word (gap kept); الحسن -> حسن (article strip),
+    # والحسين -> حس (wal- prefix, then the -ين suffix per light-10)
+    assert rows == {"حسن": [1], "حس": [2]}
