@@ -721,6 +721,8 @@ def italian_elision(tok: str) -> str:
 def _load_stops() -> dict[str, frozenset]:
     from lucene_solr_spark.analysis.snowball_stops import (
         ARABIC_STOP,
+        BULGARIAN_STOP,
+        CZECH_STOP,
         FINNISH_STOP,
         GALICIAN_STOP,
         SORANI_STOP,
@@ -749,7 +751,21 @@ def _load_stops() -> dict[str, frozenset]:
         "galician": frozenset(GALICIAN_STOP),
         "sorani": frozenset(SORANI_STOP),
         "arabic": frozenset(ARABIC_STOP),
+        "czech": frozenset(CZECH_STOP),
+        "bulgarian": frozenset(BULGARIAN_STOP),
     }
+
+
+def _czech_stem_lazy(w: str) -> str:
+    from lucene_solr_spark.analysis.czech_bulgarian import czech_stem
+
+    return czech_stem(w)
+
+
+def _bulgarian_stem_lazy(w: str) -> str:
+    from lucene_solr_spark.analysis.czech_bulgarian import bulgarian_stem
+
+    return bulgarian_stem(w)
 
 
 def _arabic_stem_lazy(w: str) -> str:
@@ -797,6 +813,8 @@ def _light_analyze_flat(content: pd.Series, lang: str):
         "galician": _galician_stem_lazy,
         "sorani": _sorani_stem_lazy,
         "arabic": _arabic_stem_lazy,
+        "czech": _czech_stem_lazy,
+        "bulgarian": _bulgarian_stem_lazy,
     }[lang]
 
     doc_idx_parts, term_parts, pos_parts = [], [], []

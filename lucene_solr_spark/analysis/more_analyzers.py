@@ -178,4 +178,8 @@ NAMED_ANALYZERS = {
     # ArabicAnalyzer.java: tokenize -> lowercase -> ar stop ->
     # ArabicNormalizationFilter -> ArabicStemFilter (analysis/arabic.py)
     "arabic": _lazy_light("arabic"),
+    # CzechAnalyzer.java / BulgarianAnalyzer.java: tokenize ->
+    # lowercase -> stop -> {Czech,Bulgarian}Stemmer
+    "czech": _lazy_light("czech"),
+    "bulgarian": _lazy_light("bulgarian"),
 }

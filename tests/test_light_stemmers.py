@@ -311,3 +311,42 @@ def test_arabic_goldens_and_chain(spark):
     # من is an ar stop word (gap kept); الحسن -> حسن (article strip),
     # والحسين -> حس (wal- prefix, then the -ين suffix per light-10)
     assert rows == {"حسن": [1], "حس": [2]}
+
+
+def test_czech_bulgarian_goldens_and_chains(spark):
+    """Czech (Dolamic & Savoy) and Bulgarian (Nakov) stemmers vs the
+    reference's inline goldens + the analyzer chains end-to-end."""
+    from lucene_solr_spark.analysis.czech_bulgarian import (
+        bulgarian_stem,
+        czech_stem,
+    )
+
+    cz = [
+        ("páni", "pán"), ("pánové", "pán"), ("pánů", "pán"),
+        ("pánech", "pán"), ("hrady", "hrad"), ("hradech", "hrad"),
+        ("muži", "muh"), ("mužích", "muh"), ("stroje", "stroj"),
+        ("strojům", "stroj"), ("předsedové", "předsd"),
+        ("předsedu", "předsd"),
+    ]
+    for w, want in cz:
+        assert czech_stem(w) == want, (w, czech_stem(w), want)
+    bg = [
+        ("града", "град"), ("градът", "град"), ("градове", "град"),
+        ("градовете", "град"), ("народите", "народ"), ("пътищата", "път"),
+        ("градовцете", "градовц"), ("дядовците", "дяд"), ("мъжете", "мъж"),
+    ]
+    for w, want in bg:
+        assert bulgarian_stem(w) == want, (w, bulgarian_stem(w), want)
+
+    from lucene_solr_spark.index import build_tables
+
+    df = spark.createDataFrame([(0, "je hrady a páni")], ["doc_id", "text"])
+    t = build_tables(df, id_col="doc_id", text_col="text", analyzer="czech")
+    rows = {r["term"]: r["positions"] for r in t.postings.collect()}
+    # je/a are cz stop words (gaps kept)
+    assert rows == {"hrad": [1], "pán": [3]}
+
+    df = spark.createDataFrame([(0, "на градовете и народите")], ["doc_id", "text"])
+    t = build_tables(df, id_col="doc_id", text_col="text", analyzer="bulgarian")
+    rows = {r["term"]: r["positions"] for r in t.postings.collect()}
+    assert rows == {"град": [1], "народ": [3]}
