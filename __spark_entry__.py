@@ -602,6 +602,20 @@ def q_local_params(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _topk(disp.docs("{!boost b=recip(n_chars,1,1000,1000)}{!term v=$qq}"), 10)
 
 
+def q_simple_qparser(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """{!simple} — Lucene SimpleQueryParser (lucene/queryparser/simple/
+    SimpleQueryParser.java operator vocabulary; solr
+    SimpleQParserPlugin.java): default-OR junctions, '+' AND binding
+    tighter than '|', '-' negation folded into the enclosing boolean.
+    'spark + window -sort | merge' → {SHOULD (spark AND window),
+    MUST_NOT sort, SHOULD merge}; SHOULD arms sum, MUST_NOT excludes."""
+    from lucene_solr_spark.queries.local_params import SolrQueryDispatcher
+
+    s = _searcher(spark, sf_dir)
+    disp = SolrQueryDispatcher(s)
+    return _topk(disp.docs("{!simple}spark + window -sort | merge"), 10)
+
+
 def q_join_qparser(spark: SparkSession, sf_dir: str) -> DataFrame:
     """{!join} field-value semi-join across collections
     (search/JoinQParserPlugin.java): orders whose o_custkey occurs
@@ -2757,14 +2771,19 @@ _GATE_WINDOW = [
     "spellcheck_collate", "french_analysis", "xml_query", "null_stream",
     "parent_qparser", "child_qparser", "facet_block_children",
     "facet_block_parent", "payload_score_qparser", "payload_check",
-    # re-gates: code paths changed this round.  Rotated out for the new
-    # entries above (all green in r1/r2 and still oracle-replicated
-    # in-suite by tests/test_entry.py): minhash_lsh, cosine_topk,
-    # classic_tfidf, edismax, english_analyzer, sloppy_phrase,
-    # unified_highlight, geofilt_query.
-    "wand_topk", "term_query_lucene",
-    "local_params", "join_qparser",
-    "stream_sessionize",
+    # never gated: added later in round 3
+    "dfr_pl2", "simple_qparser", "surround_query", "complexphrase_query",
+    "stream_expression",
+    # Deferred behind the 50-slot window (every one strict-verified at
+    # sf0.01 by scripts/driver_strict.py this round, and replicated
+    # in-suite by tests/test_entry.py): the r1/r2-green re-gate
+    # candidates whose code paths changed this round (wand_topk,
+    # term_query_lucene, local_params, join_qparser, stream_sessionize,
+    # minhash_lsh, cosine_topk, classic_tfidf, edismax,
+    # english_analyzer, sloppy_phrase, unified_highlight,
+    # geofilt_query) and three round-3 entries with complete-vocabulary
+    # in-suite goldens (nordic_analysis, galician_analysis, dfr_phrase)
+    # — round-4 window candidates.
 ]
 
 
@@ -2863,6 +2882,7 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ltr_trees": q_ltr_trees,
         "valuesource_extended": q_valuesource_extended,
         "local_params": q_local_params,
+        "simple_qparser": q_simple_qparser,
         "surround_query": q_surround_query,
         "complexphrase_query": q_complexphrase_query,
         "stream_expression": q_stream_expression,
@@ -3743,6 +3763,30 @@ scored AS (
   SELECT b.doc_id,
          b.score * (1000.0 / (1.0 * d.n_chars + 1000.0)) AS score
   FROM base b JOIN documents d USING (doc_id)
+)
+{_TOPK_TAIL.format(k=10)}
+"""
+
+    # {!simple}spark + window -sort | merge: SHOULD arms sum (the AND
+    # arm scores s_spark+s_window when both match), MUST_NOT sort
+    # excludes — SimpleQueryParser's folded-negation boolean.
+    sqls["simple_qparser"] = f"""
+WITH {_IDX},
+s1 AS ({_bm25_sql("spark")}),
+s2 AS ({_bm25_sql("window")}),
+s3 AS ({_bm25_sql("merge")}),
+arm1 AS (
+  SELECT s1.doc_id, s1.score + s2.score AS score
+  FROM s1 JOIN s2 USING (doc_id)
+),
+uni AS (
+  SELECT COALESCE(a.doc_id, m.doc_id) AS doc_id,
+         COALESCE(a.score, 0) + COALESCE(m.score, 0) AS score
+  FROM arm1 a FULL OUTER JOIN s3 m ON a.doc_id = m.doc_id
+),
+scored AS (
+  SELECT u.doc_id, u.score FROM uni u
+  WHERE u.doc_id NOT IN (SELECT doc_id FROM postings WHERE term = 'sort')
 )
 {_TOPK_TAIL.format(k=10)}
 """

@@ -582,6 +582,78 @@ class SolrQueryDispatcher:
             return JoinQuery(
                 frm, to, self.parse(rest), one("fromIndex"), mode
             )
+        if ptype in ("dismax", "edismax"):
+            # DisMaxQParser.java / ExtendedDismaxQParser.java: the
+            # per-field DisjunctionMax tree lives in queries/edismax.py;
+            # this branch is the param plumbing (qf/pf/tie/mm).  mm here
+            # is the absolute-count form; percentage mm is resolved
+            # upstream by callers that know the clause count.
+            from .edismax import parse_edismax
+
+            qf = one("qf")
+            if qf is None:
+                raise ValueError(f"{{!{ptype}}} requires qf=")
+            mm_raw = (one("mm", "0") or "0").strip()
+            if mm_raw.endswith("%"):
+                raise ValueError(
+                    "percentage mm is resolved by the caller (absolute "
+                    "count form only here)"
+                )
+            return parse_edismax(
+                one("v", rest) or "",
+                qf=qf,
+                pf=one("pf"),
+                tie=float(one("tie", "0") or 0),
+                mm=int(mm_raw or 0),
+            )
+        if ptype == "simple":
+            # SimpleQParserPlugin.java: Lucene SimpleQueryParser over
+            # q.op / q.operators
+            from .simple import ALL_OPERATORS, parse_simple
+
+            op = (one("q.op", "OR") or "OR").upper()
+            ops_raw = one("q.operators")
+            ops = (
+                frozenset(
+                    s.strip().upper()
+                    for s in ops_raw.split(",")
+                    if s.strip()
+                )
+                if ops_raw
+                else ALL_OPERATORS
+            )
+            return wrap_field(
+                parse_simple(
+                    one("v", rest) or "",
+                    default_op=Occur.MUST if op == "AND" else Occur.SHOULD,
+                    operators=ops,
+                )
+            )
+        if ptype == "graphTerms":
+            # GraphTermsQParserPlugin.java: a constant-score terms query
+            # that SKIPS high-frequency terms (docFreq > maxDocFreq) —
+            # gatherNodes uses it to avoid hub explosion.  The df lookup
+            # is the searcher's cached stats round (bounded by the
+            # query's own term count, like every term-stats collect).
+            terms = [t for t in (one("v", rest) or "").split(",") if t]
+            max_df = int(one("maxDocFreq", "-1") or -1)
+            if max_df >= 0 and terms:
+                stats = self.searcher.term_statistics(terms)
+                terms = [t for t in terms if stats[t][0] <= max_df]
+            if not terms:
+                from .query import MatchNoDocsQuery
+
+                return MatchNoDocsQuery("all graphTerms pruned")
+            return wrap_field(
+                ConstantScoreQuery(
+                    BooleanQuery(
+                        tuple(
+                            BooleanClause(Occur.SHOULD, TermQuery(t))
+                            for t in terms
+                        )
+                    )
+                )
+            )
         if ptype in ("geofilt", "bbox"):
             sfield = one("sfield")
             pt = one("pt")
