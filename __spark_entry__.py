@@ -602,6 +602,28 @@ def q_local_params(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _topk(disp.docs("{!boost b=recip(n_chars,1,1000,1000)}{!term v=$qq}"), 10)
 
 
+def q_cursor_mark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CursorMark deep paging (solr search/CursorMark.java,
+    CursorMarkParams.java): walk three 10-row pages of the
+    'spark window' disjunction with the opaque sort-values token,
+    uniqueKey tiebreak mandatory.  Pages must partition the ranking
+    exactly — no skips, no duplicates — which is what the oracle's
+    row_number()/page arithmetic checks."""
+    from lucene_solr_spark.queries.cursor import SortSpec, cursor_walk
+
+    s = _searcher(spark, sf_dir)
+    scored = _scored(s.docs(parse_query("spark window")))
+    sorts = [SortSpec("score", ascending=False), SortSpec("doc_id", ascending=True)]
+    pages = [
+        page.withColumn("page", F.lit(i).cast("int"))
+        for i, page in cursor_walk(scored, sorts, rows=10, max_pages=3)
+    ]
+    out = pages[0]
+    for p in pages[1:]:
+        out = out.unionByName(p)
+    return out.select("page", "doc_id", "score").orderBy("page", "doc_id")
+
+
 def q_simple_qparser(spark: SparkSession, sf_dir: str) -> DataFrame:
     """{!simple} — Lucene SimpleQueryParser (lucene/queryparser/simple/
     SimpleQueryParser.java operator vocabulary; solr
@@ -2929,6 +2951,7 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fuzzy_query": q_fuzzy_query,
         "match_all": q_match_all,
         "search_after": q_search_after,
+        "cursor_mark": q_cursor_mark,
         "field_query": q_field_query,
         "cross_field_dismax": q_cross_field_dismax,
         "spellcheck": q_spellcheck,
@@ -4110,6 +4133,24 @@ WITH {_IDX},
 scored AS ({_bm25_sql("spark")})
 SELECT doc_id, ROUND(score, 4) AS score FROM scored
 ORDER BY ROUND(score, 4) DESC, doc_id ASC LIMIT 10 OFFSET 10
+"""
+
+    # Three cursor pages partition the rounded-score ranking exactly:
+    # page = (rank-1) // rows.  Skipped or duplicated docs across pages
+    # (the failure CursorMark exists to prevent) break the row set.
+    sqls["cursor_mark"] = f"""
+WITH {_IDX},
+s1 AS ({_bm25_sql("spark")}),
+s2 AS ({_bm25_sql("window")}),
+u AS (SELECT * FROM s1 UNION ALL SELECT * FROM s2),
+summed AS (SELECT doc_id, sum(score) AS score FROM u GROUP BY doc_id),
+ranked AS (
+  SELECT doc_id, ROUND(score, 4) AS score,
+         row_number() OVER (ORDER BY ROUND(score, 4) DESC, doc_id ASC) AS rn
+  FROM summed
+)
+SELECT CAST((rn - 1) // 10 AS INT) AS page, doc_id, score
+FROM ranked WHERE rn <= 30 ORDER BY page, doc_id
 """
 
     sqls["field_query"] = f"""
