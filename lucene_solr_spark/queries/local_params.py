@@ -298,6 +298,10 @@ def parse_local_params(
             val = params[val[1:]]
         if key == "type":
             ptype = val
+        elif isinstance(val, list):
+            # a $ref may name a MULTI-VALUED request param (Solr's
+            # SolrParams.getParams, used by {!filters param=$fqs})
+            kv.setdefault(key, []).extend(val)
         else:
             kv.setdefault(key, []).append(val)
     return ptype or "lucene", kv, rest
@@ -491,6 +495,28 @@ class SolrQueryDispatcher:
                 tuple(clauses),
                 minimum_number_should_match=int(one("mm", "0") or 0),
             )
+        if ptype == "filters":
+            # FiltersQParserPlugin (solr/core/.../search/
+            # FiltersQParserPlugin.java): v as the scoring MUST clause,
+            # every param= query as a FILTER clause; filters whose
+            # {!tag=…} intersects excludeTags are dropped (the
+            # multi-select faceting contract).
+            exclude: set[str] = set()
+            for ex in kv.get("excludeTags", []):
+                exclude.update(t.strip() for t in ex.split(",") if t.strip())
+            clauses = []
+            main = one("v", rest)
+            if main:
+                clauses.append(BooleanClause(Occur.MUST, self.parse(main)))
+            for fq in kv.get("param", []):
+                _, fkv, _ = parse_local_params(fq, self.params)
+                tags: set[str] = set()
+                for tv in fkv.get("tag", []):
+                    tags.update(t.strip() for t in tv.split(","))
+                if tags & exclude:
+                    continue
+                clauses.append(BooleanClause(Occur.FILTER, self.parse(fq)))
+            return BooleanQuery(tuple(clauses))
         if ptype == "boost":
             b = one("b")
             if b is None:

@@ -202,11 +202,18 @@ class StreamFactory:
         tables: dict[str, DataFrame],
         searcher=None,
         search_collection: str | None = None,
+        index=None,
     ) -> None:
         self.tables = tables
         self.searcher = searcher
         self.search_collection = search_collection
+        self.index = index  # IndexTables for the search collection
         self._lets: dict[str, DataFrame] = {}
+
+    def _need_index(self, fn: str):
+        if self.index is None:
+            raise ValueError(f"{fn}() needs StreamFactory(index=…)")
+        return self.index
 
     # ------------------------------------------------------------- entry
     def df(self, expr: str | StreamExpr) -> DataFrame:
@@ -740,6 +747,192 @@ class StreamFactory:
         return spark.createDataFrame(
             rows, f"from_ {ftype}, to_ {ftype}, level int"
         )
+
+    # --------------------------------------------------------- ML / stats
+    def _h_significantTerms(self, n: StreamExpr) -> DataFrame:
+        """SignificantTermsStream (solrj io/stream/SignificantTermsStream
+        .java): significantTerms(collection, q=, limit=, minDocFreq=) —
+        foreground (q's doc set) vs background (whole index) term
+        frequency ratio.  Emits (term, foreground, background, score)
+        ordered by score desc, term asc — one postings shuffle for the
+        foreground counts, term_stats broadcast for the background."""
+        t = self._need_index("significantTerms")
+        q = self._one(n, "q")
+        if q is None:
+            raise ValueError("significantTerms() needs q=")
+        if self.searcher is None:
+            raise ValueError("significantTerms() needs a searcher")
+        fg = self.searcher.docs(q).select("doc_id")
+        fg_n = fg.count()
+        out = (
+            t.postings.join(fg, "doc_id")
+            .groupBy("term")
+            .agg(F.count("*").alias("foreground"))
+            .join(
+                t.term_stats.select(
+                    "term", F.col("df").alias("background")
+                ),
+                "term",
+            )
+            .withColumn(
+                "score",
+                F.round(
+                    (F.col("foreground") / F.lit(float(fg_n)))
+                    / (F.col("background") / F.lit(float(t.stats.doc_count))),
+                    4,
+                ),
+            )
+        )
+        min_df = int(self._one(n, "minDocFreq") or 0)
+        if min_df:
+            out = out.filter(F.col("background") >= min_df)
+        out = out.orderBy(F.col("score").desc(), F.col("term").asc())
+        limit = self._one(n, "limit")
+        return out.limit(int(limit)) if limit else out
+
+    def _binary_outcomes(self, n: StreamExpr, collection: str) -> DataFrame:
+        outcome = self._one(n, "outcome")
+        if outcome is None:
+            raise ValueError(f"{n.name}() needs outcome=")
+        pos = self._one(n, "positiveLabel", "1")
+        idc = self._one(n, "id", "doc_id")
+        return self.tables[collection].select(
+            F.col(idc).alias("doc_id"),
+            F.when(F.col(outcome).cast("string") == pos, 1)
+            .otherwise(0)
+            .alias("outcome"),
+        )
+
+    def _h_featuresSelection(self, n: StreamExpr) -> DataFrame:
+        """FeaturesSelectionStream (solrj io/stream/FeaturesSelection
+        Stream.java:340-370): featuresSelection(collection, outcome=,
+        positiveLabel=, numTerms=) — top terms by information gain
+        (IGainTermsQParserPlugin math) → (term, score, docfreq, idf)."""
+        from lucene_solr_spark.streaming.ml import features_selection
+
+        t = self._need_index("featuresSelection")
+        if not n.args or isinstance(n.args[0], StreamExpr):
+            raise ValueError("featuresSelection() needs a collection")
+        return features_selection(
+            t.postings,
+            self._binary_outcomes(n, n.args[0]),
+            num_terms=int(self._one(n, "numTerms") or 10),
+        )
+
+    def _model_from_features(self, feats: DataFrame, n_docs: int):
+        """Collect a bounded (numTerms-capped) feature set → (terms,
+        idfs); idf recomputed from docfreq so the model sees full
+        precision, not the stream's display rounding."""
+        import math
+
+        rows = feats.select("term", "docfreq").collect()
+        terms = [r["term"] for r in rows]
+        idfs = [math.log(n_docs / (r["docfreq"] + 1.0)) for r in rows]
+        return terms, idfs
+
+    def _h_train(self, n: StreamExpr) -> DataFrame:
+        """TextLogitStream (solrj io/stream/TextLogitStream.java):
+        train(collection, featuresExpr, outcome=, maxIterations=,
+        alpha=) — logistic regression over idf·(1+ln tf) term features.
+        The per-iteration model tuple is FLATTENED to one row per
+        weight: (iteration, idx, term, weight, error); idx 0 is the
+        intercept (term null).  classify() consumes this shape."""
+        from lucene_solr_spark.streaming.ml import text_logit
+
+        t = self._need_index("train")
+        if not n.args or isinstance(n.args[0], StreamExpr):
+            raise ValueError("train() needs a collection")
+        inner = next(
+            (a for a in n.args[1:] if isinstance(a, StreamExpr)), None
+        )
+        if inner is None:
+            raise ValueError("train() needs a features stream")
+        outcomes = self._binary_outcomes(n, n.args[0])
+        n_docs = outcomes.count()
+        terms, idfs = self._model_from_features(self._eval(inner), n_docs)
+        iters = text_logit(
+            t.postings,
+            outcomes,
+            terms,
+            idfs,
+            iterations=int(self._one(n, "maxIterations") or 10),
+            alpha=float(self._one(n, "alpha") or 0.01),
+        )
+        spark = outcomes.sparkSession
+        rows = []
+        for it in iters:
+            names = [None] + terms
+            fidfs = [None] + idfs
+            for idx, w in enumerate(it.weights):
+                rows.append(
+                    (it.iteration, idx, names[idx], fidfs[idx], w, it.error)
+                )
+        return spark.createDataFrame(
+            rows,
+            "iteration int, idx int, term string, idf double, "
+            "weight double, error double",
+        )
+
+    def _h_classify(self, n: StreamExpr) -> DataFrame:
+        """ClassifyStream (solr/handler/ClassifyStream.java:136-185):
+        classify(modelExpr, collection) — score every doc of the
+        collection under the model stream's LAST iteration:
+        probability = sigmoid(total), score = total·(float)(1/√len).
+        The model collect is bounded by the feature-set size."""
+        from lucene_solr_spark.streaming.ml import classify
+
+        t = self._need_index("classify")
+        inner = next(
+            (a for a in n.args if isinstance(a, StreamExpr)), None
+        )
+        if inner is None:
+            raise ValueError("classify() needs a model stream")
+        model = self._eval(inner)
+        last = model.orderBy(
+            F.col("iteration").desc(), F.col("idx").asc()
+        ).collect()
+        top_iter = last[0]["iteration"]
+        rows = [r for r in last if r["iteration"] == top_iter]
+        weights = [r["weight"] for r in rows]
+        terms = [r["term"] for r in rows[1:]]
+        idfs = [r["idf"] for r in rows[1:]]
+        return classify(t.postings, t.doc_norms, terms, idfs, weights)
+
+    def _h_scoreNodes(self, n: StreamExpr) -> DataFrame:
+        """ScoreNodesStream (solrj io/stream/ScoreNodesStream.java:
+        226-245): scoreNodes(nodes(...)) — tf-idf over the inner
+        traversal's nodes; termFreq = reach multiplicity, docFreq =
+        the node's frequency over the whole edge relation.  The inner
+        expression is introspected (collection + walk) for the stats
+        relation, mirroring the reference's index-stats lookup; one
+        hop only (the counted-frontier shape)."""
+        from lucene_solr_spark.streaming.graph import (
+            gather_counts,
+            score_nodes,
+        )
+
+        inner = next(
+            (a for a in n.args if isinstance(a, StreamExpr)), None
+        )
+        if inner is None or inner.name != "nodes":
+            raise ValueError("scoreNodes() needs an inner nodes() stream")
+        if int(self._one(inner, "maxHops") or 1) != 1:
+            raise ValueError("scoreNodes() supports maxHops=1 traversals")
+        edges = self.tables[inner.args[0]]
+        walk = self._one(inner, "walk")
+        from_col, to_col = (c.strip() for c in walk.split("->", 1))
+        root = self._one(inner, "root")
+        if root is None:
+            raise ValueError("scoreNodes() needs the inner root=")
+        spark = edges.sparkSession
+        roots = spark.createDataFrame(
+            [(v.strip(),) for v in root.split(",")], ["node"]
+        ).select(F.col("node").cast(dict(edges.dtypes)[from_col]))
+        nodes = gather_counts(edges, roots, from_col, to_col)
+        df_ = edges.groupBy(F.col(to_col).alias("node")).agg(
+            F.count("*").alias("docfreq")
+        )
+        return score_nodes(nodes, df_, edges.count())
 
     def _h_update(self, n: StreamExpr) -> DataFrame:
         """UpdateStream (io/stream/UpdateStream.java): drain the inner

@@ -4,6 +4,7 @@
 from __future__ import annotations
 
 import pytest
+from pyspark.sql import functions as F
 
 from lucene_solr_spark.streaming.expressions import (
     StreamExpr,
@@ -312,3 +313,105 @@ def test_update_commit_streams(spark):
     # second update appends
     fac.df('update(dest, search(a, fl="id,v"))')
     assert fac.tables["dest"].count() == 4
+
+
+# ------------------------------------------------- ML / stats functions
+
+@pytest.fixture(scope="module")
+def ml_factory(spark):
+    """Factory over a tiny indexed corpus: 'signal' correlates with
+    lang='en' — the FeaturesSelectionStream fixture shape."""
+    from lucene_solr_spark.index.builder import build_tables
+    from lucene_solr_spark.queries.searcher import IndexSearcher
+
+    docs = spark.createDataFrame(
+        [
+            (0, "signal alpha beta", "en"),
+            (1, "signal alpha", "en"),
+            (2, "signal gamma gamma", "en"),
+            (3, "noise alpha", "xx"),
+            (4, "noise beta", "xx"),
+            (5, "noise gamma", "xx"),
+            (6, "signal noise", "en"),
+            (7, "beta gamma", "xx"),
+        ],
+        ["doc_id", "text", "lang"],
+    )
+    t = build_tables(docs, id_col="doc_id", text_col="text")
+    return StreamFactory(
+        {"docs": docs},
+        searcher=IndexSearcher(t),
+        search_collection="docs",
+        index=t,
+    )
+
+
+def test_significant_terms_expression(ml_factory):
+    """significantTerms(): fg/bg ratio over the q='signal' doc set.
+    'signal' itself: fg_df=4 of fg_n=4 vs bg_df=4 of 8 -> ratio 2.0."""
+    out = ml_factory.df(
+        'significantTerms(docs, q="signal", limit=3)'
+    ).collect()
+    assert out[0]["term"] == "signal"
+    assert (out[0]["foreground"], out[0]["background"]) == (4, 4)
+    assert out[0]["score"] == 2.0
+    assert len(out) == 3
+
+
+def test_features_selection_expression(ml_factory):
+    """featuresSelection(): IGain top terms — the class-defining terms
+    'signal'/'noise' outrank the uncorrelated ones."""
+    out = ml_factory.df(
+        'featuresSelection(docs, outcome="lang", positiveLabel="en",'
+        " numTerms=2)"
+    ).collect()
+    assert {r["term"] for r in out} == {"signal", "noise"}
+    assert set(out[0].asDict()) == {"term", "score", "docfreq", "idf"}
+
+
+def test_train_classify_expression(ml_factory):
+    """train() flattened model rows feed classify(); probability is
+    sigmoid-bounded and 'signal' docs outscore 'noise' docs."""
+    model = ml_factory.df(
+        'train(docs, featuresSelection(docs, outcome="lang",'
+        ' positiveLabel="en", numTerms=2),'
+        ' outcome="lang", positiveLabel="en", maxIterations=5)'
+    )
+    rows = model.collect()
+    # 5 iterations x (intercept + 2 weights)
+    assert len(rows) == 15
+    assert rows[0]["idx"] == 0 and rows[0]["term"] is None
+    scored = ml_factory.df(
+        'classify(train(docs, featuresSelection(docs, outcome="lang",'
+        ' positiveLabel="en", numTerms=2),'
+        ' outcome="lang", positiveLabel="en", maxIterations=5), docs)'
+    ).collect()
+    assert len(scored) == 8
+    p = {r["doc_id"]: r["probability"] for r in scored}
+    assert all(0.0 <= v <= 1.0 for v in p.values())
+    # pure-signal docs above pure-noise docs after 5 GD steps
+    assert p[1] > p[5]
+
+
+def test_score_nodes_expression(spark):
+    """scoreNodes(nodes(...)) — tf-idf over a one-hop counted frontier,
+    cross-checked against the direct graph.py composition."""
+    from lucene_solr_spark.streaming.graph import gather_counts, score_nodes
+
+    edges = spark.createDataFrame(
+        [("e", "u1"), ("e", "u1"), ("e", "u2"), ("w", "u2"), ("w", "u3")],
+        ["src", "dst"],
+    )
+    fac = StreamFactory({"ev": edges})
+    got = fac.df('scoreNodes(nodes(ev, root="e", walk="src->dst"))')
+    roots = spark.createDataFrame([("e",)], ["node"])
+    want = score_nodes(
+        gather_counts(edges, roots, "src", "dst"),
+        edges.groupBy(F.col("dst").alias("node")).agg(
+            F.count("*").alias("docfreq")
+        ),
+        edges.count(),
+    )
+    assert sorted(map(tuple, got.collect())) == sorted(
+        map(tuple, want.collect())
+    )

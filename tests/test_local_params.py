@@ -604,3 +604,22 @@ def test_join_qparser_score_modes(spark):
         assert got == want, (mode, got)
     with pytest.raises(ValueError, match="score mode"):
         d.parse("{!join from=grp to=o_grp score=nope}x")
+
+
+def test_filters_qparser_tree():
+    """{!filters} (FiltersQParserPlugin): v -> MUST, each param= ->
+    FILTER, excludeTags drops tagged filters (multi-select faceting)."""
+    d = _dispatcher(
+        params={"fqs": ["{!tag=pop}{!term v=spark}", "{!term v=hash}"]}
+    )
+    q = d.parse("{!filters param=$fqs v='{!term v=window}'}")
+    assert isinstance(q, BooleanQuery)
+    occ = [c.occur for c in q.clauses]
+    assert occ == [Occur.MUST, Occur.FILTER, Occur.FILTER]
+    # excludeTags removes the tagged filter only
+    q2 = d.parse("{!filters param=$fqs excludeTags=pop v='{!term v=window}'}")
+    assert [c.occur for c in q2.clauses] == [Occur.MUST, Occur.FILTER]
+    assert q2.clauses[1].query == TermQuery("hash")
+    # filters-only (no v) is legal: pure filter conjunction
+    q3 = d.parse("{!filters param=$fqs}")
+    assert all(c.occur == Occur.FILTER for c in q3.clauses)
