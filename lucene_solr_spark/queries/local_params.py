@@ -235,6 +235,20 @@ class ReRankQuery(Query):
 
 
 @dataclass(frozen=True)
+class LTRQuery(Query):
+    """{!ltr model= reRankDocs=}main (solr/contrib/ltr
+    LTRQParserPlugin.java): rerank the main query's window with a
+    registered learned model; features come from the dispatcher's
+    doc_values columns plus 'original_score'
+    (OriginalScoreFeature.java)."""
+
+    main: Query
+    model_name: str
+    rerank_docs: int = 200
+    rows: int = 10
+
+
+@dataclass(frozen=True)
 class GeoFilterQuery(Query):
     """{!geofilt}/{!bbox} spatial filter (SpatialFilterQParserPlugin):
     docs whose ``sfield`` point is within ``d`` km of ``pt``; ``bbox``
@@ -343,6 +357,7 @@ class SolrQueryDispatcher:
         tables: dict[str, DataFrame] | None = None,
         root_field: str = "_root_",
         payload_postings: DataFrame | None = None,
+        ltr_models: dict | None = None,
     ):
         self.searcher = searcher
         self.doc_values = doc_values
@@ -357,6 +372,9 @@ class SolrQueryDispatcher:
         # {!payload_score}/{!payload_check} query the payload postings
         # table (queries/payloads.py), a parallel index surface
         self.payload_postings = payload_postings
+        # {!ltr model=name}: the ManagedModelStore analog — name →
+        # (LinearModel|TreesModel, feature_cols over doc_values)
+        self.ltr_models = ltr_models or {}
 
     # ------------------------------------------------------------ parse
     def parse(self, qstr: str) -> Query:
@@ -552,6 +570,16 @@ class SolrQueryDispatcher:
             if fld is None:
                 raise ValueError("{!collapse} requires field=")
             return CollapseQuery(fld, self.parse(one("v", rest) or ""))
+        if ptype == "ltr":
+            model = one("model")
+            if model is None:
+                raise ValueError("{!ltr} requires model=")
+            return LTRQuery(
+                self.parse(one("v", rest) or ""),
+                model,
+                rerank_docs=int(one("reRankDocs", "200") or 200),
+                rows=int(one("rows", "10") or 10),
+            )
         if ptype == "rerank":
             rq = one("reRankQuery")
             if rq is None:
@@ -831,6 +859,22 @@ class SolrQueryDispatcher:
                 .filter(F.col("_rn") == 1)
                 .select("doc_id", "score")
             )
+        if isinstance(q, LTRQuery):
+            from .ltr import ltr_rescore
+
+            if q.model_name not in self.ltr_models:
+                raise ValueError(f"unknown LTR model {q.model_name!r}")
+            if self.doc_values is None:
+                raise ValueError("{!ltr} needs a doc_values feature table")
+            model, feature_cols = self.ltr_models[q.model_name]
+            return ltr_rescore(
+                self.docs(q.main),
+                self.doc_values,
+                model,
+                list(feature_cols),
+                rerank_docs=q.rerank_docs,
+                k=q.rows,
+            ).select("doc_id", F.col("ltr_score").alias("score"))
         if isinstance(q, ReRankQuery):
             from .rerank import rerank
 

@@ -623,3 +623,29 @@ def test_filters_qparser_tree():
     # filters-only (no v) is legal: pure filter conjunction
     q3 = d.parse("{!filters param=$fqs}")
     assert all(c.occur == Occur.FILTER for c in q3.clauses)
+
+
+def test_ltr_qparser(spark, corpus):
+    """{!ltr model=m reRankDocs= rows=}main (LTRQParserPlugin +
+    LTRRescorer): main-query window rescored by a registered linear
+    model over doc_values features + original_score; cross-checked
+    against the direct ltr_rescore composition."""
+    from lucene_solr_spark.queries.local_params import SolrQueryDispatcher
+    from lucene_solr_spark.queries.ltr import LinearModel, ltr_rescore
+
+    s, docs = corpus
+    model = LinearModel((("original_score", 1.0), ("n_chars", 0.1)))
+    d = SolrQueryDispatcher(
+        s, docs, ltr_models={"m": (model, ["n_chars"])}
+    )
+    got = d.docs("{!ltr model=m reRankDocs=4 rows=2}spark merge")
+    assert got.columns == ["doc_id", "score"]
+    want = ltr_rescore(
+        d.docs("spark merge"), docs, model, ["n_chars"],
+        rerank_docs=4, k=2,
+    )
+    assert [tuple(r) for r in got.collect()] == [
+        tuple(r) for r in want.collect()
+    ]
+    with pytest.raises(ValueError, match="unknown LTR model"):
+        d.docs("{!ltr model=nope}spark")
