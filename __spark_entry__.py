@@ -966,6 +966,40 @@ def q_facet_exclude_tags(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multi.unionByName(selected).orderBy("domain", "bucket")
 
 
+def q_json_facet_nested(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nested JSON facet request (search/facet/FacetModule.java +
+    FacetFieldProcessor*): terms on lang (top-3 by count) with a
+    sum(n_chars) bucket stat and a terms-on-source subfacet limited to
+    2 buckets PER PARENT — one groupBy per level, per-bucket limit as
+    a row_number window, flattened to one row per leaf bucket."""
+    from lucene_solr_spark.queries.json_facet import json_facet
+
+    d = _table(spark, sf_dir, "documents")
+    out = json_facet(
+        d,
+        {
+            "type": "terms",
+            "field": "lang",
+            "limit": 3,
+            "sort": "count desc",
+            "facet": {
+                "sum_chars": "sum(n_chars)",
+                "by_src": {
+                    "type": "terms",
+                    "field": "source",
+                    "limit": 2,
+                    "sort": "count desc",
+                },
+            },
+        },
+    )
+    return out.select(
+        "val", F.col("count").cast("long").alias("count"),
+        F.col("sum_chars").cast("long").alias("sum_chars"),
+        "by_src_val", F.col("by_src_count").cast("long").alias("by_src_count"),
+    ).orderBy("val", "by_src_val")
+
+
 def q_spellcheck_collate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Spellcheck collation (SpellCheckComponent.collateResults): the
     misspelled query 'sprak windoq' is rewritten term-by-term with the
@@ -2842,6 +2876,7 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "boolean_similarity": q_boolean_similarity,
         "html_analysis": q_html_analysis,
         "facet_exclude_tags": q_facet_exclude_tags,
+        "json_facet_nested": q_json_facet_nested,
         "expand_component": q_expand_component,
         "spellcheck_collate": q_spellcheck_collate,
         "french_analysis": q_french_analysis,
@@ -3364,6 +3399,33 @@ sel AS (
 SELECT * FROM (
   SELECT * FROM ex UNION ALL SELECT * FROM sel
 ) ORDER BY domain, bucket
+"""
+
+    # Nested JSON facet: per-parent child limit via partitioned
+    # row_number; sums cast to BIGINT (DuckDB HUGEINT -> float64
+    # otherwise — the round-2 dtype-artifact lesson)
+    sqls["json_facet_nested"] = """
+WITH parent AS (
+  SELECT lang AS val, count(*) AS cnt,
+         CAST(sum(n_chars) AS BIGINT) AS sum_chars
+  FROM documents GROUP BY lang
+),
+ptop AS (
+  SELECT * FROM parent
+  QUALIFY row_number() OVER (ORDER BY cnt DESC, val ASC) <= 3
+),
+child AS (
+  SELECT lang AS val, source AS by_src_val, count(*) AS by_src_count
+  FROM documents GROUP BY lang, source
+),
+ctop AS (
+  SELECT * FROM child
+  QUALIFY row_number() OVER (
+    PARTITION BY val ORDER BY by_src_count DESC, by_src_val ASC) <= 2
+)
+SELECT p.val, p.cnt AS "count", p.sum_chars, c.by_src_val, c.by_src_count
+FROM ptop p JOIN ctop c USING (val)
+ORDER BY val, by_src_val
 """
 
     # FrenchAnalyzer gate: closed vocabulary (31 corpus words + the
