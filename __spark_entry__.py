@@ -1000,6 +1000,28 @@ def q_json_facet_nested(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("val", "by_src_val")
 
 
+def q_heatmap_facet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """facet.heatmap 2D grid counts (handler/component/
+    SpatialHeatmapFacets.java over HeatmapFacetCounter.java) on the
+    deterministic synthetic store coordinates; 6x8 grid over
+    lat [-60,60] x lon [-120,120], max edge clamped."""
+    from lucene_solr_spark.queries.facets import heatmap_facet
+
+    d = (
+        _table(spark, sf_dir, "documents")
+        .withColumn(
+            "store_lat", ((F.col("doc_id") % 180) - 90 + 0.5).cast("double")
+        )
+        .withColumn(
+            "store_lon",
+            (((F.col("doc_id") * 7) % 360) - 180 + 0.5).cast("double"),
+        )
+    )
+    return heatmap_facet(
+        d, "store_lat", "store_lon", -60, 60, -120, 120, rows=6, cols=8
+    )
+
+
 def q_spellcheck_collate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Spellcheck collation (SpellCheckComponent.collateResults): the
     misspelled query 'sprak windoq' is rewritten term-by-term with the
@@ -2370,6 +2392,44 @@ def q_delete_by_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _scored(s.docs(TermQuery("spark")))
 
 
+def q_atomic_updates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Atomic update merge + RealTimeGet view (update/processor/
+    AtomicUpdateDocumentMerger.java): a deterministic command log —
+    inc@v1 for doc_id%10, set@v2 for %20, inc@v3 for %40, lang set for
+    %30 — merged with last-set-wins + incs-after-set semantics; incs
+    that precede a set are discarded."""
+    from lucene_solr_spark.index.atomic import apply_atomic_updates
+
+    d = _table(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+
+    def cmd(pred_mod, version, field, op, value):
+        return (
+            d.filter(F.col("doc_id") % pred_mod == 0)
+            .select(
+                "doc_id",
+                F.lit(version).cast("long").alias("version"),
+                F.lit(field).alias("field"),
+                F.lit(op).alias("op"),
+                F.lit(value).alias("value"),
+            )
+        )
+
+    cmds = (
+        cmd(10, 1, "n_chars", "inc", "5")
+        .unionByName(cmd(20, 2, "n_chars", "set", "100"))
+        .unionByName(cmd(40, 3, "n_chars", "inc", "7"))
+        .unionByName(cmd(30, 1, "lang", "set", "zz"))
+    )
+    out = apply_atomic_updates(
+        d, cmds, {"n_chars": "scalar", "lang": "scalar"}
+    )
+    return (
+        out.filter((F.col("doc_id") % 10 == 0) | (F.col("doc_id") % 30 == 0))
+        .select("doc_id", "lang", F.col("n_chars").cast("long").alias("n_chars"))
+        .orderBy("doc_id")
+    )
+
+
 def q_classic_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ClassicSimilarity (TF-IDF) top-10: sqrt(tf)·idf·1/sqrt(dl) with
     idf = ln((N+1)/(df+1))+1 (ClassicSimilarity.java:99-140,
@@ -2877,12 +2937,14 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "html_analysis": q_html_analysis,
         "facet_exclude_tags": q_facet_exclude_tags,
         "json_facet_nested": q_json_facet_nested,
+        "heatmap_facet": q_heatmap_facet,
         "expand_component": q_expand_component,
         "spellcheck_collate": q_spellcheck_collate,
         "french_analysis": q_french_analysis,
         "nordic_analysis": q_nordic_analysis,
         "galician_analysis": q_galician_analysis,
         "delete_by_query": q_delete_by_query,
+        "atomic_updates": q_atomic_updates,
         "exact_dedup": q_exact_dedup,
         "ngram_jaccard": q_ngram_jaccard,
         "minhash_lsh": q_minhash_lsh,
@@ -3426,6 +3488,38 @@ ctop AS (
 SELECT p.val, p.cnt AS "count", p.sum_chars, c.by_src_val, c.by_src_count
 FROM ptop p JOIN ctop c USING (val)
 ORDER BY val, by_src_val
+"""
+
+    sqls["heatmap_facet"] = """
+WITH pts AS (
+  SELECT doc_id,
+         CAST((doc_id % 180) - 90 + 0.5 AS DOUBLE) AS lat,
+         CAST(((doc_id * 7) % 360) - 180 + 0.5 AS DOUBLE) AS lon
+  FROM documents
+)
+SELECT CAST(LEAST(FLOOR((lat + 60) / 20), 5) AS INT) AS "row",
+       CAST(LEAST(FLOOR((lon + 120) / 30), 7) AS INT) AS "col",
+       count(*) AS cnt
+FROM pts
+WHERE lat BETWEEN -60 AND 60 AND lon BETWEEN -120 AND 120
+GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+    # Atomic-update merge semantics in closed form: a set (v2)
+    # discards earlier incs (v1) and accumulates later ones (v3);
+    # %40 ⊂ %20 ⊂ %10 so the CASE order encodes the version order
+    sqls["atomic_updates"] = """
+SELECT doc_id,
+       CASE WHEN doc_id % 30 = 0 THEN 'zz' ELSE lang END AS lang,
+       CAST(CASE
+         WHEN doc_id % 20 = 0 THEN
+           100 + CASE WHEN doc_id % 40 = 0 THEN 7 ELSE 0 END
+         WHEN doc_id % 10 = 0 THEN n_chars + 5
+         ELSE n_chars
+       END AS BIGINT) AS n_chars
+FROM documents
+WHERE doc_id % 10 = 0 OR doc_id % 30 = 0
+ORDER BY doc_id
 """
 
     # FrenchAnalyzer gate: closed vocabulary (31 corpus words + the

@@ -99,6 +99,51 @@ def facet_field_over(
     )
 
 
+def heatmap_facet(
+    doc_values: DataFrame,
+    lat_col: str,
+    lon_col: str,
+    min_lat: float,
+    max_lat: float,
+    min_lon: float,
+    max_lon: float,
+    rows: int,
+    cols: int,
+    domain: DataFrame | None = None,
+) -> DataFrame:
+    """facet.heatmap — 2D spatial grid counts (solr/handler/component/
+    SpatialHeatmapFacets.java over lucene/spatial-extras
+    HeatmapFacetCounter.java): bucket every in-box point into a
+    rows×cols grid and count per cell.  Row 0 is the min_lat edge,
+    col 0 the min_lon edge; points on the max edges clamp into the
+    last cell.  One groupBy on the (row,col) composite — the same
+    partial+final agg at 10^12 points; empty cells are simply absent
+    rows (the reference's counts_ints2D zero-rows compress the same
+    way)."""
+    df = doc_values
+    if domain is not None:
+        df = df.join(domain.select("doc_id"), "doc_id", "left_semi")
+    lat, lon = F.col(lat_col), F.col(lon_col)
+    cell_h = (max_lat - min_lat) / rows
+    cell_w = (max_lon - min_lon) / cols
+    in_box = (
+        (lat >= min_lat) & (lat <= max_lat)
+        & (lon >= min_lon) & (lon <= max_lon)
+    )
+    row = F.least(
+        F.floor((lat - min_lat) / cell_h), F.lit(rows - 1)
+    ).cast("int")
+    col = F.least(
+        F.floor((lon - min_lon) / cell_w), F.lit(cols - 1)
+    ).cast("int")
+    return (
+        df.filter(in_box)
+        .groupBy(row.alias("row"), col.alias("col"))
+        .agg(F.count("*").alias("cnt"))
+        .orderBy("row", "col")
+    )
+
+
 def facet_field(
     searcher,
     doc_values: DataFrame,

@@ -114,3 +114,26 @@ def test_domain_and_errors(dv, spark):
         json_facet(
             dv, {"type": "terms", "field": "lang", "facet": {"x": "frob(y)"}}
         )
+
+
+def test_heatmap_facet(spark):
+    """facet.heatmap grid counts (SpatialHeatmapFacets +
+    HeatmapFacetCounter): floor-grid bucketing, max-edge clamp,
+    out-of-box drop."""
+    from lucene_solr_spark.queries.facets import heatmap_facet
+
+    pts = spark.createDataFrame(
+        [
+            (0, -9.0, -9.0),   # cell (0,0)
+            (1, -1.0, -1.0),   # cell (0,0)
+            (2, 1.0, 1.0),     # cell (1,1)
+            (3, 10.0, 10.0),   # max edges clamp -> cell (1,1)
+            (4, 11.0, 0.0),    # out of box -> dropped
+        ],
+        ["doc_id", "lat", "lon"],
+    )
+    out = heatmap_facet(pts, "lat", "lon", -10, 10, -10, 10, 2, 2)
+    assert [tuple(r) for r in out.collect()] == [(0, 0, 2), (1, 1, 2)]
+    dom = spark.createDataFrame([(0,), (2,)], ["doc_id"])
+    out = heatmap_facet(pts, "lat", "lon", -10, 10, -10, 10, 2, 2, domain=dom)
+    assert [tuple(r) for r in out.collect()] == [(0, 0, 1), (1, 1, 1)]
