@@ -1000,6 +1000,28 @@ def q_json_facet_nested(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("val", "by_src_val")
 
 
+def q_query_elevation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """QueryElevationComponent (handler/component/
+    QueryElevationComponent.java): ids 7,3 pinned in config order for
+    the 'spark' query (forced in at score 0 when they miss), id 5
+    excluded, organic tail in (score desc, doc_id asc) order."""
+    from lucene_solr_spark.queries.elevate import elevate_topk
+
+    s = _searcher(spark, sf_dir)
+    res = _scored(s.docs(TermQuery("spark")))
+    return elevate_topk(res, elevated_ids=[7, 3], excluded_ids=[5], k=10)
+
+
+def q_wordbreak_spellcheck(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WordBreakSpellChecker break-up suggestions (lucene/suggest/
+    .../spell/WordBreakSpellChecker.java): 'hashjoin' splits where both
+    halves are dictionary terms, ranked by min-part docFreq."""
+    from lucene_solr_spark.queries.mlt import wordbreak_suggest
+
+    t = _index_tables(spark, sf_dir)
+    return wordbreak_suggest(IndexSearcher(t), "hashjoin")
+
+
 def q_heatmap_facet(spark: SparkSession, sf_dir: str) -> DataFrame:
     """facet.heatmap 2D grid counts (handler/component/
     SpatialHeatmapFacets.java over HeatmapFacetCounter.java) on the
@@ -2938,6 +2960,8 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "facet_exclude_tags": q_facet_exclude_tags,
         "json_facet_nested": q_json_facet_nested,
         "heatmap_facet": q_heatmap_facet,
+        "query_elevation": q_query_elevation,
+        "wordbreak_spellcheck": q_wordbreak_spellcheck,
         "expand_component": q_expand_component,
         "spellcheck_collate": q_spellcheck_collate,
         "french_analysis": q_french_analysis,
@@ -3488,6 +3512,39 @@ ctop AS (
 SELECT p.val, p.cnt AS "count", p.sum_chars, c.by_src_val, c.by_src_count
 FROM ptop p JOIN ctop c USING (val)
 ORDER BY val, by_src_val
+"""
+
+    sqls["query_elevation"] = f"""
+WITH {_IDX},
+scored AS ({_bm25_sql("spark")}),
+r AS (SELECT doc_id, ROUND(score, 4) AS score FROM scored WHERE doc_id <> 5),
+pinned AS (
+  SELECT e.doc_id, COALESCE(r.score, 0.0) AS score, e.rnk
+  FROM (VALUES (7, 0), (3, 1)) e(doc_id, rnk)
+  LEFT JOIN r USING (doc_id)
+),
+organic AS (
+  SELECT doc_id, score, NULL AS rnk FROM r WHERE doc_id NOT IN (7, 3)
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id, score,
+       (rnk IS NOT NULL) AS elevated
+FROM (SELECT * FROM pinned UNION ALL SELECT * FROM organic)
+ORDER BY COALESCE(rnk, 2147483647) ASC, score DESC, doc_id ASC
+LIMIT 10
+"""
+
+    sqls["wordbreak_spellcheck"] = f"""
+WITH {_IDX},
+splits AS (
+  SELECT substr('hashjoin', 1, CAST(i AS INT)) AS a,
+         substr('hashjoin', CAST(i AS INT) + 1) AS b
+  FROM range(3, 6) t(i)
+)
+SELECT s.a, s.b, CAST(LEAST(ta.df, tb.df) AS BIGINT) AS freq
+FROM splits s
+JOIN tstats ta ON ta.term = s.a
+JOIN tstats tb ON tb.term = s.b
+ORDER BY freq DESC, a ASC LIMIT 3
 """
 
     sqls["heatmap_facet"] = """

@@ -167,3 +167,82 @@ def term_vector(searcher: IndexSearcher, doc_id: int) -> DataFrame:
         .select("term", "tf", "positions")
         .orderBy("term")
     )
+
+
+def wordbreak_suggest(
+    searcher: IndexSearcher,
+    word: str,
+    min_break_length: int = 3,
+    max_suggestions: int = 3,
+) -> DataFrame:
+    """Break-up suggestions — WordBreakSpellChecker
+    (lucene/suggest/.../spell/WordBreakSpellChecker.java
+    generateBreakUpSuggestions, one change): split ``word`` at every
+    position leaving both halves >= min_break_length, keep splits where
+    BOTH halves are dictionary terms, ranked by the break's frequency =
+    min of the part docFreqs (the SuggestWordFrequencyComparator shape),
+    then left part asc.  The candidate set is O(len(word)) — a tiny
+    isin pushdown against term_stats, never a dictionary scan."""
+    parts = [
+        (word[:i], word[i:])
+        for i in range(min_break_length, len(word) - min_break_length + 1)
+    ]
+    if not parts:
+        spark = searcher.tables.term_stats.sparkSession
+        return spark.createDataFrame([], "a string, b string, freq bigint")
+    cand = sorted({t for p in parts for t in p})
+    ts = searcher.tables.term_stats
+    spark = ts.sparkSession
+    pairs = spark.createDataFrame(parts, ["a", "b"])
+    dict_df = ts.filter(F.col("term").isin(cand)).select("term", "df")
+    return (
+        pairs.join(
+            dict_df.select(F.col("term").alias("a"), F.col("df").alias("_fa")),
+            "a",
+        )
+        .join(
+            dict_df.select(F.col("term").alias("b"), F.col("df").alias("_fb")),
+            "b",
+        )
+        .select(
+            "a", "b", F.least("_fa", "_fb").cast("long").alias("freq")
+        )
+        .orderBy(F.col("freq").desc(), F.col("a").asc())
+        .limit(max_suggestions)
+    )
+
+
+def wordcombine_suggest(
+    searcher: IndexSearcher,
+    terms: list[str],
+    max_suggestions: int = 3,
+) -> DataFrame:
+    """Combine suggestions — WordBreakSpellChecker
+    generateCombineSuggestions (maxCombineWordLength default
+    unlimited, one evaluation per adjacent pair): concatenate each
+    adjacent query-term pair and keep the ones that ARE dictionary
+    terms, ranked by docFreq desc."""
+    combos = [
+        (i, terms[i], terms[i + 1], terms[i] + terms[i + 1])
+        for i in range(len(terms) - 1)
+    ]
+    ts = searcher.tables.term_stats
+    spark = ts.sparkSession
+    if not combos:
+        return spark.createDataFrame(
+            [], "pos int, left string, right string, combined string, freq bigint"
+        )
+    cand = spark.createDataFrame(
+        combos, ["pos", "left", "right", "combined"]
+    )
+    return (
+        cand.join(
+            ts.select(F.col("term").alias("combined"), "df"), "combined"
+        )
+        .select(
+            "pos", "left", "right", "combined",
+            F.col("df").cast("long").alias("freq"),
+        )
+        .orderBy(F.col("freq").desc(), F.col("pos").asc())
+        .limit(max_suggestions)
+    )

@@ -122,7 +122,18 @@ class _Parser:
         # bare token up to , or ) — may be an identifier opening a call
         m = re.match(r"[^,()=\s]+", self.s[self.i:])
         if m and self.i + m.end() < len(self.s) and self.s[self.i + m.end()] == "(":
-            return self.expr()
+            node = self.expr()
+            # evaluator projection alias: `mult(a, b) as c` (Solr's
+            # SelectStream "expr as name" form)
+            save = self.i
+            self._ws()
+            m2 = re.match(r"as\s+([^\s,()=]+)", self.s[self.i:], re.I)
+            if m2:
+                self.i += m2.end()
+                node.named["__alias__"] = m2.group(1)
+            else:
+                self.i = save
+            return node
         if not m:
             raise ValueError(f"expected value at {self.s[self.i:self.i+20]!r}")
         self.i += m.end()
@@ -272,11 +283,78 @@ class StreamFactory:
         keys = list(n.named)
         return spark.createDataFrame([tuple(n.named[k] for k in keys)], keys)
 
+    # --------------------------------------------------- evaluators
+    _NUM_LIT = re.compile(r"-?\d+(\.\d+)?([eE]-?\d+)?")
+    _EVAL_VARIADIC = {
+        "add": lambda a, b: a + b,
+        "sub": lambda a, b: a - b,
+        "mult": lambda a, b: a * b,
+        "div": lambda a, b: a / b,
+        "and": lambda a, b: a & b,
+        "or": lambda a, b: a | b,
+    }
+    _EVAL_UNARY = {
+        "abs": F.abs, "sqrt": F.sqrt, "log": F.log, "log10": F.log10,
+        "ceil": F.ceil, "floor": F.floor, "not": lambda c: ~c,
+        "sin": F.sin, "cos": F.cos, "tan": F.tan, "asin": F.asin,
+        "acos": F.acos, "atan": F.atan, "sinh": F.sinh, "cosh": F.cosh,
+        "tanh": F.tanh, "cbrt": F.cbrt, "exp": F.exp,
+    }
+    _EVAL_CMP = {
+        "eq": lambda a, b: a == b, "gt": lambda a, b: a > b,
+        "gte": lambda a, b: a >= b, "lt": lambda a, b: a < b,
+        "lte": lambda a, b: a <= b,
+    }
+
+    def _eval_col(self, a: "StreamExpr | str") -> Column:
+        """StreamEvaluator tree → Column (solrj io/eval/*Evaluator.java
+        vocabulary: arithmetic, comparisons, boolean logic, if, round,
+        pow, mod) — pure column expressions, whole-stage codegen."""
+        if isinstance(a, str):
+            if self._NUM_LIT.fullmatch(a):
+                return F.lit(float(a) if ("." in a or "e" in a.lower()) else int(a))
+            if a in ("true", "false"):
+                return F.lit(a == "true")
+            return F.col(a)
+        name, args = a.name, [self._eval_col(x) for x in a.args]
+        if name in self._EVAL_VARIADIC:
+            if len(args) < 2:
+                raise ValueError(f"{name}() needs >= 2 operands")
+            out = args[0]
+            for nxt in args[1:]:
+                out = self._EVAL_VARIADIC[name](out, nxt)
+            return out
+        if name in self._EVAL_UNARY:
+            (x,) = args
+            return self._EVAL_UNARY[name](x)
+        if name in self._EVAL_CMP:
+            x, y = args
+            return self._EVAL_CMP[name](x, y)
+        if name == "if":
+            c, t, e = args
+            return F.when(c, t).otherwise(e)
+        if name == "mod":
+            return args[0] % args[1]
+        if name == "pow":
+            return F.pow(args[0], args[1])
+        if name == "round":
+            scale = int(a.args[1]) if len(a.args) > 1 else 0
+            return F.round(args[0], scale)
+        raise ValueError(f"unknown stream evaluator {name!r}")
+
     # --------------------------------------------------------- unary
     def _h_select(self, n: StreamExpr) -> DataFrame:
         src = self._eval(n.args[0])
         cols = []
         for a in n.args[1:]:
+            if isinstance(a, StreamExpr):
+                alias = a.named.get("__alias__")
+                if alias is None:
+                    raise ValueError(
+                        f"select() evaluator {a.name}(...) needs 'as name'"
+                    )
+                cols.append(self._eval_col(a).alias(alias))
+                continue
             m = re.fullmatch(r"(\S+)\s+as\s+(\S+)", a, re.I)
             cols.append(
                 F.col(m.group(1)).alias(m.group(2)) if m else F.col(a)

@@ -415,3 +415,23 @@ def test_score_nodes_expression(spark):
     assert sorted(map(tuple, got.collect())) == sorted(
         map(tuple, want.collect())
     )
+
+
+def test_select_evaluators(factory):
+    """StreamEvaluators inside select() (solrj io/eval/*Evaluator.java):
+    arithmetic/conditional projections with 'as' aliases — pure column
+    expressions."""
+    out = factory.df(
+        'select(search(people, fl="id,name,dept", sort="id asc"),'
+        ' "name", mult(dept, 2) as d2,'
+        ' if(gt(dept, 15), add(dept, 100), dept) as adj,'
+        ' round(div(dept, 3), 1) as third)'
+    )
+    rows = [tuple(r) for r in out.collect()]
+    assert rows[0] == ("ada", 20, 10, 3.3)
+    assert rows[1] == ("bob", 40, 120, 6.7)
+    assert rows[3] == ("dan", 60, 130, 10.0)
+    with pytest.raises(ValueError, match="needs 'as name'"):
+        factory.df('select(search(people), mult(dept, 2))')
+    with pytest.raises(ValueError, match="unknown stream evaluator"):
+        factory.df('select(search(people), frob(dept) as x)')
