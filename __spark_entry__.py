@@ -1000,6 +1000,40 @@ def q_json_facet_nested(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("val", "by_src_val")
 
 
+def q_compound_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DictionaryCompoundWordTokenFilter (analysis/compound/
+    DictionaryCompoundWordTokenFilter.java): every doc gets the
+    compounds 'sortmerge hashjoin' appended; dict {sort,merge,hash,
+    join} decomposes them (and 'merge' — len 5 >= minWordSize — self-
+    emits, the reference's documented behavior).  Output: post-
+    expansion ttf per affected term."""
+    import pandas as pd
+
+    from lucene_solr_spark.analysis.compound import decompose_batch
+
+    comp_dict = frozenset(["sort", "merge", "hash", "join"])
+    d = _table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(F.col("text"), F.lit(" sortmerge hashjoin")).alias("text"),
+    )
+
+    def gen(it):
+        for pdf in it:
+            toks = pdf["text"].str.split(" ")
+            poss = toks.map(lambda t: list(range(len(t))))
+            ts, _ = decompose_batch(toks, poss, comp_dict)
+            yield pd.DataFrame({"term": [t for doc in ts for t in doc]})
+
+    out = d.mapInPandas(gen, "term string")
+    keep = ["hash", "hashjoin", "join", "merge", "sort", "sortmerge"]
+    return (
+        out.filter(F.col("term").isin(keep))
+        .groupBy("term")
+        .agg(F.count("*").cast("long").alias("ttf"))
+        .orderBy("term")
+    )
+
+
 def q_query_elevation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """QueryElevationComponent (handler/component/
     QueryElevationComponent.java): ids 7,3 pinned in config order for
@@ -2962,6 +2996,7 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "heatmap_facet": q_heatmap_facet,
         "query_elevation": q_query_elevation,
         "wordbreak_spellcheck": q_wordbreak_spellcheck,
+        "compound_analysis": q_compound_analysis,
         "expand_component": q_expand_component,
         "spellcheck_collate": q_spellcheck_collate,
         "french_analysis": q_french_analysis,
@@ -3512,6 +3547,38 @@ ctop AS (
 SELECT p.val, p.cnt AS "count", p.sum_chars, c.by_src_val, c.by_src_count
 FROM ptop p JOIN ctop c USING (val)
 ORDER BY val, by_src_val
+"""
+
+    # Compound decomposition in closed form: each appended compound
+    # adds 1 occurrence of itself + its two parts per doc; 'merge'
+    # (len 5 = minWordSize, in dict) also self-emits at every corpus
+    # occurrence, doubling its base ttf
+    sqls["compound_analysis"] = """
+WITH toks AS (
+  SELECT unnest(string_split(text, ' ')) AS term FROM documents
+),
+base AS (
+  SELECT term, count(*) AS ttf FROM toks
+  WHERE term IN ('sort', 'merge', 'hash', 'join') GROUP BY term
+),
+n AS (SELECT count(*) AS nd FROM documents),
+parts AS (
+  SELECT v.term,
+         CAST(
+           CASE WHEN v.term = 'merge'
+                THEN 2 * COALESCE(b.ttf, 0) + n.nd
+                ELSE COALESCE(b.ttf, 0) + n.nd END AS BIGINT) AS ttf
+  FROM (VALUES ('sort'), ('merge'), ('hash'), ('join')) v(term)
+  LEFT JOIN base b USING (term) CROSS JOIN n
+),
+compounds AS (
+  SELECT 'sortmerge' AS term, CAST(nd AS BIGINT) AS ttf FROM n
+  UNION ALL
+  SELECT 'hashjoin', CAST(nd AS BIGINT) FROM n
+)
+SELECT term, ttf FROM (
+  SELECT * FROM parts UNION ALL SELECT * FROM compounds
+) ORDER BY term
 """
 
     sqls["query_elevation"] = f"""

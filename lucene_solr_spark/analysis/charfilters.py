@@ -176,3 +176,67 @@ def ascii_fold(text: str) -> str:
     for src, rep in _FOLD_MULTI:
         out = out.replace(src, rep)
     return out
+
+
+# ------------------------------------------------------------- mapping
+def parse_mapping_rules(lines) -> list[tuple[str, str]]:
+    """Parse the reference's mapping-rule syntax ('"a" => "e"', one per
+    line, # comments) — MappingCharFilterFactory.parseRules."""
+    rules = []
+    for ln in lines:
+        ln = ln.strip()
+        if not ln or ln.startswith("#"):
+            continue
+        m = re.fullmatch(r'"((?:[^"\\]|\\.)*)"\s*=>\s*"((?:[^"\\]|\\.)*)"', ln)
+        if not m:
+            raise ValueError(f"bad mapping rule: {ln!r}")
+        unesc = lambda s: s.encode().decode("unicode_escape")  # noqa: E731
+        rules.append((unesc(m.group(1)), unesc(m.group(2))))
+    return rules
+
+
+def mapping_filter(text: str, rules: list[tuple[str, str]]) -> str:
+    """MappingCharFilter (analysis/charfilter/MappingCharFilter.java):
+    greedy LONGEST pattern match at each offset (the reference walks an
+    FST; a by-first-char longest-first table is the same contract at
+    mapping-table sizes).  Replacement may be empty."""
+    by_first: dict[str, list[tuple[str, str]]] = {}
+    for pat, rep in sorted(rules, key=lambda r: -len(r[0])):
+        if not pat:
+            raise ValueError("empty mapping pattern")
+        by_first.setdefault(pat[0], []).append((pat, rep))
+    out: list[str] = []
+    i, n = 0, len(text)
+    while i < n:
+        for pat, rep in by_first.get(text[i], ()):
+            if text.startswith(pat, i):
+                out.append(rep)
+                i += len(pat)
+                break
+        else:
+            out.append(text[i])
+            i += 1
+    return "".join(out)
+
+
+def mapping_filter_col(col: Column, rules: list[tuple[str, str]]):
+    """Column form of the mapping char filter.  A pure 1:1 char map
+    runs as ONE JVM translate() (single-pass, so replacements are
+    never re-matched — exactly the stream semantics).  Anything else
+    needs the single-scan greedy matcher: sequential replace() chains
+    are WRONG there (an earlier replacement can feed a later pattern,
+    and equal-length overlaps resolve by chain order, not offset), so
+    multi-char rules go through an Arrow-batched pandas UDF running
+    mapping_filter."""
+    if all(len(p) == 1 and len(r) == 1 for p, r in rules):
+        return F.translate(
+            col,
+            "".join(p for p, _ in rules),
+            "".join(r for _, r in rules),
+        )
+    from pyspark.sql.functions import pandas_udf
+
+    def _map_batch(s):
+        return s.map(lambda t: mapping_filter(t or "", rules))
+
+    return pandas_udf(_map_batch, "string")(col)
