@@ -1034,6 +1034,42 @@ def q_compound_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_worddelimiter_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WordDelimiterFilter (miscellaneous/WordDelimiterFilter.java)
+    over the analyzer batch path: every doc gets 'wi-fi camelCase
+    SD500 ra's' appended; the filter splits on delimiters/case/
+    numerics and stems the possessive.  Output: ttf of the split
+    parts plus each doc's first corpus token (pins base tokens flow
+    through untouched)."""
+    import pandas as pd
+
+    from lucene_solr_spark.analysis.worddelimiter import word_delimiter
+
+    d = _table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(F.col("text"), F.lit(" wi-fi camelCase SD500 ra's")).alias(
+            "text"
+        ),
+    )
+
+    def gen(it):
+        for pdf in it:
+            terms = []
+            for txt in pdf["text"]:
+                for tok in txt.split(" "):
+                    terms.extend(word_delimiter(tok))
+            yield pd.DataFrame({"term": terms})
+
+    keep = ["500", "Case", "SD", "camel", "fi", "ra", "wi"]
+    return (
+        d.mapInPandas(gen, "term string")
+        .filter(F.col("term").isin(keep))
+        .groupBy("term")
+        .agg(F.count("*").cast("long").alias("ttf"))
+        .orderBy("term")
+    )
+
+
 def q_query_elevation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """QueryElevationComponent (handler/component/
     QueryElevationComponent.java): ids 7,3 pinned in config order for
@@ -2997,6 +3033,7 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "query_elevation": q_query_elevation,
         "wordbreak_spellcheck": q_wordbreak_spellcheck,
         "compound_analysis": q_compound_analysis,
+        "worddelimiter_analysis": q_worddelimiter_analysis,
         "expand_component": q_expand_component,
         "spellcheck_collate": q_spellcheck_collate,
         "french_analysis": q_french_analysis,
@@ -3547,6 +3584,16 @@ ctop AS (
 SELECT p.val, p.cnt AS "count", p.sum_chars, c.by_src_val, c.by_src_count
 FROM ptop p JOIN ctop c USING (val)
 ORDER BY val, by_src_val
+"""
+
+    # WDF on the appended synthetic tokens only (the plain-lowercase
+    # corpus is WDF-invariant): each doc contributes one of each part
+    sqls["worddelimiter_analysis"] = """
+SELECT v.term, CAST(n.nd AS BIGINT) AS ttf
+FROM (VALUES ('500'), ('Case'), ('SD'), ('camel'), ('fi'), ('ra'), ('wi'))
+     v(term)
+CROSS JOIN (SELECT count(*) AS nd FROM documents) n
+ORDER BY v.term
 """
 
     # Compound decomposition in closed form: each appended compound
