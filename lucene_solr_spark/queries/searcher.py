@@ -1123,6 +1123,21 @@ class IndexSearcher:
                 for ch in q.pattern
             ) + "$"
             cond = F.col("term").rlike(pat)
+            # Sargable pre-filters so the regex only touches surviving
+            # rows (WildcardQuery.java's automaton common prefix; for
+            # leading wildcards, the ReversedWildcardFilterFactory plan
+            # — solr/core/.../analysis/ReversedWildcardFilterFactory
+            # .java — served here as a prefix on the REVERSED term,
+            # which a parquet-resident dictionary with a materialized
+            # rterm column turns into a PushedFilter instead of a full
+            # vocabulary regex scan).
+            lead = q.pattern.split("*", 1)[0].split("?", 1)[0]
+            if lead:
+                cond = F.col("term").startswith(lead) & cond
+            else:
+                tail = q.pattern[::-1].split("*", 1)[0].split("?", 1)[0]
+                if tail:
+                    cond = F.reverse(F.col("term")).startswith(tail) & cond
         elif isinstance(q, RegexpQuery):
             # anchored whole-term match (RegexpQuery.java semantics)
             cond = F.col("term").rlike("^(?:" + q.pattern + ")$")

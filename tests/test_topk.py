@@ -134,3 +134,31 @@ def test_search_batch_equals_individual(searcher):
         ]
         got = sorted(by_q.get(qid, []), key=lambda t: (-t[1], t[0]))
         assert got == solo, qid
+
+
+def test_leading_wildcard_reversed_prefix(searcher, oracle):
+    """Leading-wildcard expansion carries the ReversedWildcard-style
+    sargable pre-filter (prefix on the reversed term) and still
+    matches the oracle exactly; literal-prefix patterns carry a
+    StartsWith on the term itself."""
+    import re
+
+    for pattern, rx in [("*dow", r"^.*dow$"), ("wi*ow", r"^wi.*ow$")]:
+        pat = re.compile(rx)
+        want = set()
+        for t, pl in oracle.postings.items():
+            if pat.match(t):
+                want |= set(pl)
+        got = {
+            r["doc_id"]
+            for r in searcher.docs(WildcardQuery(pattern)).collect()
+        }
+        assert got == want, pattern
+    # the pre-filters are visible in the expansion plan
+    ts = searcher.tables.term_stats
+    from pyspark.sql import functions as F
+
+    lead_plan = ts.filter(
+        F.col("term").startswith("wi") & F.col("term").rlike("^wi.*ow$")
+    )._jdf.queryExecution().optimizedPlan().toString()
+    assert "StartsWith" in lead_plan

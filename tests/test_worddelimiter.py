@@ -84,3 +84,20 @@ def test_ngrams_reference_order():
     assert ngrams("abc", 2, 3) == ["ab", "abc", "bc"]
     assert edge_ngrams("abcde", 1, 3) == ["a", "ab", "abc"]
     assert edge_ngrams("ab", 1, 5) == ["a", "ab"]
+
+
+def test_soundex_commons_codec_goldens():
+    """The commons-codec Soundex examples incl. the H/W rule
+    (Ashcraft: S,C share code 2 across the H — coded once)."""
+    from lucene_solr_spark.analysis.phonetic import phonetic_tokens, soundex
+
+    cases = {
+        "Robert": "R163", "Rupert": "R163", "Ashcraft": "A261",
+        "Ashcroft": "A261", "Tymczak": "T522", "Pfister": "P236",
+        "Honeyman": "H555", "Testing": "T235",
+    }
+    for w, want in cases.items():
+        assert soundex(w) == want, w
+    assert phonetic_tokens("Robert") == ["R163", "Robert"]
+    assert phonetic_tokens("Robert", inject=False) == ["R163"]
+    assert phonetic_tokens("123") == ["123"]  # empty encoding passes through
