@@ -1034,6 +1034,38 @@ def q_compound_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_common_grams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CommonGramsFilter (commongrams/CommonGramsFilter.java): bigrams
+    across every pair touching a stopword — the index-side fix for
+    high-df stopword postings in phrase queries (at 10^12 docs the
+    'the' posting list is corpus-sized; the_fox is not).  Top-20
+    gram ttf over the corpus."""
+    import pandas as pd
+
+    from lucene_solr_spark.analysis.miscfilters import common_grams
+    from lucene_solr_spark.analysis.stopwords import ENGLISH_STOP_WORDS
+
+    stops = frozenset(ENGLISH_STOP_WORDS)
+    d = _table(spark, sf_dir, "documents").select("text")
+
+    def gen(it):
+        for pdf in it:
+            grams = []
+            for txt in pdf["text"]:
+                for term, is_gram in common_grams(txt.split(" "), stops):
+                    if is_gram:
+                        grams.append(term)
+            yield pd.DataFrame({"term": grams})
+
+    return (
+        d.mapInPandas(gen, "term string")
+        .groupBy("term")
+        .agg(F.count("*").cast("long").alias("ttf"))
+        .orderBy(F.col("ttf").desc(), F.col("term").asc())
+        .limit(20)
+    )
+
+
 def q_worddelimiter_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
     """WordDelimiterFilter (miscellaneous/WordDelimiterFilter.java)
     over the analyzer batch path: every doc gets 'wi-fi camelCase
@@ -3034,6 +3066,7 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "wordbreak_spellcheck": q_wordbreak_spellcheck,
         "compound_analysis": q_compound_analysis,
         "worddelimiter_analysis": q_worddelimiter_analysis,
+        "common_grams": q_common_grams,
         "expand_component": q_expand_component,
         "spellcheck_collate": q_spellcheck_collate,
         "french_analysis": q_french_analysis,
@@ -3584,6 +3617,28 @@ ctop AS (
 SELECT p.val, p.cnt AS "count", p.sum_chars, c.by_src_val, c.by_src_count
 FROM ptop p JOIN ctop c USING (val)
 ORDER BY val, by_src_val
+"""
+
+    # CommonGrams bigrams via a lag window over the token positions;
+    # same 33-word stop set as the tokenizer CTE
+    sqls["common_grams"] = f"""
+WITH toks AS (
+  SELECT doc_id,
+         unnest(string_split(text, ' ')) AS term,
+         unnest(range(len(string_split(text, ' ')))) AS pos
+  FROM documents
+),
+pairs AS (
+  SELECT doc_id, term AS a,
+         lead(term) OVER (PARTITION BY doc_id ORDER BY pos) AS b
+  FROM toks
+),
+grams AS (
+  SELECT a || '_' || b AS term FROM pairs
+  WHERE b IS NOT NULL AND (a IN ({_STOP}) OR b IN ({_STOP}))
+)
+SELECT term, count(*) AS ttf FROM grams
+GROUP BY term ORDER BY ttf DESC, term ASC LIMIT 20
 """
 
     # WDF on the appended synthetic tokens only (the plain-lowercase
