@@ -2968,6 +2968,37 @@ def q_payload_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_minhash_qparser(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """{!min_hash} LSH set-similarity query
+    (search/MinHashQParser.java + analysis/minhash/MinHashFilter.java):
+    doc 0's text is sketched (word trigrams → md5-56bit hash → min per
+    8-way bucket), docs sharing a sketch hash in any bucket match
+    (sim=0.1 → minimum-number-should-match of 1), score =
+    matched/|sketch| — the normalized constant-score boolean sum; the
+    canonical "more documents like this one" MinHash query."""
+    from lucene_solr_spark.queries.local_params import SolrQueryDispatcher
+
+    docs = _table(spark, sf_dir, "documents")
+    qtext = docs.filter(F.col("doc_id") == 0).select("text").first()[0]
+    disp = SolrQueryDispatcher(None, docs)
+    out = disp.docs("{!min_hash field=text sim=0.1}" + qtext)
+    return out.select("doc_id", "score").orderBy("doc_id")
+
+
+def q_export_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """export() stream — the /export handler surface
+    (solr/handler/export/ExportWriter.java via CloudSolrStream
+    qt=/export): FULL sorted result set, mandatory fl + sort, no rows
+    cap; feeding rollup() is the canonical parallel-SQL pattern."""
+    from lucene_solr_spark.streaming.expressions import StreamFactory
+
+    fac = StreamFactory({"supplier": _table(spark, sf_dir, "supplier")})
+    return fac.df(
+        'export(supplier, fl="s_suppkey,s_nationkey,s_acctbal",'
+        ' sort="s_nationkey asc,s_suppkey asc")'
+    )
+
+
 # --------------------------------------------------------------------------
 # the three driver hooks
 # --------------------------------------------------------------------------
@@ -3143,6 +3174,8 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "payload_score_qparser": q_payload_score_qparser,
         "payload_check": q_payload_check,
         "join_qparser": q_join_qparser,
+        "minhash_qparser": q_minhash_qparser,
+        "export_stream": q_export_stream,
         "geofilt_query": q_geofilt_query,
         "core_analyzers": q_core_analyzers,
         # (all four above/below have full oracle replicas in
@@ -4141,6 +4174,60 @@ ORDER BY d.doc_id
 SELECT o_orderkey AS doc_id, CAST(1.0 AS DOUBLE) AS score FROM orders
 WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_acctbal >= 9000)
 ORDER BY doc_id
+"""
+
+    # {!min_hash}: recompute the trigram → md5-56bit → 8-bucket min-hash
+    # sketch for every doc AND the query literal, join on colliding
+    # sketch entries, sim=0.25 → HAVING-count floor, score = matched/|q|
+    sqls["minhash_qparser"] = """
+WITH dtoks AS (
+  SELECT doc_id,
+         unnest(string_split(lower(trim(text)), ' ')) AS term,
+         unnest(range(len(string_split(lower(trim(text)), ' ')))) AS pos
+  FROM documents
+),
+qtoks AS (
+  SELECT CAST(-1 AS BIGINT) AS doc_id,
+         unnest(string_split(lower(trim(text)), ' ')) AS term,
+         unnest(range(len(string_split(lower(trim(text)), ' ')))) AS pos
+  FROM documents WHERE doc_id = 0
+),
+alltoks AS (SELECT * FROM dtoks UNION ALL SELECT * FROM qtoks),
+tri AS (
+  SELECT doc_id, pos, term,
+         lead(term, 1) OVER (PARTITION BY doc_id ORDER BY pos) AS t1,
+         lead(term, 2) OVER (PARTITION BY doc_id ORDER BY pos) AS t2
+  FROM alltoks
+),
+sh AS (
+  SELECT DISTINCT doc_id, term || ' ' || t1 || ' ' || t2 AS s
+  FROM tri WHERE t2 IS NOT NULL
+),
+hv AS (
+  SELECT doc_id, CAST(concat('0x', substr(md5(s), 1, 14)) AS BIGINT) AS h
+  FROM sh
+),
+sk AS (
+  SELECT doc_id, h % 8 AS bucket, min(h) AS mh
+  FROM hv GROUP BY doc_id, h % 8
+),
+qsk AS (SELECT bucket, mh FROM sk WHERE doc_id = -1),
+dsk AS (SELECT * FROM sk WHERE doc_id >= 0),
+m AS (
+  SELECT d.doc_id, count(*) AS matched
+  FROM dsk d JOIN qsk q ON d.bucket = q.bucket AND d.mh = q.mh
+  GROUP BY d.doc_id
+)
+SELECT doc_id,
+       matched / (SELECT count(*) FROM qsk) AS score
+FROM m
+WHERE matched >= CEIL(0.1 * (SELECT count(*) FROM qsk))
+ORDER BY doc_id
+"""
+
+    sqls["export_stream"] = """
+SELECT s_suppkey, s_nationkey, s_acctbal FROM supplier
+ORDER BY s_nationkey, s_suppkey
 """
 
     sqls["geofilt_query"] = """

@@ -708,6 +708,22 @@ class SolrQueryDispatcher:
                     )
                 )
             )
+        if ptype in ("min_hash", "minhash"):
+            # MinHashQParser.java: analyze v with the MinHash chain,
+            # one SHOULD clause per sketch hash, sim → min-should-match
+            from .minhash import (
+                DEFAULT_BUCKETS,
+                DEFAULT_SHINGLE_N,
+                MinHashQuery,
+            )
+
+            return MinHashQuery(
+                text=one("v", rest) or "",
+                field=one("field", self.default_field or "text"),
+                sim=float(one("sim", "0") or 0.0),
+                shingle_n=int(one("shingleN", str(DEFAULT_SHINGLE_N))),
+                bucket_count=int(one("buckets", str(DEFAULT_BUCKETS))),
+            )
         if ptype in ("geofilt", "bbox"):
             sfield = one("sfield")
             pt = one("pt")
@@ -738,6 +754,12 @@ class SolrQueryDispatcher:
             if isinstance(qstr_or_query, str)
             else qstr_or_query
         )
+        from .minhash import MinHashQuery, minhash_match
+
+        if isinstance(q, MinHashQuery):
+            if self.doc_values is None:
+                raise ValueError("{!min_hash} needs a doc_values table")
+            return minhash_match(self.doc_values, q)
         if isinstance(q, FunctionQuery):
             col = self._func_col(q.text)
             return self.doc_values.select(

@@ -274,6 +274,34 @@ class StreamFactory:
             table = table.limit(int(rows))
         return table
 
+    def _h_export(self, n: StreamExpr) -> DataFrame:
+        """ExportHandler (/export) as a stream source: the FULL sorted
+        result set, no rows cap (solr/handler/export/ExportWriter.java
+        — docValues-only fl, mandatory sort; CloudSolrStream with
+        qt=/export).  Spark shape: project + global sort — the sort is
+        a range-partitioned shuffle, and the projection prunes to the
+        fl columns at the scan (docValues ≡ columnar parquet read)."""
+        if not n.args or isinstance(n.args[0], StreamExpr):
+            raise ValueError("export() needs a collection name")
+        table = self.tables[n.args[0]]
+        q = self._one(n, "q", "*:*")
+        if q != "*:*":
+            if self.searcher is None or n.args[0] != self.search_collection:
+                raise ValueError(
+                    f"export(q={q!r}) needs a text searcher for "
+                    f"{n.args[0]!r}"
+                )
+            hits = self.searcher.docs(q).select("doc_id")
+            table = table.join(hits, "doc_id")
+        fl = self._one(n, "fl")
+        sort = self._one(n, "sort")
+        if not fl or not sort:
+            # ExportWriter rejects requests without fl/sort (all fields
+            # must be docValues; the sort drives the merge iterator)
+            raise ValueError("export() requires fl= and sort=")
+        table = table.select(*[c.strip() for c in fl.split(",")])
+        return table.orderBy(*_sort_cols(sort))
+
     def _h_echo(self, n: StreamExpr) -> DataFrame:
         spark = next(iter(self.tables.values())).sparkSession
         return spark.createDataFrame([(n.args[0],)], ["echo"])
