@@ -2999,6 +2999,26 @@ def q_export_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_shard_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPLITSHARD over hash-range doc routing
+    (common/cloud/CompositeIdRouter.java ring layout,
+    cloud/api/collections/SplitShardCmd.java, SolrIndexSplitter.java):
+    documents route onto a 4-shard signed-32-bit ring, shard2 splits
+    into two equal sub-ranges re-routing ONLY its own rows, and the
+    CLUSTERSTATUS-style manifest (shard, lo, hi, docs) is returned —
+    counts partition the corpus."""
+    from lucene_solr_spark.index.shards import (
+        route,
+        shard_report,
+        split_shard,
+    )
+
+    docs = _table(spark, sf_dir, "documents")
+    routed, ranges = route(docs, 4)
+    split, new_ranges = split_shard(routed, ranges, "shard2", 2)
+    return shard_report(split, new_ranges)
+
+
 # --------------------------------------------------------------------------
 # the three driver hooks
 # --------------------------------------------------------------------------
@@ -3176,6 +3196,7 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "join_qparser": q_join_qparser,
         "minhash_qparser": q_minhash_qparser,
         "export_stream": q_export_stream,
+        "shard_split": q_shard_split,
         "geofilt_query": q_geofilt_query,
         "core_analyzers": q_core_analyzers,
         # (all four above/below have full oracle replicas in
@@ -4228,6 +4249,40 @@ ORDER BY doc_id
     sqls["export_stream"] = """
 SELECT s_suppkey, s_nationkey, s_acctbal FROM supplier
 ORDER BY s_nationkey, s_suppkey
+"""
+
+    # SPLITSHARD: recompute the md5-32 route hash and the 4-shard ring
+    # with shard2 split in two; manifest rows = (shard, lo, hi, docs)
+    sqls["shard_split"] = """
+WITH h AS (
+  SELECT doc_id,
+         CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) AS u
+  FROM documents
+),
+r AS (
+  SELECT doc_id,
+         CASE WHEN u >= 2147483648 THEN u - 4294967296 ELSE u END AS rh
+  FROM h
+),
+asg AS (
+  SELECT doc_id, CASE
+    WHEN rh BETWEEN -2147483648 AND -1073741825 THEN 'shard1'
+    WHEN rh BETWEEN -1073741824 AND -536870913 THEN 'shard2_0'
+    WHEN rh BETWEEN -536870912  AND -1          THEN 'shard2_1'
+    WHEN rh BETWEEN 0 AND 1073741823            THEN 'shard3'
+    ELSE 'shard4' END AS shard
+  FROM r
+),
+meta(shard, lo, hi) AS (VALUES
+  ('shard1',   CAST(-2147483648 AS BIGINT), CAST(-1073741825 AS BIGINT)),
+  ('shard2_0', CAST(-1073741824 AS BIGINT), CAST(-536870913 AS BIGINT)),
+  ('shard2_1', CAST(-536870912 AS BIGINT),  CAST(-1 AS BIGINT)),
+  ('shard3',   CAST(0 AS BIGINT),           CAST(1073741823 AS BIGINT)),
+  ('shard4',   CAST(1073741824 AS BIGINT),  CAST(2147483647 AS BIGINT)))
+SELECT m.shard, m.lo, m.hi, count(a.doc_id) AS docs
+FROM meta m LEFT JOIN asg a USING (shard)
+GROUP BY m.shard, m.lo, m.hi
+ORDER BY m.lo
 """
 
     sqls["geofilt_query"] = """
