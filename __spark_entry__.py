@@ -2999,6 +2999,68 @@ def q_export_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_corpus_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship training-corpus preparation pipeline — the composition
+    a 100 TB pretraining ingest runs end-to-end: exact dedup (keep the
+    min-doc_id representative per sha256 group), quality floor
+    (composite score ≥ 0.5), language ID, token counting, then a
+    per-language corpus report (docs, total tokens, mean quality).
+    Every stage is the already-gated column-expression operator
+    (functions/dedup.py, functions/textstats.py) — one scan feeds the
+    whole chain, the only shuffles are the dedup groupBy and the final
+    per-language aggregation."""
+    from lucene_solr_spark.functions import textstats
+    from lucene_solr_spark.functions.dedup import exact_dedup
+
+    d = _table(spark, sf_dir, "documents")
+    reps = exact_dedup(d).select(F.col("rep_id").alias("doc_id"))
+    kept = d.join(reps, "doc_id", "left_semi")
+    scored = textstats.quality_score(kept, "text").withColumn(
+        "q4", F.round("quality", 4)
+    )
+    hiq = scored.filter(F.col("q4") >= 0.5)
+    lang = textstats.language_id(hiq, "text")
+    tok = textstats.token_counts(lang, "text")
+    return (
+        tok.groupBy(F.col("lang_pred").alias("lang"))
+        .agg(
+            F.count("*").alias("docs"),
+            F.sum("ws_tokens").cast("long").alias("tokens"),
+            F.round(F.avg("q4"), 4).alias("avg_quality"),
+        )
+        .orderBy("lang")
+    )
+
+
+def q_facet_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimpleFacets full parameter surface (SimpleFacets.java
+    getTermCounts): facet.prefix=src1 (sargable dictionary seek),
+    facet.mincount=2, facet.sort=index, facet.offset=1/facet.limit=5
+    paging, facet.missing appended as a trailing bucket — over the
+    'spark' term-query domain.  The null missing-bucket is surfaced as
+    '<missing>' for cross-engine canonicalization."""
+    from lucene_solr_spark.queries.facets import facet_field_params
+
+    s = _searcher(spark, sf_dir)
+    m = s._match(TermQuery("spark"))
+    d = _table(spark, sf_dir, "documents")
+    out = facet_field_params(
+        d,
+        "source",
+        domain=m,
+        prefix="src1",
+        mincount=2,
+        missing=True,
+        sort="index",
+        offset=1,
+        limit=5,
+    )
+    return out.select(
+        F.coalesce(F.col("bucket"), F.lit("<missing>")).alias("bucket"),
+        "cnt",
+    )
+
+
 def q_shard_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SPLITSHARD over hash-range doc routing
     (common/cloud/CompositeIdRouter.java ring layout,
@@ -3197,6 +3259,8 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_qparser": q_minhash_qparser,
         "export_stream": q_export_stream,
         "shard_split": q_shard_split,
+        "facet_prefix": q_facet_prefix,
+        "corpus_prep": q_corpus_prep,
         "geofilt_query": q_geofilt_query,
         "core_analyzers": q_core_analyzers,
         # (all four above/below have full oracle replicas in
@@ -4249,6 +4313,80 @@ ORDER BY doc_id
     sqls["export_stream"] = """
 SELECT s_suppkey, s_nationkey, s_acctbal FROM supplier
 ORDER BY s_nationkey, s_suppkey
+"""
+
+    # corpus-prep pipeline: dedup reps -> quality floor -> language id ->
+    # token counts -> per-language report, all recomposed in SQL
+    sqls["corpus_prep"] = """
+WITH reps AS (
+  SELECT min(doc_id) AS doc_id FROM documents GROUP BY sha256(text)
+),
+kept AS (SELECT d.* FROM documents d JOIN reps USING (doc_id)),
+base AS (
+  SELECT doc_id, text,
+         greatest(len(string_split(trim(text), ' ')), 1) AS n_words,
+         greatest(length(text), 1) AS n_chars,
+         len(list_filter(string_split(trim(text), ' '),
+             w -> lower(w) IN ('the','and','of','to','is','a'))) AS stop_hits,
+         length(text) - length(regexp_replace(text, '[^a-zA-Z0-9_ \t\n]', '', 'g')) AS n_punct
+  FROM kept
+),
+q AS (
+  SELECT doc_id, text,
+         ROUND(
+           least(n_words / CAST(100.0 AS DOUBLE), CAST(1.0 AS DOUBLE)) * 0.4
+           + least(stop_hits / n_words * CAST(5.0 AS DOUBLE), CAST(1.0 AS DOUBLE)) * 0.3
+           + (CAST(1.0 AS DOUBLE)
+              - least(n_punct / n_chars * CAST(10.0 AS DOUBLE), CAST(1.0 AS DOUBLE))) * 0.3,
+           4) AS q4
+  FROM base
+),
+hiq AS (SELECT * FROM q WHERE q4 >= 0.5),
+hits AS (
+  SELECT doc_id,
+         len(list_filter(string_split(lower(trim(text)), ' '),
+             w -> w IN ('the','and','of','to','is','a'))) AS h_en,
+         len(list_filter(string_split(lower(trim(text)), ' '),
+             w -> w IN ('el','la','de','que','y','los'))) AS h_es,
+         len(list_filter(string_split(lower(trim(text)), ' '),
+             w -> w IN ('der','die','und','das','nicht','ist'))) AS h_de,
+         len(list_filter(string_split(lower(trim(text)), ' '),
+             w -> w IN ('le','la','et','les','des','une'))) AS h_fr,
+         regexp_matches(text, '[一-鿿]') AS has_cjk
+  FROM hiq
+),
+lng AS (
+  SELECT h.doc_id, h.q4,
+         len(string_split(trim(h.text), ' ')) AS ws_tokens,
+         CASE WHEN hh.has_cjk THEN 'zh'
+              WHEN greatest(hh.h_de, hh.h_en, hh.h_es, hh.h_fr) = 0 THEN 'unknown'
+              WHEN hh.h_de = greatest(hh.h_de, hh.h_en, hh.h_es, hh.h_fr) THEN 'de'
+              WHEN hh.h_en = greatest(hh.h_de, hh.h_en, hh.h_es, hh.h_fr) THEN 'en'
+              WHEN hh.h_es = greatest(hh.h_de, hh.h_en, hh.h_es, hh.h_fr) THEN 'es'
+              ELSE 'fr' END AS lang
+  FROM hiq h JOIN hits hh USING (doc_id)
+)
+SELECT lang, count(*) AS docs, CAST(sum(ws_tokens) AS BIGINT) AS tokens,
+       ROUND(avg(q4), 4) AS avg_quality
+FROM lng GROUP BY lang ORDER BY lang
+"""
+
+    # SimpleFacets parameter surface: prefix + mincount + sort=index +
+    # offset/limit + trailing missing bucket, over the 'spark' domain
+    sqls["facet_prefix"] = f"""
+WITH {_IDX},
+m AS (SELECT DISTINCT doc_id FROM postings WHERE term = 'spark'),
+dom AS (SELECT d.* FROM documents d JOIN m USING (doc_id)),
+b AS (
+  SELECT source AS bucket, count(*) AS cnt FROM dom
+  WHERE source IS NOT NULL AND source LIKE 'src1%'
+  GROUP BY source HAVING count(*) >= 2
+  ORDER BY bucket ASC
+  LIMIT 5 OFFSET 1
+)
+SELECT bucket, cnt FROM b
+UNION ALL
+SELECT '<missing>' AS bucket, count(*) AS cnt FROM dom WHERE source IS NULL
 """
 
     # SPLITSHARD: recompute the md5-32 route hash and the 4-shard ring

@@ -99,6 +99,73 @@ def facet_field_over(
     )
 
 
+def facet_field_params(
+    doc_values: DataFrame,
+    field: str,
+    domain: DataFrame | None = None,
+    prefix: str | None = None,
+    mincount: int = 1,
+    missing: bool = False,
+    sort: str = "count",
+    offset: int = 0,
+    limit: int = 10,
+) -> DataFrame:
+    """Field facet with the full SimpleFacets parameter set
+    (SimpleFacets.java getTermCounts / getFacetTermEnumCounts):
+    facet.prefix restricts the term enum to values with that prefix
+    (a dictionary range seek in the reference — here a sargable
+    StartsWith the scan can push down), facet.mincount floors bucket
+    counts, facet.sort=count|index, facet.offset/facet.limit page the
+    bucket list, and facet.missing appends the null-value bucket
+    count as a trailing row (FacetComponent appends it after the
+    ordered list regardless of sort).
+
+    One partial+final aggregation regardless of parameters — prefix
+    and domain reduce rows BEFORE the shuffle."""
+    df = doc_values
+    if domain is not None:
+        df = df.join(domain.select("doc_id"), "doc_id", "left_semi")
+    col = F.col(field)
+    vals = df.filter(col.isNotNull())
+    if prefix is not None:
+        vals = vals.filter(col.startswith(prefix))
+    buckets = (
+        vals.groupBy(col.alias("bucket"))
+        .agg(F.count("*").alias("cnt"))
+        .filter(F.col("cnt") >= mincount)
+    )
+    if sort == "index":
+        buckets = buckets.orderBy(F.col("bucket").asc())
+    else:
+        buckets = buckets.orderBy(F.col("cnt").desc(), F.col("bucket").asc())
+    if offset:
+        # facet.offset: skip the first N buckets of the ordered list.
+        # Window rank over the same ordering keeps this distributed
+        # (no driver-side slice); bucket lists are top-k sized.
+        from pyspark.sql import Window
+
+        order = (
+            [F.col("bucket").asc()]
+            if sort == "index"
+            else [F.col("cnt").desc(), F.col("bucket").asc()]
+        )
+        w = Window.orderBy(*order)
+        buckets = (
+            buckets.withColumn("_rk", F.row_number().over(w))
+            .filter(F.col("_rk") > offset)
+            .drop("_rk")
+        )
+    buckets = buckets.limit(limit)
+    if missing:
+        spark = doc_values.sparkSession
+        miss = df.filter(col.isNull()).agg(
+            F.lit(None).cast(df.schema[field].dataType).alias("bucket"),
+            F.count("*").alias("cnt"),
+        )
+        buckets = buckets.unionByName(miss)
+    return buckets
+
+
 def heatmap_facet(
     doc_values: DataFrame,
     lat_col: str,
