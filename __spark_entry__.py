@@ -1177,6 +1177,31 @@ def q_facet_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_range_facet_params(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """facet.range FULL parameter surface (handler/component/
+    RangeFacetRequest.java:557-645 computeRanges + RangeFacetProcessor
+    .java:100-260): start=100 end=450 gap=150 with facet.range.hardend
+    =true (last bucket clipped to 400-450), facet.range.include=edge
+    (first bucket closed-lower, last closed-upper, interior boundaries
+    OPEN on both sides — boundary values 250/400 land only in the
+    'between' bucket, the reference's documented edge semantics), and
+    facet.range.other=all (before/after/between with complementary
+    openness).  One partial+final agg row, stacked to buckets."""
+    from lucene_solr_spark.queries.facets import range_facet_params
+
+    d = _table(spark, sf_dir, "documents")
+    return range_facet_params(
+        d,
+        "n_chars",
+        start=100,
+        end=450,
+        gap=150,
+        hardend=True,
+        include={"edge"},
+        others={"all"},
+    )
+
+
 def q_facet_range(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Range facet on a numeric field (search/facet/FacetRange.java)."""
     d = _table(spark, sf_dir, "documents")
@@ -3260,6 +3285,7 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "export_stream": q_export_stream,
         "shard_split": q_shard_split,
         "facet_prefix": q_facet_prefix,
+        "range_facet_params": q_range_facet_params,
         "corpus_prep": q_corpus_prep,
         "geofilt_query": q_geofilt_query,
         "core_analyzers": q_core_analyzers,
@@ -4387,6 +4413,29 @@ b AS (
 SELECT bucket, cnt FROM b
 UNION ALL
 SELECT '<missing>' AS bucket, count(*) AS cnt FROM dom WHERE source IS NULL
+"""
+
+    # facet.range full parameter surface: hardend clip, include=edge
+    # boundary openness, other=all complementary buckets
+    sqls["range_facet_params"] = """
+SELECT '100' AS bucket,
+       CAST(SUM(CASE WHEN n_chars >= 100 AND n_chars < 250 THEN 1 ELSE 0 END) AS BIGINT) AS cnt
+FROM documents WHERE n_chars IS NOT NULL
+UNION ALL
+SELECT '250', CAST(SUM(CASE WHEN n_chars > 250 AND n_chars < 400 THEN 1 ELSE 0 END) AS BIGINT)
+FROM documents WHERE n_chars IS NOT NULL
+UNION ALL
+SELECT '400', CAST(SUM(CASE WHEN n_chars > 400 AND n_chars <= 450 THEN 1 ELSE 0 END) AS BIGINT)
+FROM documents WHERE n_chars IS NOT NULL
+UNION ALL
+SELECT 'before', CAST(SUM(CASE WHEN n_chars < 100 THEN 1 ELSE 0 END) AS BIGINT)
+FROM documents WHERE n_chars IS NOT NULL
+UNION ALL
+SELECT 'after', CAST(SUM(CASE WHEN n_chars > 450 THEN 1 ELSE 0 END) AS BIGINT)
+FROM documents WHERE n_chars IS NOT NULL
+UNION ALL
+SELECT 'between', CAST(SUM(CASE WHEN n_chars >= 100 AND n_chars <= 450 THEN 1 ELSE 0 END) AS BIGINT)
+FROM documents WHERE n_chars IS NOT NULL
 """
 
     # SPLITSHARD: recompute the md5-32 route hash and the 4-shard ring
