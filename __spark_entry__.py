@@ -877,6 +877,62 @@ def q_grouping_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_grouping_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """group.query (search/Grouping.java CommandQuery): each listed
+    query is ONE group in the response — the main query's hit set
+    intersected with the group query's match set, numFound = that
+    intersection's size, docList = top group.limit=3 by the main
+    query's scores (the group query is a FILTER, not a scorer).
+    Spark shape: the scored main hit set is computed ONCE; each group
+    command is a left-semi join on doc_id (no corpus shuffle) and the
+    per-group top-k is a ranked window partitioned by the group label
+    — window input is hit-list sized, never corpus sized."""
+    s = _searcher(spark, sf_dir)
+    main = _scored(s.docs(TermQuery("spark")))
+    parts = []
+    for name in ("window", "vector"):
+        g = s._match(TermQuery(name)).select("doc_id")
+        parts.append(
+            main.join(g, "doc_id", "left_semi").withColumn("grp", F.lit(name))
+        )
+    u = parts[0].unionByName(parts[1])
+    w = Window.partitionBy("grp").orderBy(
+        F.col("score").desc(), F.col("doc_id").asc()
+    )
+    return (
+        u.withColumn("num_found", F.count("*").over(Window.partitionBy("grp")))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select("grp", "num_found", "rank", "doc_id", "score")
+        .orderBy("grp", "rank")
+    )
+
+
+def q_grouping_func(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """group.func (Grouping.java CommandFunc → ValueSource group keys):
+    group head key is a COMPUTED value — floor(n_chars/100)·100 — not a
+    stored field; numFound and the top group.limit=2 docs per bucket by
+    (score DESC, doc_id ASC).  Same ranked-window shape as field
+    grouping; the function is a codegen column expression evaluated
+    in the same pass as the doc-values join."""
+    s = _searcher(spark, sf_dir)
+    main = _scored(s.docs(TermQuery("spark")))
+    d = _table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    j = main.join(d, "doc_id").withColumn(
+        "grp", (F.floor(F.col("n_chars") / 100) * 100).cast("long")
+    )
+    w = Window.partitionBy("grp").orderBy(
+        F.col("score").desc(), F.col("doc_id").asc()
+    )
+    return (
+        j.withColumn("num_found", F.count("*").over(Window.partitionBy("grp")))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 2)
+        .select("grp", "num_found", "rank", "doc_id", "score")
+        .orderBy("grp", "rank")
+    )
+
+
 def q_unified_highlight(spark: SparkSession, sf_dir: str) -> DataFrame:
     """UnifiedHighlighter-style passage selection (uhighlight/
     PassageScorer.java semantics: idf-weighted passage score with
@@ -3301,6 +3357,8 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "phrase_query": q_phrase_query,
         "facet_terms": q_facet_terms,
         "grouping_topn": q_grouping_topn,
+        "grouping_query": q_grouping_query,
+        "grouping_func": q_grouping_func,
         "block_join": q_block_join,
         "rollup_stream": q_rollup_stream,
         "more_like_this": q_more_like_this,
@@ -4436,6 +4494,49 @@ FROM documents WHERE n_chars IS NOT NULL
 UNION ALL
 SELECT 'between', CAST(SUM(CASE WHEN n_chars >= 100 AND n_chars <= 450 THEN 1 ELSE 0 END) AS BIGINT)
 FROM documents WHERE n_chars IS NOT NULL
+"""
+
+    # group.query: two query-defined groups over the 'spark' main hit
+    # set; group queries filter, main query scores
+    sqls["grouping_query"] = f"""
+WITH {_IDX},
+m AS ({_bm25_sql("spark")}),
+u AS (
+  SELECT 'window' AS grp, m.doc_id, ROUND(m.score, 4) AS score
+  FROM m JOIN (SELECT DISTINCT doc_id FROM postings WHERE term = 'window') g USING (doc_id)
+  UNION ALL
+  SELECT 'vector', m.doc_id, ROUND(m.score, 4)
+  FROM m JOIN (SELECT DISTINCT doc_id FROM postings WHERE term = 'vector') g USING (doc_id)
+),
+r AS (
+  SELECT grp, doc_id, score,
+         count(*) OVER (PARTITION BY grp) AS num_found,
+         row_number() OVER (PARTITION BY grp ORDER BY score DESC, doc_id ASC) AS rank
+  FROM u
+)
+SELECT grp, CAST(num_found AS BIGINT) AS num_found, CAST(rank AS INT) AS rank,
+       doc_id, score
+FROM r WHERE rank <= 3
+"""
+
+    # group.func: computed group key floor(n_chars/100)*100
+    sqls["grouping_func"] = f"""
+WITH {_IDX},
+m AS ({_bm25_sql("spark")}),
+j AS (
+  SELECT CAST(FLOOR(d.n_chars / 100) * 100 AS BIGINT) AS grp,
+         m.doc_id, ROUND(m.score, 4) AS score
+  FROM m JOIN documents d USING (doc_id)
+),
+r AS (
+  SELECT grp, doc_id, score,
+         count(*) OVER (PARTITION BY grp) AS num_found,
+         row_number() OVER (PARTITION BY grp ORDER BY score DESC, doc_id ASC) AS rank
+  FROM j
+)
+SELECT grp, CAST(num_found AS BIGINT) AS num_found, CAST(rank AS INT) AS rank,
+       doc_id, score
+FROM r WHERE rank <= 2
 """
 
     # SPLITSHARD: recompute the md5-32 route hash and the 4-shard ring
