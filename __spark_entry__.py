@@ -1258,6 +1258,28 @@ def q_range_facet_params(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_date_range_facet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """facet.range over a DATE field with date-math endpoints and a
+    calendar gap (util/DateMathParser.java:137-410 + RangeFacetRequest
+    DateRangeEndpointCalculator): start='2024-01-03T12:00:00Z/DAY-2DAYS'
+    (rounds to Jan 3 midnight, minus 2 days = Jan 1), end=start+1MONTH
+    (calendar add → Feb 1), gap='+7DAYS'; without hardend the end
+    EXTENDS to the last bucket edge (Feb 5); other=all adds the
+    before/after/between buckets.  One wide agg row stacked to
+    buckets."""
+    from lucene_solr_spark.functions.datemath import date_range_facet
+
+    ev = _table(spark, sf_dir, "events")
+    return date_range_facet(
+        ev,
+        "ts",
+        start="2024-01-03T12:00:00Z/DAY-2DAYS",
+        end="2024-01-03T12:00:00Z/DAY-2DAYS+1MONTH",
+        gap="+7DAYS",
+        others={"all"},
+    )
+
+
 def q_facet_range(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Range facet on a numeric field (search/facet/FacetRange.java)."""
     d = _table(spark, sf_dir, "documents")
@@ -3342,6 +3364,7 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "shard_split": q_shard_split,
         "facet_prefix": q_facet_prefix,
         "range_facet_params": q_range_facet_params,
+        "date_range_facet": q_date_range_facet,
         "corpus_prep": q_corpus_prep,
         "geofilt_query": q_geofilt_query,
         "core_analyzers": q_core_analyzers,
@@ -4494,6 +4517,35 @@ FROM documents WHERE n_chars IS NOT NULL
 UNION ALL
 SELECT 'between', CAST(SUM(CASE WHEN n_chars >= 100 AND n_chars <= 450 THEN 1 ELSE 0 END) AS BIGINT)
 FROM documents WHERE n_chars IS NOT NULL
+"""
+
+    # date range facet: date-math endpoints (/DAY round, -2DAYS,
+    # +1MONTH calendar add), +7DAYS gap, soft end extends to Feb 5
+    sqls["date_range_facet"] = """
+SELECT '2024-01-01T00:00:00Z' AS bucket,
+       CAST(SUM(CASE WHEN ts >= TIMESTAMP '2024-01-01 00:00:00' AND ts < TIMESTAMP '2024-01-08 00:00:00' THEN 1 ELSE 0 END) AS BIGINT) AS cnt
+FROM events WHERE ts IS NOT NULL
+UNION ALL
+SELECT '2024-01-08T00:00:00Z', CAST(SUM(CASE WHEN ts >= TIMESTAMP '2024-01-08 00:00:00' AND ts < TIMESTAMP '2024-01-15 00:00:00' THEN 1 ELSE 0 END) AS BIGINT)
+FROM events WHERE ts IS NOT NULL
+UNION ALL
+SELECT '2024-01-15T00:00:00Z', CAST(SUM(CASE WHEN ts >= TIMESTAMP '2024-01-15 00:00:00' AND ts < TIMESTAMP '2024-01-22 00:00:00' THEN 1 ELSE 0 END) AS BIGINT)
+FROM events WHERE ts IS NOT NULL
+UNION ALL
+SELECT '2024-01-22T00:00:00Z', CAST(SUM(CASE WHEN ts >= TIMESTAMP '2024-01-22 00:00:00' AND ts < TIMESTAMP '2024-01-29 00:00:00' THEN 1 ELSE 0 END) AS BIGINT)
+FROM events WHERE ts IS NOT NULL
+UNION ALL
+SELECT '2024-01-29T00:00:00Z', CAST(SUM(CASE WHEN ts >= TIMESTAMP '2024-01-29 00:00:00' AND ts < TIMESTAMP '2024-02-05 00:00:00' THEN 1 ELSE 0 END) AS BIGINT)
+FROM events WHERE ts IS NOT NULL
+UNION ALL
+SELECT 'before', CAST(SUM(CASE WHEN ts < TIMESTAMP '2024-01-01 00:00:00' THEN 1 ELSE 0 END) AS BIGINT)
+FROM events WHERE ts IS NOT NULL
+UNION ALL
+SELECT 'after', CAST(SUM(CASE WHEN ts >= TIMESTAMP '2024-02-05 00:00:00' THEN 1 ELSE 0 END) AS BIGINT)
+FROM events WHERE ts IS NOT NULL
+UNION ALL
+SELECT 'between', CAST(SUM(CASE WHEN ts >= TIMESTAMP '2024-01-01 00:00:00' AND ts < TIMESTAMP '2024-02-05 00:00:00' THEN 1 ELSE 0 END) AS BIGINT)
+FROM events WHERE ts IS NOT NULL
 """
 
     # group.query: two query-defined groups over the 'spark' main hit
