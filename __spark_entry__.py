@@ -2173,6 +2173,43 @@ SWEDISH_GATE_PHRASE = (
 
 GALICIAN_GATE_PHRASE = "as cancións dos cabalos cantadas felizmente"
 
+# exercises every Metaphone initial exception (KN/WR/WH/X/AE), the
+# soft/hard C+G rules, PH/TH/SCH, and the MB$ silent-B rule
+PHONETIC_GATE_PHRASE = (
+    "knight wright whale xylophone aeon phone judge church school "
+    "thompson lamb through"
+)
+
+
+def q_phonetic_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PhoneticFilter chain (phonetic/PhoneticFilter.java:68-96 +
+    PhoneticFilterFactory encoder="Metaphone" inject="true"): every
+    token emits its commons-codec Metaphone code first, then the
+    original, both at one position.  Docs extended with a phrase
+    hitting the initial-exception and silent-letter rules; oracle:
+    closed-vocabulary VALUES (tok, term) map that explodes each token
+    into its inject pair (the encoder itself is pinned against the
+    reference's TestPhoneticFilter goldens in tests/test_phonetic.py)."""
+    d = _table(spark, sf_dir, "documents")
+    t = build_tables(
+        d.select(
+            "doc_id",
+            F.concat(
+                F.col("text"), F.lit(" " + PHONETIC_GATE_PHRASE)
+            ).alias("text"),
+        ),
+        id_col="doc_id",
+        text_col="text",
+        analyzer="phonetic_metaphone",
+    )
+    return (
+        t.term_stats.select(
+            "term", "df", F.col("ttf").cast("long").alias("ttf")
+        )
+        .orderBy(F.col("df").desc(), F.col("term").asc())
+        .limit(25)
+    )
+
 
 def q_galician_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
     """GalicianAnalyzer chain (gl/GalicianAnalyzer.java: tokenize →
@@ -3288,6 +3325,7 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "french_analysis": q_french_analysis,
         "nordic_analysis": q_nordic_analysis,
         "galician_analysis": q_galician_analysis,
+        "phonetic_analysis": q_phonetic_analysis,
         "delete_by_query": q_delete_by_query,
         "atomic_updates": q_atomic_updates,
         "exact_dedup": q_exact_dedup,
@@ -4031,6 +4069,28 @@ p AS (
 SELECT term, count(*) AS df, CAST(sum(tf) AS BIGINT) AS ttf
 FROM p GROUP BY term
 ORDER BY df DESC, term ASC LIMIT 20
+"""
+
+    from lucene_solr_spark.analysis.phonetic import phonetic_tokens
+
+    _ph_map = []
+    for _tok in sorted(set(_corpus_vocab + PHONETIC_GATE_PHRASE.split())):
+        for _term in phonetic_tokens(_tok, inject=True, encoder="Metaphone"):
+            _ph_map.append(f"('{_tok}','{_term}')")
+    sqls["phonetic_analysis"] = f"""
+WITH toks AS (
+  SELECT doc_id,
+         unnest(string_split(text || ' {PHONETIC_GATE_PHRASE}', ' ')) AS tok
+  FROM documents
+),
+smap(tok, term) AS (VALUES {",".join(_ph_map)}),
+p AS (
+  SELECT t.doc_id, m.term, count(*) AS tf
+  FROM toks t JOIN smap m USING (tok) GROUP BY t.doc_id, m.term
+)
+SELECT term, count(*) AS df, CAST(sum(tf) AS BIGINT) AS ttf
+FROM p GROUP BY term
+ORDER BY df DESC, term ASC LIMIT 25
 """
 
     sqls["nordic_analysis"] = f"""

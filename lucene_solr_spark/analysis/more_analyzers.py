@@ -145,8 +145,31 @@ def _lazy_light(lang):
     return run
 
 
+def phonetic_metaphone_analyze_batch_flat(content: pd.Series):
+    """Phonetic chain (PhoneticFilterFactory encoder="Metaphone"
+    inject="true"): whitespace tokenize → lowercase → PhoneticFilter —
+    the phonetic form first, then the original, both at ONE position
+    (PhoneticFilter.java:68-96; identity encodings pass through once)."""
+    from lucene_solr_spark.analysis.phonetic import phonetic_tokens
+
+    tok_lists: list[list[str]] = []
+    pos_lists: list[list[int]] = []
+    for t in content.tolist():
+        terms: list[str] = []
+        positions: list[int] = []
+        for p, w in enumerate(str(t).split()):
+            for out in phonetic_tokens(w.lower(), inject=True,
+                                       encoder="Metaphone"):
+                terms.append(out)
+                positions.append(p)
+        tok_lists.append(terms)
+        pos_lists.append(positions)
+    return _flatten(tok_lists, pos_lists)
+
+
 NAMED_ANALYZERS = {
     "whitespace": whitespace_analyze_batch_flat,
+    "phonetic_metaphone": phonetic_metaphone_analyze_batch_flat,
     "simple": simple_analyze_batch_flat,
     "keyword": keyword_analyze_batch_flat,
     "stop": stop_analyze_batch_flat,
