@@ -1905,6 +1905,18 @@ def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup CLUSTER formation: trigram-Jaccard pairs → connected
+    components via alternating large-star/small-star (Kiveris et al.
+    SoCC'14 — O(log n) rounds independent of chain length, the scale
+    answer to pair lists that form long dup chains) → (doc_id, rep,
+    cluster_size).  Oracle: recursive-CTE transitive closure over the
+    same exact pair set (min reachable id = the component label)."""
+    d = _table(spark, sf_dir, "documents")
+    pairs = dedup.ngram_jaccard_pairs(d, n=3, threshold=0.5)
+    return dedup.dedup_clusters(pairs).orderBy("doc_id")
+
+
 def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash+LSH candidate pairs verified by exact Jaccard.  Verification
     makes false positives impossible and banding recall is 1.0 at these
@@ -3330,6 +3342,7 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "atomic_updates": q_atomic_updates,
         "exact_dedup": q_exact_dedup,
         "ngram_jaccard": q_ngram_jaccard,
+        "dedup_clusters": q_dedup_clusters,
         "minhash_lsh": q_minhash_lsh,
         "simhash_dups": q_simhash_dups,
         "cosine_topk": q_cosine_topk,
@@ -5535,6 +5548,57 @@ JOIN sizes sa ON sa.doc_id = c.ida
 JOIN sizes sb ON sb.doc_id = c.idb
 WHERE c.common / (sa.size + sb.size - c.common) >= 0.5
 ORDER BY c.ida, c.idb
+"""
+
+    # near-dup clusters: same exact pair set as ngram_jaccard, then
+    # transitive closure (recursive CTE) → min reachable id per node
+    sqls["dedup_clusters"] = """
+WITH RECURSIVE toks AS (
+  SELECT doc_id,
+         unnest(string_split(text, ' ')) AS term,
+         unnest(range(len(string_split(text, ' ')))) AS pos
+  FROM documents
+),
+tri AS (
+  SELECT doc_id, pos, term,
+         lead(term, 1) OVER (PARTITION BY doc_id ORDER BY pos) AS t1,
+         lead(term, 2) OVER (PARTITION BY doc_id ORDER BY pos) AS t2
+  FROM toks
+),
+sh AS (
+  SELECT DISTINCT doc_id, term || ' ' || t1 || ' ' || t2 AS s
+  FROM tri WHERE t2 IS NOT NULL
+),
+sizes AS (SELECT doc_id, count(*) AS size FROM sh GROUP BY doc_id),
+common AS (
+  SELECT a.doc_id AS ida, b.doc_id AS idb, count(*) AS common
+  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+),
+pairs AS (
+  SELECT c.ida, c.idb FROM common c
+  JOIN sizes sa ON sa.doc_id = c.ida
+  JOIN sizes sb ON sb.doc_id = c.idb
+  WHERE c.common / (sa.size + sb.size - c.common) >= 0.5
+),
+edges AS (
+  SELECT ida AS a, idb AS b FROM pairs
+  UNION
+  SELECT idb, ida FROM pairs
+),
+reach(src, dst) AS (
+  SELECT a, b FROM edges
+  UNION
+  SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a
+),
+lbl AS (
+  SELECT src AS doc_id, LEAST(src, MIN(dst)) AS rep
+  FROM reach GROUP BY src
+),
+sz AS (SELECT rep, count(*) AS cluster_size FROM lbl GROUP BY rep)
+SELECT l.doc_id, l.rep, s.cluster_size
+FROM lbl l JOIN sz s USING (rep)
+ORDER BY l.doc_id
 """
 
     sqls["cosine_topk"] = """

@@ -352,3 +352,111 @@ def simhash_near_dups(
         .distinct()
         .filter(F.col("hamming") <= max_hamming)
     )
+
+
+def _canon_edges(e: DataFrame) -> DataFrame:
+    """Orient (u, v) with u > v, drop self-loops, dedupe."""
+    return (
+        e.select(
+            F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+        )
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+
+
+def _large_star(e: DataFrame) -> DataFrame:
+    """Large-star: every node connects its STRICTLY LARGER neighbors to
+    the minimum of its closed neighborhood."""
+    sym = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    m = sym.groupBy("u").agg(F.min("v").alias("mn"))
+    m = m.select("u", F.least(F.col("mn"), F.col("u")).alias("m"))
+    return (
+        sym.join(m, "u")
+        .filter(F.col("v") > F.col("u"))
+        .select(F.col("v").alias("u"), F.col("m").alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+
+
+def _small_star(e: DataFrame) -> DataFrame:
+    """Small-star: every node connects its SMALLER-OR-EQUAL neighbors
+    (and itself) to the minimum of that set."""
+    o = _canon_edges(e)  # u > v
+    m = o.groupBy("u").agg(F.min("v").alias("m"))  # min < u always
+    return (
+        o.join(m, "u")
+        .select(F.col("v").alias("u"), F.col("m").alias("v"))
+        .union(m.select(F.col("u"), F.col("m").alias("v")))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "ida",
+    dst: str = "idb",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Connected components by the alternating large-star/small-star
+    algorithm (Kiveris et al., "Connected Components in MapReduce and
+    Beyond", SoCC'14): converges in O(log n) rounds regardless of
+    component diameter — the scale-correct choice over min-label
+    propagation, whose round count grows with the LONGEST CHAIN of
+    near-dup docs (web corpora have chains thousands long).
+
+    Each round is two groupBy-min shuffles on node id.  The edge frame
+    is localCheckpoint()ed every round: iterative self-referential
+    plans otherwise grow lineage exponentially (at cluster scale use
+    reliable checkpointing to the cluster store instead).  Convergence
+    = small-star output equals its input (checksum + count compare,
+    one tiny action per round).
+
+    Returns (doc_id, rep) for every node that appears in ``edges`` —
+    rep is the component's minimum id (roots map to themselves).
+    """
+    e = _canon_edges(
+        edges.select(
+            F.col(src).cast("long").alias("u"),
+            F.col(dst).cast("long").alias("v"),
+        )
+    ).localCheckpoint()
+
+    def _sig(df: DataFrame):
+        row = df.agg(
+            F.count("*").alias("c"),
+            F.coalesce(
+                # decimal(38,0) sum: long-sum overflows ANSI mode
+                F.sum(F.xxhash64("u", "v").cast("decimal(38,0)")),
+                F.lit(0).cast("decimal(38,0)"),
+            ).alias("h"),
+        ).collect()[0]
+        return (row["c"], row["h"])
+
+    prev = _sig(e)
+    for _ in range(max_iter):
+        e = _small_star(_large_star(e)).localCheckpoint()
+        cur = _sig(e)
+        if cur == prev:
+            break
+        prev = cur
+    # star forest: every edge is (member, root); roots self-map
+    members = e.select(F.col("u").alias("doc_id"), F.col("v").alias("rep"))
+    roots = e.select(F.col("v").alias("doc_id"), F.col("v").alias("rep"))
+    return members.union(roots).distinct()
+
+
+def dedup_clusters(
+    pairs: DataFrame,
+    src: str = "ida",
+    dst: str = "idb",
+) -> DataFrame:
+    """Near-dup cluster assignment from a candidate pair list:
+    connected components + per-cluster size.  (doc_id, rep,
+    cluster_size), one extra broadcast-sized agg-join over the
+    component labels."""
+    cc = connected_components(pairs, src, dst)
+    sizes = cc.groupBy("rep").agg(F.count("*").alias("cluster_size"))
+    return cc.join(sizes, "rep").select("doc_id", "rep", "cluster_size")
