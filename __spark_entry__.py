@@ -1917,6 +1917,18 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.dedup_clusters(pairs).orderBy("doc_id")
 
 
+def q_signature_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SignatureUpdateProcessor with TextProfileSignature (update/
+    processor/TextProfileSignature.java:67-147 + SignatureUpdate
+    ProcessorFactory overwriteDupes): md5 of the quantized token-
+    frequency profile; one doc per signature survives (batch-mode
+    deterministic min-id survivor).  Documented divergence: profile
+    tie order is token-ASC (the reference inherits JVM HashMap order,
+    which is not engine-reproducible)."""
+    d = _table(spark, sf_dir, "documents")
+    return dedup.signature_dedup(d).orderBy("doc_id")
+
+
 def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash+LSH candidate pairs verified by exact Jaccard.  Verification
     makes false positives impossible and banding recall is 1.0 at these
@@ -3343,6 +3355,7 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "exact_dedup": q_exact_dedup,
         "ngram_jaccard": q_ngram_jaccard,
         "dedup_clusters": q_dedup_clusters,
+        "signature_dedup": q_signature_dedup,
         "minhash_lsh": q_minhash_lsh,
         "simhash_dups": q_simhash_dups,
         "cosine_topk": q_cosine_topk,
@@ -5548,6 +5561,44 @@ JOIN sizes sa ON sa.doc_id = c.ida
 JOIN sizes sb ON sb.doc_id = c.idb
 WHERE c.common / (sa.size + sb.size - c.common) >= 0.5
 ORDER BY c.ida, c.idb
+"""
+
+    # TextProfileSignature: quantized token-frequency profile -> md5;
+    # min-id survivor per signature group
+    sqls["signature_dedup"] = """
+WITH tk AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS tok
+  FROM documents
+),
+tk2 AS (SELECT doc_id, tok FROM tk WHERE length(tok) > 2),
+cnt AS (SELECT doc_id, tok, count(*) AS cnt FROM tk2 GROUP BY doc_id, tok),
+mx AS (SELECT doc_id, max(cnt) AS maxfreq FROM cnt GROUP BY doc_id),
+qv AS (
+  SELECT doc_id,
+         CASE WHEN ROUND(maxfreq * 0.01) < 2
+              THEN CASE WHEN maxfreq > 1 THEN 2 ELSE 1 END
+              ELSE CAST(ROUND(maxfreq * 0.01) AS BIGINT) END AS quant
+  FROM mx
+),
+quantized AS (
+  SELECT c.doc_id, c.tok,
+         CAST(FLOOR(c.cnt / q.quant) * q.quant AS BIGINT) AS qcnt, q.quant
+  FROM cnt c JOIN qv q USING (doc_id)
+  WHERE CAST(FLOOR(c.cnt / q.quant) * q.quant AS BIGINT) >= q.quant
+),
+prof AS (
+  SELECT doc_id,
+         string_agg(tok || ' ' || CAST(qcnt AS VARCHAR), chr(10)
+                    ORDER BY qcnt DESC, tok ASC) AS profile
+  FROM quantized GROUP BY doc_id
+),
+sig AS (
+  SELECT d.doc_id, md5(COALESCE(p.profile, '')) AS signature
+  FROM documents d LEFT JOIN prof p USING (doc_id)
+)
+SELECT doc_id, signature,
+       doc_id = MIN(doc_id) OVER (PARTITION BY signature) AS kept
+FROM sig ORDER BY doc_id
 """
 
     # near-dup clusters: same exact pair set as ngram_jaccard, then

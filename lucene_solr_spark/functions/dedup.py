@@ -460,3 +460,91 @@ def dedup_clusters(
     cc = connected_components(pairs, src, dst)
     sizes = cc.groupBy("rep").agg(F.count("*").alias("cluster_size"))
     return cc.join(sizes, "rep").select("doc_id", "rep", "cluster_size")
+
+
+def text_profile_signature(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    quant_rate: float = 0.01,
+    min_token_len: int = 2,
+) -> DataFrame:
+    """TextProfileSignature (solr/update/processor/TextProfileSignature
+    .java:67-147, copied there from Nutch): fuzzy dedup signature =
+    md5 of a quantized token-frequency profile.
+
+    Faithful steps: alnum-run tokens lowercased, kept only if length
+    STRICTLY greater than minTokenLen; quant = round(maxFreq·quantRate)
+    floored at 2 (1 when maxFreq == 1); counts rounded DOWN to a
+    multiple of quant, tokens falling below quant discarded; profile
+    lines "token cnt" sorted by count DESC joined with newline; md5.
+    Documented divergence: the reference sorts ties in HashMap
+    iteration order (JVM-nondeterministic); here ties break token ASC
+    so the signature is engine-reproducible.
+
+    All column expressions + two partial+final aggs keyed by doc —
+    no Python in the loop, linear at any corpus size."""
+    toks = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(
+            F.expr(f"regexp_extract_all(lower({text_col}), '[a-z0-9]+', 0)")
+        ).alias("tok"),
+    ).filter(F.length("tok") > min_token_len)
+    cnt = toks.groupBy("doc_id", "tok").agg(F.count("*").alias("cnt"))
+    mx = cnt.groupBy("doc_id").agg(F.max("cnt").alias("maxfreq"))
+    qv = mx.select(
+        "doc_id",
+        F.when(
+            F.round(F.col("maxfreq") * quant_rate) < 2,
+            F.when(F.col("maxfreq") > 1, F.lit(2)).otherwise(F.lit(1)),
+        )
+        .otherwise(F.round(F.col("maxfreq") * quant_rate))
+        .cast("long")
+        .alias("quant"),
+    )
+    quantized = (
+        cnt.join(qv, "doc_id")
+        .withColumn(
+            "qcnt", (F.floor(F.col("cnt") / F.col("quant")) * F.col("quant"))
+        )
+        .filter(F.col("qcnt") >= F.col("quant"))
+    )
+    prof = quantized.groupBy("doc_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct((-F.col("qcnt")).alias("neg"),
+                                            F.col("tok")))
+                ),
+                lambda s: F.concat(s["tok"], F.lit(" "),
+                                   (-s["neg"]).cast("string")),
+            ),
+            "\n",
+        ).alias("profile")
+    )
+    base = df.select(F.col(id_col).alias("doc_id"))
+    return base.join(prof, "doc_id", "left").select(
+        "doc_id", F.md5(F.coalesce(F.col("profile"), F.lit(""))).alias("signature")
+    )
+
+
+def signature_dedup(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """SignatureUpdateProcessorFactory with overwriteDupes=true: the
+    signature field becomes the uniqueness key — of each signature
+    group only one doc survives.  (doc_id, signature, kept); the
+    survivor is the minimum doc_id (the reference keeps the LAST
+    update to arrive; in a batch pipeline arrival order is undefined,
+    so the deterministic minimum is the batch-mode policy)."""
+    sig = text_profile_signature(df, id_col, text_col)
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("signature")
+    return sig.select(
+        "doc_id",
+        "signature",
+        (F.col("doc_id") == F.min("doc_id").over(w)).alias("kept"),
+    )

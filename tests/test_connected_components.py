@@ -75,3 +75,53 @@ def test_cluster_sizes(spark):
     assert out == {
         1: (1, 3), 2: (1, 3), 3: (1, 3), 7: (7, 2), 8: (7, 2)
     }
+
+
+# ---------------------------------------------------------------------------
+# TextProfileSignature (update/processor/TextProfileSignature.java)
+# ---------------------------------------------------------------------------
+
+def test_text_profile_signature_semantics(spark):
+    import hashlib
+
+    from lucene_solr_spark.functions.dedup import text_profile_signature
+
+    # doc 1/2: same quantized profile despite different rare tokens
+    # (freq-1 tokens are discarded once maxFreq > 1); doc 3 differs.
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha alpha beta beta gamma!"),
+            (2, "alpha alpha beta beta delta?"),
+            (3, "omega omega omega"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r["doc_id"]: r["signature"]
+           for r in text_profile_signature(docs).collect()}
+    # maxFreq=2 -> quant=2; gamma/delta quantize to 0 and drop;
+    # profile = "alpha 2\nbeta 2" for docs 1 and 2
+    exp12 = hashlib.md5(b"alpha 2\nbeta 2").hexdigest()
+    exp3 = hashlib.md5(b"omega 2").hexdigest()  # 3//2*2 = 2
+    assert out[1] == exp12 and out[2] == exp12
+    assert out[3] == exp3
+
+
+def test_text_profile_short_tokens_and_empty(spark):
+    import hashlib
+
+    from lucene_solr_spark.functions.dedup import (
+        signature_dedup,
+        text_profile_signature,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "ab cd ef"), (2, ""), (3, "xyz")], ["doc_id", "text"]
+    )
+    out = {r["doc_id"]: r["signature"]
+           for r in text_profile_signature(docs).collect()}
+    # len<=2 tokens all dropped -> empty profile, like the empty doc
+    empty = hashlib.md5(b"").hexdigest()
+    assert out[1] == empty and out[2] == empty
+    assert out[3] == hashlib.md5(b"xyz 1").hexdigest()  # maxFreq=1 -> quant=1
+    kept = {r["doc_id"]: r["kept"] for r in signature_dedup(docs).collect()}
+    assert kept == {1: True, 2: False, 3: True}
