@@ -1917,6 +1917,50 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.dedup_clusters(pairs).orderBy("doc_id")
 
 
+def q_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher repetition filters (Rae et al. 2021 Table A1 shape):
+    top-2gram and dup-3gram token fractions with keep thresholds
+    0.20/0.30 — boilerplate/spam detection before training.  One
+    explode + partial+final agg per n; linear at any corpus size."""
+    from lucene_solr_spark.functions.corpus_quality import repetition_filter
+
+    d = _table(spark, sf_dir, "documents")
+    out = repetition_filter(d)
+    return out.select(
+        "doc_id",
+        F.col("total_tokens").cast("long").alias("total_tokens"),
+        "top_2gram_frac", "dup_2gram_frac",
+        "top_3gram_frac", "dup_3gram_frac",
+        "keep",
+    ).orderBy("doc_id")
+
+
+def q_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination (the GPT-3/PaLM n-gram collision
+    step): docs sharing ≥1 distinct word-8gram with the benchmark
+    set (doc_id % 97 == 0 as the held-out benchmark) are flagged.
+    Benchmark shingles broadcast; the corpus never self-joins."""
+    from lucene_solr_spark.functions.corpus_quality import contamination_check
+
+    d = _table(spark, sf_dir, "documents")
+    bench = d.filter(F.col("doc_id") % 97 == 0)
+    return contamination_check(d, bench, n=8, min_hits=1).orderBy("doc_id")
+
+
+def q_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-and-chunk sequence packing (GPT-style pretraining
+    packer): per-language token stream in doc-id order cut every 256
+    tokens; a doc's bin is the chunk holding its first token.  One
+    window cumsum per language — no driver state."""
+    from lucene_solr_spark.functions.corpus_quality import sequence_packing
+
+    d = _table(spark, sf_dir, "documents")
+    out = sequence_packing(d, capacity=256, group_col="lang")
+    return out.select(
+        "doc_id", "lang", F.col("tokens").cast("long").alias("tokens"), "bin"
+    ).orderBy("doc_id")
+
+
 def q_signature_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SignatureUpdateProcessor with TextProfileSignature (update/
     processor/TextProfileSignature.java:67-147 + SignatureUpdate
@@ -3356,6 +3400,9 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard": q_ngram_jaccard,
         "dedup_clusters": q_dedup_clusters,
         "signature_dedup": q_signature_dedup,
+        "repetition_filter": q_repetition_filter,
+        "contamination_check": q_contamination_check,
+        "sequence_packing": q_sequence_packing,
         "minhash_lsh": q_minhash_lsh,
         "simhash_dups": q_simhash_dups,
         "cosine_topk": q_cosine_topk,
@@ -5561,6 +5608,113 @@ JOIN sizes sa ON sa.doc_id = c.ida
 JOIN sizes sb ON sb.doc_id = c.idb
 WHERE c.common / (sa.size + sb.size - c.common) >= 0.5
 ORDER BY c.ida, c.idb
+"""
+
+    # Gopher repetition fractions: per-n max/dup gram counts over the
+    # lead-window gram stream, token-fraction formulas rounded to 4
+    sqls["repetition_filter"] = """
+WITH toks AS (
+  SELECT doc_id,
+         unnest(string_split(lower(trim(text)), ' ')) AS term,
+         unnest(range(len(string_split(lower(trim(text)), ' ')))) AS pos
+  FROM documents
+),
+tot AS (
+  SELECT doc_id, CAST(len(string_split(lower(trim(text)), ' ')) AS BIGINT) AS total_tokens
+  FROM documents
+),
+led AS (
+  SELECT doc_id, term,
+         lead(term, 1) OVER (PARTITION BY doc_id ORDER BY pos) AS t1,
+         lead(term, 2) OVER (PARTITION BY doc_id ORDER BY pos) AS t2
+  FROM toks
+),
+g2 AS (
+  SELECT doc_id, term || ' ' || t1 AS g, count(*) AS c
+  FROM led WHERE t1 IS NOT NULL GROUP BY doc_id, term || ' ' || t1
+),
+g3 AS (
+  SELECT doc_id, term || ' ' || t1 || ' ' || t2 AS g, count(*) AS c
+  FROM led WHERE t2 IS NOT NULL GROUP BY doc_id, term || ' ' || t1 || ' ' || t2
+),
+a2 AS (
+  SELECT doc_id, max(c) AS maxc,
+         SUM(CASE WHEN c >= 2 THEN c ELSE 0 END) AS dupc
+  FROM g2 GROUP BY doc_id
+),
+a3 AS (
+  SELECT doc_id, max(c) AS maxc,
+         SUM(CASE WHEN c >= 2 THEN c ELSE 0 END) AS dupc
+  FROM g3 GROUP BY doc_id
+)
+SELECT t.doc_id, t.total_tokens,
+       ROUND(COALESCE(a2.maxc, 0) * 2.0 / GREATEST(t.total_tokens, 1), 4) AS top_2gram_frac,
+       ROUND(COALESCE(a2.dupc, 0) * 2.0 / GREATEST(t.total_tokens, 1), 4) AS dup_2gram_frac,
+       ROUND(COALESCE(a3.maxc, 0) * 3.0 / GREATEST(t.total_tokens, 1), 4) AS top_3gram_frac,
+       ROUND(COALESCE(a3.dupc, 0) * 3.0 / GREATEST(t.total_tokens, 1), 4) AS dup_3gram_frac,
+       (ROUND(COALESCE(a2.maxc, 0) * 2.0 / GREATEST(t.total_tokens, 1), 4) <= 0.20
+        AND ROUND(COALESCE(a3.dupc, 0) * 3.0 / GREATEST(t.total_tokens, 1), 4) <= 0.30) AS keep
+FROM tot t
+LEFT JOIN a2 USING (doc_id)
+LEFT JOIN a3 USING (doc_id)
+ORDER BY t.doc_id
+"""
+
+    # contamination: distinct word-8gram collisions vs the %97 benchmark
+    sqls["contamination_check"] = """
+WITH toks AS (
+  SELECT doc_id,
+         unnest(string_split(lower(trim(text)), ' ')) AS term,
+         unnest(range(len(string_split(lower(trim(text)), ' ')))) AS pos
+  FROM documents
+),
+led AS (
+  SELECT doc_id, term,
+         lead(term, 1) OVER (PARTITION BY doc_id ORDER BY pos) AS t1,
+         lead(term, 2) OVER (PARTITION BY doc_id ORDER BY pos) AS t2,
+         lead(term, 3) OVER (PARTITION BY doc_id ORDER BY pos) AS t3,
+         lead(term, 4) OVER (PARTITION BY doc_id ORDER BY pos) AS t4,
+         lead(term, 5) OVER (PARTITION BY doc_id ORDER BY pos) AS t5,
+         lead(term, 6) OVER (PARTITION BY doc_id ORDER BY pos) AS t6,
+         lead(term, 7) OVER (PARTITION BY doc_id ORDER BY pos) AS t7
+  FROM toks
+),
+g8 AS (
+  SELECT DISTINCT doc_id,
+         term || ' ' || t1 || ' ' || t2 || ' ' || t3 || ' ' || t4
+              || ' ' || t5 || ' ' || t6 || ' ' || t7 AS g
+  FROM led WHERE t7 IS NOT NULL
+),
+bg AS (SELECT DISTINCT g FROM g8 WHERE doc_id % 97 = 0),
+hits AS (
+  SELECT c.doc_id, count(DISTINCT c.g) AS hit_grams
+  FROM g8 c JOIN bg USING (g) GROUP BY c.doc_id
+)
+SELECT d.doc_id,
+       CAST(COALESCE(h.hit_grams, 0) AS BIGINT) AS hit_grams,
+       COALESCE(h.hit_grams, 0) >= 1 AS contaminated
+FROM documents d LEFT JOIN hits h USING (doc_id)
+ORDER BY d.doc_id
+"""
+
+    # concat-and-chunk packing: per-lang cumsum of capped token counts
+    sqls["sequence_packing"] = """
+WITH d AS (
+  SELECT doc_id, lang,
+         CAST(len(string_split(lower(trim(text)), ' ')) AS BIGINT) AS tokens
+  FROM documents
+),
+c AS (
+  SELECT doc_id, lang, tokens,
+         LEAST(tokens, 256) AS capped
+  FROM d
+)
+SELECT doc_id, lang, tokens,
+       CAST(FLOOR(COALESCE(SUM(capped) OVER (
+         PARTITION BY lang ORDER BY doc_id
+         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+       ), 0) / 256) AS BIGINT) AS bin
+FROM c ORDER BY doc_id
 """
 
     # TextProfileSignature: quantized token-frequency profile -> md5;
