@@ -89,17 +89,52 @@ def _per_field_dismax(
 _CHUNK_RE = re.compile(r'([+-]?)("(?:[^"\\]|\\.)*"|\S+)')
 
 
+def calculate_min_should_match(optional_clause_count: int, spec: str) -> int:
+    """Solr's full mm spec grammar (SolrPluginUtils.java:686-723,
+    calculateMinShouldMatch): absolute ("3"), negative ("-2"),
+    percentage ("75%", "-25%" — int-truncated toward zero, negatives
+    subtract from the clause count), and conditional chains
+    ("2<-25% 9<-3": each 'n<spec' applies its spec only when the
+    optional clause count EXCEEDS n; the first unexceeded bound
+    returns the result so far).  Result clamps to [0, n]."""
+    import re as _re
+
+    result = optional_clause_count
+    spec = spec.strip()
+    if "<" in spec:
+        spec = _re.sub(r"(\s+<\s*)|(\s*<\s+)", "<", spec)
+        for s in _re.split(r"\s+", spec):
+            parts = s.split("<")
+            upper_bound = int(parts[0])
+            if optional_clause_count <= upper_bound:
+                return result
+            result = calculate_min_should_match(
+                optional_clause_count, parts[1]
+            )
+        return result
+    if "%" in spec:
+        percent = int(spec[: spec.rindex("%")])
+        calc = (result * percent) / 100.0
+        result = result + int(calc) if calc < 0 else int(calc)
+    else:
+        calc = int(spec)
+        result = result + calc if calc < 0 else calc
+    if optional_clause_count < result:
+        return optional_clause_count
+    return 0 if result < 0 else result
+
+
 def parse_edismax(
     user_query: str,
     qf: "str | dict[str, float]",
     pf: "str | dict[str, float] | None" = None,
     tie: float = 0.0,
-    mm: int = 0,
+    mm: "int | str" = 0,
 ) -> Query:
     """Build the edismax query tree.
 
-    ``mm`` is the minimum number of SHOULD clauses that must match
-    (Solr's mm as an absolute count; percentages are sugar upstream)."""
+    ``mm`` accepts Solr's full spec grammar (string: "75%",
+    "2<-25% 9<-3", ...) or an absolute int count."""
     qf_boosts = parse_field_boosts(qf) if isinstance(qf, str) else dict(qf)
     if not qf_boosts:
         raise ValueError("qf must name at least one field")
@@ -144,7 +179,8 @@ def parse_edismax(
     if not clauses:
         return MatchNoDocsQuery()
     n_should = sum(1 for c in clauses if c.occur is Occur.SHOULD)
-    return BooleanQuery(
-        tuple(clauses),
-        minimum_number_should_match=min(mm, n_should) if mm else 0,
-    )
+    if isinstance(mm, str):
+        msm = calculate_min_should_match(n_should, mm)
+    else:
+        msm = min(mm, n_should) if mm else 0
+    return BooleanQuery(tuple(clauses), minimum_number_should_match=msm)

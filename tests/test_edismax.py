@@ -89,3 +89,49 @@ def test_all_stopwords_is_match_none():
     assert isinstance(
         parse_edismax("the of and", qf="text"), MatchNoDocsQuery
     )
+
+
+# ---------------------------------------------------------------------------
+# mm spec grammar (SolrPluginUtils.calculateMinShouldMatch)
+# ---------------------------------------------------------------------------
+
+def test_mm_absolute_and_clamp():
+    from lucene_solr_spark.queries.edismax import calculate_min_should_match as c
+
+    assert c(5, "0") == 0
+    assert c(5, "2") == 2
+    assert c(5, "9") == 5      # clamps to the clause count
+    assert c(5, "-2") == 3
+    assert c(5, "-12") == 0    # floor at zero
+
+
+def test_mm_percentages_truncate_toward_zero():
+    from lucene_solr_spark.queries.edismax import calculate_min_should_match as c
+
+    assert c(3, "75%") == 2    # 2.25 -> 2
+    assert c(5, "25%") == 1    # 1.25 -> 1
+    assert c(5, "-25%") == 4   # 5 + int(-1.25) = 4
+    assert c(4, "-25%") == 3   # 4 + int(-1.0)  = 3
+    assert c(3, "-25%") == 3   # 3 + int(-0.75) = 3
+    assert c(5, "100%") == 5
+    assert c(5, "-100%") == 0
+
+
+def test_mm_conditional_chain():
+    from lucene_solr_spark.queries.edismax import calculate_min_should_match as c
+
+    spec = "3<-25% 10<-3"
+    assert c(1, spec) == 1     # not above any bound: all optional required
+    assert c(3, spec) == 3
+    assert c(4, spec) == 3     # above 3: -25% of 4
+    assert c(10, spec) == 8    # 10 + int(-2.5) = 8, second bound not exceeded
+    assert c(11, spec) == 8    # above 10: -3
+    # whitespace around '<' is tolerated like the reference's pattern
+    assert c(11, "3 < -25% 10 < -3") == 8
+
+
+def test_mm_string_spec_reaches_boolean_query():
+    from lucene_solr_spark.queries.edismax import parse_edismax
+
+    q = parse_edismax("alpha beta gamma delta", qf="text", mm="50%")
+    assert q.minimum_number_should_match == 2
