@@ -736,6 +736,11 @@ def _load_stops() -> dict[str, frozenset]:
         SPANISH_STOP,
         SWEDISH_STOP,
     )
+    from lucene_solr_spark.analysis.snowball_stops import (
+        HINDI_STOP,
+        INDONESIAN_STOP,
+        PERSIAN_STOP,
+    )
 
     return {
         "french": frozenset(FRENCH_STOP),
@@ -753,7 +758,22 @@ def _load_stops() -> dict[str, frozenset]:
         "arabic": frozenset(ARABIC_STOP),
         "czech": frozenset(CZECH_STOP),
         "bulgarian": frozenset(BULGARIAN_STOP),
+        "hindi": frozenset(HINDI_STOP),
+        "persian": frozenset(PERSIAN_STOP),
+        "indonesian": frozenset(INDONESIAN_STOP),
     }
+
+
+def _hindi_stem_lazy(w: str) -> str:
+    from lucene_solr_spark.analysis.indic import hindi_stem
+
+    return hindi_stem(w)
+
+
+def _indonesian_stem_lazy(w: str) -> str:
+    from lucene_solr_spark.analysis.indic import indonesian_stem
+
+    return indonesian_stem(w)
 
 
 def _czech_stem_lazy(w: str) -> str:
@@ -799,6 +819,21 @@ def _light_analyze_flat(content: pd.Series, lang: str):
         from lucene_solr_spark.analysis.sorani import sorani_normalize
 
         norm = sorani_normalize
+    elif lang == "hindi":
+        # HindiAnalyzer.java:117-126 order: normalize BEFORE stop, so
+        # the stop list matches normalized forms only (the reference's
+        # own quirk, replicated).  IndicNormalizer (two-part vowel
+        # composition across 9 scripts) is the documented omission.
+        from lucene_solr_spark.analysis.indic import hindi_normalize
+
+        norm = hindi_normalize
+    elif lang == "persian":
+        # PersianAnalyzer.java:116-127: arabic normalization, then
+        # persian, then stop; NO stemmer
+        from lucene_solr_spark.analysis.arabic import arabic_normalize
+        from lucene_solr_spark.analysis.indic import persian_normalize
+
+        norm = lambda w: persian_normalize(arabic_normalize(w))  # noqa: E731
     stem = {
         "french": french_light_stem,
         "german": german_light_stem,
@@ -815,6 +850,9 @@ def _light_analyze_flat(content: pd.Series, lang: str):
         "arabic": _arabic_stem_lazy,
         "czech": _czech_stem_lazy,
         "bulgarian": _bulgarian_stem_lazy,
+        "hindi": _hindi_stem_lazy,
+        "persian": lambda w: w,
+        "indonesian": _indonesian_stem_lazy,
     }[lang]
 
     doc_idx_parts, term_parts, pos_parts = [], [], []

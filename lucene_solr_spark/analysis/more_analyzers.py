@@ -205,4 +205,14 @@ NAMED_ANALYZERS = {
     # lowercase -> stop -> {Czech,Bulgarian}Stemmer
     "czech": _lazy_light("czech"),
     "bulgarian": _lazy_light("bulgarian"),
+    # HindiAnalyzer.java: tokenize -> lowercase -> HindiNormalizer ->
+    # hi stop (on NORMALIZED forms, the reference's order) -> HindiStemmer
+    # (IndicNormalizer + DecimalDigitFilter are documented omissions)
+    "hindi": _lazy_light("hindi"),
+    # PersianAnalyzer.java: tokenize -> lowercase -> ArabicNormalizer ->
+    # PersianNormalizer -> fa stop; no stemmer
+    "persian": _lazy_light("persian"),
+    # IndonesianAnalyzer.java: tokenize -> lowercase -> id stop ->
+    # IndonesianStemmer (derivational)
+    "indonesian": _lazy_light("indonesian"),
 }
