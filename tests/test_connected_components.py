@@ -125,3 +125,57 @@ def test_text_profile_short_tokens_and_empty(spark):
     assert out[3] == hashlib.md5(b"xyz 1").hexdigest()  # maxFreq=1 -> quant=1
     kept = {r["doc_id"]: r["kept"] for r in signature_dedup(docs).collect()}
     assert kept == {1: True, 2: False, 3: True}
+
+
+# ---------------------------------------------------------------------------
+# lookup3ycs64 (solr/common/util/Hash.java) — C-derived vectors
+# ---------------------------------------------------------------------------
+
+def test_lookup3ycs_c_vectors():
+    """TestHash.testEqualsLOOKUP3: hashword() outputs from lookup3.c
+    for prefixes of "hello world" at seed i*12345; ycs variants take
+    initval + (len<<2)."""
+    from lucene_solr_spark.functions.lookup3 import lookup3ycs, lookup3ycs64
+
+    hashes = [0xC4C20DD5, 0x3AB04CC3, 0xEBE874A3, 0x0E770EF3, 0xEC321498,
+              0x73845E86, 0x8A2DB728, 0x03C313BB, 0xFE5B9199, 0x95965125,
+              0xCBC4E7C2]
+    s = "hello world"
+    for i in range(len(s)):
+        ln = i + 1
+        seed = i * 12345 + (ln << 2)
+        got = lookup3ycs(s[:ln], seed)
+        want = hashes[i] - (1 << 32) if hashes[i] >= (1 << 31) else hashes[i]
+        assert got == want, (i, hex(got & 0xFFFFFFFF))
+        # low 32 bits of the 64-bit variant agree at the same seed
+        assert (lookup3ycs64(s[:ln], seed) & 0xFFFFFFFF) == hashes[i]
+
+
+def test_lookup3_signature_chaining():
+    from lucene_solr_spark.functions.lookup3 import (
+        lookup3_signature,
+        lookup3ycs64,
+    )
+
+    # each add() seeds with the previous hash (Lookup3Signature.add)
+    h1 = lookup3ycs64("field one", 0)
+    h2 = lookup3ycs64("field two", h1)
+    assert lookup3_signature("field one", "field two") == h2.to_bytes(8, "big").hex()
+    # order sensitivity
+    assert lookup3_signature("a", "b") != lookup3_signature("b", "a")
+
+
+def test_lookup3_signature_df(spark):
+    from lucene_solr_spark.functions.lookup3 import (
+        lookup3_signature,
+        lookup3_signature_df,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "same text"), (2, "same text"), (3, "other")],
+        ["doc_id", "text"],
+    )
+    out = {r["doc_id"]: r["signature"]
+           for r in lookup3_signature_df(df).collect()}
+    assert out[1] == out[2] == lookup3_signature("same text")
+    assert out[3] != out[1]
