@@ -2616,6 +2616,57 @@ def q_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_NB_INPUTS: list[tuple[int, str, int]] = [
+    # (input_id, term, cnt) — pre-tokenized unseen texts (the corpus
+    # is single-space lowercase words, so StandardAnalyzer tokenize
+    # reduces to this list; SimpleNaiveBayesClassifier.java:197-211).
+    (0, "column", 2), (0, "sort", 1), (0, "key", 1), (0, "scan", 1),
+    (1, "small", 1), (1, "data", 1), (1, "table", 2), (1, "line", 1),
+    (2, "order", 1), (2, "group", 1), (2, "merge", 1), (2, "vector", 2),
+]
+
+
+def q_nb_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimpleNaiveBayesClassifier batch classification (lucene/
+    classification/SimpleNaiveBayesClassifier.java:144-233, softmax
+    normalization :289-313) of three fixed token lists against the
+    ``lang`` class field, trained on the corpus inverted index."""
+    from lucene_solr_spark.classification import naive_bayes_classify
+
+    t = _index_tables(spark, sf_dir)
+    d = _table(spark, sf_dir, "documents")
+    classes = d.select("doc_id", F.col("lang").alias("class"))
+    inputs = spark.createDataFrame(_NB_INPUTS, ["input_id", "term", "cnt"])
+    res = naive_bayes_classify(t.postings, classes, inputs)
+    return res.select(
+        "input_id",
+        "class",
+        F.round(F.col("log_score").cast("double"), 4).alias("log_score"),
+        F.round(F.col("probability").cast("double"), 4).alias(
+            "probability"
+        ),
+    ).orderBy("input_id", "class")
+
+
+def q_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KNearestNeighborClassifier (lucene/classification/
+    KNearestNeighborClassifier.java:166-245): MLT-style BM25 SHOULD
+    top-20 over fixed query terms, then per-class count x normalized
+    rank boost with the sumdoc<k correction."""
+    from lucene_solr_spark.classification import knn_classify
+
+    s = _searcher(spark, sf_dir)
+    top = _topk(s.docs(parse_query("vector hash merge")), 20)
+    d = _table(spark, sf_dir, "documents")
+    classes = d.select("doc_id", F.col("lang").alias("class"))
+    res = knn_classify(top, classes, k=20)
+    return res.select(
+        "class",
+        F.col("count").alias("n_hits"),
+        F.round(F.col("score").cast("double"), 4).alias("score"),
+    ).orderBy("class")
+
+
 def q_score_nodes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """scoreNodes over a gatherNodes hop (solrj io/stream/
     ScoreNodesStream.java:226-245): users reached from the 'error'
@@ -3450,6 +3501,8 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_logit": q_text_logit,
         "stream_evaluators": q_stream_evaluators,
         "classify": q_classify,
+        "nb_classify": q_nb_classify,
+        "knn_classify": q_knn_classify,
         # -- past the ~50-entry driver gate window: score_nodes + the
         # suggester family rotate into the window next round --
         "score_nodes": q_score_nodes,
@@ -4434,6 +4487,93 @@ SELECT doc_id,
        ROUND(total * CAST(CAST(1.0 / sqrt(CAST(length AS DOUBLE))
                                AS REAL) AS DOUBLE), 4) AS score
 FROM tot ORDER BY doc_id
+"""
+
+    _nb_vals = ", ".join(
+        f"(CAST({i} AS BIGINT), '{t}', {c})" for i, t, c in _NB_INPUTS
+    )
+    sqls["nb_classify"] = f"""
+WITH {_IDX},
+classes AS (SELECT doc_id, lang AS class FROM documents
+            WHERE lang IS NOT NULL),
+dwc AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM classes),
+pstats AS (SELECT CAST(count(*) AS DOUBLE)
+                  / CAST(count(DISTINCT doc_id) AS DOUBLE) AS avg_unique
+           FROM postings),
+cs AS (
+  SELECT class, CAST(count(*) AS DOUBLE) AS docs_c FROM classes
+  GROUP BY class
+),
+csx AS (
+  SELECT class,
+         ln(docs_c) - ln((SELECT n FROM dwc)) AS log_prior,
+         (SELECT avg_unique FROM pstats) * docs_c
+           + (SELECT n FROM dwc) AS den
+  FROM cs
+),
+wc AS (
+  SELECT p.term, c.class, count(*) AS hits
+  FROM postings p JOIN classes c USING (doc_id)
+  GROUP BY p.term, c.class
+),
+inputs(input_id, term, cnt) AS (VALUES {_nb_vals}),
+expanded AS (
+  SELECT i.input_id, s.class, s.log_prior,
+         CAST(i.cnt AS DOUBLE)
+           * ln((COALESCE(w.hits, 0) + 1.0) / s.den) AS ll
+  FROM inputs i CROSS JOIN csx s
+  LEFT JOIN wc w ON w.term = i.term AND w.class = s.class
+),
+sc AS (
+  SELECT input_id, class,
+         ANY_VALUE(log_prior) + sum(ll) AS log_score
+  FROM expanded GROUP BY input_id, class
+),
+mx AS (
+  SELECT input_id, class, log_score,
+         max(log_score) OVER (PARTITION BY input_id) AS smax
+  FROM sc
+),
+nrm AS (
+  SELECT input_id, class, log_score,
+         smax + ln(sum(exp(log_score - smax))
+                   OVER (PARTITION BY input_id)) AS loga
+  FROM mx
+)
+SELECT input_id, class, ROUND(log_score, 4) AS log_score,
+       ROUND(exp(log_score - loga), 4) AS probability
+FROM nrm ORDER BY input_id, class
+"""
+
+    sqls["knn_classify"] = f"""
+WITH {_IDX},
+s1 AS ({_bm25_sql("vector")}),
+s2 AS ({_bm25_sql("hash")}),
+s3 AS ({_bm25_sql("merge")}),
+u AS (SELECT * FROM s1 UNION ALL SELECT * FROM s2
+      UNION ALL SELECT * FROM s3),
+scored AS (SELECT doc_id, ROUND(sum(score), 4) AS score
+           FROM u GROUP BY doc_id),
+topk AS (SELECT doc_id, score FROM scored
+         ORDER BY score DESC, doc_id ASC LIMIT 20),
+hits AS (
+  SELECT t.doc_id, t.score, d.lang AS class
+  FROM topk t JOIN documents d USING (doc_id)
+  WHERE d.lang IS NOT NULL
+),
+st AS (SELECT max(score) AS mx,
+              CAST(count(*) AS DOUBLE) AS sumdoc FROM hits),
+pc AS (
+  SELECT class, count(*) AS n_hits,
+         sum(score / (SELECT mx FROM st)) AS boost
+  FROM hits GROUP BY class
+)
+SELECT class, n_hits,
+       ROUND(CASE WHEN (SELECT sumdoc FROM st) < 20.0
+             THEN ((n_hits * (boost / n_hits)) / 20.0)
+                    * 20.0 / (SELECT sumdoc FROM st)
+             ELSE (n_hits * (boost / n_hits)) / 20.0 END, 4) AS score
+FROM pc ORDER BY class
 """
 
     _ltr_feats = f"""
