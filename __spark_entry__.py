@@ -2752,6 +2752,55 @@ def q_ltr_trees(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_JS_EXPR = (
+    "(l_quantity > 25 ? l_extendedprice : -l_extendedprice)"
+    " / max(l_quantity, 1) + ((l_linenumber & 3) << 2)"
+    " - logn(2, l_quantity + 2)"
+)
+
+
+def q_js_expression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lucene JS expression language (lucene/expressions/js/
+    JavascriptCompiler.java, grammar Javascript.g4): ternary,
+    comparison, bitwise &/<<, logn and max from DEFAULT_FUNCTIONS
+    (JavascriptCompiler.properties), compiled to one codegen'd
+    Column tree over lineitem."""
+    from lucene_solr_spark.functions.jsexpr import compile_expression
+
+    li = _table(spark, sf_dir, "lineitem").filter(
+        F.col("l_orderkey") % 97 == 0
+    )
+    bindings = {
+        c: F.col(c)
+        for c in ("l_quantity", "l_extendedprice", "l_linenumber")
+    }
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round(compile_expression(_JS_EXPR, bindings), 4).alias(
+            "expr_val"
+        ),
+    ).orderBy("l_orderkey", "l_linenumber")
+
+
+def q_expression_rescore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ExpressionRescorer (lucene/expressions/ExpressionRescorer.java:
+    43-55 — SortRescorer over Expression.getSortField): BM25 top-50
+    window re-sorted by '_score + ln(length+1) * (tf_window>0 ? 1.5 :
+    1.0)' with _score bound per Bindings.java:34-38."""
+    from lucene_solr_spark.functions.jsexpr import expression_rescore
+
+    main, features = _ltr_inputs(spark, sf_dir)
+    return expression_rescore(
+        main,
+        features,
+        "_score + ln(length + 1) * (tf_window > 0 ? 1.5 : 1.0)",
+        ["length", "tf_window"],
+        rerank_docs=50,
+        k=10,
+    )
+
+
 def q_rerank_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ReRankQParserPlugin: main top-50 window re-scored as
     main + 2.0·rerank (solr/search/ReRankQParserPlugin.java)."""
@@ -3503,6 +3552,8 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "classify": q_classify,
         "nb_classify": q_nb_classify,
         "knn_classify": q_knn_classify,
+        "js_expression": q_js_expression,
+        "expression_rescore": q_expression_rescore,
         # -- past the ~50-entry driver gate window: score_nodes + the
         # suggester family rotate into the window next round --
         "score_nodes": q_score_nodes,
@@ -4587,6 +4638,30 @@ f AS (
          LEFT JOIN (SELECT doc_id, tf FROM postings
                     WHERE term = 'window') pw USING (doc_id)
 )"""
+
+    sqls["js_expression"] = """
+SELECT l_orderkey, l_linenumber,
+       ROUND(
+         (CASE WHEN l_quantity > 25 THEN l_extendedprice
+               ELSE -l_extendedprice END) / greatest(l_quantity, 1.0)
+         + CAST((CAST(l_linenumber AS BIGINT) & 3) << 2 AS DOUBLE)
+         - ln(l_quantity + 2) / ln(2), 4) AS expr_val
+FROM lineitem WHERE l_orderkey % 97 = 0
+ORDER BY l_orderkey, l_linenumber
+"""
+
+    sqls["expression_rescore"] = f"""
+WITH {_IDX},
+{_ltr_feats},
+sc AS (
+  SELECT doc_id,
+         original_score + ln(length + 1)
+           * (CASE WHEN tfw > 0 THEN 1.5 ELSE 1.0 END) AS ex
+  FROM f
+)
+SELECT doc_id, ROUND(ex, 4) AS expr_score FROM sc
+ORDER BY sc.ex DESC, doc_id ASC LIMIT 10
+"""
 
     sqls["ltr_rescore"] = f"""
 WITH {_IDX},
