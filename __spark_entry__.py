@@ -2801,6 +2801,35 @@ def q_expression_rescore(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_percolate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MemoryIndex percolation (lucene/memory/index/memory/
+    MemoryIndex.java class javadoc — prospective search): six
+    registered queries (term, conjunction, exclusion, exact phrase,
+    mm=2 disjunction, must+should) matched against every doc in ONE
+    broadcast join + groupBy, queries-as-data."""
+    from lucene_solr_spark.queries.percolator import decompose, percolate
+
+    t = _index_tables(spark, sf_dir)
+    regs = [
+        decompose(0, TermQuery("vector")),
+        decompose(1, parse_query("+table +hash")),
+        decompose(2, parse_query("+vector -window")),
+        decompose(3, PhraseQuery(("table", "hash"))),
+        decompose(
+            4,
+            BooleanQuery(
+                tuple(
+                    BooleanClause(Occur.SHOULD, TermQuery(w))
+                    for w in ("scan", "merge", "spark")
+                ),
+                minimum_number_should_match=2,
+            ),
+        ),
+        decompose(5, parse_query("+spark window")),
+    ]
+    return percolate(t.postings, regs).orderBy("query_id", "doc_id")
+
+
 def q_rerank_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ReRankQParserPlugin: main top-50 window re-scored as
     main + 2.0·rerank (solr/search/ReRankQParserPlugin.java)."""
@@ -3554,6 +3583,7 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_classify": q_knn_classify,
         "js_expression": q_js_expression,
         "expression_rescore": q_expression_rescore,
+        "percolate": q_percolate,
         # -- past the ~50-entry driver gate window: score_nodes + the
         # suggester family rotate into the window next round --
         "score_nodes": q_score_nodes,
@@ -4638,6 +4668,32 @@ f AS (
          LEFT JOIN (SELECT doc_id, tf FROM postings
                     WHERE term = 'window') pw USING (doc_id)
 )"""
+
+    sqls["percolate"] = f"""
+WITH {_IDX}
+SELECT CAST(0 AS BIGINT) AS query_id, doc_id FROM postings
+WHERE term = 'vector'
+UNION ALL
+SELECT 1, p.doc_id FROM postings p
+WHERE p.term = 'table' AND p.doc_id IN
+  (SELECT doc_id FROM postings WHERE term = 'hash')
+UNION ALL
+SELECT 2, p.doc_id FROM postings p
+WHERE p.term = 'vector' AND p.doc_id NOT IN
+  (SELECT doc_id FROM postings WHERE term = 'window')
+UNION ALL
+SELECT 3, k1.doc_id FROM (SELECT DISTINCT k1.doc_id
+  FROM kept k1 JOIN kept k2
+    ON k1.doc_id = k2.doc_id AND k2.pos = k1.pos + 1
+  WHERE k1.term = 'table' AND k2.term = 'hash') k1
+UNION ALL
+SELECT 4, doc_id FROM postings
+WHERE term IN ('scan', 'merge', 'spark')
+GROUP BY doc_id HAVING count(DISTINCT term) >= 2
+UNION ALL
+SELECT 5, doc_id FROM postings WHERE term = 'spark'
+ORDER BY query_id, doc_id
+"""
 
     sqls["js_expression"] = """
 SELECT l_orderkey, l_linenumber,
