@@ -2801,6 +2801,40 @@ def q_expression_rescore(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_analytics_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AnalyticsComponent expression statistics per field facet
+    (solr/contrib/analytics: AnalyticsParams stat table,
+    NumericStatsCollector.java:65 stddev, MedianCalculator.java:29-42,
+    PercentileCalculator.java:31-41 exact index round(p·n−.5)) over
+    the mapping expression mult(l_quantity, add(l_discount,
+    const_num(1))) faceted by l_returnflag."""
+    from lucene_solr_spark.functions.analytics import analytics_stats
+
+    li = _table(spark, sf_dir, "lineitem")
+    out = analytics_stats(
+        li,
+        "mult(l_quantity, add(l_discount, const_num(1)))",
+        [
+            "count", "sum", "sumofsquares", "stddev", "mean",
+            "unique", "median", "percentile_25", "min", "max",
+        ],
+        group_cols=["l_returnflag"],
+    )
+    return out.select(
+        "l_returnflag",
+        F.col("count").alias("cnt"),
+        F.round("sum", 4).alias("sum_v"),
+        F.round("sumofsquares", 4).alias("sos"),
+        F.round("stddev", 4).alias("stddev"),
+        F.round("mean", 4).alias("mean"),
+        F.col("unique").alias("uniq"),
+        F.round("median", 4).alias("median"),
+        F.round("percentile_25", 4).alias("p25"),
+        F.round("min", 4).alias("min_v"),
+        F.round("max", 4).alias("max_v"),
+    ).orderBy("l_returnflag")
+
+
 def q_percolate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MemoryIndex percolation (lucene/memory/index/memory/
     MemoryIndex.java class javadoc — prospective search): six
@@ -3584,6 +3618,7 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "js_expression": q_js_expression,
         "expression_rescore": q_expression_rescore,
         "percolate": q_percolate,
+        "analytics_stats": q_analytics_stats,
         # -- past the ~50-entry driver gate window: score_nodes + the
         # suggester family rotate into the window next round --
         "score_nodes": q_score_nodes,
@@ -4668,6 +4703,48 @@ f AS (
          LEFT JOIN (SELECT doc_id, tf FROM postings
                     WHERE term = 'window') pw USING (doc_id)
 )"""
+
+    sqls["analytics_stats"] = """
+WITH vals AS (
+  SELECT l_returnflag, l_quantity * (l_discount + 1.0) AS v
+  FROM lineitem
+),
+m AS (
+  SELECT l_returnflag,
+         count(v) AS cnt,
+         sum(v) AS s, sum(v * v) AS sos, avg(v) AS mean,
+         count(DISTINCT v) AS uniq, min(v) AS mn, max(v) AS mx
+  FROM vals GROUP BY l_returnflag
+),
+r AS (
+  SELECT l_returnflag, v,
+         row_number() OVER (PARTITION BY l_returnflag ORDER BY v) AS rn,
+         count(*) OVER (PARTITION BY l_returnflag) AS n
+  FROM vals WHERE v IS NOT NULL
+),
+o AS (
+  SELECT l_returnflag,
+         max(CASE WHEN rn = CAST(floor((n - 1) / 2) AS BIGINT) + 1
+                  THEN v END) * 0.5
+           + max(CASE WHEN rn = (CASE WHEN (n - 1) % 2 = 1
+                                 THEN CAST(floor((n - 1) / 2) AS BIGINT) + 1
+                                 ELSE CAST(floor((n - 1) / 2) AS BIGINT)
+                                 END) + 1
+                  THEN v END) * 0.5 AS median,
+         max(CASE WHEN rn = CAST(round(0.25 * n - 0.5, 0) AS BIGINT) + 1
+                  THEN v END) AS p25
+  FROM r GROUP BY l_returnflag
+)
+SELECT m.l_returnflag, m.cnt,
+       ROUND(m.s, 4) AS sum_v, ROUND(m.sos, 4) AS sos,
+       ROUND(CASE WHEN m.cnt <= 1 THEN 0.0
+             ELSE sqrt(m.sos / m.cnt - m.mean * m.mean) END, 4) AS stddev,
+       ROUND(m.mean, 4) AS mean, m.uniq,
+       ROUND(o.median, 4) AS median, ROUND(o.p25, 4) AS p25,
+       ROUND(m.mn, 4) AS min_v, ROUND(m.mx, 4) AS max_v
+FROM m LEFT JOIN o USING (l_returnflag)
+ORDER BY m.l_returnflag
+"""
 
     sqls["percolate"] = f"""
 WITH {_IDX}
