@@ -2801,6 +2801,24 @@ def q_expression_rescore(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_sweetspot_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SweetSpotSimilarity (lucene/misc/SweetSpotSimilarity.java):
+    ClassicSimilarity idf x baselineTf(base=1.5, min=2) (:139-147) x
+    sweet-spot lengthNorm(min=8, max=12, steepness=0.5) (:117-133),
+    exact-double mode over the on-disk segment path."""
+    from lucene_solr_spark.queries.segment_searcher import SegmentSearcher
+
+    s = SegmentSearcher(
+        _segidx(spark, sf_dir),
+        scoring="sweetspot_exact",
+        sweetspot={
+            "tf_base": 1.5, "tf_min": 2.0,
+            "ln_min": 8, "ln_max": 12, "steepness": 0.5,
+        },
+    )
+    return _topk(s.docs(TermQuery("spark")), 10)
+
+
 def q_analytics_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """AnalyticsComponent expression statistics per field facet
     (solr/contrib/analytics: AnalyticsParams stat table,
@@ -3619,6 +3637,7 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "expression_rescore": q_expression_rescore,
         "percolate": q_percolate,
         "analytics_stats": q_analytics_stats,
+        "sweetspot_query": q_sweetspot_query,
         # -- past the ~50-entry driver gate window: score_nodes + the
         # suggester family rotate into the window next round --
         "score_nodes": q_score_nodes,
@@ -4703,6 +4722,27 @@ f AS (
          LEFT JOIN (SELECT doc_id, tf FROM postings
                     WHERE term = 'window') pw USING (doc_id)
 )"""
+
+    sqls["sweetspot_query"] = f"""
+WITH {_IDX},
+s AS (
+  SELECT p.doc_id,
+         ((ln((c.n + 1) / (t.df + 1.0)) + 1.0)
+          * (CASE WHEN p.tf = 0 THEN 0.0
+                  WHEN p.tf <= 2.0 THEN 1.5
+                  ELSE sqrt(p.tf + 1.5 * 1.5 - 2.0) END))
+         * (1.0 / sqrt(0.5 * (abs(nm.length - 8.0)
+                              + abs(nm.length - 12.0) - 4.0)
+                       + 1.0)) AS score
+  FROM postings p
+  JOIN tstats t USING (term)
+  JOIN norms nm USING (doc_id)
+  CROSS JOIN cstats c
+  WHERE p.term = 'spark'
+),
+scored AS (SELECT doc_id, score FROM s)
+{_TOPK_TAIL.format(k=10)}
+"""
 
     sqls["analytics_stats"] = """
 WITH vals AS (

@@ -106,13 +106,22 @@ class IndexSearcher:
         scoring: str = "lucene",
         cache_postings: bool = True,
         tombstones: DataFrame | None = None,
+        sweetspot: dict | None = None,
     ) -> None:
         if scoring not in (
             "lucene", "exact", "classic", "classic_exact",
             "lm_dirichlet", "dfr_in_l_h2", "dfr_pl2", "lm_jelinek_mercer",
             "ib_spl_df", "axiomatic_f2exp", "boolean_sim",
+            "sweetspot_exact",
         ):
             raise ValueError(f"unknown scoring mode {scoring!r}")
+        # SweetSpotSimilarity tunables (lucene/misc/
+        # SweetSpotSimilarity.java:42-53 defaults)
+        self.sweetspot = {
+            "tf_base": 0.0, "tf_min": 0.0,
+            "ln_min": 1, "ln_max": 1, "steepness": 0.5,
+            **(sweetspot or {}),
+        }
         self.tables = tables
         self.bm25 = BM25(k1=k1, b=b)
         self.scoring = scoring
@@ -490,6 +499,27 @@ class IndexSearcher:
                 * F.sqrt(F.col("freq").cast("double"))
                 / F.sqrt(F.col("length").cast("double")),
             )
+        if self.scoring == "sweetspot_exact":
+            # SweetSpotSimilarity (lucene/misc/SweetSpotSimilarity.java):
+            # ClassicSimilarity idf · baselineTf(freq) ·
+            # computeLengthNorm(length), exact-double / exact-length
+            # variant (the byte315-quantized norm path follows the
+            # classic pipeline)
+            from lucene_solr_spark.scoring.sweetspot import (
+                baseline_tf,
+                compute_length_norm,
+            )
+
+            ss = self.sweetspot
+            return df_in.withColumn(
+                "score",
+                F.lit(float(weight))
+                * baseline_tf(F.col("freq"), ss["tf_base"], ss["tf_min"])
+                * compute_length_norm(
+                    F.col("length"), ss["ln_min"], ss["ln_max"],
+                    ss["steepness"],
+                ),
+            )
         # exact mode: pure JVM double expression (whole-stage codegen)
         k1, b = float(self.bm25.k1), float(self.bm25.b)
         return df_in.withColumn(
@@ -608,7 +638,9 @@ class IndexSearcher:
             # ClassicSimilarity.idf: (float)(log((N+1)/(df+1)) + 1)
             # (ClassicSimilarity.java:138-140)
             return float(np.float32(math.log((n + 1) / float(doc_freq + 1)) + 1.0))
-        if self.scoring == "classic_exact":
+        if self.scoring in ("classic_exact", "sweetspot_exact"):
+            # SweetSpotSimilarity extends ClassicSimilarity and keeps
+            # its idf (SweetSpotSimilarity.java:40)
             return math.log((n + 1) / float(doc_freq + 1)) + 1.0
         return math.log(1.0 + (n - doc_freq + 0.5) / (doc_freq + 0.5))
 

@@ -82,6 +82,7 @@ class SegmentSearcher(IndexSearcher):
         b: float = 0.75,
         scoring: str = "lucene",
         cache_encoded: bool = True,
+        sweetspot: dict | None = None,
     ) -> None:
         self.index = index
         # All caches live ON THE INDEX OBJECT and are shared by every
@@ -126,7 +127,10 @@ class SegmentSearcher(IndexSearcher):
         tables = IndexTables(
             cache["postings"], cache["term_stats"], cache["norms"], cache["stats"]
         )
-        super().__init__(tables, k1=k1, b=b, scoring=scoring, cache_postings=False)
+        super().__init__(
+            tables, k1=k1, b=b, scoring=scoring, cache_postings=False,
+            sweetspot=sweetspot,
+        )
 
     _CACHE_MAX_TERMS = 8  # multi-term expansions decode in one pass instead
     # LRU bounds on the persisted decoded frames (the reference's
