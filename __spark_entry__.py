@@ -2801,6 +2801,31 @@ def q_expression_rescore(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_langid_update(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """langid UpdateProcessor (solr/contrib/langid
+    LanguageIdentifierUpdateProcessor.java process/resolveLanguage/
+    getMappedField + LangIdParams): threshold 0.3 with fallback
+    'general', whitelist {de,en,es,fr,zh}, lcmap zh→cjk, and
+    langid.map field routing to text_<code>."""
+    from lucene_solr_spark.functions.langid import langid_processor
+
+    d = _table(spark, sf_dir, "documents")
+    out = langid_processor(
+        d,
+        threshold=0.3,
+        fallback="general",
+        whitelist={"de", "en", "es", "fr", "zh"},
+        lcmap={"zh": "cjk"},
+        map_fields=True,
+    )
+    return out.select(
+        "doc_id",
+        F.col("lang_detected"),
+        F.round(F.col("lang_confidence"), 4).alias("confidence"),
+        "mapped_field",
+    ).orderBy("doc_id")
+
+
 def q_sweetspot_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SweetSpotSimilarity (lucene/misc/SweetSpotSimilarity.java):
     ClassicSimilarity idf x baselineTf(base=1.5, min=2) (:139-147) x
@@ -3638,6 +3663,7 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "percolate": q_percolate,
         "analytics_stats": q_analytics_stats,
         "sweetspot_query": q_sweetspot_query,
+        "langid_update": q_langid_update,
         # -- past the ~50-entry driver gate window: score_nodes + the
         # suggester family rotate into the window next round --
         "score_nodes": q_score_nodes,
@@ -4722,6 +4748,56 @@ f AS (
          LEFT JOIN (SELECT doc_id, tf FROM postings
                     WHERE term = 'window') pw USING (doc_id)
 )"""
+
+    sqls["langid_update"] = """
+WITH hits AS (
+  SELECT doc_id,
+         len(list_filter(string_split(lower(trim(text)), ' '),
+             w -> w IN ('der','die','und','das','nicht','ist'))) AS h_de,
+         len(list_filter(string_split(lower(trim(text)), ' '),
+             w -> w IN ('the','and','of','to','is','a'))) AS h_en,
+         len(list_filter(string_split(lower(trim(text)), ' '),
+             w -> w IN ('el','la','de','que','y','los'))) AS h_es,
+         len(list_filter(string_split(lower(trim(text)), ' '),
+             w -> w IN ('le','la','et','les','des','une'))) AS h_fr,
+         regexp_matches(text, '[一-鿿]') AS has_cjk
+  FROM documents
+),
+det AS (
+  SELECT doc_id,
+         CASE WHEN has_cjk THEN 'zh'
+              WHEN greatest(h_de, h_en, h_es, h_fr) = 0 THEN 'unknown'
+              WHEN h_de = greatest(h_de, h_en, h_es, h_fr) THEN 'de'
+              WHEN h_en = greatest(h_de, h_en, h_es, h_fr) THEN 'en'
+              WHEN h_es = greatest(h_de, h_en, h_es, h_fr) THEN 'es'
+              ELSE 'fr' END AS lang,
+         CASE WHEN has_cjk THEN 1.0
+              WHEN h_de + h_en + h_es + h_fr > 0
+              THEN CAST(greatest(h_de, h_en, h_es, h_fr) AS DOUBLE)
+                   / (h_de + h_en + h_es + h_fr)
+              ELSE 0.0 END AS conf
+  FROM hits
+),
+r1 AS (
+  SELECT doc_id, conf,
+         CASE WHEN conf < 0.3 THEN 'general' ELSE lang END AS l
+  FROM det
+),
+r2 AS (
+  SELECT doc_id, conf,
+         CASE WHEN l IN ('de','en','es','fr','zh') THEN l
+              ELSE 'general' END AS l
+  FROM r1
+),
+r3 AS (
+  SELECT doc_id, conf,
+         CASE WHEN l = 'zh' THEN 'cjk' ELSE l END AS l
+  FROM r2
+)
+SELECT doc_id, l AS lang_detected, ROUND(conf, 4) AS confidence,
+       'text_' || l AS mapped_field
+FROM r3 ORDER BY doc_id
+"""
 
     sqls["sweetspot_query"] = f"""
 WITH {_IDX},
