@@ -2801,6 +2801,28 @@ def q_expression_rescore(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_result_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Search-result clustering, STC base-cluster stage (solr/contrib/
+    clustering CarrotClusteringEngine.java handing top-N results to
+    Carrot2 STC; algorithm per Zamir & Etzioni SIGIR'98): unigram +
+    adjacent-bigram phrases shared by ≥5 of the BM25 top-50 for
+    'spark', scored |B|·len(phrase), top-15.  The merge stage
+    (overlap-graph connected components) is pytest-gated — iterative
+    CC is not SQL-expressible."""
+    from lucene_solr_spark.functions.clustering import base_clusters
+
+    t = _index_tables(spark, sf_dir)
+    s = _searcher(spark, sf_dir)
+    cand = _topk(s.docs(TermQuery("spark")), 50).select("doc_id")
+    out = base_clusters(t.postings, cand, min_docs=5, top_k=15)
+    return out.select(
+        F.col("cluster_id").cast("long").alias("cluster_id"),
+        "phrase",
+        "n_docs",
+        "score",
+    ).orderBy("cluster_id")
+
+
 def q_langid_update(spark: SparkSession, sf_dir: str) -> DataFrame:
     """langid UpdateProcessor (solr/contrib/langid
     LanguageIdentifierUpdateProcessor.java process/resolveLanguage/
@@ -3664,6 +3686,7 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "analytics_stats": q_analytics_stats,
         "sweetspot_query": q_sweetspot_query,
         "langid_update": q_langid_update,
+        "result_clustering": q_result_clustering,
         # -- past the ~50-entry driver gate window: score_nodes + the
         # suggester family rotate into the window next round --
         "score_nodes": q_score_nodes,
@@ -4748,6 +4771,39 @@ f AS (
          LEFT JOIN (SELECT doc_id, tf FROM postings
                     WHERE term = 'window') pw USING (doc_id)
 )"""
+
+    sqls["result_clustering"] = f"""
+WITH {_IDX},
+s1 AS ({_bm25_sql("spark")}),
+cand AS (
+  SELECT doc_id FROM (
+    SELECT doc_id, ROUND(score, 4) AS score FROM s1
+    ORDER BY ROUND(score, 4) DESC, doc_id ASC LIMIT 50
+  )
+),
+k2 AS (
+  SELECT k.doc_id, k.term, k.pos FROM kept k
+  WHERE k.doc_id IN (SELECT doc_id FROM cand)
+),
+uni AS (SELECT DISTINCT doc_id, term AS phrase, 1 AS plen FROM k2),
+big AS (
+  SELECT DISTINCT a.doc_id, a.term || ' ' || b.term AS phrase, 2 AS plen
+  FROM k2 a JOIN k2 b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+),
+ph AS (SELECT * FROM uni UNION ALL SELECT * FROM big),
+sc AS (
+  SELECT phrase, plen, count(*) AS n_docs
+  FROM ph GROUP BY phrase, plen HAVING count(*) >= 5
+),
+rk AS (
+  SELECT phrase, n_docs, n_docs * plen AS score,
+         row_number() OVER (ORDER BY n_docs * plen DESC, phrase ASC)
+           AS cluster_id
+  FROM sc
+)
+SELECT cluster_id, phrase, n_docs, CAST(score AS BIGINT) AS score
+FROM rk WHERE cluster_id <= 15 ORDER BY cluster_id
+"""
 
     sqls["langid_update"] = """
 WITH hits AS (
