@@ -190,14 +190,23 @@ def percolate(
                     if inter is None
                     else F.array_intersect(inter, shifted)
                 )
-            ok = verified.filter(F.size(inter) > 0).select("doc_id")
-            # keep rows of other queries; filter only this query's
-            keep_other = matched.filter(
-                F.col("query_id") != F.lit(pq.query_id)
+            ok = (
+                verified.filter(F.size(inter) > 0)
+                .select("doc_id")
+                .withColumn("query_id", F.lit(pq.query_id))
+                .withColumn("_ok", F.lit(1))
             )
-            keep_this = matched.filter(
-                F.col("query_id") == F.lit(pq.query_id)
-            ).join(ok, "doc_id", "left_semi")
-            matched = keep_other.unionByName(keep_this)
+            # one left join per phrase — rows of OTHER queries pass
+            # through; this query's rows survive only when verified
+            # (no union, so the boolean-matrix subtree is not
+            # duplicated per phrase)
+            matched = (
+                matched.join(ok, ["query_id", "doc_id"], "left")
+                .filter(
+                    (F.col("query_id") != F.lit(pq.query_id))
+                    | F.col("_ok").isNotNull()
+                )
+                .drop("_ok")
+            )
 
     return matched
