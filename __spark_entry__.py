@@ -2801,6 +2801,28 @@ def q_expression_rescore(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_common_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CommonTermsQuery (lucene/queries/CommonTermsQuery.java
+    buildQuery:162-213): docFreq split at maxTermFrequency=0.6·maxDoc
+    puts 'dup' in the required low-frequency group and
+    'vector'/'scan' in the optional common group — score = low +
+    optional sum (ReqOptSum)."""
+    from lucene_solr_spark.queries.commonterms import (
+        build_common_terms_query,
+    )
+
+    s = _searcher(spark, sf_dir)
+    terms = ["dup", "vector", "scan"]
+    stats = s.term_statistics(terms)
+    q = build_common_terms_query(
+        terms,
+        {t: stats[t][0] for t in terms},
+        s.stats.doc_count,
+        max_term_frequency=0.6,
+    )
+    return _scored(s.docs(q))
+
+
 def q_result_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Search-result clustering, STC base-cluster stage (solr/contrib/
     clustering CarrotClusteringEngine.java handing top-N results to
@@ -3687,6 +3709,7 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sweetspot_query": q_sweetspot_query,
         "langid_update": q_langid_update,
         "result_clustering": q_result_clustering,
+        "common_terms": q_common_terms,
         # -- past the ~50-entry driver gate window: score_nodes + the
         # suggester family rotate into the window next round --
         "score_nodes": q_score_nodes,
@@ -4771,6 +4794,19 @@ f AS (
          LEFT JOIN (SELECT doc_id, tf FROM postings
                     WHERE term = 'window') pw USING (doc_id)
 )"""
+
+    sqls["common_terms"] = f"""
+WITH {_IDX},
+s1 AS ({_bm25_sql("dup")}),
+s2 AS ({_bm25_sql("vector")}),
+s3 AS ({_bm25_sql("scan")}),
+opt AS (
+  SELECT doc_id, sum(score) AS score
+  FROM (SELECT * FROM s2 UNION ALL SELECT * FROM s3) GROUP BY doc_id
+)
+SELECT s1.doc_id, ROUND(s1.score + COALESCE(opt.score, 0), 4) AS score
+FROM s1 LEFT JOIN opt USING (doc_id)
+"""
 
     sqls["result_clustering"] = f"""
 WITH {_IDX},
