@@ -1626,7 +1626,15 @@ def q_timeseries_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         e.groupBy(F.date_format(F.date_trunc("day", F.col("ts")), "yyyy-MM-dd").alias("day"))
         .agg(
             F.count("*").alias("cnt"),
-            F.round(F.sum("value"), 4).alias("sum_value"),
+            # 2-dp metric summed as DECIMAL: exact in any summation
+            # order (a double sum's last ulp is order-dependent and can
+            # flip ROUND at a .00005 boundary between engines/runs)
+            F.round(
+                F.sum(F.col("value").cast("decimal(18,2)")).cast(
+                    "double"
+                ),
+                4,
+            ).alias("sum_value"),
         )
         .orderBy("day")
     )
@@ -3479,13 +3487,26 @@ def q_corpus_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
     hiq = scored.filter(F.col("q4") >= 0.5)
     lang = textstats.language_id(hiq, "text")
     tok = textstats.token_counts(lang, "text")
+    # mean quality via EXACT integer arithmetic: q4 is a 4-dp value, so
+    # sum(q4·10⁴) is an exact BIGINT in any summation order, and
+    # round-half-up(S/C) = (2S+C) div (2C) — a double sum here flaked
+    # once at a .00005 rounding boundary (order-dependent last ulp)
     return (
-        tok.groupBy(F.col("lang_pred").alias("lang"))
+        tok.withColumn(
+            "_qs", F.round(F.col("q4") * 10000).cast("long")
+        )
+        .groupBy(F.col("lang_pred").alias("lang"))
         .agg(
             F.count("*").alias("docs"),
             F.sum("ws_tokens").cast("long").alias("tokens"),
-            F.round(F.avg("q4"), 4).alias("avg_quality"),
+            F.sum("_qs").alias("_qsum"),
         )
+        .withColumn(
+            "avg_quality",
+            F.expr("(2 * _qsum + docs) div (2 * docs)").cast("double")
+            / 10000.0,
+        )
+        .drop("_qsum")
         .orderBy("lang")
     )
 
@@ -5163,7 +5184,8 @@ lng AS (
   FROM hiq h JOIN hits hh USING (doc_id)
 )
 SELECT lang, count(*) AS docs, CAST(sum(ws_tokens) AS BIGINT) AS tokens,
-       ROUND(avg(q4), 4) AS avg_quality
+       CAST((2 * sum(CAST(round(q4 * 10000) AS BIGINT)) + count(*))
+            // (2 * count(*)) AS DOUBLE) / 10000.0 AS avg_quality
 FROM lng GROUP BY lang ORDER BY lang
 """
 
@@ -5992,7 +6014,8 @@ FROM topk t JOIN documents d USING (doc_id)
     sqls["timeseries_stream"] = """
 SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
        count(*) AS cnt,
-       ROUND(sum(value), 4) AS sum_value
+       ROUND(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 4)
+         AS sum_value
 FROM events GROUP BY 1 ORDER BY 1
 """
 
