@@ -58,13 +58,24 @@ def langid_processor(
     }
     has_cjk = F.length(F.regexp_replace(text, r"[^一-鿿]", "")) > 0
 
-    best_lang: Column = F.lit("unknown")
-    best_score: Column = F.lit(0)
+    # argmax as ONE greatest() over (score, -rank, lang) structs — the
+    # when-chain fold nests every lexicon regexp inside every later
+    # branch and (compounded by the confidence/resolution chain below)
+    # blows codegen's 64 KB method limit; see textstats.language_id
+    top = F.greatest(
+        *[
+            F.struct(
+                scores[lang].alias("s"),
+                F.lit(-i).alias("r"),
+                F.lit(lang).alias("lang"),
+            )
+            for i, lang in enumerate(sorted(LANG_LEXICONS))
+        ]
+    )
+    best_lang = F.when(top["s"] > 0, top["lang"]).otherwise(F.lit("unknown"))
+    best_score = top["s"]
     total: Column = F.lit(0)
     for lang in sorted(LANG_LEXICONS):
-        cond = scores[lang] > best_score
-        best_lang = F.when(cond, F.lit(lang)).otherwise(best_lang)
-        best_score = F.when(cond, scores[lang]).otherwise(best_score)
         total = total + scores[lang]
 
     detected = F.when(has_cjk, F.lit("zh")).otherwise(best_lang)

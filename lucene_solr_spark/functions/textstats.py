@@ -83,20 +83,35 @@ def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
 
 def language_id(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Heuristic language ID: CJK charset check, then per-language
-    stopword-lexicon hit counts; ties broken by fixed language order."""
+    stopword-lexicon hit counts; ties broken by fixed language order.
+
+    The argmax is ONE ``greatest()`` over (score, -rank, lang) structs
+    so each lexicon regexp appears exactly once in the plan — the
+    equivalent fold of ``when(score > best_score, …)`` nests every
+    regexp_count inside every later branch, and the generated
+    processNext() blows the JVM's 64 KB method limit (whole-stage
+    codegen then silently falls back to interpreted eval; this was the
+    slowest bench query until rewritten)."""
     text = F.col(text_col)
     norm = F.lower(F.trim(text))
-    scores = {
-        lang: _lexicon_hits(norm, lex) for lang, lex in LANG_LEXICONS.items()
-    }
     has_cjk = F.length(F.regexp_replace(text, r"[^一-鿿]", "")) > 0
-    best: Column = F.lit("unknown")
-    best_score: Column = F.lit(0)
-    for lang in sorted(LANG_LEXICONS):  # deterministic tie-break
-        cond = scores[lang] > best_score
-        best = F.when(cond, F.lit(lang)).otherwise(best)
-        best_score = F.when(cond, scores[lang]).otherwise(best_score)
-    pred = F.when(has_cjk, F.lit("zh")).otherwise(best)
+    # struct ordering is lexicographic: max score first; on ties the
+    # smallest rank (earliest language in sorted order) wins via -rank
+    top = F.greatest(
+        *[
+            F.struct(
+                _lexicon_hits(norm, LANG_LEXICONS[lang]).alias("s"),
+                F.lit(-i).alias("r"),
+                F.lit(lang).alias("lang"),
+            )
+            for i, lang in enumerate(sorted(LANG_LEXICONS))
+        ]
+    )
+    pred = (
+        F.when(has_cjk, F.lit("zh"))
+        .when(top["s"] > 0, top["lang"])
+        .otherwise(F.lit("unknown"))
+    )
     return df.withColumn("lang_pred", pred)
 
 
