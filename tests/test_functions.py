@@ -206,6 +206,33 @@ def test_cosine_all_pairs_exact_beats_lsh_recall(emb):
     assert len(exact) >= len(lsh)
 
 
+@pytest.mark.parametrize("sf_dir", [SF, "/root/testdata/sf0.01"])
+def test_cosine_fixture_boundary_margins(sf_dir):
+    """The embedding_pairs_exact gate compares ROUND(cosine, 4) across two
+    engines whose dot/norm evaluation order differs by ~1e-15; the gate is
+    only deterministic if no pair's true cosine sits within that deviation
+    of the τ=0.4 threshold or a .00005 rounding boundary.  Pin both
+    margins ≥ 1e-9 (7 orders above the cross-engine deviation) on the
+    fixtures the driver and the suite actually compare on."""
+    import duckdb
+
+    con = duckdb.connect()
+    pdf = con.execute(
+        f"SELECT vec_id, embedding FROM '{sf_dir}/embeddings.parquet' "
+        "ORDER BY vec_id"
+    ).fetchdf()
+    M = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+    norms = np.linalg.norm(M, axis=1, keepdims=True)
+    assert (norms > 0).all()  # zero-norm rows are excluded by the kernel
+    Mn = M / norms
+    S = Mn @ Mn.T
+    vals = S[np.triu_indices(len(Mn), k=1)]
+    assert np.abs(vals - 0.4).min() > 1e-9
+    kept = vals[vals >= 0.4]
+    dist = np.abs((kept * 10000) % 1 - 0.5) / 10000
+    assert dist.min() > 1e-9
+
+
 # ------------------------------------------------------------- textstats
 def test_token_counts(spark):
     df = spark.createDataFrame([(1, "Hello, world 42!")], "doc_id long, text string")
