@@ -1841,6 +1841,37 @@ def q_resume_lineage(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_sorted_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Index-time sort + early-terminating sorted top-k
+    (IndexWriterConfig.setIndexSort + EarlyTerminatingSortingCollector
+    .java:1-120: segments store docs in sort order; a matching query
+    sort stops after numDocsToCollect per segment).  Spark-first:
+    events are written value-range-bucketed by ts with per-bucket
+    counts in a manifest; ORDER BY ts LIMIT 100 reads ONLY the covering
+    bucket prefix via partition pruning — at 100 TB one directory, not
+    a full-table TakeOrderedAndProject scan."""
+    from lucene_solr_spark.index.sorted import SortedIndex
+
+    key = (spark.sparkContext.applicationId, sf_dir, "sortedidx")
+    sidx = _SEGIDX.get(key)
+    if sidx is None:
+        sidx = SortedIndex(spark, _mktempdir("sortedidx-"))
+        sidx.build(_table(spark, sf_dir, "events"), "ts", num_buckets=16)
+        _SEGIDX[key] = sidx
+    return q_sorted_topk_from(sidx)
+
+
+def q_sorted_topk_from(sidx) -> DataFrame:
+    return (
+        sidx.topk(100, extra_order=["event_id"])
+        .select(
+            "event_id",
+            F.unix_millis(F.col("ts").cast("timestamp")).alias("ts_ms"),
+            F.round("value", 4).alias("value"),
+        )
+    )
+
+
 def q_reducer_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ReducerStream: group-adjacent reduce over a sorted stream
     (io/stream/ReducerStream.java with a GroupOperation) — here 'latest
@@ -3724,6 +3755,7 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "function_termfreq": q_function_termfreq,
         "segment_merge": q_segment_merge,
         "resume_lineage": q_resume_lineage,
+        "sorted_topk": q_sorted_topk,
         "stream_sessionize": q_stream_sessionize,
         "topic_cursor": q_topic_cursor,
         "select_stream": q_select_stream,
@@ -5345,6 +5377,11 @@ FROM r WHERE rank <= 2
 
     # SPLITSHARD: recompute the md5-32 route hash and the 4-shard ring
     # with shard2 split in two; manifest rows = (shard, lo, hi, docs)
+    sqls["sorted_topk"] = """
+SELECT event_id, epoch_ms(ts) AS ts_ms, ROUND(value, 4) AS value
+FROM events ORDER BY ts, event_id LIMIT 100
+"""
+
     sqls["shard_split"] = """
 WITH h AS (
   SELECT doc_id,
