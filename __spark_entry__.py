@@ -1872,6 +1872,47 @@ def q_sorted_topk_from(sidx) -> DataFrame:
     )
 
 
+def q_boosting_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BoostingQuery (queries/BoostingQuery.java:44-121): select by the
+    match query ('spark'), demote — never exclude — docs that also
+    match the context query ('join') by multiplying their score by
+    0.5; the context's own score is never computed."""
+    from lucene_solr_spark.queries.query import BoostingQuery
+
+    s = _searcher(spark, sf_dir)
+    q = BoostingQuery(TermQuery("spark"), TermQuery("join"), 0.5)
+    return _topk(s.docs(q), 10)
+
+
+def q_diversified_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DiversifiedTopDocsCollector (lucene/misc/.../search/
+    DiversifiedTopDocsCollector.java:1-220): top-10 BM25 hits for
+    'vector' with at most 2 hits per documents.lang key — the
+    marketplace "max N per retailer" collector as one per-key window +
+    global TakeOrderedAndProject."""
+    from lucene_solr_spark.queries.diversity import diversified_topk
+
+    s = _searcher(spark, sf_dir)
+    scored = _scored(s.docs(TermQuery("vector")))
+    keys = _table(spark, sf_dir, "documents").select("doc_id", "lang")
+    return diversified_topk(scored, keys, k=10, max_hits_per_key=2, key_col="lang")
+
+
+def q_terms_enumerate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TermsComponent /terms handler FULL parameter surface (solr/core/
+    .../component/TermsComponent.java:110-245): enumerate the term
+    dictionary with terms.prefix=s, terms.mincount=2, terms.limit=4,
+    terms.sort=count (docFreq DESC, term ASC —
+    SimpleFacets.CountPair:1108-1112).  The dictionary-head variant
+    (no params) is the separate `terms_component` gate."""
+    from lucene_solr_spark.queries.terms_enum import terms_enumerate
+
+    s = _searcher(spark, sf_dir)
+    return terms_enumerate(
+        s.tables.term_stats, prefix="s", mincount=2, limit=4, sort="count"
+    )
+
+
 def q_reducer_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ReducerStream: group-adjacent reduce over a sorted stream
     (io/stream/ReducerStream.java with a GroupOperation) — here 'latest
@@ -3756,6 +3797,9 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "segment_merge": q_segment_merge,
         "resume_lineage": q_resume_lineage,
         "sorted_topk": q_sorted_topk,
+        "boosting_query": q_boosting_query,
+        "diversified_topk": q_diversified_topk,
+        "terms_enumerate": q_terms_enumerate,
         "stream_sessionize": q_stream_sessionize,
         "topic_cursor": q_topic_cursor,
         "select_stream": q_select_stream,
@@ -5380,6 +5424,46 @@ FROM r WHERE rank <= 2
     sqls["sorted_topk"] = """
 SELECT event_id, epoch_ms(ts) AS ts_ms, ROUND(value, 4) AS value
 FROM events ORDER BY ts, event_id LIMIT 100
+"""
+
+    # BoostingQuery: match-scored docs, score × 0.5 iff the doc also
+    # contains the context term — selection is match-only.
+    sqls["boosting_query"] = f"""
+WITH {_IDX},
+s AS ({_bm25_sql("spark")}),
+ctx AS (SELECT DISTINCT doc_id FROM postings WHERE term = 'join'),
+scored AS (
+  SELECT s.doc_id,
+         s.score * CASE WHEN ctx.doc_id IS NOT NULL THEN 0.5 ELSE 1.0 END AS score
+  FROM s LEFT JOIN ctx ON s.doc_id = ctx.doc_id
+)
+{_TOPK_TAIL.format(k=10)}
+"""
+
+    # DiversifiedTopDocsCollector: per-key (lang) score-rank ≤ 2, then
+    # global top-10 — the greedy-by-score-with-key-cap closed form.
+    sqls["diversified_topk"] = f"""
+WITH {_IDX},
+s AS ({_bm25_sql("vector")}),
+r AS (
+  SELECT s.doc_id, d.lang, ROUND(s.score, 4) AS score,
+         row_number() OVER (
+           PARTITION BY d.lang
+           ORDER BY ROUND(s.score, 4) DESC, s.doc_id ASC
+         ) AS kr
+  FROM s JOIN documents d USING (doc_id)
+)
+SELECT doc_id, lang, score FROM r WHERE kr <= 2
+ORDER BY score DESC, doc_id ASC LIMIT 10
+"""
+
+    # TermsComponent param surface: prefix + mincount over the term
+    # dictionary, sort=count = (docFreq DESC, term ASC), limit 4.
+    sqls["terms_enumerate"] = f"""
+WITH {_IDX}
+SELECT term, CAST(df AS BIGINT) AS docfreq FROM tstats
+WHERE term LIKE 's%' AND df >= 2
+ORDER BY df DESC, term ASC LIMIT 4
 """
 
     sqls["shard_split"] = """

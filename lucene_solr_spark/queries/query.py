@@ -107,6 +107,20 @@ class ConstantScoreQuery(Query):
 
 
 @dataclass(frozen=True)
+class BoostingQuery(Query):
+    """Demote (don't exclude) docs matching ``context``
+    (queries/BoostingQuery.java:44-121): selection is ``match`` alone —
+    context-only matches are ignored — and a matching doc's score is
+    multiplied by ``boost`` (< 1 demotes) iff it ALSO matches
+    ``context``, whose own score is never computed (createWeight with
+    needsScores=false, :70)."""
+
+    match: Query
+    context: Query
+    boost: float
+
+
+@dataclass(frozen=True)
 class PrefixQuery(Query):
     """Term-expansion query; rewritten against the term dictionary with
     CONSTANT_SCORE_REWRITE like the reference's MultiTermQuery default."""

@@ -19,6 +19,7 @@ from __future__ import annotations
 from lucene_solr_spark.queries.query import (
     BooleanClause,
     BooleanQuery,
+    BoostingQuery,
     BoostQuery,
     ConstantScoreQuery,
     MatchAllDocsQuery,
@@ -54,6 +55,17 @@ def _rewrite_once(q: Query) -> Query:
         if isinstance(inner, MatchNoDocsQuery):
             return inner
         return ConstantScoreQuery(inner, q.score)
+    if isinstance(q, BoostingQuery):
+        # BoostingQuery.rewrite rewrites both children (:56-64); a
+        # no-match match query kills the whole thing, a no-match
+        # context degenerates to the plain match query (scorer():95-99)
+        match = _rewrite_once(q.match)
+        context = _rewrite_once(q.context)
+        if isinstance(match, MatchNoDocsQuery):
+            return match
+        if isinstance(context, MatchNoDocsQuery):
+            return match
+        return BoostingQuery(match, context, q.boost)
     if not isinstance(q, BooleanQuery):
         return q
 

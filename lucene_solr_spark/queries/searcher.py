@@ -48,6 +48,7 @@ from pyspark.sql import functions as F
 from lucene_solr_spark.index.builder import IndexTables
 from lucene_solr_spark.queries.query import (
     BooleanQuery,
+    BoostingQuery,
     BoostQuery,
     ConstantScoreQuery,
     DisjunctionMaxQuery,
@@ -726,7 +727,37 @@ class IndexSearcher:
             return self._exec_boolean(q, boost)
         if isinstance(q, SpanQuery):
             return self._exec_span(q, boost)
+        if isinstance(q, BoostingQuery):
+            return self._exec_boosting(q, boost)
         raise TypeError(f"cannot execute {type(q).__name__}")
+
+    def _exec_boosting(self, q: BoostingQuery, boost: float) -> DataFrame:
+        """BoostingQuery (queries/BoostingQuery.java:95-121): score the
+        match query, compute the context DOC SET (never its scores —
+        needsScores=false, :70), and multiply a matching doc's score by
+        q.boost iff the context also matches (FilterScorer.score,
+        :101-110).  Plan shape: one scored subtree + one non-scoring
+        docset + a left join on doc_id — the context set is
+        term-pruned, not corpus-sized, and no new shuffle key appears
+        (both sides already hash by doc_id)."""
+        scored = self._exec(q.match, boost)
+        ctx = (
+            self._match(q.context)
+            .select("doc_id")
+            .distinct()
+            .withColumn("_ctx", F.lit(1))
+        )
+        mult = float(np.float32(q.boost)) if self._f32 else float(q.boost)
+        new_score = F.when(
+            F.col("_ctx").isNotNull(), F.col("score") * F.lit(mult)
+        ).otherwise(F.col("score"))
+        if self._f32:
+            # FilterScorer.score() is float arithmetic: one float32
+            # rounding of the product (:104-109)
+            new_score = new_score.cast("float")
+        return scored.join(ctx, "doc_id", "left").select(
+            "doc_id", new_score.alias("score")
+        )
 
     def _empty_scored(self) -> DataFrame:
         spark = self.tables.postings.sparkSession
@@ -742,6 +773,8 @@ class IndexSearcher:
             return min(s[0] for s in stats.values()) if stats else 0
         if isinstance(q, (BoostQuery, ConstantScoreQuery)):
             return self._cost(q.query)
+        if isinstance(q, BoostingQuery):
+            return self._cost(q.match)  # selection is match-only
         if isinstance(q, BooleanQuery):
             musts = [c.query for c in q.clauses if c.occur in (Occur.MUST, Occur.FILTER)]
             if musts:
@@ -1251,6 +1284,8 @@ class IndexSearcher:
             return self._live_norms.select("doc_id")
         if isinstance(q, (BoostQuery, ConstantScoreQuery)):
             return self._match(q.query)
+        if isinstance(q, BoostingQuery):
+            return self._match(q.match)  # context never selects (:70)
         if isinstance(q, TermQuery):
             return self._term_postings(q.term).select("doc_id")
         if isinstance(q, SynonymQuery):
