@@ -1913,6 +1913,37 @@ def q_terms_enumerate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_composite_routing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CompositeId multi-tenant routing (CompositeIdRouter.java
+    KeyParser:178-325): `lang!doc` keys take the hash's top 16 bits
+    from the tenant and the rest from the doc, so one tenant occupies
+    one contiguous 2^16 ring slice — always a single shard of 4
+    (tenant locality); `lang/2!doc` keeps only 2 tenant bits, so a
+    tenant spreads over 2 of 8 shards (the locality/balance dial).
+    Per (mode, tenant, shard) doc counts prove both layouts."""
+    from lucene_solr_spark.index.shards import composite_route
+
+    d = _table(spark, sf_dir, "documents").select(
+        "doc_id", "lang"
+    )
+    out = []
+    for mode, sep, nsh in (("bits16", "!", 4), ("bits2", "/2!", 8)):
+        ids = d.withColumn(
+            "id", F.concat(F.col("lang"), F.lit(sep), F.col("doc_id"))
+        )
+        routed, _ = composite_route(ids, nsh, "id")
+        out.append(
+            routed.groupBy("lang", "shard")
+            .agg(F.count("*").alias("docs"))
+            .withColumn("mode", F.lit(mode))
+        )
+    return (
+        out[0].unionByName(out[1])
+        .select("mode", "lang", "shard", "docs")
+        .orderBy("mode", "lang", "shard")
+    )
+
+
 def q_reducer_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ReducerStream: group-adjacent reduce over a sorted stream
     (io/stream/ReducerStream.java with a GroupOperation) — here 'latest
@@ -3800,6 +3831,7 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "boosting_query": q_boosting_query,
         "diversified_topk": q_diversified_topk,
         "terms_enumerate": q_terms_enumerate,
+        "composite_routing": q_composite_routing,
         "stream_sessionize": q_stream_sessionize,
         "topic_cursor": q_topic_cursor,
         "select_stream": q_select_stream,
@@ -5455,6 +5487,41 @@ r AS (
 )
 SELECT doc_id, lang, score FROM r WHERE kr <= 2
 ORDER BY score DESC, doc_id ASC LIMIT 10
+"""
+
+    # CompositeId routing: recompute the md5-32 KeyParser hash —
+    # (h(tenant) & topmask) | (h(doc) & ~topmask) recentred onto the
+    # signed ring — and the equal-range shard index, per mode.
+    sqls["composite_routing"] = """
+WITH parts AS (
+  SELECT doc_id, lang,
+         CAST(concat('0x', substr(md5(lang), 1, 8)) AS BIGINT) AS ht,
+         CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) AS hd
+  FROM documents
+),
+modes AS (
+  SELECT 'bits16' AS mode, 4294901760 AS m0, 65535 AS m1, 1073741824 AS width, 4 AS nsh
+  UNION ALL
+  SELECT 'bits2', 3221225472, 1073741823, 536870912, 8
+),
+hashed AS (
+  SELECT m.mode, p.lang,
+         (p.ht & m.m0) | (p.hd & m.m1) AS u, m.width
+  FROM parts p CROSS JOIN modes m
+),
+assigned AS (
+  -- shard1 starts at signed MIN = unsigned 2^31: recentre before
+  -- the equal-range index
+  SELECT mode, lang,
+         concat('shard', CAST(1 + (
+           (CASE WHEN u >= 2147483648 THEN u - 2147483648
+                 ELSE u + 2147483648 END) // width
+         ) AS VARCHAR)) AS shard
+  FROM hashed
+)
+SELECT mode, lang, shard, count(*) AS docs
+FROM assigned GROUP BY mode, lang, shard
+ORDER BY mode, lang, shard
 """
 
     # TermsComponent param surface: prefix + mincount over the term

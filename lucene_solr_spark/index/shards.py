@@ -158,3 +158,197 @@ def shard_report(
         .withColumn("docs", F.coalesce(F.col("docs"), F.lit(0)))
         .orderBy("lo")
     )
+
+
+# --------------------------------------------------------------------------
+# CompositeId routing — multi-tenant `tenant!doc` keys
+# (CompositeIdRouter.KeyParser, CompositeIdRouter.java:178-325)
+# --------------------------------------------------------------------------
+
+_U32 = (1 << 32) - 1
+
+
+def _h32u(col: F.Column) -> F.Column:
+    """Unsigned 32-bit md5-prefix hash of a STRING column (the repo's
+    engine-reproducible murmur3 stand-in — see module docstring)."""
+    return F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("long")
+
+
+def _mask_top(bits: F.Column) -> F.Column:
+    """u32 mask of the top `bits` bits: bits==0 → 0 else -1<<(32-bits)
+    (KeyParser.getBitMasks, CompositeIdRouter.java:308-315)."""
+    # top-bits mask as arithmetic (shiftleft takes no Column count):
+    # m = U32 ^ (2^(32-bits) - 1); 2^k ≤ 2^32 is float64-exact
+    low = (F.pow(F.lit(2.0), (F.lit(32) - bits).cast("double")).cast("long")
+           - F.lit(1))
+    return F.when(bits <= 0, F.lit(0).cast("long")).otherwise(
+        F.lit(_U32).bitwiseXOR(low)
+    )
+
+
+def _bits_of(part: F.Column, default: int) -> tuple[F.Column, F.Column]:
+    """Split an id part's `/N` bits spec (bitsSeparator, :238-241,
+    :299-306): returns (clean_part, bits).  A '/' at position 1
+    (Java indexOf == 0) is NOT a spec; non-numeric or >32 specs are
+    rejected by the caller via the -1 sentinel, matching getNumBits."""
+    slash = F.instr(part, "/")
+    spec = F.substring_index(part, "/", -1)
+    has = slash > 1
+    bits = F.when(
+        has,
+        F.when(
+            spec.rlike("^[0-9]+$") & (spec.cast("int") <= 32),
+            spec.cast("int"),
+        ).otherwise(F.lit(-1)),
+    ).otherwise(F.lit(default))
+    clean = F.when(has, F.substring_index(part, "/", 1)).otherwise(part)
+    return clean, bits
+
+
+def composite_route_hash(id_col) -> F.Column:
+    """Signed 32-bit CompositeId route hash of `tenant!doc` /
+    `app!user!doc` keys as ONE column expression (no Python in the
+    row path) — KeyParser.getHash (CompositeIdRouter.java:317-323):
+    the top `bits` (default 16; 8/8 for tri-level) of the hash come
+    from the tenant part, the rest from the doc part, so one tenant's
+    docs occupy one contiguous 2^(32-bits) slice of the ring (tenant
+    locality) while spreading inside it.
+
+    Faithful to KeyParser's parsing quirks: a plain id (no '!')
+    hashes whole; a trailing '!' adds an empty-string piece
+    (:219-221,:243-246); `a!b!` is tri-level with an empty third
+    piece; separators beyond the second join the third piece
+    (:211-215); `/N` bits specs apply to non-last pieces only
+    (:234-241).  Divergence (documented): a malformed `/N` spec
+    (getNumBits -1, which the reference feeds into a Java shift whose
+    count silently masks to 5 bits) instead falls back to the level
+    default here.
+    """
+    s = F.col(id_col).cast("string")
+    i1 = F.instr(s, "!")
+    slen = F.length(s)
+
+    p0_raw = F.substring(s, F.lit(1), (i1 - 1).cast("int"))
+    rest = s.substr(i1 + 1, slen)  # '' when '!' is last
+    i2 = F.instr(rest, "!")
+    rlen = F.length(rest)
+
+    # piece layout per KeyParser:167-222 (1=a, 2=a!b / a! / a!!,
+    # 3=a!b!c / a!b! — the endsWith('!') pieces++ included)
+    tri = (i1 > 0) & (
+        ((i2 > 0) & (i2 < rlen))                      # a!b!c...
+        | ((i2 > 0) & (i2 == rlen) & (i2 > 1))        # a!b!
+    )
+    # second piece text (before any bits-spec strip)
+    p1_raw = F.when(i2 > 0, F.substring(rest, F.lit(1), (i2 - 1).cast("int"))).otherwise(rest)
+    # third piece: everything after the second '!' (may itself hold '!')
+    p2_raw = F.when(i2 < rlen, rest.substr(i2 + 1, rlen)).otherwise(F.lit(""))
+
+    # bits specs: piece0 default 16 (2-level) / 8 (tri); piece1 only
+    # participates tri-level with default 8
+    p0_2l, b0_2l = _bits_of(p0_raw, 16)
+    p0_3l, b0_3l = _bits_of(p0_raw, 8)
+    p1_3l, b1_3l = _bits_of(p1_raw, 8)
+    b0_2l = F.when(b0_2l < 0, F.lit(16)).otherwise(b0_2l)
+    b0_3l = F.when(b0_3l < 0, F.lit(8)).otherwise(b0_3l)
+    b1_3l = F.when(b1_3l < 0, F.lit(8)).otherwise(b1_3l)
+
+    # --- 2-level hash: h0 & m0 | h1 & ~m0  (getBitMasks(first), :308)
+    m0 = _mask_top(b0_2l)
+    m1 = m0.bitwiseXOR(F.lit(_U32))
+    h2l = (
+        _h32u(p0_2l).bitwiseAND(m0)
+        .bitwiseOR(_h32u(p1_raw).bitwiseAND(m1))
+    )
+
+    # --- tri-level: masks via getBitMasks(first, second) (:289-296)
+    t0 = _mask_top(b0_3l)
+    t01 = _mask_top(b0_3l + b1_3l)
+    t1 = t0.bitwiseXOR(t01)
+    t2 = t01.bitwiseXOR(F.lit(_U32))
+    h3l = (
+        _h32u(p0_3l).bitwiseAND(t0)
+        .bitwiseOR(_h32u(p1_3l).bitwiseAND(t1))
+        .bitwiseOR(_h32u(p2_raw).bitwiseAND(t2))
+    )
+
+    u = (
+        F.when(i1 == 0, _h32u(s))
+        .when(tri, h3l)
+        .otherwise(h2l)
+    )
+    return F.when(u >= (1 << 31), u - _RING).otherwise(u)
+
+
+def key_hash_range(route_key: str) -> HashRange:
+    """keyHashRange (CompositeIdRouter.java:66-73): the ring slice a
+    `_route_` key covers — a point for a plain id, [h0&m0,
+    h0&m0 | ~m0] for `tenant!` / `tenant/N!`.  Driver-side: route
+    keys are request parameters, never data."""
+    if "!" not in route_key:
+        h = _py_h32(route_key)
+        h = h - _RING if h >= (1 << 31) else h
+        return HashRange(h, h)
+    first, tail = route_key.split("!", 1)
+    if "!" in tail:
+        # tri-level `a!b!` route keys use the 8/8 mask pair
+        # (getRange:255-258); not wired up — fail loudly rather than
+        # return a silently-wrong slice set
+        raise NotImplementedError(
+            "tri-level _route_ keys are not supported; "
+            "use a 2-level 'tenant!' key"
+        )
+    bits = 16
+    if "/" in first[1:]:
+        head, spec = first.split("/", 1)
+        if spec.isdigit() and int(spec) <= 32:
+            first, bits = head, int(spec)
+    m0 = 0 if bits == 0 else ((_U32 << (32 - bits)) & _U32)
+    lo_u = _py_h32(first) & m0
+    hi_u = lo_u | (m0 ^ _U32)
+    if m0 == 0:
+        return HashRange(_MIN, _MAX)
+    lo = lo_u - _RING if lo_u >= (1 << 31) else lo_u
+    hi = hi_u - _RING if hi_u >= (1 << 31) else hi_u
+    return HashRange(lo, hi)
+
+
+def _py_h32(s: str) -> int:
+    import hashlib
+
+    return int(hashlib.md5(s.encode("utf-8")).hexdigest()[:8], 16)
+
+
+def search_slices(
+    ranges: dict[str, HashRange], route_key: str | None
+) -> list[str]:
+    """getSearchSlicesSingle (CompositeIdRouter.java:76-100): the shard
+    subset a `_route_`-scoped query must touch — every shard whose
+    range overlaps the key's hash range (all shards when no key).  The
+    100-TB payoff of composite ids: a tenant-scoped query fans out to
+    ceil(2^(32-bits) / shard_width) shards, not the whole collection."""
+    if route_key is None:
+        return list(ranges)
+    kr = key_hash_range(route_key)
+    return [
+        name
+        for name, r in ranges.items()
+        if r.lo <= kr.hi and kr.lo <= r.hi
+    ]
+
+
+def composite_route(
+    df: DataFrame, num_shards: int, id_col: str
+) -> tuple[DataFrame, dict[str, HashRange]]:
+    """route() with CompositeId `tenant!doc` hashing — tenant locality
+    plus ring layout in one scan (HashBasedRouter.getTargetSlice over
+    KeyParser.getHash).  A tenant-scoped query then touches only
+    search_slices(ranges, 'tenant!') shards."""
+    ranges = {
+        f"shard{i + 1}": r
+        for i, r in enumerate(collection_ranges(num_shards))
+    }
+    out = df.withColumn("_rh", composite_route_hash(id_col)).withColumn(
+        "shard", _range_expr(ranges)
+    )
+    return out, ranges
