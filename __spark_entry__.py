@@ -1913,6 +1913,34 @@ def q_terms_enumerate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_replication_fetch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Master→replica segment replication (ReplicationHandler.java /
+    IndexFetcher.java): sync the shared segmented index into an empty
+    replica (whole commit point ships), verify the second poll is a
+    no-op (indexversion match → zero files), then serve a BM25 term
+    query FROM THE REPLICA — the replicated bytes must be
+    query-identical to the master (oracle = the exact BM25 SQL).
+    Merge incrementality + stale-segment deletion + truncated-file
+    refetch are pinned by tests/test_replication.py."""
+    from lucene_solr_spark.index.replication import fetch_index
+    from lucene_solr_spark.queries.segment_searcher import SegmentSearcher
+
+    master = _segidx(spark, sf_dir)
+    key = (spark.sparkContext.applicationId, sf_dir, "replica")
+    rep = _SEGIDX.get(key)
+    if rep is None:
+        from lucene_solr_spark.index.segments import SegmentedIndex
+
+        rep = SegmentedIndex(spark, _mktempdir("replica-"))
+        fetch_index(master, rep)
+        again = fetch_index(master, rep)
+        if again["fetched"] or again["bytes_fetched"]:
+            raise RuntimeError(f"replication not idempotent: {again}")
+        _SEGIDX[key] = rep
+    s = SegmentSearcher(rep, scoring="exact")
+    return _topk(s.docs(TermQuery("window")), 10)
+
+
 def q_composite_routing(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CompositeId multi-tenant routing (CompositeIdRouter.java
     KeyParser:178-325): `lang!doc` keys take the hash's top 16 bits
@@ -3832,6 +3860,7 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "diversified_topk": q_diversified_topk,
         "terms_enumerate": q_terms_enumerate,
         "composite_routing": q_composite_routing,
+        "replication_fetch": q_replication_fetch,
         "stream_sessionize": q_stream_sessionize,
         "topic_cursor": q_topic_cursor,
         "select_stream": q_select_stream,
@@ -5487,6 +5516,14 @@ r AS (
 )
 SELECT doc_id, lang, score FROM r WHERE kr <= 2
 ORDER BY score DESC, doc_id ASC LIMIT 10
+"""
+
+    # Replication: the replica must be query-identical to the master —
+    # oracle is the exact BM25 top-k the master would serve.
+    sqls["replication_fetch"] = f"""
+WITH {_IDX},
+scored AS ({_bm25_sql("window")})
+{_TOPK_TAIL.format(k=10)}
 """
 
     # CompositeId routing: recompute the md5-32 KeyParser hash —
