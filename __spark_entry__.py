@@ -1913,6 +1913,24 @@ def q_terms_enumerate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_freetext_suggest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FreeTextSuggester (suggest/analyzing/FreeTextSuggester.java:
+    423-689): stupid-backoff n-gram suggestions for 'spark s' —
+    bigram completions of 's' in context 'spark' at backoff 1.0,
+    then unigram completions at 0.4 minus the last tokens the bigram
+    model already suggested; scores = backoff·count/contextCount."""
+    from lucene_solr_spark.queries.freetext import FreeTextSuggester
+
+    key = (spark.sparkContext.applicationId, sf_dir, "freetext")
+    sug = _SEGIDX.get(key)
+    if sug is None:
+        sug = FreeTextSuggester(grams=2).build(
+            _table(spark, sf_dir, "documents"), text_col="text"
+        )
+        _SEGIDX[key] = sug
+    return sug.lookup("spark s", num=8)
+
+
 def q_replication_fetch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Master→replica segment replication (ReplicationHandler.java /
     IndexFetcher.java): sync the shared segmented index into an empty
@@ -3861,6 +3879,7 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "terms_enumerate": q_terms_enumerate,
         "composite_routing": q_composite_routing,
         "replication_fetch": q_replication_fetch,
+        "freetext_suggest": q_freetext_suggest,
         "stream_sessionize": q_stream_sessionize,
         "topic_cursor": q_topic_cursor,
         "select_stream": q_select_stream,
@@ -5516,6 +5535,41 @@ r AS (
 )
 SELECT doc_id, lang, score FROM r WHERE kr <= 2
 ORDER BY score DESC, doc_id ASC LIMIT 10
+"""
+
+    # FreeTextSuggester: recompute the 1/2-gram stupid-backoff model.
+    # Bigram level at backoff 1.0, unigram at 0.4 with cross-model
+    # dedup on the suggested last token; identical double op order
+    # (backoff*cnt/denominator) keeps scores bit-equal — no rounding.
+    sqls["freetext_suggest"] = """
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS ts FROM documents
+),
+nums AS (SELECT unnest(range(1, 4096)) AS i),
+uni AS (
+  SELECT ts[i] AS gram, count(*) AS cnt
+  FROM toks, nums WHERE i <= len(ts) GROUP BY 1
+),
+big AS (
+  SELECT ts[i] || ' ' || ts[i+1] AS gram, ts[i] AS context,
+         ts[i+1] AS lst, count(*) AS cnt
+  FROM toks, nums WHERE i <= len(ts) - 1 GROUP BY 1, 2, 3
+),
+l1 AS (
+  SELECT gram AS key, lst,
+         1.0 * cnt / (SELECT cnt FROM uni WHERE gram = 'spark') AS score
+  FROM big WHERE context = 'spark' AND lst LIKE 's%'
+  ORDER BY cnt DESC, gram ASC LIMIT 8
+),
+l0 AS (
+  SELECT gram AS key, gram AS lst,
+         0.4 * cnt / (SELECT CAST(sum(cnt) AS DOUBLE) FROM uni) AS score
+  FROM uni WHERE gram LIKE 's%' AND gram NOT IN (SELECT lst FROM l1)
+  ORDER BY cnt DESC, gram ASC LIMIT 8
+)
+SELECT key, score
+FROM (SELECT * FROM l1 UNION ALL SELECT * FROM l0)
+ORDER BY score DESC, key ASC LIMIT 8
 """
 
     # Replication: the replica must be query-identical to the master —
