@@ -397,6 +397,12 @@ class SolrQueryDispatcher:
             # from the raw value with no analysis (TermQParserPlugin
             # .java createParser; RawQParserPlugin.java)
             return wrap_field(TermQuery(one("v", rest) or ""))
+        if ptype == "query":
+            # NestedQParserPlugin: delegate the (usually $-referenced)
+            # value to a full re-parse — the {!query v=$q1} indirection
+            # every boost-function nesting uses (NestedQParserPlugin
+            # .java createParser → subQuery(v).getQuery())
+            return self.parse(one("v", rest) or "")
         if ptype == "field":
             # FieldQParserPlugin.java: analyze the value with the
             # field's analyzer; one token → TermQuery, several →

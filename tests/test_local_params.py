@@ -649,3 +649,17 @@ def test_ltr_qparser(spark, corpus):
     ]
     with pytest.raises(ValueError, match="unknown LTR model"):
         d.docs("{!ltr model=nope}spark")
+
+
+def test_nested_query_qparser():
+    """{!query v=$q1} — NestedQParserPlugin parameter indirection
+    (NestedQParserPlugin.java createParser)."""
+    d = _dispatcher(params={"q1": "{!term v=spark}"})
+    assert d.parse("{!query v=$q1}") == TermQuery("spark")
+    # inline value, full re-parse of any {!type}
+    assert d.parse("{!query v='{!prefix v=ha}'}") == PrefixQuery("ha")
+    # chained indirection: $q2 -> {!query v=$q1} -> term
+    d2 = _dispatcher(
+        params={"q1": "{!term v=spark}", "q2": "{!query v=$q1}"}
+    )
+    assert d2.parse("{!query v=$q2}") == TermQuery("spark")
