@@ -1913,6 +1913,29 @@ def q_terms_enumerate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_check_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CheckIndex (index/CheckIndex.java): decode every posting block
+    and verify block invariants (strictly-increasing docIDs, metadata
+    max_docid/max_tf/sum_tf vs decoded content, tf ≥ 1), docID-range
+    disjointness across segments, and norms/manifest doc counts —
+    raising on ANY problem; then return the per-segment manifest
+    (segment, num_docs, sum_len), which the oracle recomputes from the
+    corpus (segment = floor(doc_id/ceil(N/8)), lengths = kept-token
+    counts)."""
+    idx = _segidx(spark, sf_dir)
+    report = idx.check_index()
+    if report["problems"]:
+        raise RuntimeError(f"CheckIndex failed: {report['problems']}")
+    man = idx.manifest()
+    return spark.createDataFrame(
+        sorted(
+            (int(s), int(i.num_docs), int(i.sum_len))
+            for s, i in man.items()
+        ),
+        "segment long, num_docs long, sum_len long",
+    )
+
+
 def q_freetext_suggest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """FreeTextSuggester (suggest/analyzing/FreeTextSuggester.java:
     423-689): stupid-backoff n-gram suggestions for 'spark s' —
@@ -3880,6 +3903,7 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "composite_routing": q_composite_routing,
         "replication_fetch": q_replication_fetch,
         "freetext_suggest": q_freetext_suggest,
+        "check_index": q_check_index,
         "stream_sessionize": q_stream_sessionize,
         "topic_cursor": q_topic_cursor,
         "select_stream": q_select_stream,
@@ -5535,6 +5559,16 @@ r AS (
 )
 SELECT doc_id, lang, score FROM r WHERE kr <= 2
 ORDER BY score DESC, doc_id ASC LIMIT 10
+"""
+
+    # CheckIndex: the manifest's per-segment doc counts and summed
+    # field lengths must equal a from-scratch recomputation.
+    sqls["check_index"] = f"""
+WITH {_IDX},
+m AS (SELECT CAST(CEIL((MAX(doc_id) + 1) / 8.0) AS BIGINT) AS ss FROM documents)
+SELECT CAST(doc_id // (SELECT ss FROM m) AS BIGINT) AS segment,
+       count(*) AS num_docs, CAST(sum(length) AS BIGINT) AS sum_len
+FROM norms GROUP BY 1 ORDER BY 1
 """
 
     # FreeTextSuggester: recompute the 1/2-gram stupid-backoff model.
