@@ -1913,6 +1913,28 @@ def q_terms_enumerate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_term_automaton(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TermAutomatonQuery (sandbox/search/TermAutomatonQuery.java,
+    TermAutomatonScorer.java countMatches): the automaton
+    'spark window | spark ANY window' — freq counts every accepted
+    (start,end) token span, scored with the phrase-style idf-sum
+    BM25 weight."""
+    from lucene_solr_spark.queries.term_automaton import (
+        TermAutomatonQuery,
+        term_automaton_docs,
+    )
+
+    q = TermAutomatonQuery()
+    q.add_transition(0, 1, "spark")
+    q.add_transition(1, 2, "window")
+    q.add_any_transition(1, 3)
+    q.add_transition(3, 2, "window")
+    q.set_accept(2)
+    q.finish()
+    s = _searcher(spark, sf_dir)
+    return _scored(term_automaton_docs(s, q))
+
+
 def q_check_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CheckIndex (index/CheckIndex.java): decode every posting block
     and verify block invariants (strictly-increasing docIDs, metadata
@@ -3904,6 +3926,7 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "replication_fetch": q_replication_fetch,
         "freetext_suggest": q_freetext_suggest,
         "check_index": q_check_index,
+        "term_automaton": q_term_automaton,
         "stream_sessionize": q_stream_sessionize,
         "topic_cursor": q_topic_cursor,
         "select_stream": q_select_stream,
@@ -5559,6 +5582,34 @@ r AS (
 )
 SELECT doc_id, lang, score FROM r WHERE kr <= 2
 ORDER BY score DESC, doc_id ASC LIMIT 10
+"""
+
+    # TermAutomatonQuery 'spark window | spark ANY window': freq =
+    # accepted (start,end) spans = window at spark.pos+1 OR +2 (both
+    # count — distinct end positions), scored like a phrase (idf sum).
+    sqls["term_automaton"] = f"""
+WITH {_IDX},
+p1 AS (SELECT doc_id, pos FROM kept WHERE term = 'spark'),
+p2 AS (SELECT doc_id, pos FROM kept WHERE term = 'window'),
+ph AS (
+  SELECT p1.doc_id, count(*) AS freq
+  FROM p1 JOIN p2 ON p1.doc_id = p2.doc_id
+   AND (p2.pos = p1.pos + 1 OR p2.pos = p1.pos + 2)
+  GROUP BY p1.doc_id
+),
+idfs AS (
+  SELECT (SELECT ln(1 + (c.n - t.df + 0.5) / (t.df + 0.5))
+          FROM tstats t CROSS JOIN cstats c WHERE t.term = 'spark')
+       + (SELECT ln(1 + (c.n - t.df + 0.5) / (t.df + 0.5))
+          FROM tstats t CROSS JOIN cstats c WHERE t.term = 'window') AS idf_sum
+)
+SELECT ph.doc_id,
+       ROUND(i.idf_sum * 2.2 * ph.freq
+         / (ph.freq + 1.2 * (0.25 + 0.75 * nm.length / (c.sttf / c.n))), 4) AS score
+FROM ph
+JOIN norms nm USING (doc_id)
+CROSS JOIN cstats c
+CROSS JOIN idfs i
 """
 
     # CheckIndex: the manifest's per-segment doc counts and summed
