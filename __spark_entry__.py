@@ -1913,6 +1913,28 @@ def q_terms_enumerate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_sq_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar-quantized (int8-range) ANN: per-dim global min/max
+    codebook, codes persisted at build time (4× smaller than float32 —
+    the storage/bandwidth play at 100 TB), symmetric query
+    quantization, cosine over dequantized doubles.  The oracle
+    recomputes codebook, codes, and dequantized cosine from scratch;
+    boundary margins are pinned by tests/test_functions.py::
+    test_sq_fixture_boundary_margins."""
+    e = _table(spark, sf_dir, "embeddings")
+    qv = e.filter(F.col("vec_id") == 0).select("embedding").first()[0]
+    ikey = (spark.sparkContext.applicationId, sf_dir, "sq")
+    idx = _SEGIDX.get(ikey)
+    if idx is None:
+        idx = similarity.sq_index(e)
+        idx = (idx[0].persist(), idx[1], idx[2])
+        _SEGIDX[ikey] = idx
+    out = similarity.sq_topk(idx, [float(x) for x in qv], k=10)
+    return out.select(
+        "vec_id", F.round(F.col("cosine"), 4).alias("cosine")
+    ).orderBy(F.col("cosine").desc(), F.col("vec_id").asc())
+
+
 def q_term_automaton(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TermAutomatonQuery (sandbox/search/TermAutomatonQuery.java,
     TermAutomatonScorer.java countMatches): the automaton
@@ -3927,6 +3949,7 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "freetext_suggest": q_freetext_suggest,
         "check_index": q_check_index,
         "term_automaton": q_term_automaton,
+        "sq_ann_topk": q_sq_ann_topk,
         "stream_sessionize": q_stream_sessionize,
         "topic_cursor": q_topic_cursor,
         "select_stream": q_select_stream,
@@ -5582,6 +5605,38 @@ r AS (
 )
 SELECT doc_id, lang, score FROM r WHERE kr <= 2
 ORDER BY score DESC, doc_id ASC LIMIT 10
+"""
+
+    # Scalar-quantization ANN: recompute the per-dim min/max codebook,
+    # HALF_UP codes (round() is half-away = HALF_UP on the non-negative
+    # scaled values), dequantized cosine — identical double op order.
+    sqls["sq_ann_topk"] = """
+WITH nums AS (SELECT unnest(range(1, 4096)) AS i),
+z AS (
+  SELECT e.vec_id, i.i AS d, CAST(e.embedding[i.i] AS DOUBLE) AS x
+  FROM embeddings e, nums i WHERE i.i <= len(e.embedding)
+),
+mm AS (SELECT d, min(x) AS mn, max(x) AS mx FROM z GROUP BY d),
+dq AS (
+  SELECT z.vec_id, z.d,
+         CASE WHEN mm.mx = mm.mn THEN mm.mn
+              ELSE mm.mn
+                   + CAST(round((z.x - mm.mn) * 255.0 / (mm.mx - mm.mn), 0) AS BIGINT)
+                     * ((mm.mx - mm.mn) / 255.0)
+         END AS xh
+  FROM z JOIN mm USING (d)
+),
+qq AS (SELECT d, xh AS qh FROM dq WHERE vec_id = 0),
+dsum AS (
+  SELECT dq.vec_id, sum(dq.xh * qq.qh) AS dot,
+         sqrt(sum(dq.xh * dq.xh)) AS nx
+  FROM dq JOIN qq USING (d) GROUP BY dq.vec_id
+),
+qn AS (SELECT sqrt(sum(qh * qh)) AS n FROM qq)
+SELECT vec_id, ROUND(dot / (nx * (SELECT n FROM qn)), 4) AS cosine
+FROM dsum WHERE nx > 0
+ORDER BY ROUND(dot / (nx * (SELECT n FROM qn)), 4) DESC, vec_id ASC
+LIMIT 10
 """
 
     # TermAutomatonQuery 'spark window | spark ANY window': freq =

@@ -392,3 +392,123 @@ def cosine_all_pairs_exact(
         .withColumn("gj", F.greatest("blk", "pb"))
     )
     return rep.groupBy("gi", "gj").applyInPandas(kernel, out_schema)
+
+
+# --------------------------------------------------------------------------
+# Scalar (int8-range) quantization ANN — the storage/bandwidth play for
+# 100-TB embedding corpora: 4× smaller vectors, arithmetic on
+# dequantized doubles (asymmetric-free, fully engine-reproducible).
+# Semantics defined by this module (the reference predates vector
+# codecs); the design mirrors the global min/max scalar quantizer every
+# vector store ships: code_d = round((x_d − min_d) · 255 / (max_d −
+# min_d)) per dimension, dequant x̂_d = min_d + code_d · ((max_d −
+# min_d) / 255).  Per-dim bounds come from ONE posexplode partial+final
+# agg (dim-safe, no driver-sized state beyond 2·dim doubles); queries
+# quantize symmetrically so index and query share the codebook.
+# --------------------------------------------------------------------------
+
+
+def sq_minmax(
+    df: DataFrame, vec_col: str = "embedding"
+) -> tuple[list[float], list[float]]:
+    """Per-dimension (min, max) over the corpus — 2·dim doubles, the
+    whole 'codebook'."""
+    mm = (
+        df.select(F.posexplode(F.col(vec_col)).alias("d", "x"))
+        .groupBy("d")
+        .agg(
+            F.min(F.col("x").cast("double")).alias("mn"),
+            F.max(F.col("x").cast("double")).alias("mx"),
+        )
+        .orderBy("d")
+        .collect()
+    )
+    return [r["mn"] for r in mm], [r["mx"] for r in mm]
+
+
+def _sq_codes(vec, mins: list[float], maxs: list[float]):
+    """array<int> quantization codes: round((x−mn)·255/(mx−mn)),
+    0 for constant dimensions.  Op order matches the SQL oracle
+    exactly: ((x − mn) · 255.0) / (mx − mn)."""
+    mn = F.array(*[F.lit(float(v)) for v in mins])
+    mx = F.array(*[F.lit(float(v)) for v in maxs])
+
+    def code(x, i):
+        m = F.element_at(mn, i + 1)
+        r = F.element_at(mx, i + 1) - m
+        return F.when(r == 0.0, F.lit(0)).otherwise(
+            F.round((x.cast("double") - m) * F.lit(255.0) / r, 0).cast("int")
+        )
+
+    return F.transform(vec, code)
+
+
+def _sq_dequant(codes, mins: list[float], maxs: list[float]):
+    """array<double> dequantized values: mn + code·((mx−mn)/255)."""
+    mn = F.array(*[F.lit(float(v)) for v in mins])
+    mx = F.array(*[F.lit(float(v)) for v in maxs])
+
+    def deq(c, i):
+        m = F.element_at(mn, i + 1)
+        r = F.element_at(mx, i + 1) - m
+        return m + c.cast("double") * (r / F.lit(255.0))
+
+    return F.transform(codes, deq)
+
+
+def sq_index(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> tuple[DataFrame, list[float], list[float]]:
+    """Build-time quantization: (vec_id, _sq array<int>) plus the
+    codebook.  At scale the codes column is what gets persisted — the
+    float vectors never need to be read again for approximate search."""
+    mins, maxs = sq_minmax(df, vec_col)
+    idx = df.select(
+        F.col(id_col).alias("vec_id"),
+        _sq_codes(F.col(vec_col), mins, maxs).alias("_sq"),
+    )
+    return idx, mins, maxs
+
+
+def sq_topk(
+    index: tuple[DataFrame, list[float], list[float]],
+    query_vec: list[float],
+    k: int = 10,
+) -> DataFrame:
+    """Approximate top-k by cosine over dequantized codes, the query
+    quantized symmetrically through the same codebook."""
+    idx, mins, maxs = index
+    import numpy as np  # noqa: PLC0415 — local to keep module import light
+
+    qc = []
+    for x, mn, mx in zip(query_vec, mins, maxs):
+        r = mx - mn
+        # floor(v+0.5) = HALF_UP — np.round is half-EVEN and would
+        # disagree with Spark/DuckDB round() on exact .5 codes
+        qc.append(
+            0 if r == 0 else int(np.floor((float(x) - mn) * 255.0 / r + 0.5))
+        )
+    qh = [
+        mn + c * ((mx - mn) / 255.0)
+        for c, mn, mx in zip(qc, mins, maxs)
+    ]
+    qn = float(np.sqrt(np.sum(np.asarray(qh, dtype=np.float64) ** 2)))
+    if qn == 0.0:
+        raise ValueError("quantized query vector has zero norm")
+    q = F.array(*[F.lit(float(v)) for v in qh])
+    vh = _sq_dequant(F.col("_sq"), mins, maxs)
+    dot = _dot(vh, q)
+    nrm = _norm(vh)
+    return (
+        idx.select(
+            "vec_id",
+            (dot / (nrm * F.lit(qn))).alias("cosine"),
+            nrm.alias("_n"),
+        )
+        .filter(F.col("_n") > 0)
+        .drop("_n")
+        .orderBy(F.col("cosine").desc(), F.col("vec_id").asc())
+        .limit(k)
+    )

@@ -379,3 +379,84 @@ def test_lexicon_hits_equals_filter_semantics(spark):
     for r in rows:
         for lang in LANG_LEXICONS:
             assert r[f"new_{lang}"] == r[f"old_{lang}"], (lang, dict(r.asDict()))
+
+
+def test_sq_quantization_roundtrip_and_recall(emb):
+    from lucene_solr_spark.functions.similarity import (
+        cosine_topk,
+        sq_index,
+        sq_topk,
+    )
+
+    idx = sq_index(emb)
+    codes = idx[0].toPandas()
+    flat = np.concatenate([np.asarray(c) for c in codes["_sq"]])
+    assert flat.min() >= 0 and flat.max() <= 255  # int8-range codes
+    assert flat.max() == 255 and flat.min() == 0  # bounds are attained
+
+    pdf = emb.toPandas()
+    q = list(pdf[pdf.vec_id == 0].iloc[0]["embedding"])
+    exact = [r["vec_id"] for r in cosine_topk(emb, q, 10).collect()]
+    approx = [r["vec_id"] for r in sq_topk(idx, q, 10).collect()]
+    assert approx[0] == 0  # self-match survives quantization
+    recall = len(set(exact) & set(approx)) / 10
+    assert recall >= 0.8  # 8-bit/dim keeps cosine nearly intact
+
+
+def test_sq_matches_numpy_dequant(emb):
+    """Codes and dequantized cosines agree with a from-scratch numpy
+    quantizer using the same HALF_UP rule."""
+    from lucene_solr_spark.functions.similarity import sq_index, sq_topk
+
+    idx, mins, maxs = sq_index(emb)
+    pdf = emb.toPandas().sort_values("vec_id")
+    M = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+    mn = np.asarray(mins)
+    mx = np.asarray(maxs)
+    r = mx - mn
+    codes = np.floor((M - mn) * 255.0 / np.where(r == 0, 1, r) + 0.5)
+    codes = np.where(r == 0, 0, codes)
+    got = (
+        idx.orderBy("vec_id").toPandas()["_sq"]
+        .apply(lambda c: np.asarray(c, dtype=np.int64))
+    )
+    assert all((g == c).all() for g, c in zip(got, codes.astype(np.int64)))
+
+    q = list(pdf[pdf.vec_id == 3].iloc[0]["embedding"])
+    qc = np.where(r == 0, 0, np.floor((np.asarray(q) - mn) * 255.0 / np.where(r == 0, 1, r) + 0.5))
+    qh = mn + qc * (r / 255.0)
+    Mh = mn + codes * (r / 255.0)
+    cos = Mh @ qh / (np.linalg.norm(Mh, axis=1) * np.linalg.norm(qh))
+    want = sorted(zip(pdf["vec_id"], cos), key=lambda t: (-t[1], t[0]))[:5]
+    got5 = [(r2["vec_id"], r2["cosine"]) for r2 in sq_topk((idx, mins, maxs), q, 5).collect()]
+    assert [g[0] for g in got5] == [int(w[0]) for w in want]
+    for g, w in zip(got5, want):
+        assert abs(g[1] - w[1]) < 1e-9
+
+
+@pytest.mark.parametrize("sf_dir", [SF, "/root/testdata/sf0.01"])
+def test_sq_fixture_boundary_margins(sf_dir):
+    """The sq_ann_topk gate hashes ROUND(cosine, 4); pin every
+    quantized-corpus cosine vs the query (vec_id 0) ≥ 1e-9 away from a
+    .00005 boundary, and pin the top-10 rank gap so ~1e-15 cross-engine
+    sum-order drift cannot flip ranks on the driver fixture."""
+    import duckdb
+
+    con = duckdb.connect()
+    pdf = con.execute(
+        f"SELECT vec_id, embedding FROM '{sf_dir}/embeddings.parquet' "
+        "ORDER BY vec_id"
+    ).fetchdf()
+    M = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+    mn, mx = M.min(axis=0), M.max(axis=0)
+    r = np.where(mx - mn == 0, 1, mx - mn)
+    codes = np.floor((M - mn) * 255.0 / r + 0.5)
+    Mh = mn + codes * ((mx - mn) / 255.0)
+    qh = Mh[pdf["vec_id"].to_numpy().tolist().index(0)]
+    cos = Mh @ qh / (np.linalg.norm(Mh, axis=1) * np.linalg.norm(qh))
+    dist = np.abs((cos * 10000) % 1 - 0.5) / 10000
+    assert dist.min() > 1e-9
+    # quantization boundary margin: no (x-mn)*255/r lands within 1e-9
+    # of an exact .5 (where HALF_UP engines could disagree at 1-ulp)
+    v = (M - mn) * 255.0 / r
+    assert np.abs((v % 1) - 0.5).min() > 1e-9
