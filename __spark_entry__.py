@@ -1913,6 +1913,24 @@ def q_terms_enumerate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_filtered_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pre-filtered vector search (the filter+kNN every vector store
+    user hits): exact cosine top-k restricted to label = 3 — the
+    metadata predicate is a plain Catalyst filter pushed to the
+    parquet scan BEFORE any vector math, so at 100 TB the scan prunes
+    by the filter column first and only surviving rows pay the
+    dot-product (post-filtering an unfiltered ANN result would lose
+    recall; pre-filtering is exact)."""
+    e = _table(spark, sf_dir, "embeddings")
+    qv = e.filter(F.col("vec_id") == 0).select("embedding").first()[0]
+    out = similarity.cosine_topk(
+        e.filter(F.col("label") == 3), [float(x) for x in qv], k=10
+    )
+    return out.select(
+        "vec_id", F.round(F.col("cosine"), 4).alias("cosine")
+    ).orderBy(F.col("cosine").desc(), F.col("vec_id").asc())
+
+
 def q_sq_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Scalar-quantized (int8-range) ANN: per-dim global min/max
     codebook, codes persisted at build time (4× smaller than float32 —
@@ -3950,6 +3968,7 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "check_index": q_check_index,
         "term_automaton": q_term_automaton,
         "sq_ann_topk": q_sq_ann_topk,
+        "filtered_ann": q_filtered_ann,
         "stream_sessionize": q_stream_sessionize,
         "topic_cursor": q_topic_cursor,
         "select_stream": q_select_stream,
@@ -5605,6 +5624,25 @@ r AS (
 )
 SELECT doc_id, lang, score FROM r WHERE kr <= 2
 ORDER BY score DESC, doc_id ASC LIMIT 10
+"""
+
+    # Pre-filtered ANN: exact cosine top-k over the label=3 subset.
+    sqls["filtered_ann"] = """
+WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+z AS (
+  SELECT e.vec_id,
+         unnest(CAST(e.embedding AS DOUBLE[])) AS x,
+         unnest(CAST(q.qv AS DOUBLE[])) AS y
+  FROM embeddings e CROSS JOIN q WHERE e.label = 3
+),
+d AS (
+  SELECT vec_id, sum(x * y) AS dot, sqrt(sum(x * x)) AS nx,
+         sqrt(sum(y * y)) AS ny
+  FROM z GROUP BY vec_id
+)
+SELECT vec_id, ROUND(dot / (nx * ny), 4) AS cosine
+FROM d WHERE nx > 0
+ORDER BY ROUND(dot / (nx * ny), 4) DESC, vec_id ASC LIMIT 10
 """
 
     # Scalar-quantization ANN: recompute the per-dim min/max codebook,
