@@ -1913,6 +1913,29 @@ def q_terms_enumerate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_fvh_highlight(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FastVectorHighlighter over the BM25 top-5 for 'spark'
+    (vectorhighlight/*): WeightedFieldFragList float32 scoring
+    (distinct-term first occurrences × the (float)(ln(maxDoc/(df+1))+1)
+    FieldTermStack weight × the length/sqrt(length) norm) and the
+    <b>-spliced fragment.  fragCharSize=2048 > max doc length makes
+    the fragment sweep degenerate to ONE whole-doc fragment (spanStart
+    re-centers to 0 because newMargin > any first-match offset), so
+    the whole pipeline is SQL-expressible; the multi-fragment sweep,
+    re-center, previous-span discard, and boundary scanner are pinned
+    by tests/test_fvh.py."""
+    from lucene_solr_spark.queries.fvh import fvh_highlight
+
+    s = _searcher(spark, sf_dir)
+    top5 = _topk(s.docs(TermQuery("spark")), 5).select("doc_id")
+    d = _table(spark, sf_dir, "documents").join(top5, "doc_id")
+    out = fvh_highlight(
+        s, d, ["spark", "window"], frag_char_size=2048,
+        max_num_fragments=1, weighted=True,
+    )
+    return out.select("doc_id", "score", "fragment")
+
+
 def q_filtered_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pre-filtered vector search (the filter+kNN every vector store
     user hits): exact cosine top-k restricted to label = 3 — the
@@ -3969,6 +3992,7 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "term_automaton": q_term_automaton,
         "sq_ann_topk": q_sq_ann_topk,
         "filtered_ann": q_filtered_ann,
+        "fvh_highlight": q_fvh_highlight,
         "stream_sessionize": q_stream_sessionize,
         "topic_cursor": q_topic_cursor,
         "select_stream": q_select_stream,
@@ -5624,6 +5648,61 @@ r AS (
 )
 SELECT doc_id, lang, score FROM r WHERE kr <= 2
 ORDER BY score DESC, doc_id ASC LIMIT 10
+"""
+
+    # FastVectorHighlighter: whole-doc fragment (fragCharSize > doc
+    # length), float32 weighted score over distinct-term first
+    # occurrences, <b>-wrapped token reconstruction.  Two-term float32
+    # sums are order-free (addition of two floats is commutative).
+    sqls["fvh_highlight"] = f"""
+WITH {_IDX},
+s AS ({_bm25_sql("spark")}),
+top5 AS (
+  SELECT doc_id FROM s
+  ORDER BY ROUND(score, 4) DESC, doc_id ASC LIMIT 5
+),
+occ AS (
+  SELECT t.doc_id, t.term, t.pos FROM toks t JOIN top5 USING (doc_id)
+  WHERE t.term IN ('spark', 'window')
+),
+cnt AS (
+  SELECT doc_id, count(*) AS length,
+         count(DISTINCT term) AS nterms
+  FROM occ GROUP BY doc_id
+),
+wts AS (
+  SELECT CAST(ln((SELECT n FROM cstats)
+               / ((SELECT df FROM tstats WHERE term = 'spark') + 1.0))
+              + 1.0 AS FLOAT) AS w_s,
+         CAST(ln((SELECT n FROM cstats)
+               / ((SELECT df FROM tstats WHERE term = 'window') + 1.0))
+              + 1.0 AS FLOAT) AS w_w
+),
+scored AS (
+  SELECT c.doc_id,
+         CAST(
+           CASE WHEN c.nterms = 2 THEN
+             CAST(w.w_s * CAST(CAST(c.length AS FLOAT)
+                  * (CAST(1.0 AS FLOAT) / CAST(sqrt(CAST(c.length AS DOUBLE)) AS FLOAT)) AS FLOAT) AS FLOAT)
+             + CAST(w.w_w * CAST(CAST(c.length AS FLOAT)
+                  * (CAST(1.0 AS FLOAT) / CAST(sqrt(CAST(c.length AS DOUBLE)) AS FLOAT)) AS FLOAT) AS FLOAT)
+           ELSE
+             CAST(w.w_s * CAST(CAST(c.length AS FLOAT)
+                  * (CAST(1.0 AS FLOAT) / CAST(sqrt(CAST(c.length AS DOUBLE)) AS FLOAT)) AS FLOAT) AS FLOAT)
+           END AS DOUBLE) AS score
+  FROM cnt c CROSS JOIN wts w
+),
+frag AS (
+  SELECT t.doc_id,
+         string_agg(
+           CASE WHEN t.term IN ('spark', 'window')
+                THEN '<b>' || t.term || '</b>' ELSE t.term END,
+           ' ' ORDER BY t.pos) AS fragment
+  FROM toks t JOIN top5 USING (doc_id)
+  GROUP BY t.doc_id
+)
+SELECT s2.doc_id, s2.score, f.fragment
+FROM scored s2 JOIN frag f USING (doc_id)
 """
 
     # Pre-filtered ANN: exact cosine top-k over the label=3 subset.
