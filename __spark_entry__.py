@@ -2745,6 +2745,18 @@ def q_suggest_infix(spark: SparkSession, sf_dir: str) -> DataFrame:
     return suggest_infix(_suggestion_keys(spark, sf_dir), "col", n=10)
 
 
+def q_suggest_blended(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BlendedInfixSuggester (suggest/analyzing/BlendedInfixSuggester
+    .java:62-327): infix hits re-weighted by the first matching
+    token's analyzed position — POSITION_LINEAR 1−0.10·pos over the
+    top n·numFactor raw-weight pool, score = (long)(weight·coef)."""
+    from lucene_solr_spark.queries.suggest import suggest_blended_infix
+
+    return suggest_blended_infix(
+        _suggestion_keys(spark, sf_dir), "col", n=10
+    )
+
+
 def q_suggest_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
     """FuzzySuggester (suggest/analyzing/FuzzySuggester.java):
     completions whose prefix is within 1 edit of the typed query
@@ -4066,6 +4078,7 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # (already evidenced in CORRECTNESS_r01)
         "suggest_analyzing": q_suggest_analyzing,
         "suggest_infix": q_suggest_infix,
+        "suggest_blended": q_suggest_blended,
         "suggest_fuzzy": q_suggest_fuzzy,
         "term_query": q_term_query,
         "segment_term_query": q_segment_term_query,
@@ -6104,6 +6117,26 @@ hitdocs AS (
 )
 SELECT k.key, k.weight FROM keys k JOIN hitdocs USING (doc_id)
 ORDER BY weight DESC, key ASC LIMIT 10
+"""
+
+    # BlendedInfix: linear position blend over the top-100 raw-weight
+    # pool; analyzed positions keep stop gaps = raw token index.
+    sqls["suggest_blended"] = f"""
+WITH {_KEYS},
+nums AS (SELECT unnest(range(1, 64)) AS i),
+kt AS (
+  SELECT k.doc_id, k.key, k.weight,
+         string_split(k.key, ' ')[i.i] AS tok, i.i - 1 AS pos
+  FROM keys k, nums i WHERE i.i <= len(string_split(k.key, ' '))
+),
+m AS (
+  SELECT doc_id, key, weight, min(pos) AS mpos
+  FROM kt WHERE tok NOT IN ({_STOP}) AND tok LIKE 'col%'
+  GROUP BY doc_id, key, weight
+),
+pool AS (SELECT * FROM m ORDER BY weight DESC, key ASC LIMIT 100)
+SELECT key, CAST(floor(weight * (1 - 0.10 * mpos)) AS BIGINT) AS score
+FROM pool ORDER BY score DESC, key ASC LIMIT 10
 """
 
     sqls["suggest_fuzzy"] = f"""

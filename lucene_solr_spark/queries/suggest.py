@@ -186,3 +186,91 @@ def suggest_freetext(
         .orderBy(F.col("weight").desc(), F.col("term").asc())
         .limit(n)
     )
+
+
+def suggest_blended_infix(
+    suggestions: DataFrame,
+    query: str,
+    n: int = 10,
+    blender: str = "linear",
+    exponent: float = 2.0,
+    num_factor: int = 10,
+    key_col: str = "key",
+    weight_col: str = "weight",
+) -> DataFrame:
+    """BlendedInfixSuggester (lucene/suggest/.../analyzing/
+    BlendedInfixSuggester.java): infix lookup re-weighted by WHERE the
+    match sits in the key.  The position is the first (minimum)
+    analyzed-stream position over all matched tokens — fully-typed
+    query tokens plus prefix matches of the still-being-typed last
+    token (createCoefficient:272-299; stop gaps preserved, so the
+    position is the raw token index) — and the coefficient is
+    POSITION_LINEAR ``1 − 0.10·position``, POSITION_RECIPROCAL
+    ``1/(position+1)``, or POSITION_EXPONENTIAL_RECIPROCAL
+    ``1/(position+1)^exponent`` (calculateCoefficient:307-327);
+    ``score = (long)(weight · coefficient)`` (:228).  Blending happens
+    over the top ``n·numFactor`` raw-weight candidates (:74,:113).
+    """
+    import pandas as pd
+
+    from lucene_solr_spark.analysis import analyze_text
+
+    @F.pandas_udf("array<struct<t: string, p: int>>")
+    def analyzed_tp(keys: pd.Series) -> pd.Series:
+        out = []
+        for k in keys:
+            terms, poss = analyze_text(k or "")
+            out.append(
+                [{"t": t, "p": int(p)} for t, p in zip(terms, poss)]
+            )
+        return pd.Series(out, index=keys.index)
+
+    q_terms, _ = analyze_text(query)
+    if not q_terms:
+        return suggestions.sparkSession.createDataFrame(
+            [], "key string, score long"
+        )
+    last = q_terms[-1]
+    full = q_terms[:-1]
+    tp = analyzed_tp(F.col(key_col))
+
+    def is_match(e):
+        m = e["t"].startswith(last)
+        for ft in full:
+            m = m | (e["t"] == ft)
+        return m
+
+    cond = F.exists(tp, lambda e: e["t"].startswith(last))
+    for ft in full:
+        cond = cond & F.exists(tp, lambda e, ft=ft: e["t"] == ft)
+    pool = (
+        suggestions.filter(cond)
+        .orderBy(F.col(weight_col).desc(), F.col(key_col).asc())
+        .limit(int(n) * int(num_factor))
+        .withColumn("_tp", tp)
+    )
+    pos = F.array_min(
+        F.transform(
+            F.filter(F.col("_tp"), is_match), lambda e: e["p"]
+        )
+    ).cast("double")
+    if blender == "linear":
+        coef = F.lit(1.0) - F.lit(0.10) * pos
+    elif blender == "reciprocal":
+        coef = F.lit(1.0) / (pos + F.lit(1.0))
+    elif blender == "exponential_reciprocal":
+        coef = F.lit(1.0) / F.pow(pos + F.lit(1.0), F.lit(float(exponent)))
+    else:
+        raise ValueError(f"unknown blender {blender!r}")
+    # Java (long)(weight * coefficient) truncates toward zero
+    raw = F.col(weight_col).cast("double") * coef
+    score = F.when(raw >= 0, F.floor(raw)).otherwise(-F.floor(-raw)).cast(
+        "long"
+    )
+    return (
+        pool.select(
+            F.col(key_col).alias("key"), score.alias("score")
+        )
+        .orderBy(F.col("score").desc(), F.col("key").asc())
+        .limit(int(n))
+    )
