@@ -2745,6 +2745,24 @@ def q_suggest_infix(spark: SparkSession, sf_dir: str) -> DataFrame:
     return suggest_infix(_suggestion_keys(spark, sf_dir), "col", n=10)
 
 
+def q_grouped_facet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped faceting (lucene/grouping/GroupFacetCollector.java:
+    262-281 — 'The count (number of groups) of this facet entry';
+    Solr group.facet=true): facet counts are the number of DISTINCT
+    GROUPS containing the facet value among matching docs, not the
+    number of docs.  One partial+final count-distinct agg; the
+    matching docset ('spark' docs) comes term-pruned from the index."""
+    s = _searcher(spark, sf_dir)
+    hits = s.docs(TermQuery("spark")).select("doc_id")
+    d = _table(spark, sf_dir, "documents")
+    return (
+        d.join(hits, "doc_id")
+        .groupBy("lang")
+        .agg(F.count_distinct("source").alias("group_count"))
+        .orderBy(F.col("group_count").desc(), F.col("lang").asc())
+    )
+
+
 def q_suggest_blended(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BlendedInfixSuggester (suggest/analyzing/BlendedInfixSuggester
     .java:62-327): infix hits re-weighted by the first matching
@@ -4079,6 +4097,7 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "suggest_analyzing": q_suggest_analyzing,
         "suggest_infix": q_suggest_infix,
         "suggest_blended": q_suggest_blended,
+        "grouped_facet": q_grouped_facet,
         "suggest_fuzzy": q_suggest_fuzzy,
         "term_query": q_term_query,
         "segment_term_query": q_segment_term_query,
@@ -6117,6 +6136,17 @@ hitdocs AS (
 )
 SELECT k.key, k.weight FROM keys k JOIN hitdocs USING (doc_id)
 ORDER BY weight DESC, key ASC LIMIT 10
+"""
+
+    # Grouped faceting: count DISTINCT groups (source) per facet value
+    # (lang) over the 'spark' docset.
+    sqls["grouped_facet"] = f"""
+WITH {_IDX},
+hits AS (SELECT DISTINCT doc_id FROM postings WHERE term = 'spark')
+SELECT d.lang, count(DISTINCT d.source) AS group_count
+FROM documents d JOIN hits USING (doc_id)
+GROUP BY d.lang
+ORDER BY group_count DESC, lang ASC
 """
 
     # BlendedInfix: linear position blend over the top-100 raw-weight
