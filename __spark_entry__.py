@@ -1751,6 +1751,65 @@ def q_stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("user_id", "start_ms")
 
 
+def q_stream_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked tumbling-window streaming aggregation
+    (Structured Streaming `window()` + `withWatermark`, the engine's
+    native analog of TimeSeriesStream for live data): availableNow
+    over a parquet copy of events, 1-day event-time windows, append
+    mode — only windows whose end ≤ the final watermark (max event
+    time, 0s delay) emit, which the oracle reproduces with
+    `window_end <= max(ts)`.  The 2-dp value metric sums as DECIMAL so
+    the result is exact under any summation order."""
+    from lucene_solr_spark.streaming import stream_windowed_agg
+
+    key = (spark.sparkContext.applicationId, sf_dir, "streamwin")
+    rows = _SEGIDX.get(key)
+    if rows is None:
+        tmp = _mktempdir("streamwin-")
+        events = _table(spark, sf_dir, "events")
+        events.coalesce(1).write.parquet(f"{tmp}/src")
+        stream = (
+            spark.readStream.schema(events.schema)
+            .parquet(f"{tmp}/src")
+            .withColumn("value_d", F.col("value").cast("decimal(18,2)"))
+        )
+        agg = stream_windowed_agg(
+            stream, ts_col="ts", window="1 day",
+            watermark="0 seconds", value_col="value_d",
+        )
+        qname = f"streamwin_{abs(hash(key)) % 10**9}"
+        q = (
+            agg.writeStream.format("memory")
+            .queryName(qname)
+            .outputMode("append")
+            .option("checkpointLocation", f"{tmp}/ck")
+            .trigger(availableNow=True)
+            .start()
+        )
+        if not q.awaitTermination(300):
+            q.stop()
+            raise TimeoutError(
+                "windowed stream did not finish within 300s; "
+                "refusing to cache a partial result"
+            )
+        rows = [
+            tuple(r)
+            for r in spark.table(qname)
+            .select(
+                F.unix_millis("window_start").alias("start_ms"),
+                F.col("cnt").cast("long").alias("cnt"),
+                F.round(F.col("sum_value").cast("double"), 4).alias(
+                    "sum_value"
+                ),
+            )
+            .collect()
+        ]
+        _SEGIDX[key] = rows
+    return spark.createDataFrame(
+        rows, "start_ms long, cnt long, sum_value double"
+    ).orderBy("start_ms")
+
+
 def q_topic_cursor(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TopicStream incremental version cursor (io/stream/TopicStream.java:
     per-shard version checkpoints; each read returns only tuples with
@@ -4024,6 +4083,7 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "filtered_ann": q_filtered_ann,
         "fvh_highlight": q_fvh_highlight,
         "stream_sessionize": q_stream_sessionize,
+        "stream_window": q_stream_window,
         "topic_cursor": q_topic_cursor,
         "select_stream": q_select_stream,
         "complement_stream": q_complement_stream,
@@ -6696,6 +6756,18 @@ ORDER BY poll
     # followed by a later session of the same user, plus last sessions
     # whose end + gap is strictly below the final watermark (the max
     # event time, ms-truncated like the kernel).
+    sqls["stream_window"] = """
+WITH w AS (
+  SELECT date_trunc('day', ts) AS ws, count(*) AS cnt,
+         ROUND(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 4) AS sum_value
+  FROM events GROUP BY 1
+),
+m AS (SELECT max(ts) AS mx FROM events)
+SELECT epoch_ms(ws) AS start_ms, cnt, sum_value
+FROM w, m WHERE ws + INTERVAL 1 DAY <= m.mx
+ORDER BY start_ms
+"""
+
     sqls["stream_sessionize"] = """
 WITH e AS (SELECT user_id, epoch_ms(ts) AS t, value FROM events),
 mx AS (SELECT MAX(t) AS m FROM e),
