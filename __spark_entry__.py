@@ -3407,6 +3407,24 @@ def q_classic_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _topk(s.docs(TermQuery("spark")), 10)
 
 
+def q_dfr_ine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DFR I(ne)B-H1 top-10 for 'window' (DFRSimilarity.java:110-114,
+    BasicModelIne.java:33-38 — ne = N·(1−((N−1)/N)^F),
+    AfterEffectB.java:32-36 — (F+1)/(n·(tfn+1)),
+    NormalizationH1.java:50-52 — all-float tf·c·avgdl/len), every
+    float32 op replayed by the DuckDB oracle."""
+    s = _searcher(spark, sf_dir, scoring="dfr_ine_b_h1")
+    return _topk(s.docs(TermQuery("window")), 10)
+
+
+def q_ib_ll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IB LL-D-H2 top-10 for 'spark' (IBSimilarity.java:98-104,
+    DistributionLL.java:33-35 — (float)−log(λ/(tfn+λ)),
+    LambdaDF.java:31-34 — λ=(df+1F)/(N+1F)), float32-faithful."""
+    s = _searcher(spark, sf_dir, scoring="ib_ll_df")
+    return _topk(s.docs(TermQuery("spark")), 10)
+
+
 def q_lm_dirichlet(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LM-Dirichlet (mu=2000) top-10 for the SHOULD disjunction
     'spark window' — float32-faithful to LMDirichletSimilarity.java:
@@ -4021,6 +4039,8 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "span_or": q_span_or,
         "classic_tfidf": q_classic_tfidf,
         "lm_dirichlet": q_lm_dirichlet,
+        "dfr_ine": q_dfr_ine,
+        "ib_ll": q_ib_ll,
         "dfr_similarity": q_dfr_similarity,
         "dfr_pl2": q_dfr_pl2,
         "dfr_phrase": q_dfr_phrase,
@@ -7323,6 +7343,78 @@ scored AS (
     # log arguments built from FLOAT ops, ln in double, (a1+a2) cast
     # FLOAT, per-doc clamp at 0, cross-term double sum cast FLOAT.
     # Quantized docLen comes from the byte315 boundary table (nt).
+    # DFR I(ne)B-H1: all-float H1 tfn, double ne, float B after-effect.
+    sqls["dfr_ine"] = f"""
+WITH {_IDX},
+{_bm25_f32_ctes()},
+avgf2 AS (SELECT CAST(CAST(sttf AS FLOAT) / CAST(n AS FLOAT) AS FLOAT)
+                 AS avgdl FROM cstats),
+tstats2 AS (
+  SELECT term, count(*) AS df, CAST(sum(tf) AS BIGINT) AS ttf
+  FROM postings GROUP BY term
+),
+inew AS (
+  SELECT t.term, t.df, t.ttf,
+         CAST(ln((c.n + 1) / (c.n * (1 - pow((c.n - 1) / CAST(c.n AS DOUBLE), t.ttf)) + 0.5))
+              / ln(2) AS FLOAT) AS in_w
+  FROM tstats2 t CROSS JOIN cstats c
+  WHERE t.term = 'window'
+),
+per AS (
+  SELECT p.doc_id,
+         CAST(CAST(CAST(CAST(p.tf AS FLOAT) * CAST(1 AS FLOAT) AS FLOAT)
+                   * a.avgdl AS FLOAT) / cv.nt AS FLOAT) AS tfn,
+         w.in_w, w.df, w.ttf
+  FROM postings p
+  JOIN inew w USING (term)
+  JOIN norms nm USING (doc_id)
+  JOIN b315 cv ON nm.length BETWEEN cv.lo AND cv.hi
+  CROSS JOIN avgf2 a
+),
+scored AS (
+  SELECT doc_id,
+         CAST(CAST(CAST(CAST(1 AS FLOAT) * CAST(tfn * in_w AS FLOAT) AS FLOAT)
+              * CAST(CAST(ttf + 1 AS FLOAT)
+                     / CAST(CAST(df AS FLOAT)
+                            * CAST(tfn + CAST(1 AS FLOAT) AS FLOAT) AS FLOAT)
+                     AS FLOAT) AS FLOAT) AS DOUBLE) AS score
+  FROM per
+)
+{_TOPK_TAIL.format(k=10)}
+"""
+
+    # IB LL-D-H2: H2 tfn, float λ=(df+1)/(N+1), (float)−ln(λ/(tfn+λ)).
+    sqls["ib_ll"] = f"""
+WITH {_IDX},
+{_bm25_f32_ctes()},
+avgf2 AS (SELECT CAST(CAST(sttf AS FLOAT) / CAST(n AS FLOAT) AS FLOAT)
+                 AS avgdl FROM cstats),
+lamw AS (
+  SELECT t.term, CAST(CAST(t.df + 1.0 AS FLOAT) / CAST(c.n + 1.0 AS FLOAT)
+                      AS FLOAT) AS lam
+  FROM tstats t CROSS JOIN cstats c WHERE t.term = 'spark'
+),
+per AS (
+  SELECT p.doc_id, w.lam,
+         CAST(p.tf * (ln(CAST(CAST(1 AS FLOAT)
+             + CAST(CAST(CAST(1 AS FLOAT) * a.avgdl AS FLOAT) / cv.nt
+                    AS FLOAT) AS FLOAT)) / ln(2)) AS FLOAT) AS tfn
+  FROM postings p
+  JOIN lamw w USING (term)
+  JOIN norms nm USING (doc_id)
+  JOIN b315 cv ON nm.length BETWEEN cv.lo AND cv.hi
+  CROSS JOIN avgf2 a
+),
+scored AS (
+  SELECT doc_id,
+         CAST(CAST(1 AS FLOAT)
+              * CAST(-ln(CAST(lam / CAST(tfn + lam AS FLOAT) AS FLOAT))
+                     AS FLOAT) AS DOUBLE) AS score
+  FROM per
+)
+{_TOPK_TAIL.format(k=10)}
+"""
+
     sqls["lm_dirichlet"] = f"""
 WITH {_IDX},
 {_bm25_f32_ctes()},

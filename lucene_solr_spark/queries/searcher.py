@@ -113,7 +113,7 @@ class IndexSearcher:
             "lucene", "exact", "classic", "classic_exact",
             "lm_dirichlet", "dfr_in_l_h2", "dfr_pl2", "lm_jelinek_mercer",
             "ib_spl_df", "axiomatic_f2exp", "boolean_sim",
-            "sweetspot_exact",
+            "sweetspot_exact", "dfr_ine_b_h1", "ib_ll_df",
         ):
             raise ValueError(f"unknown scoring mode {scoring!r}")
         # SweetSpotSimilarity tunables (lucene/misc/
@@ -131,7 +131,8 @@ class IndexSearcher:
         self._f32 = scoring in (
             "lucene", "classic", "lm_dirichlet", "dfr_in_l_h2",
             "dfr_pl2", "lm_jelinek_mercer", "ib_spl_df",
-            "axiomatic_f2exp", "boolean_sim",
+            "axiomatic_f2exp", "boolean_sim", "dfr_ine_b_h1",
+            "ib_ll_df",
         )
         # SimilarityBase-family modes: per-term stats beyond docFreq
         # feed the kernel directly (_score_col_sb); the idf/weight
@@ -139,7 +140,7 @@ class IndexSearcher:
         self._sb = scoring in (
             "lm_dirichlet", "dfr_in_l_h2", "dfr_pl2",
             "lm_jelinek_mercer", "ib_spl_df", "axiomatic_f2exp",
-            "boolean_sim",
+            "boolean_sim", "dfr_ine_b_h1", "ib_ll_df",
         )
         self.stats = tables.stats
         # Denormalize norms onto postings once (the per-segment norms file
@@ -567,6 +568,26 @@ class IndexSearcher:
             )
         elif self.scoring == "ib_spl_df":
             col = ib_spl_df_score(
+                F.col("freq"), F.col("norm_byte"), boost,
+                doc_freq, self.stats.doc_count,
+                self.stats.sum_total_term_freq,
+            )
+        elif self.scoring == "dfr_ine_b_h1":
+            from lucene_solr_spark.scoring.similarities import (
+                dfr_ine_b_h1_score,
+            )
+
+            col = dfr_ine_b_h1_score(
+                F.col("freq"), F.col("norm_byte"), boost,
+                doc_freq, ttf, self.stats.doc_count,
+                self.stats.sum_total_term_freq,
+            )
+        elif self.scoring == "ib_ll_df":
+            from lucene_solr_spark.scoring.similarities import (
+                ib_ll_df_h2_score,
+            )
+
+            col = ib_ll_df_h2_score(
                 F.col("freq"), F.col("norm_byte"), boost,
                 doc_freq, self.stats.doc_count,
                 self.stats.sum_total_term_freq,

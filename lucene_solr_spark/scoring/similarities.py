@@ -281,3 +281,86 @@ def axiomatic_f2exp_score(
     tfln = _f32(fre / denom)
     idf = np.float32(math.pow((num_docs + 1.0) / doc_freq, float(np.float32(k))))
     return _f32(tfln * F.lit(float(idf))).cast("float")
+
+
+def dfr_ine_b_h1_score(
+    freq: Column,
+    norm_byte: Column,
+    boost: float,
+    doc_freq: int,
+    ttf: int,
+    num_docs: int,
+    sum_total_term_freq: int,
+    c: float = 1.0,
+) -> Column:
+    """DFR(BasicModelIne, AfterEffectB, NormalizationH1) float32 score
+    (DFRSimilarity.java:110-114, BasicModelIne.java:33-38,
+    AfterEffectB.java:32-36, NormalizationH1.java:50-52).
+
+        tfn   = tf·c·avgdl/len                 [H1 — ALL float ops]
+        ne    = N·(1 − ((N−1)/N)^F)            [double]
+        basic = tfn · (float)log2((N+1)/(ne+0.5))
+        B     = (F+1)/(n·(tfn+1))              [float ops; F+1 and n
+                                                convert long→float]
+        score = boost · basic · B              [left-assoc float mults]
+    """
+    if sum_total_term_freq <= 0:
+        avgdl = np.float32(1.0)
+    else:
+        avgdl = np.float32(
+            np.float32(sum_total_term_freq) / np.float32(num_docs)
+        )
+    dl = _doclen_col(norm_byte)
+    # H1: tf * c * avgdl / len — float rounding at every step
+    t1 = _f32(freq.cast("double") * F.lit(float(np.float32(c))))
+    t2 = _f32(t1 * F.lit(float(avgdl)))
+    tfn = _f32(t2 / dl)
+    ne = num_docs * (
+        1.0 - math.pow((num_docs - 1) / float(num_docs), ttf)
+    )
+    in_w = np.float32(math.log((num_docs + 1) / (ne + 0.5)) / _LOG2)
+    basic = _f32(tfn * F.lit(float(in_w)))
+    f_plus_1 = float(np.float32(ttf + 1))  # long→float conversion
+    n_f = float(np.float32(doc_freq))
+    den = _f32(F.lit(n_f) * _f32(tfn + F.lit(1.0)))
+    ae = _f32(F.lit(f_plus_1) / den)
+    score = _f32(_f32(F.lit(float(np.float32(boost))) * basic) * ae)
+    return score.cast("float")
+
+
+def ib_ll_df_h2_score(
+    freq: Column,
+    norm_byte: Column,
+    boost: float,
+    doc_freq: int,
+    num_docs: int,
+    sum_total_term_freq: int,
+    c: float = 1.0,
+) -> Column:
+    """IB(DistributionLL, LambdaDF, NormalizationH2) float32 score
+    (IBSimilarity.java:98-104, DistributionLL.java:33-35,
+    LambdaDF.java:31-34).
+
+        tfn   = (float)(freq · log2(1 + c·avgdl/docLen))   [H2]
+        λ     = (df+1F)/(N+1F)                             [float]
+        LL    = (float)−log(λ/(tfn+λ))    [float add + float divide,
+                                           log in double, one cast]
+        score = boost · LL                                 [float]
+    """
+    if sum_total_term_freq <= 0:
+        avgdl = np.float32(1.0)
+    else:
+        avgdl = np.float32(
+            np.float32(sum_total_term_freq) / np.float32(num_docs)
+        )
+    dl = _doclen_col(norm_byte)
+    ca = np.float32(np.float32(c) * avgdl)
+    ratio = _f32(F.lit(float(ca)) / dl)
+    one_plus = _f32(F.lit(1.0) + ratio)
+    tfn = _f32(freq.cast("double") * (F.log(one_plus) / F.lit(_LOG2)))
+    lam = float(
+        np.float32(np.float32(doc_freq + 1.0) / np.float32(num_docs + 1.0))
+    )
+    inner = _f32(F.lit(lam) / _f32(tfn + F.lit(lam)))
+    s = (-F.log(inner)).cast("float").cast("double")
+    return (F.lit(float(np.float32(boost))) * s).cast("float")

@@ -328,3 +328,62 @@ def test_sb_synonym_pseudostats(spark, docs_df):
         for r in s._score_col_sb(1.0, df_max, ttf_sum, pl).collect()
     }
     assert {r["doc_id"]: r["score"] for r in got} == want
+
+
+def test_dfr_ine_spot_value(spark, docs_df):
+    """Hand-computed DFR I(ne)B-H1 score (BasicModelIne.java:33-38,
+    AfterEffectB.java:32-36, NormalizationH1.java:50-52)."""
+    from lucene_solr_spark.index import build_tables
+    from lucene_solr_spark.scoring.bm25 import NORM_TABLE
+
+    t = build_tables(docs_df, id_col="doc_id", text_col="text")
+    s = IndexSearcher(t, scoring="dfr_ine_b_h1")
+    row = (
+        s._term_postings("spark").select("doc_id", "tf", "norm_byte").first()
+    )
+    st = t.term_stats.filter(F.col("term") == "spark").first()
+    df_, ttf = int(st["df"]), int(st["ttf"])
+    N = t.stats.doc_count
+    avgdl = np.float32(np.float32(t.stats.sum_total_term_freq) / np.float32(N))
+    dl = np.float32(NORM_TABLE[row["norm_byte"] & 0xFF])
+    # H1: all-float tf·c·avgdl/len
+    t1 = np.float32(np.float32(row["tf"]) * np.float32(1.0))
+    tfn = np.float32(np.float32(t1 * avgdl) / dl)
+    ne = N * (1.0 - math.pow((N - 1) / float(N), ttf))
+    basic = np.float32(tfn * np.float32(math.log2((N + 1) / (ne + 0.5))))
+    fp1 = np.float32(ttf + 1)
+    den = np.float32(np.float32(df_) * np.float32(tfn + np.float32(1.0)))
+    ae = np.float32(fp1 / den)
+    want = np.float32(np.float32(np.float32(1.0) * basic) * ae)
+    got = {
+        r["doc_id"]: r["score"] for r in s.docs(TermQuery("spark")).collect()
+    }[row["doc_id"]]
+    assert got == pytest.approx(float(want), abs=0)
+
+
+def test_ib_ll_spot_value(spark, docs_df):
+    """Hand-computed IB LL-D-H2 score (DistributionLL.java:33-35,
+    LambdaDF.java:31-34)."""
+    from lucene_solr_spark.index import build_tables
+    from lucene_solr_spark.scoring.bm25 import NORM_TABLE
+
+    t = build_tables(docs_df, id_col="doc_id", text_col="text")
+    s = IndexSearcher(t, scoring="ib_ll_df")
+    row = (
+        s._term_postings("spark").select("doc_id", "tf", "norm_byte").first()
+    )
+    df_ = int(t.term_stats.filter(F.col("term") == "spark").first()["df"])
+    N = t.stats.doc_count
+    avgdl = np.float32(np.float32(t.stats.sum_total_term_freq) / np.float32(N))
+    dl = np.float32(NORM_TABLE[row["norm_byte"] & 0xFF])
+    tfn = np.float32(
+        float(row["tf"])
+        * math.log2(np.float32(1.0 + np.float32(np.float32(1.0) * avgdl / dl)))
+    )
+    lam = np.float32(np.float32(df_ + 1.0) / np.float32(N + 1.0))
+    inner = np.float32(lam / np.float32(tfn + lam))
+    want = np.float32(1.0 * np.float32(-math.log(float(inner))))
+    got = {
+        r["doc_id"]: r["score"] for r in s.docs(TermQuery("spark")).collect()
+    }[row["doc_id"]]
+    assert got == pytest.approx(float(want), abs=0)
