@@ -602,6 +602,28 @@ def q_local_params(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _topk(disp.docs("{!boost b=recip(n_chars,1,1000,1000)}{!term v=$qq}"), 10)
 
 
+def q_edismax_boosted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """edismax bq/bf boost plumbing (ExtendedDismaxQParser
+    addBoostQuery/getBoostFunctions): user query 'spark window' over
+    qf=text, bq={!term v=join} adds the BM25 score of 'join' where it
+    also matches (never selects), bf=recip(n_chars,1,1000,1000) adds
+    the function value to every hit."""
+    from lucene_solr_spark.queries.local_params import SolrQueryDispatcher
+
+    s = _mf_searcher(spark, sf_dir)
+    d = _table(spark, sf_dir, "documents")
+    disp = SolrQueryDispatcher(
+        s, d, params={"b1": "{!term v=join}", "uq": "spark window"}
+    )
+    return _topk(
+        disp.docs(
+            "{!edismax qf=text v=$uq bq=$b1 "
+            "bf='recip(n_chars,1,1000,1000)'}"
+        ),
+        10,
+    )
+
+
 def q_cursor_mark(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CursorMark deep paging (solr search/CursorMark.java,
     CursorMarkParams.java): walk three 10-row pages of the
@@ -4041,6 +4063,7 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lm_dirichlet": q_lm_dirichlet,
         "dfr_ine": q_dfr_ine,
         "ib_ll": q_ib_ll,
+        "edismax_boosted": q_edismax_boosted,
         "dfr_similarity": q_dfr_similarity,
         "dfr_pl2": q_dfr_pl2,
         "dfr_phrase": q_dfr_phrase,
@@ -7343,6 +7366,26 @@ scored AS (
     # log arguments built from FLOAT ops, ln in double, (a1+a2) cast
     # FLOAT, per-doc clamp at 0, cross-term double sum cast FLOAT.
     # Quantized docLen comes from the byte315 boundary table (nt).
+    # edismax bq/bf: selection = spark∪window; bq adds BM25('join')
+    # where matched; bf adds recip(n_chars) everywhere.
+    sqls["edismax_boosted"] = f"""
+WITH {_IDX},
+s1 AS ({_bm25_sql("spark")}),
+s2 AS ({_bm25_sql("window")}),
+sj AS ({_bm25_sql("join")}),
+u AS (SELECT * FROM s1 UNION ALL SELECT * FROM s2),
+base AS (SELECT doc_id, sum(score) AS score FROM u GROUP BY doc_id),
+scored AS (
+  SELECT b.doc_id,
+         b.score + COALESCE(j.score, 0.0)
+                 + 1000.0 / (1.0 * d.n_chars + 1000.0) AS score
+  FROM base b
+  LEFT JOIN sj j USING (doc_id)
+  JOIN documents d USING (doc_id)
+)
+{_TOPK_TAIL.format(k=10)}
+"""
+
     # DFR I(ne)B-H1: all-float H1 tfn, double ne, float B after-effect.
     sqls["dfr_ine"] = f"""
 WITH {_IDX},

@@ -130,11 +130,13 @@ def parse_edismax(
     pf: "str | dict[str, float] | None" = None,
     tie: float = 0.0,
     mm: "int | str" = 0,
+    ps: int = 0,
 ) -> Query:
     """Build the edismax query tree.
 
     ``mm`` accepts Solr's full spec grammar (string: "75%",
-    "2<-25% 9<-3", ...) or an absolute int count."""
+    "2<-25% 9<-3", ...) or an absolute int count; ``ps`` is the pf
+    phrase slop (ExtendedDismaxQParser's ps param)."""
     qf_boosts = parse_field_boosts(qf) if isinstance(qf, str) else dict(qf)
     if not qf_boosts:
         raise ValueError("qf must name at least one field")
@@ -169,7 +171,7 @@ def parse_edismax(
     # pf: whole query as a phrase over each phrase field, SHOULD-boost
     if len(all_terms) >= 2 and pf_boosts:
         phrase = PhraseQuery(
-            tuple(all_terms), tuple(range(len(all_terms))), slop=0
+            tuple(all_terms), tuple(range(len(all_terms))), slop=int(ps)
         )
         pf_arm = _per_field_dismax(
             {f: phrase for f in pf_boosts}, pf_boosts, tie

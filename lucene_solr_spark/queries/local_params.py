@@ -122,6 +122,23 @@ class BoostByFunctionQuery(Query):
 
 
 @dataclass(frozen=True)
+class DisMaxExtras(Query):
+    """The (e)dismax boost plumbing around the user query
+    (ExtendedDismaxQParser.addBoostQuery/addBoostFunctions +
+    the multiplicative `boost` param): selection comes from ``base``
+    alone; each ``bq`` adds its score where it ALSO matches, each
+    ``bf`` function value adds unconditionally, and ``boost_fn``
+    multiplies last — exactly the outer BooleanQuery of MUST(user) +
+    SHOULD(bq…) + SHOULD(bf…) the reference builds, with the boost
+    wrapper on top."""
+
+    base: Query
+    bqs: tuple[Query, ...] = ()
+    bfs: tuple[str, ...] = ()
+    boost_fn: str | None = None
+
+
+@dataclass(frozen=True)
 class JoinQuery(Query):
     """Field-value join (search/JoinQParserPlugin.java → JoinQuery;
     score= modes from ScoreJoinQParserPlugin.java → lucene/join/
@@ -659,13 +676,22 @@ class SolrQueryDispatcher:
                     "percentage mm is resolved by the caller (absolute "
                     "count form only here)"
                 )
-            return parse_edismax(
+            base = parse_edismax(
                 one("v", rest) or "",
                 qf=qf,
                 pf=one("pf"),
                 tie=float(one("tie", "0") or 0),
                 mm=int(mm_raw or 0),
+                ps=int(one("ps", "0") or 0),
             )
+            # bq / bf / boost plumbing (ExtendedDismaxQParser
+            # .addBoostQuery:?/getBoostFunctions + boost= wrapper)
+            bqs = tuple(self.parse(b) for b in kv.get("bq", []))
+            bfs = tuple(kv.get("bf", []))
+            boost_fn = one("boost")
+            if bqs or bfs or boost_fn:
+                return DisMaxExtras(base, bqs, bfs, boost_fn)
+            return base
         if ptype == "simple":
             # SimpleQParserPlugin.java: Lucene SimpleQueryParser over
             # q.op / q.operators
@@ -793,6 +819,39 @@ class SolrQueryDispatcher:
                 "doc_id",
                 (F.col("score").cast("double") * F.col("_b")).alias("score"),
             )
+        if isinstance(q, DisMaxExtras):
+            out = self.docs(q.base)
+            for i, bq in enumerate(q.bqs):
+                bqs = self.docs(bq).select(
+                    "doc_id", F.col("score").cast("double").alias(f"_bq{i}")
+                )
+                out = out.join(bqs, "doc_id", "left").select(
+                    "doc_id",
+                    (
+                        F.col("score").cast("double")
+                        + F.coalesce(F.col(f"_bq{i}"), F.lit(0.0))
+                    ).alias("score"),
+                )
+            for i, bf in enumerate(q.bfs):
+                col = self._func_col(bf).cast("double")
+                dv = self.doc_values.select("doc_id", col.alias(f"_bf{i}"))
+                out = out.join(dv, "doc_id", "left").select(
+                    "doc_id",
+                    (
+                        F.col("score").cast("double")
+                        + F.coalesce(F.col(f"_bf{i}"), F.lit(0.0))
+                    ).alias("score"),
+                )
+            if q.boost_fn:
+                col = self._func_col(q.boost_fn).cast("double")
+                dv = self.doc_values.select("doc_id", col.alias("_bst"))
+                out = out.join(dv, "doc_id").select(
+                    "doc_id",
+                    (F.col("score").cast("double") * F.col("_bst")).alias(
+                        "score"
+                    ),
+                )
+            return out
         if isinstance(q, JoinQuery):
             # JoinQuery.createWeight: collect the inner matches' from-
             # field TERM SET, then hit this collection's to-field
