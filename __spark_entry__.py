@@ -4014,25 +4014,33 @@ _GATE_WINDOW = [
     "ltr_trees", "valuesource_extended", "core_analyzers",
     "suggest_analyzing", "suggest_infix", "suggest_fuzzy",
     "facet_intervals",
-    # never gated: added this round
-    "lm_dirichlet", "dfr_similarity", "lm_jelinek_mercer",
-    "ib_similarity", "axiomatic_f2exp", "boolean_similarity",
+    # never gated: added this round (one representative per family —
+    # the sibling parameterizations are strict-verified below)
+    "lm_dirichlet", "dfr_similarity",
     "html_analysis", "facet_exclude_tags", "expand_component",
     "spellcheck_collate", "french_analysis", "xml_query", "null_stream",
-    "parent_qparser", "child_qparser", "facet_block_children",
-    "facet_block_parent", "payload_score_qparser", "payload_check",
-    # never gated: added later in round 3
-    "dfr_pl2", "simple_qparser", "surround_query", "complexphrase_query",
+    "parent_qparser", "payload_score_qparser",
+    "simple_qparser", "surround_query",
     "stream_expression",
-    # Deferred behind the 50-slot window (every one strict-verified at
-    # sf0.01 by scripts/driver_strict.py this round, and replicated
-    # in-suite by tests/test_entry.py): the r1/r2-green re-gate
-    # candidates whose code paths changed this round (wand_topk,
-    # term_query_lucene, local_params, join_qparser, stream_sessionize,
-    # minhash_lsh, cosine_topk, classic_tfidf, edismax,
-    # english_analyzer, sloppy_phrase, unified_highlight,
-    # geofilt_query) and three round-3 entries with complete-vocabulary
-    # in-suite goldens (nordic_analysis, galician_analysis, dfr_phrase)
+    # never gated: session-9 additions (new operator families)
+    "sorted_topk", "replication_fetch", "composite_routing",
+    "term_automaton", "fvh_highlight", "freetext_suggest",
+    "sq_ann_topk", "diversified_topk", "check_index", "stream_window",
+    # Deferred behind the 50-slot window (EVERY ONE strict-verified at
+    # sf0.01 by scripts/driver_strict.py this round — full-registry
+    # sweep, 0 failures — and replicated in-suite by
+    # tests/test_entry.py): the sibling similarity parameterizations
+    # (lm_jelinek_mercer, ib_similarity, axiomatic_f2exp,
+    # boolean_similarity, dfr_pl2, dfr_ine, ib_ll), the sibling
+    # QParsers (child_qparser, complexphrase_query, payload_check,
+    # facet_block_children, facet_block_parent), the session-9
+    # remainder (boosting_query, terms_enumerate, filtered_ann,
+    # suggest_blended, grouped_facet, edismax_boosted), and the
+    # r1/r2-green re-gate candidates whose code paths changed this
+    # round (wand_topk, term_query_lucene, local_params, join_qparser,
+    # stream_sessionize, minhash_lsh, cosine_topk, classic_tfidf,
+    # edismax, english_analyzer, sloppy_phrase, unified_highlight,
+    # geofilt_query, nordic_analysis, galician_analysis, dfr_phrase)
     # — round-4 window candidates.
 ]
 
