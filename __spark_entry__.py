@@ -2826,6 +2826,48 @@ def q_suggest_infix(spark: SparkSession, sf_dir: str) -> DataFrame:
     return suggest_infix(_suggestion_keys(spark, sf_dir), "col", n=10)
 
 
+def q_urp_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UpdateRequestProcessor chain (solr/update/processor/
+    FieldMutating* factories): clone→truncate→trim, field length,
+    replaceAll regex, and the multivalue processors (count/first/last/
+    min/max/concat) composed as ONE Catalyst projection — the ingest
+    pipeline shape in front of an index build (no shuffle)."""
+    from lucene_solr_spark.functions.urp import URPChain
+
+    d = _table(spark, sf_dir, "documents").withColumn(
+        "toks", F.split(F.col("text"), " ").cast("array<string>")
+    ).withColumn("toks", F.slice(F.col("toks"), 1, 6))
+    chain = (
+        URPChain()
+        .clone_field("text", "snippet")
+        .truncate("snippet", 40)
+        .trim("snippet")
+        .field_length("text", "text_len")
+        .clone_field("lang", "lang2")
+        .regex_replace("lang2", "[aeiou]", "_")
+        .clone_field("toks", "n_toks")
+        .count_values("n_toks")
+        .clone_field("toks", "first_tok")
+        .first_value("first_tok")
+        .clone_field("toks", "last_tok")
+        .last_value("last_tok")
+        .clone_field("toks", "min_tok")
+        .min_value("min_tok")
+        .concat("toks", "|")
+    )
+    return (
+        chain.apply(d)
+        .select(
+            "doc_id", "snippet", F.col("text_len").cast("long").alias("text_len"),
+            "lang2", F.col("n_toks").cast("long").alias("n_toks"),
+            "first_tok", "last_tok", "min_tok",
+            F.col("toks").alias("joined"),
+        )
+        .orderBy("doc_id")
+        .limit(200)
+    )
+
+
 def q_grouped_facet(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Grouped faceting (lucene/grouping/GroupFacetCollector.java:
     262-281 — 'The count (number of groups) of this facet entry';
@@ -4209,6 +4251,7 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "suggest_infix": q_suggest_infix,
         "suggest_blended": q_suggest_blended,
         "grouped_facet": q_grouped_facet,
+        "urp_chain": q_urp_chain,
         "suggest_fuzzy": q_suggest_fuzzy,
         "term_query": q_term_query,
         "segment_term_query": q_segment_term_query,
@@ -6247,6 +6290,24 @@ hitdocs AS (
 )
 SELECT k.key, k.weight FROM keys k JOIN hitdocs USING (doc_id)
 ORDER BY weight DESC, key ASC LIMIT 10
+"""
+
+    # URP chain: replay every field mutation in SQL.
+    sqls["urp_chain"] = """
+WITH t AS (
+  SELECT doc_id,
+         trim(substr(text, 1, 40)) AS snippet,
+         CAST(length(text) AS BIGINT) AS text_len,
+         regexp_replace(lang, '[aeiou]', '_', 'g') AS lang2,
+         string_split(text, ' ')[1:6] AS toks
+  FROM documents
+)
+SELECT doc_id, snippet, text_len, lang2,
+       CAST(len(toks) AS BIGINT) AS n_toks,
+       toks[1] AS first_tok, toks[-1] AS last_tok,
+       list_aggregate(toks, 'min') AS min_tok,
+       array_to_string(toks, '|') AS joined
+FROM t ORDER BY doc_id LIMIT 200
 """
 
     # Grouped faceting: count DISTINCT groups (source) per facet value
