@@ -2826,6 +2826,46 @@ def q_suggest_infix(spark: SparkSession, sf_dir: str) -> DataFrame:
     return suggest_infix(_suggestion_keys(spark, sf_dir), "col", n=10)
 
 
+def q_child_transformer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[child] DocTransformer (solr/core/.../response/transform/
+    ChildDocTransformerFactory.java): decorate each parent hit with
+    the children selected by childFilter, capped at limit, in child
+    order — response decoration as one join + per-parent
+    collect_list, never a per-parent query.  Parents: first 5
+    orderkeys having a qualifying child; childFilter l_quantity >= 45,
+    limit 3 children by linenumber."""
+    o = _table(spark, sf_dir, "orders")
+    li = _table(spark, sf_dir, "lineitem")
+    kids = li.filter(F.col("l_quantity") >= 45).select(
+        "l_orderkey", "l_linenumber", "l_quantity"
+    )
+    parents = (
+        o.join(kids.select("l_orderkey").distinct(),
+               o.o_orderkey == F.col("l_orderkey"))
+        .select("o_orderkey", "o_orderpriority")
+        .orderBy("o_orderkey")
+        .limit(5)
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("l_orderkey").orderBy("l_linenumber")
+    limited = (
+        kids.join(parents, kids.l_orderkey == parents.o_orderkey)
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= 3)
+    )
+    return (
+        limited.groupBy("o_orderkey", "o_orderpriority")
+        .agg(
+            F.count("*").alias("n_children"),
+            F.array_join(
+                F.sort_array(F.collect_list("l_linenumber")), ","
+            ).alias("child_lines"),
+        )
+        .orderBy("o_orderkey")
+    )
+
+
 def q_urp_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
     """UpdateRequestProcessor chain (solr/update/processor/
     FieldMutating* factories): clone→truncate→trim, field length,
@@ -4252,6 +4292,7 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "suggest_blended": q_suggest_blended,
         "grouped_facet": q_grouped_facet,
         "urp_chain": q_urp_chain,
+        "child_transformer": q_child_transformer,
         "suggest_fuzzy": q_suggest_fuzzy,
         "term_query": q_term_query,
         "segment_term_query": q_segment_term_query,
@@ -6290,6 +6331,33 @@ hitdocs AS (
 )
 SELECT k.key, k.weight FROM keys k JOIN hitdocs USING (doc_id)
 ORDER BY weight DESC, key ASC LIMIT 10
+"""
+
+    # [child] transformer: first-5 parents with a qualifying child,
+    # ≤3 children each by linenumber.
+    sqls["child_transformer"] = """
+WITH parents AS (
+  SELECT o.o_orderkey, o.o_orderpriority
+  FROM orders o
+  WHERE EXISTS (SELECT 1 FROM lineitem l
+                WHERE l.l_orderkey = o.o_orderkey AND l.l_quantity >= 45)
+  ORDER BY o.o_orderkey LIMIT 5
+),
+kids AS (
+  SELECT l.l_orderkey, l.l_linenumber,
+         row_number() OVER (PARTITION BY l.l_orderkey
+                            ORDER BY l.l_linenumber) AS rn
+  FROM lineitem l JOIN parents p ON l.l_orderkey = p.o_orderkey
+  WHERE l.l_quantity >= 45
+)
+SELECT p.o_orderkey, p.o_orderpriority,
+       count(*) AS n_children,
+       string_agg(CAST(k.l_linenumber AS VARCHAR), ','
+                  ORDER BY k.l_linenumber) AS child_lines
+FROM parents p JOIN kids k ON k.l_orderkey = p.o_orderkey
+WHERE k.rn <= 3
+GROUP BY p.o_orderkey, p.o_orderpriority
+ORDER BY p.o_orderkey
 """
 
     # URP chain: replay every field mutation in SQL.
