@@ -4079,7 +4079,8 @@ def entry(spark: SparkSession) -> DataFrame:
 # everything added this round (four new similarity modes, char-filter
 # analysis, facet excludeTags, expand, spellcheck collation, French
 # chain, the ANN/near-dup/multimodal gates that now carry real
-# oracles; ivf_ann is the one rows-only entry) — then thirteen
+# oracles — ivf_ann included, probed at nprobe=K where IVF is exactly
+# brute force) — then thirteen
 # re-gates of round-1/2-green entries whose code paths changed this
 # round (WAND norms packing, searcher scoring refactor, local-params
 # bbox/fromIndex fixes, sessionize timeout handling).  The remaining
