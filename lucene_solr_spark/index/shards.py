@@ -192,14 +192,20 @@ def _bits_of(part: F.Column, default: int) -> tuple[F.Column, F.Column]:
     (Java indexOf == 0) is NOT a spec; non-numeric or >32 specs are
     rejected by the caller via the -1 sentinel, matching getNumBits."""
     slash = F.instr(part, "/")
-    spec = F.substring_index(part, "/", -1)
+    # spec = everything after the FIRST '/' (Java indexOf + substring;
+    # a second '/' makes the spec non-numeric → default, :299-306)
+    spec = part.substr(slash + 1, F.length(part))
     has = slash > 1
     bits = F.when(
         has,
-        F.when(
+        # getNumBits: empty spec → 0 (the digit loop never runs);
+        # digits ≤ 32 → the value; anything else → -1 sentinel
+        F.when(spec == "", F.lit(0))
+        .when(
             spec.rlike("^[0-9]+$") & (spec.cast("int") <= 32),
             spec.cast("int"),
-        ).otherwise(F.lit(-1)),
+        )
+        .otherwise(F.lit(-1)),
     ).otherwise(F.lit(default))
     clean = F.when(has, F.substring_index(part, "/", 1)).otherwise(part)
     return clean, bits

@@ -64,7 +64,10 @@ def keyparser_hash(key: str) -> int:
             ci = parts[i].find("/")
             if ci > 0:
                 spec = parts[i][ci + 1:]
-                v = int(spec) if spec.isdigit() and int(spec) <= 32 else -1
+                if spec == "":
+                    v = 0  # getNumBits: empty digit loop → 0
+                else:
+                    v = int(spec) if spec.isdigit() and int(spec) <= 32 else -1
                 if v >= 0:  # our documented divergence: bad spec → default
                     num_bits[i] = v
                 parts[i] = parts[i][:ci]
@@ -160,3 +163,26 @@ def test_plain_id_point_range():
 def test_trilevel_route_key_fails_loudly():
     with pytest.raises(NotImplementedError):
         key_hash_range("a!b!")
+
+
+def test_column_hash_matches_port_on_random_keys(spark):
+    """Randomized cross-check of the column expression vs the
+    KeyParser port: random alphabets including '!', '/', digits and
+    empty parts."""
+    import random
+
+    rng = random.Random(11)
+    alphabet = "ab!/!3"
+    keys = set()
+    for _ in range(300):
+        keys.add("".join(rng.choice(alphabet) for _ in range(rng.randint(1, 10))))
+    keys = sorted(keys)
+    df = spark.createDataFrame([(k,) for k in keys], "id string")
+    got = {
+        r["id"]: r["h"]
+        for r in df.select(
+            "id", composite_route_hash("id").alias("h")
+        ).collect()
+    }
+    bad = [(k, got[k], keyparser_hash(k)) for k in keys if got[k] != keyparser_hash(k)]
+    assert not bad, bad[:5]
