@@ -162,3 +162,38 @@ def test_terms_regexp(tstats):
     }
     want = {t for t in _all_terms(tstats) if t.startswith("s") and t.endswith("k")}
     assert got == want
+
+
+def test_diversified_random_greedy_equivalence(spark):
+    """Randomized: cap-filter + global top-k == greedy by (score desc,
+    id asc) skipping full keys, on random score/key tables."""
+    import random
+
+    rng = random.Random(5)
+    for _ in range(5):
+        n = rng.randint(5, 60)
+        rows = [
+            (i, round(rng.uniform(0, 3), 1), rng.choice("pqrs"))
+            for i in range(n)
+        ]
+        cap = rng.randint(1, 3)
+        k = rng.randint(1, 12)
+        scored = spark.createDataFrame(
+            [(i, s) for i, s, _ in rows], "doc_id long, score double"
+        )
+        keys = spark.createDataFrame(
+            [(i, g) for i, _, g in rows], "doc_id long, key string"
+        )
+        got = [
+            (r["doc_id"], r["score"])
+            for r in diversified_topk(scored, keys, k=k, max_hits_per_key=cap).collect()
+        ]
+        taken, seen = [], {}
+        for i, s, g in sorted(rows, key=lambda t: (-t[1], t[0])):
+            if seen.get(g, 0) >= cap:
+                continue
+            seen[g] = seen.get(g, 0) + 1
+            taken.append((i, s))
+            if len(taken) == k:
+                break
+        assert got == taken, (rows, cap, k)

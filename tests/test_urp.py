@@ -97,3 +97,22 @@ def test_html_strip_processor(spark):
     got = URPChain().html_strip("s").apply(df).first()["s"]
     assert "Hello" in got and "world" in got
     assert "<" not in got
+
+
+def test_uniq_values_random(spark):
+    """Randomized first-occurrence dedup vs a Python LinkedHashSet."""
+    import random
+
+    rng = random.Random(3)
+    rows = []
+    for i in range(40):
+        rows.append(
+            (i, [rng.choice("abcde") for _ in range(rng.randint(0, 12))])
+        )
+    df = spark.createDataFrame(rows, "id long, vals array<string>")
+    got = {
+        r["id"]: list(r["vals"])
+        for r in URPChain().uniq_values("vals").apply(df).collect()
+    }
+    for i, vals in rows:
+        assert got[i] == list(dict.fromkeys(vals)), (i, vals)
