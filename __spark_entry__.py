@@ -2587,6 +2587,13 @@ SWEDISH_GATE_PHRASE = (
 
 GALICIAN_GATE_PHRASE = "as cancións dos cabalos cantadas felizmente"
 
+# accented forms, final sigmas, the αδεσ exception (γιαγιάδες keeps
+# -αδ), rule0 (γεγονότος), and the και/είμαι stop words
+GREEK_GATE_PHRASE = (
+    "άνθρωπος ανθρώπου άνθρωποι πελάτης πελάτες γεγονότος "
+    "γιαγιάδες ομορφιάς και είμαι"
+)
+
 # exercises every Metaphone initial exception (KN/WR/WH/X/AE), the
 # soft/hard C+G rules, PH/TH/SCH, and the MB$ silent-B rule
 PHONETIC_GATE_PHRASE = (
@@ -2643,6 +2650,35 @@ def q_galician_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
         id_col="doc_id",
         text_col="text",
         analyzer="galician",
+    )
+    return (
+        t.term_stats.select(
+            "term", "df", F.col("ttf").cast("long").alias("ttf")
+        )
+        .orderBy(F.col("df").desc(), F.col("term").asc())
+        .limit(20)
+    )
+
+
+def q_greek_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GreekAnalyzer chain (analysis/el/GreekAnalyzer.java:95-105:
+    tokenize → GreekLowerCaseFilter → el stop → Ntais GreekStemmer).
+    Docs extended with a fixed Greek phrase exercising tonos folding,
+    final-sigma normalization, the -αδεσ exception list, rule0 and
+    the stop words; the stemmer itself is pinned on the reference's
+    COMPLETE 342-assertion TestGreekStemmer golden set
+    (fixtures/greek_stem_goldens.tsv, tests/test_greek.py)."""
+    d = _table(spark, sf_dir, "documents")
+    t = build_tables(
+        d.select(
+            "doc_id",
+            F.concat(F.col("text"), F.lit(" " + GREEK_GATE_PHRASE)).alias(
+                "text"
+            ),
+        ),
+        id_col="doc_id",
+        text_col="text",
+        analyzer="greek",
     )
     return (
         t.term_stats.select(
@@ -4294,6 +4330,7 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "grouped_facet": q_grouped_facet,
         "urp_chain": q_urp_chain,
         "child_transformer": q_child_transformer,
+        "greek_analysis": q_greek_analysis,
         "suggest_fuzzy": q_suggest_fuzzy,
         "term_query": q_term_query,
         "segment_term_query": q_segment_term_query,
@@ -4924,6 +4961,16 @@ ORDER BY doc_id
     from lucene_solr_spark.analysis.snowball_stops import SWEDISH_STOP
 
     _sv_stops = frozenset(SWEDISH_STOP)
+    from lucene_solr_spark.analysis.greek import greek_lowercase, greek_stem
+    from lucene_solr_spark.analysis.snowball_stops import GREEK_STOP
+
+    _el_stops = frozenset(GREEK_STOP)
+    _el_map = []
+    for _tok in sorted(set(_corpus_vocab + GREEK_GATE_PHRASE.split())):
+        _fold = greek_lowercase(_tok.lower())
+        if not _fold or _fold in _el_stops:
+            continue
+        _el_map.append(f"('{_tok}','{greek_stem(_fold)}')")
     _sv_map = []
     for _tok in sorted(set(_corpus_vocab + SWEDISH_GATE_PHRASE.split())):
         if _tok in _sv_stops:
@@ -4974,6 +5021,22 @@ p AS (
 SELECT term, count(*) AS df, CAST(sum(tf) AS BIGINT) AS ttf
 FROM p GROUP BY term
 ORDER BY df DESC, term ASC LIMIT 25
+"""
+
+    sqls["greek_analysis"] = f"""
+WITH toks AS (
+  SELECT doc_id,
+         unnest(string_split(text || ' {GREEK_GATE_PHRASE}', ' ')) AS tok
+  FROM documents
+),
+smap(tok, stem) AS (VALUES {",".join(_el_map)}),
+p AS (
+  SELECT t.doc_id, m.stem AS term, count(*) AS tf
+  FROM toks t JOIN smap m USING (tok) GROUP BY t.doc_id, m.stem
+)
+SELECT term, count(*) AS df, CAST(sum(tf) AS BIGINT) AS ttf
+FROM p GROUP BY term
+ORDER BY df DESC, term ASC LIMIT 20
 """
 
     sqls["nordic_analysis"] = f"""

@@ -737,6 +737,7 @@ def _load_stops() -> dict[str, frozenset]:
         SWEDISH_STOP,
     )
     from lucene_solr_spark.analysis.snowball_stops import (
+        GREEK_STOP,
         HINDI_STOP,
         INDONESIAN_STOP,
         PERSIAN_STOP,
@@ -761,6 +762,7 @@ def _load_stops() -> dict[str, frozenset]:
         "hindi": frozenset(HINDI_STOP),
         "persian": frozenset(PERSIAN_STOP),
         "indonesian": frozenset(INDONESIAN_STOP),
+        "greek": frozenset(GREEK_STOP),
     }
 
 
@@ -774,6 +776,12 @@ def _indonesian_stem_lazy(w: str) -> str:
     from lucene_solr_spark.analysis.indic import indonesian_stem
 
     return indonesian_stem(w)
+
+
+def _greek_stem_lazy(w: str) -> str:
+    from lucene_solr_spark.analysis.greek import greek_stem
+
+    return greek_stem(w)
 
 
 def _czech_stem_lazy(w: str) -> str:
@@ -834,6 +842,12 @@ def _light_analyze_flat(content: pd.Series, lang: str):
         from lucene_solr_spark.analysis.indic import persian_normalize
 
         norm = lambda w: persian_normalize(arabic_normalize(w))  # noqa: E731
+    elif lang == "greek":
+        # GreekAnalyzer.java:95-105: GreekLowerCaseFilter (fold tonos/
+        # dialytika, normalize final sigma) BEFORE stop, stems last
+        from lucene_solr_spark.analysis.greek import greek_lowercase
+
+        norm = greek_lowercase
     stem = {
         "french": french_light_stem,
         "german": german_light_stem,
@@ -853,6 +867,7 @@ def _light_analyze_flat(content: pd.Series, lang: str):
         "hindi": _hindi_stem_lazy,
         "persian": lambda w: w,
         "indonesian": _indonesian_stem_lazy,
+        "greek": _greek_stem_lazy,
     }[lang]
 
     doc_idx_parts, term_parts, pos_parts = [], [], []

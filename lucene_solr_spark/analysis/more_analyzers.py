@@ -215,4 +215,8 @@ NAMED_ANALYZERS = {
     # IndonesianAnalyzer.java: tokenize -> lowercase -> id stop ->
     # IndonesianStemmer (derivational)
     "indonesian": _lazy_light("indonesian"),
+    # GreekAnalyzer.java: tokenize -> GreekLowerCaseFilter (tonos/
+    # dialytika fold + final-sigma normalize) -> el stop -> Ntais
+    # GreekStemmer (pinned on the reference's complete 342 goldens)
+    "greek": _lazy_light("greek"),
 }
