@@ -2594,6 +2594,12 @@ GREEK_GATE_PHRASE = (
     "γιαγιάδες ομορφιάς και είμαι"
 )
 
+# vowel-count guards, the palatalizing -u/-iem affixes (ņ→n, kš→kst)
+# and the un/par stop words
+LATVIAN_GATE_PHRASE = (
+    "cimdiņu cimdiņiem rīkšu gramatas gramatām lielais lielajos un par"
+)
+
 # exercises every Metaphone initial exception (KN/WR/WH/X/AE), the
 # soft/hard C+G rules, PH/TH/SCH, and the MB$ silent-B rule
 PHONETIC_GATE_PHRASE = (
@@ -2679,6 +2685,34 @@ def q_greek_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
         id_col="doc_id",
         text_col="text",
         analyzer="greek",
+    )
+    return (
+        t.term_stats.select(
+            "term", "df", F.col("ttf").cast("long").alias("ttf")
+        )
+        .orderBy(F.col("df").desc(), F.col("term").asc())
+        .limit(20)
+    )
+
+
+def q_latvian_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LatvianAnalyzer chain (analysis/lv/LatvianAnalyzer.java:
+    tokenize → lowercase → lv stop → LatvianStemmer.java:35-174,
+    Kreslin light).  The phrase exercises the vowel-count guards and
+    the palatalizing affixes (ņ→n, kš→kst); the stemmer is pinned on
+    the reference's COMPLETE 172-assertion TestLatvianStemmer goldens
+    (fixtures/latvian_stem_goldens.tsv)."""
+    d = _table(spark, sf_dir, "documents")
+    t = build_tables(
+        d.select(
+            "doc_id",
+            F.concat(F.col("text"), F.lit(" " + LATVIAN_GATE_PHRASE)).alias(
+                "text"
+            ),
+        ),
+        id_col="doc_id",
+        text_col="text",
+        analyzer="latvian",
     )
     return (
         t.term_stats.select(
@@ -4331,6 +4365,7 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "urp_chain": q_urp_chain,
         "child_transformer": q_child_transformer,
         "greek_analysis": q_greek_analysis,
+        "latvian_analysis": q_latvian_analysis,
         "suggest_fuzzy": q_suggest_fuzzy,
         "term_query": q_term_query,
         "segment_term_query": q_segment_term_query,
@@ -4971,6 +5006,15 @@ ORDER BY doc_id
         if not _fold or _fold in _el_stops:
             continue
         _el_map.append(f"('{_tok}','{greek_stem(_fold)}')")
+    from lucene_solr_spark.analysis.latvian import latvian_stem
+    from lucene_solr_spark.analysis.snowball_stops import LATVIAN_STOP
+
+    _lv_stops = frozenset(LATVIAN_STOP)
+    _lv_map = []
+    for _tok in sorted(set(_corpus_vocab + LATVIAN_GATE_PHRASE.split())):
+        if _tok in _lv_stops:
+            continue
+        _lv_map.append(f"('{_tok}','{latvian_stem(_tok)}')")
     _sv_map = []
     for _tok in sorted(set(_corpus_vocab + SWEDISH_GATE_PHRASE.split())):
         if _tok in _sv_stops:
@@ -5021,6 +5065,22 @@ p AS (
 SELECT term, count(*) AS df, CAST(sum(tf) AS BIGINT) AS ttf
 FROM p GROUP BY term
 ORDER BY df DESC, term ASC LIMIT 25
+"""
+
+    sqls["latvian_analysis"] = f"""
+WITH toks AS (
+  SELECT doc_id,
+         unnest(string_split(text || ' {LATVIAN_GATE_PHRASE}', ' ')) AS tok
+  FROM documents
+),
+smap(tok, stem) AS (VALUES {",".join(_lv_map)}),
+p AS (
+  SELECT t.doc_id, m.stem AS term, count(*) AS tf
+  FROM toks t JOIN smap m USING (tok) GROUP BY t.doc_id, m.stem
+)
+SELECT term, count(*) AS df, CAST(sum(tf) AS BIGINT) AS ttf
+FROM p GROUP BY term
+ORDER BY df DESC, term ASC LIMIT 20
 """
 
     sqls["greek_analysis"] = f"""

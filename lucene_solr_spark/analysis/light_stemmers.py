@@ -738,6 +738,7 @@ def _load_stops() -> dict[str, frozenset]:
     )
     from lucene_solr_spark.analysis.snowball_stops import (
         GREEK_STOP,
+        LATVIAN_STOP,
         HINDI_STOP,
         INDONESIAN_STOP,
         PERSIAN_STOP,
@@ -763,6 +764,7 @@ def _load_stops() -> dict[str, frozenset]:
         "persian": frozenset(PERSIAN_STOP),
         "indonesian": frozenset(INDONESIAN_STOP),
         "greek": frozenset(GREEK_STOP),
+        "latvian": frozenset(LATVIAN_STOP),
     }
 
 
@@ -782,6 +784,12 @@ def _greek_stem_lazy(w: str) -> str:
     from lucene_solr_spark.analysis.greek import greek_stem
 
     return greek_stem(w)
+
+
+def _latvian_stem_lazy(w: str) -> str:
+    from lucene_solr_spark.analysis.latvian import latvian_stem
+
+    return latvian_stem(w)
 
 
 def _czech_stem_lazy(w: str) -> str:
@@ -868,6 +876,7 @@ def _light_analyze_flat(content: pd.Series, lang: str):
         "persian": lambda w: w,
         "indonesian": _indonesian_stem_lazy,
         "greek": _greek_stem_lazy,
+        "latvian": _latvian_stem_lazy,
     }[lang]
 
     doc_idx_parts, term_parts, pos_parts = [], [], []

@@ -219,4 +219,7 @@ NAMED_ANALYZERS = {
     # dialytika fold + final-sigma normalize) -> el stop -> Ntais
     # GreekStemmer (pinned on the reference's complete 342 goldens)
     "greek": _lazy_light("greek"),
+    # LatvianAnalyzer.java: tokenize -> lowercase -> lv stop ->
+    # LatvianStemmer (Kreslin light; complete 172-golden pin)
+    "latvian": _lazy_light("latvian"),
 }
