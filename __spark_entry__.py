@@ -2695,6 +2695,35 @@ def q_greek_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_path_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PathHierarchyTokenizer faceting (analysis/path/
+    PathHierarchyTokenizer.java; the classic drill-down-by-directory
+    use): synthesize /lang/source/docN paths, tokenize to hierarchy
+    prefixes as ONE column expression, count docs per hierarchy node —
+    top 20 by (count DESC, token ASC).  Vector-complete pin in
+    tests/test_path_hierarchy.py."""
+    from lucene_solr_spark.analysis.path_hierarchy import (
+        path_hierarchy_col,
+    )
+
+    d = _table(spark, sf_dir, "documents")
+    paths = d.select(
+        F.concat(
+            F.lit("/"), F.col("lang"), F.lit("/"), F.col("source"),
+            F.lit("/doc"), F.col("doc_id"),
+        ).alias("path")
+    )
+    return (
+        paths.select(
+            F.explode(path_hierarchy_col(F.col("path"))).alias("node")
+        )
+        .groupBy("node")
+        .agg(F.count("*").alias("docs"))
+        .orderBy(F.col("docs").desc(), F.col("node").asc())
+        .limit(20)
+    )
+
+
 def q_latvian_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LatvianAnalyzer chain (analysis/lv/LatvianAnalyzer.java:
     tokenize → lowercase → lv stop → LatvianStemmer.java:35-174,
@@ -4366,6 +4395,7 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "child_transformer": q_child_transformer,
         "greek_analysis": q_greek_analysis,
         "latvian_analysis": q_latvian_analysis,
+        "path_hierarchy": q_path_hierarchy,
         "suggest_fuzzy": q_suggest_fuzzy,
         "term_query": q_term_query,
         "segment_term_query": q_segment_term_query,
@@ -5065,6 +5095,26 @@ p AS (
 SELECT term, count(*) AS df, CAST(sum(tf) AS BIGINT) AS ttf
 FROM p GROUP BY term
 ORDER BY df DESC, term ASC LIMIT 25
+"""
+
+    # PathHierarchyTokenizer faceting: each /lang/source/docN path
+    # contributes its three hierarchy prefixes.
+    sqls["path_hierarchy"] = """
+WITH paths AS (
+  SELECT '/' || lang || '/' || source || '/doc' || CAST(doc_id AS VARCHAR) AS p,
+         lang, source, doc_id
+  FROM documents
+),
+nodes AS (
+  SELECT '/' || lang AS node FROM paths
+  UNION ALL
+  SELECT '/' || lang || '/' || source FROM paths
+  UNION ALL
+  SELECT p FROM paths
+)
+SELECT node, count(*) AS docs
+FROM nodes GROUP BY node
+ORDER BY docs DESC, node ASC LIMIT 20
 """
 
     sqls["latvian_analysis"] = f"""
