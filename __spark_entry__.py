@@ -2752,6 +2752,107 @@ def q_latvian_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# exercises the els/igst/løst rules, the consonant-pair drop (gt/kt),
+# the s-ending guard and the undouble step
+DANISH_GATE_PHRASE = (
+    "indbydelsen hyggeligst sikkerhed løst fugt aftalens og til at"
+)
+
+# exercises the prelude i/y marking, heden→heid, the en-ending with
+# gem-guard and undouble, lijk + e-ending, and the vowel undouble
+DUTCH_GATE_PHRASE = (
+    "mogelijkheden kinderen lichamelijk gebeurtenissen weddenschappen "
+    "boompje de het en"
+)
+
+# exercises step_0 flexions (ului/ilor/aţie), the combo -itate family,
+# verb suffixes under the RV guard and the final-vowel drop
+ROMANIAN_GATE_PHRASE = (
+    "frumuseţe abilitatea studenţilor funcţionarea lucrează bănuiam "
+    "şi cu a fi"
+)
+
+
+def q_danish_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DanishAnalyzer chain (analysis/da/DanishAnalyzer.java:105-115:
+    tokenize → lowercase → da snowball stop → SnowballFilter(Danish)).
+    The stemmer (analysis/snowball.py) is pinned on the reference's
+    COMPLETE 23,829-word TestSnowballVocabData vocabulary
+    (fixtures/snowball_vocab/danish.tsv.gz)."""
+    d = _table(spark, sf_dir, "documents")
+    t = build_tables(
+        d.select(
+            "doc_id",
+            F.concat(F.col("text"), F.lit(" " + DANISH_GATE_PHRASE)).alias(
+                "text"
+            ),
+        ),
+        id_col="doc_id",
+        text_col="text",
+        analyzer="danish",
+    )
+    return (
+        t.term_stats.select(
+            "term", "df", F.col("ttf").cast("long").alias("ttf")
+        )
+        .orderBy(F.col("df").desc(), F.col("term").asc())
+        .limit(20)
+    )
+
+
+def q_dutch_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DutchAnalyzer chain (analysis/nl/DutchAnalyzer.java:122-160:
+    tokenize → lowercase → nl snowball stop → StemmerOverrideFilter
+    (DEFAULT_STEM_DICT, 4 entries) → SnowballFilter(Dutch)).  The
+    stemmer is pinned on the reference's COMPLETE 45,669-word
+    vocabulary (fixtures/snowball_vocab/dutch.tsv.gz)."""
+    d = _table(spark, sf_dir, "documents")
+    t = build_tables(
+        d.select(
+            "doc_id",
+            F.concat(F.col("text"), F.lit(" " + DUTCH_GATE_PHRASE)).alias(
+                "text"
+            ),
+        ),
+        id_col="doc_id",
+        text_col="text",
+        analyzer="dutch",
+    )
+    return (
+        t.term_stats.select(
+            "term", "df", F.col("ttf").cast("long").alias("ttf")
+        )
+        .orderBy(F.col("df").desc(), F.col("term").asc())
+        .limit(20)
+    )
+
+
+def q_romanian_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RomanianAnalyzer chain (analysis/ro/RomanianAnalyzer.java:
+    107-117: tokenize → lowercase → ro stop → SnowballFilter
+    (Romanian)).  The stemmer is pinned on the reference's COMPLETE
+    22,570-word vocabulary (fixtures/snowball_vocab/romanian.tsv.gz)."""
+    d = _table(spark, sf_dir, "documents")
+    t = build_tables(
+        d.select(
+            "doc_id",
+            F.concat(
+                F.col("text"), F.lit(" " + ROMANIAN_GATE_PHRASE)
+            ).alias("text"),
+        ),
+        id_col="doc_id",
+        text_col="text",
+        analyzer="romanian",
+    )
+    return (
+        t.term_stats.select(
+            "term", "df", F.col("ttf").cast("long").alias("ttf")
+        )
+        .orderBy(F.col("df").desc(), F.col("term").asc())
+        .limit(20)
+    )
+
+
 def q_nordic_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Swedish light-stem chain (the solr.SwedishLightStemFilterFactory
     configuration; SwedishLightStemmer.java:67-110, Savoy CLEF-2003):
@@ -4395,6 +4496,9 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "child_transformer": q_child_transformer,
         "greek_analysis": q_greek_analysis,
         "latvian_analysis": q_latvian_analysis,
+        "danish_analysis": q_danish_analysis,
+        "dutch_analysis": q_dutch_analysis,
+        "romanian_analysis": q_romanian_analysis,
         "path_hierarchy": q_path_hierarchy,
         "suggest_fuzzy": q_suggest_fuzzy,
         "term_query": q_term_query,
@@ -5115,6 +5219,45 @@ nodes AS (
 SELECT node, count(*) AS docs
 FROM nodes GROUP BY node
 ORDER BY docs DESC, node ASC LIMIT 20
+"""
+
+    from lucene_solr_spark.analysis.light_stemmers import (
+        _danish_stem_lazy,
+        _dutch_stem_lazy,
+        _romanian_stem_lazy,
+    )
+    from lucene_solr_spark.analysis.snowball_stops import (
+        DANISH_STOP,
+        DUTCH_STOP,
+        ROMANIAN_STOP,
+    )
+
+    for _lang, _phrase, _stops, _stem in (
+        ("danish", DANISH_GATE_PHRASE, DANISH_STOP, _danish_stem_lazy),
+        ("dutch", DUTCH_GATE_PHRASE, DUTCH_STOP, _dutch_stem_lazy),
+        ("romanian", ROMANIAN_GATE_PHRASE, ROMANIAN_STOP,
+         _romanian_stem_lazy),
+    ):
+        _stopset = frozenset(_stops)
+        _map = []
+        for _tok in sorted(set(_corpus_vocab + _phrase.split())):
+            if _tok in _stopset:
+                continue
+            _map.append(f"('{_tok}','{_stem(_tok)}')")
+        sqls[f"{_lang}_analysis"] = f"""
+WITH toks AS (
+  SELECT doc_id,
+         unnest(string_split(text || ' {_phrase}', ' ')) AS tok
+  FROM documents
+),
+smap(tok, stem) AS (VALUES {",".join(_map)}),
+p AS (
+  SELECT t.doc_id, m.stem AS term, count(*) AS tf
+  FROM toks t JOIN smap m USING (tok) GROUP BY t.doc_id, m.stem
+)
+SELECT term, count(*) AS df, CAST(sum(tf) AS BIGINT) AS ttf
+FROM p GROUP BY term
+ORDER BY df DESC, term ASC LIMIT 20
 """
 
     sqls["latvian_analysis"] = f"""

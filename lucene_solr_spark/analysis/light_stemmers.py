@@ -743,8 +743,18 @@ def _load_stops() -> dict[str, frozenset]:
         INDONESIAN_STOP,
         PERSIAN_STOP,
     )
+    from lucene_solr_spark.analysis.snowball_stops import (
+        DANISH_STOP,
+        DUTCH_STOP,
+        ROMANIAN_STOP,
+        TURKISH_STOP,
+    )
 
     return {
+        "danish": frozenset(DANISH_STOP),
+        "dutch": frozenset(DUTCH_STOP),
+        "romanian": frozenset(ROMANIAN_STOP),
+        "turkish": frozenset(TURKISH_STOP),
         "french": frozenset(FRENCH_STOP),
         "german": frozenset(GERMAN_STOP),
         "spanish": frozenset(SPANISH_STOP),
@@ -825,6 +835,39 @@ def _galician_stem_lazy(w: str) -> str:
     return galician_stem(w)
 
 
+def _danish_stem_lazy(w: str) -> str:
+    from lucene_solr_spark.analysis.snowball import danish_stem
+
+    return danish_stem(w)
+
+
+# DutchAnalyzer.DEFAULT_STEM_DICT (nl/DutchAnalyzer.java:79-83): the
+# StemmerOverrideFilter runs before the snowball step
+_NL_STEM_DICT = {
+    "fiets": "fiets", "bromfiets": "bromfiets",
+    "ei": "eier", "kind": "kinder",
+}
+
+
+def _dutch_stem_lazy(w: str) -> str:
+    from lucene_solr_spark.analysis.snowball import dutch_stem
+
+    o = _NL_STEM_DICT.get(w)
+    return o if o is not None else dutch_stem(w)
+
+
+def _romanian_stem_lazy(w: str) -> str:
+    from lucene_solr_spark.analysis.snowball import romanian_stem
+
+    return romanian_stem(w)
+
+
+def _turkish_stem_lazy(w: str) -> str:
+    from lucene_solr_spark.analysis.snowball import turkish_stem
+
+    return turkish_stem(w)
+
+
 def _light_analyze_flat(content: pd.Series, lang: str):
     """Flat analyzer kernel: tokenize → (elision fr) → lowercase →
     snowball stop → light stem, with per-batch vocabulary dedup so each
@@ -877,6 +920,10 @@ def _light_analyze_flat(content: pd.Series, lang: str):
         "indonesian": _indonesian_stem_lazy,
         "greek": _greek_stem_lazy,
         "latvian": _latvian_stem_lazy,
+        "danish": _danish_stem_lazy,
+        "dutch": _dutch_stem_lazy,
+        "romanian": _romanian_stem_lazy,
+        "turkish": _turkish_stem_lazy,
     }[lang]
 
     doc_idx_parts, term_parts, pos_parts = [], [], []

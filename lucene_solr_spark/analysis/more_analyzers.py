@@ -205,6 +205,14 @@ NAMED_ANALYZERS = {
     # lowercase -> stop -> {Czech,Bulgarian}Stemmer
     "czech": _lazy_light("czech"),
     "bulgarian": _lazy_light("bulgarian"),
+    # Snowball-backed chains (analysis/snowball.py, pinned on the
+    # reference's complete TestSnowballVocabData vocabularies):
+    # DanishAnalyzer.java:105-115, DutchAnalyzer.java:122-160 (incl.
+    # the 4-entry DEFAULT_STEM_DICT override), RomanianAnalyzer.java:
+    # 107-117
+    "danish": _lazy_light("danish"),
+    "dutch": _lazy_light("dutch"),
+    "romanian": _lazy_light("romanian"),
     # HindiAnalyzer.java: tokenize -> lowercase -> HindiNormalizer ->
     # hi stop (on NORMALIZED forms, the reference's order) -> HindiStemmer
     # (IndicNormalizer + DecimalDigitFilter are documented omissions)

