@@ -2773,6 +2773,41 @@ ROMANIAN_GATE_PHRASE = (
 )
 
 
+# exercises the ApostropheFilter, İ/I Turkish lowercasing, the lAr and
+# possessive suffixes, the recursive ki-chain and final devoicing
+TURKISH_GATE_PHRASE = (
+    "Türkiye'de kitapları kitabı İstanbul'daki evlerindeki "
+    "çocuklarımızın ve bir bu"
+)
+
+
+def q_turkish_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TurkishAnalyzer chain (analysis/tr/TurkishAnalyzer.java:103-114:
+    tokenize → ApostropheFilter → TurkishLowerCaseFilter → tr stop →
+    SnowballFilter(Turkish)).  The stemmer is pinned on the reference's
+    COMPLETE 96,325-word vocabulary
+    (fixtures/snowball_vocab/turkish.tsv.gz)."""
+    d = _table(spark, sf_dir, "documents")
+    t = build_tables(
+        d.select(
+            "doc_id",
+            F.concat(
+                F.col("text"), F.lit(" " + TURKISH_GATE_PHRASE)
+            ).alias("text"),
+        ),
+        id_col="doc_id",
+        text_col="text",
+        analyzer="turkish",
+    )
+    return (
+        t.term_stats.select(
+            "term", "df", F.col("ttf").cast("long").alias("ttf")
+        )
+        .orderBy(F.col("df").desc(), F.col("term").asc())
+        .limit(20)
+    )
+
+
 def q_danish_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DanishAnalyzer chain (analysis/da/DanishAnalyzer.java:105-115:
     tokenize → lowercase → da snowball stop → SnowballFilter(Danish)).
@@ -4499,6 +4534,7 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "danish_analysis": q_danish_analysis,
         "dutch_analysis": q_dutch_analysis,
         "romanian_analysis": q_romanian_analysis,
+        "turkish_analysis": q_turkish_analysis,
         "path_hierarchy": q_path_hierarchy,
         "suggest_fuzzy": q_suggest_fuzzy,
         "term_query": q_term_query,
@@ -5251,6 +5287,39 @@ WITH toks AS (
   FROM documents
 ),
 smap(tok, stem) AS (VALUES {",".join(_map)}),
+p AS (
+  SELECT t.doc_id, m.stem AS term, count(*) AS tf
+  FROM toks t JOIN smap m USING (tok) GROUP BY t.doc_id, m.stem
+)
+SELECT term, count(*) AS df, CAST(sum(tf) AS BIGINT) AS ttf
+FROM p GROUP BY term
+ORDER BY df DESC, term ASC LIMIT 20
+"""
+
+    from lucene_solr_spark.analysis.snowball import (
+        apostrophe_strip,
+        turkish_lowercase,
+        turkish_stem,
+    )
+    from lucene_solr_spark.analysis.snowball_stops import TURKISH_STOP
+
+    _tr_stops = frozenset(TURKISH_STOP)
+    _tr_map = []
+    for _tok in sorted(set(_corpus_vocab + TURKISH_GATE_PHRASE.split())):
+        _fold = turkish_lowercase(apostrophe_strip(_tok))
+        if not _fold or _fold in _tr_stops:
+            continue
+        _tr_map.append(
+            "('" + _tok.replace("'", "''") + "','"
+            + turkish_stem(_fold).replace("'", "''") + "')"
+        )
+    sqls["turkish_analysis"] = f"""
+WITH toks AS (
+  SELECT doc_id,
+         unnest(string_split(text || ' {TURKISH_GATE_PHRASE.replace("'", "''")}', ' ')) AS tok
+  FROM documents
+),
+smap(tok, stem) AS (VALUES {",".join(_tr_map)}),
 p AS (
   SELECT t.doc_id, m.stem AS term, count(*) AS tf
   FROM toks t JOIN smap m USING (tok) GROUP BY t.doc_id, m.stem

@@ -926,12 +926,26 @@ def _light_analyze_flat(content: pd.Series, lang: str):
         "turkish": _turkish_stem_lazy,
     }[lang]
 
+    tr_fold = None
+    if lang == "turkish":
+        # TurkishAnalyzer.java:103-114: ApostropheFilter then
+        # TurkishLowerCaseFilter run INSTEAD of the plain lowercase
+        # (I -> ı, İ -> i, combining-dot composition)
+        from lucene_solr_spark.analysis.snowball import (
+            apostrophe_strip,
+            turkish_lowercase,
+        )
+
+        tr_fold = lambda tok: turkish_lowercase(  # noqa: E731
+            apostrophe_strip(tok)
+        )
+
     doc_idx_parts, term_parts, pos_parts = [], [], []
     for di, text in enumerate(content.to_numpy()):
         toks = str(text).split()
         terms, poss = [], []
         for pos, tok in enumerate(toks):
-            t = tok.lower()
+            t = tr_fold(tok) if tr_fold is not None else tok.lower()
             if lang == "french":
                 t = french_elision(t)
             elif lang == "italian":

@@ -213,6 +213,9 @@ NAMED_ANALYZERS = {
     "danish": _lazy_light("danish"),
     "dutch": _lazy_light("dutch"),
     "romanian": _lazy_light("romanian"),
+    # TurkishAnalyzer.java:103-114: tokenize -> ApostropheFilter ->
+    # TurkishLowerCaseFilter -> tr stop -> SnowballFilter(Turkish)
+    "turkish": _lazy_light("turkish"),
     # HindiAnalyzer.java: tokenize -> lowercase -> HindiNormalizer ->
     # hi stop (on NORMALIZED forms, the reference's order) -> HindiStemmer
     # (IndicNormalizer + DecimalDigitFilter are documented omissions)

@@ -41,6 +41,653 @@ def _longest_suffix(w: str, p: int, suffixes) -> str | None:
     return best
 
 
+# --------------------------------------------------------------- Turkish
+#
+# Snowball Turkish (Evren Kapusuz Çilden's algorithm;
+# TurkishStemmer.java).  All routines work on an explicit cursor p:
+# suffix matching consumes characters of w[:p] from the right; slices
+# are permanent, cursor restores are relative to the end (Snowball
+# backward-mode semantics).  A mark_* routine returns the new cursor or
+# None.  Per SnowballFilter.java:94-97 the mutated buffer is kept even
+# when stem() aborts mid-way, so partial mutations are returned.
+
+_TR_VOWELS = frozenset("aeıiouöü")
+_TR_U = frozenset("ıiuü")
+# vowel-harmony partner groups (TurkishStemmer.java:236-507)
+_TR_HARMONY = {
+    "a": "aıou", "e": "eiöü", "ı": "aı", "i": "ei",
+    "o": "ou", "ö": "öü", "u": "ou", "ü": "öü",
+}
+
+
+def _tr_harmony(w: str, p: int) -> bool:
+    j = p - 1
+    while j >= 0 and w[j] not in _TR_VOWELS:
+        j -= 1
+    if j < 0:
+        return False
+    group = _TR_HARMONY[w[j]]
+    k = j - 1
+    while k >= 0 and w[k] not in group:
+        k -= 1
+    return k >= 0
+
+
+def _tr_opt_cons(w: str, p: int, c: str) -> int | None:
+    """mark_suffix_with_optional_{n,s,y}_consonant (:509-751): the
+    optional consonant must ride on a vowel; without it the previous-
+    but-one char must be a vowel."""
+    if p >= 1 and w[p - 1] == c:
+        if p >= 2 and w[p - 2] in _TR_VOWELS:
+            return p - 1
+        return None
+    if p >= 2 and w[p - 2] in _TR_VOWELS:
+        return p
+    return None
+
+
+def _tr_opt_u(w: str, p: int) -> int | None:
+    """mark_suffix_with_optional_U_vowel (:752-830): optional U rides
+    on a consonant."""
+    if p >= 1 and w[p - 1] in _TR_U:
+        if p >= 2 and w[p - 2] not in _TR_VOWELS:
+            return p - 1
+        return None
+    if p >= 2 and w[p - 2] not in _TR_VOWELS:
+        return p
+    return None
+
+
+def _tr_among(w: str, p: int, suffixes) -> int | None:
+    best = None
+    for suf in suffixes:
+        if (best is None or len(suf) > len(best)) and w[:p].endswith(suf):
+            best = suf
+    return p - len(best) if best is not None else None
+
+
+def _mk_possessives(w, p):
+    q = _tr_among(w, p, ("m", "n", "miz", "niz", "muz", "nuz",
+                         "müz", "nüz", "mız", "nız"))
+    return None if q is None else _tr_opt_u(w, q)
+
+
+def _mk_sU(w, p):
+    if not _tr_harmony(w, p):
+        return None
+    if p >= 1 and w[p - 1] in _TR_U:
+        return _tr_opt_cons(w, p - 1, "s")
+    return None
+
+
+def _mk_lArI(w, p):
+    return _tr_among(w, p, ("leri", "ları"))
+
+
+def _mk_yU(w, p):
+    if not _tr_harmony(w, p):
+        return None
+    if p >= 1 and w[p - 1] in _TR_U:
+        return _tr_opt_cons(w, p - 1, "y")
+    return None
+
+
+def _mk_nU(w, p):
+    if not _tr_harmony(w, p):
+        return None
+    return _tr_among(w, p, ("ni", "nu", "nü", "nı"))
+
+
+def _mk_nUn(w, p):
+    if not _tr_harmony(w, p):
+        return None
+    q = _tr_among(w, p, ("in", "un", "ün", "ın"))
+    return None if q is None else _tr_opt_cons(w, q, "n")
+
+
+def _mk_yA(w, p):
+    if not _tr_harmony(w, p):
+        return None
+    q = _tr_among(w, p, ("a", "e"))
+    return None if q is None else _tr_opt_cons(w, q, "y")
+
+
+def _mk_nA(w, p):
+    if not _tr_harmony(w, p):
+        return None
+    return _tr_among(w, p, ("na", "ne"))
+
+
+def _mk_DA(w, p):
+    if not _tr_harmony(w, p):
+        return None
+    return _tr_among(w, p, ("da", "ta", "de", "te"))
+
+
+def _mk_ndA(w, p):
+    if not _tr_harmony(w, p):
+        return None
+    return _tr_among(w, p, ("nda", "nde"))
+
+
+def _mk_DAn(w, p):
+    if not _tr_harmony(w, p):
+        return None
+    return _tr_among(w, p, ("dan", "tan", "den", "ten"))
+
+
+def _mk_ndAn(w, p):
+    if not _tr_harmony(w, p):
+        return None
+    return _tr_among(w, p, ("ndan", "nden"))
+
+
+def _mk_ylA(w, p):
+    if not _tr_harmony(w, p):
+        return None
+    q = _tr_among(w, p, ("la", "le"))
+    return None if q is None else _tr_opt_cons(w, q, "y")
+
+
+def _mk_ki(w, p):
+    return p - 2 if w[:p].endswith("ki") else None
+
+
+def _mk_ncA(w, p):
+    if not _tr_harmony(w, p):
+        return None
+    q = _tr_among(w, p, ("ca", "ce"))
+    return None if q is None else _tr_opt_cons(w, q, "n")
+
+
+def _mk_yUm(w, p):
+    if not _tr_harmony(w, p):
+        return None
+    q = _tr_among(w, p, ("im", "um", "üm", "ım"))
+    return None if q is None else _tr_opt_cons(w, q, "y")
+
+
+def _mk_sUn(w, p):
+    if not _tr_harmony(w, p):
+        return None
+    return _tr_among(w, p, ("sin", "sun", "sün", "sın"))
+
+
+def _mk_yUz(w, p):
+    if not _tr_harmony(w, p):
+        return None
+    q = _tr_among(w, p, ("iz", "uz", "üz", "ız"))
+    return None if q is None else _tr_opt_cons(w, q, "y")
+
+
+def _mk_sUnUz(w, p):
+    return _tr_among(w, p, ("siniz", "sunuz", "sünüz", "sınız"))
+
+
+def _mk_lAr(w, p):
+    if not _tr_harmony(w, p):
+        return None
+    return _tr_among(w, p, ("lar", "ler"))
+
+
+def _mk_nUz(w, p):
+    if not _tr_harmony(w, p):
+        return None
+    return _tr_among(w, p, ("niz", "nuz", "nüz", "nız"))
+
+
+def _mk_DUr(w, p):
+    if not _tr_harmony(w, p):
+        return None
+    return _tr_among(w, p, ("dir", "tir", "dur", "tur",
+                            "dür", "tür", "dır", "tır"))
+
+
+def _mk_cAsInA(w, p):
+    return _tr_among(w, p, ("casına", "cesine"))
+
+
+_TR_YDU = (
+    "di", "ti", "dik", "tik", "duk", "tuk", "dük", "tük", "dık",
+    "tık", "dim", "tim", "dum", "tum", "düm", "tüm", "dım", "tım",
+    "din", "tin", "dun", "tun", "dün", "tün", "dın", "tın", "du",
+    "tu", "dü", "tü", "dı", "tı",
+)
+
+
+def _mk_yDU(w, p):
+    if not _tr_harmony(w, p):
+        return None
+    q = _tr_among(w, p, _TR_YDU)
+    return None if q is None else _tr_opt_cons(w, q, "y")
+
+
+def _mk_ysA(w, p):
+    q = _tr_among(w, p, ("sa", "se", "sak", "sek", "sam", "sem",
+                         "san", "sen"))
+    return None if q is None else _tr_opt_cons(w, q, "y")
+
+
+def _mk_ymUs(w, p):
+    if not _tr_harmony(w, p):
+        return None
+    q = _tr_among(w, p, ("miş", "muş", "müş", "mış"))
+    return None if q is None else _tr_opt_cons(w, q, "y")
+
+
+def _mk_yken(w, p):
+    if not w[:p].endswith("ken"):
+        return None
+    return _tr_opt_cons(w, p - 3, "y")
+
+
+def _tr_first(w, p, marks):
+    for mk in marks:
+        q = mk(w, p)
+        if q is not None:
+            return q
+    return None
+
+
+def _tr_nominal_verb(w: str) -> tuple[str, bool]:
+    """stem_nominal_verb_suffixes (TurkishStemmer.java:1277-1631).
+    Returns (word, continue_stemming_noun_suffixes)."""
+    n = len(w)
+    # A: (ymUs_|yDU|ysA|yken) -> delete
+    p = _tr_first(w, n, (_mk_ymUs, _mk_yDU, _mk_ysA, _mk_yken))
+    if p is not None:
+        return w[:p], True
+    # B: cAsInA (sUnUz|lAr|yUm|sUn|yUz|ε) ymUs_ -> delete all
+    p = _mk_cAsInA(w, n)
+    if p is not None:
+        q = _tr_first(w, p, (_mk_sUnUz, _mk_lAr, _mk_yUm, _mk_sUn,
+                             _mk_yUz))
+        if q is None:
+            q = p
+        r = _mk_ymUs(w, q)
+        if r is not None:
+            return w[:r], True
+    # C: lAr -> delete; try (DUr|yDU|ysA|ymUs_) -> delete; stop nouns
+    p = _mk_lAr(w, n)
+    if p is not None:
+        w = w[:p]
+        q = _tr_first(w, len(w), (_mk_DUr, _mk_yDU, _mk_ysA, _mk_ymUs))
+        if q is not None:
+            w = w[:q]
+        return w, False
+    # D: nUz (yDU|ysA) -> delete both
+    p = _mk_nUz(w, n)
+    if p is not None:
+        q = _tr_first(w, p, (_mk_yDU, _mk_ysA))
+        if q is not None:
+            return w[:q], True
+    # E: (sUnUz|yUz|sUn|yUm) -> delete; try ymUs_ -> delete
+    p = _tr_first(w, n, (_mk_sUnUz, _mk_yUz, _mk_sUn, _mk_yUm))
+    if p is not None:
+        w = w[:p]
+        q = _mk_ymUs(w, len(w))
+        if q is not None:
+            w = w[:q]
+        return w, True
+    # F: DUr -> delete; try (sUnUz|lAr|yUm|sUn|yUz|ε) ymUs_ -> delete
+    p = _mk_DUr(w, n)
+    if p is None:
+        return w, True
+    w = w[:p]
+    q = _tr_first(w, len(w), (_mk_sUnUz, _mk_lAr, _mk_yUm, _mk_sUn,
+                              _mk_yUz))
+    if q is None:
+        q = len(w)
+    r = _mk_ymUs(w, q)
+    if r is not None:
+        w = w[:r]
+    return w, True
+
+
+def _tr_chain_ki(w: str, cur: int) -> tuple[str, int, bool]:
+    """stem_suffix_chain_before_ki (:1632-1910).  Matching runs left of
+    ``cur``; deletions splice out [bra:ket] where ket is this call's
+    entry cursor; returns (word, cursor, ok).  A False return never
+    mutates the word."""
+    ket = cur
+    p = _mk_ki(w, cur)
+    if p is None:
+        return w, cur, False
+    # branch DA
+    q = _mk_DA(w, p)
+    if q is not None:
+        w = w[:q] + w[ket:]
+        cur = q
+        v2 = len(w) - cur
+        ket2 = cur
+        r = _mk_lAr(w, cur)
+        if r is not None:
+            w = w[:r] + w[ket2:]
+            cur = r
+            v4 = len(w) - cur
+            w2, cur2, ok = _tr_chain_ki(w, cur)
+            if ok:
+                return w2, cur2, True
+            return w, len(w) - v4, True
+        r = _mk_possessives(w, cur)
+        if r is None:
+            return w, len(w) - v2, True
+        w = w[:r] + w[ket2:]
+        cur = r
+        v5 = len(w) - cur
+        ket3 = cur
+        r2 = _mk_lAr(w, cur)
+        if r2 is None:
+            return w, len(w) - v5, True
+        w = w[:r2] + w[ket3:]
+        cur = r2
+        w2, cur2, ok = _tr_chain_ki(w, cur)
+        if ok:
+            return w2, cur2, True
+        return w, len(w) - v5, True
+    # branch nUn
+    q = _mk_nUn(w, p)
+    if q is not None:
+        w = w[:q] + w[ket:]
+        cur = q
+        v6 = len(w) - cur
+        ket2 = cur
+        r = _mk_lArI(w, cur)
+        if r is not None:
+            return w[:r] + w[ket2:], r, True
+        r = _tr_first(w, cur, (_mk_possessives, _mk_sU))
+        if r is not None:
+            w = w[:r] + w[ket2:]
+            cur = r
+            v9 = len(w) - cur
+            ket3 = cur
+            r2 = _mk_lAr(w, cur)
+            if r2 is not None:
+                w = w[:r2] + w[ket3:]
+                cur = r2
+                w2, cur2, ok = _tr_chain_ki(w, cur)
+                if ok:
+                    return w2, cur2, True
+                return w, len(w) - v9, True
+            return w, len(w) - v9, True
+        w2, cur2, ok = _tr_chain_ki(w, cur)
+        if ok:
+            return w2, cur2, True
+        return w, len(w) - v6, True
+    # branch ndA
+    q = _mk_ndA(w, p)
+    if q is None:
+        return w, cur, False
+    r = _mk_lArI(w, q)
+    if r is not None:
+        return w[:r] + w[ket:], r, True
+    r = _mk_sU(w, q)
+    if r is not None:
+        w = w[:r] + w[ket:]
+        cur = r
+        v11 = len(w) - cur
+        ket2 = cur
+        r2 = _mk_lAr(w, cur)
+        if r2 is not None:
+            w = w[:r2] + w[ket2:]
+            cur = r2
+            w2, cur2, ok = _tr_chain_ki(w, cur)
+            if ok:
+                return w2, cur2, True
+            return w, len(w) - v11, True
+        return w, len(w) - v11, True
+    w2, cur2, ok = _tr_chain_ki(w, q)
+    if ok:
+        return w2, cur2, True
+    return w, cur, False
+
+
+def _tr_try_lar_chain(w: str, cur: int) -> tuple[str, int]:
+    """The recurring ``try([mark_lAr] slice stem_suffix_chain_before_ki)``
+    tail: delete a lAr at ``cur``, then run the ki-chain; cursor
+    restores are end-relative, slices stay."""
+    v = len(w) - cur
+    r = _mk_lAr(w, cur)
+    if r is None:
+        return w, cur
+    w = w[:r] + w[cur:]
+    cur = r
+    w2, cur2, ok = _tr_chain_ki(w, cur)
+    if ok:
+        return w2, cur2
+    return w, len(w) - v
+
+
+def _tr_noun_suffixes(w: str) -> str:
+    """stem_noun_suffixes (TurkishStemmer.java:1911-2630)."""
+    n = len(w)
+    # 1: [lAr] del, try(chain)
+    p = _mk_lAr(w, n)
+    if p is not None:
+        w = w[:p]
+        w2, _, ok = _tr_chain_ki(w, len(w))
+        return w2 if ok else w
+    # 2: [ncA] del, try( lArI-del | (poss|sU)-del try(lAr-del chain)
+    #                    | lAr-del chain )
+    p = _mk_ncA(w, n)
+    if p is not None:
+        w = w[:p]
+        v3 = 0  # distance from end after the ncA slice
+        q = _mk_lArI(w, len(w))
+        if q is not None:
+            return w[:q]
+        q = _tr_first(w, len(w), (_mk_possessives, _mk_sU))
+        if q is not None:
+            w = w[:q]
+            w, _ = _tr_try_lar_chain(w, len(w))
+            return w
+        q = _mk_lAr(w, len(w))
+        if q is not None:
+            w2 = w[:q]
+            w3, _, ok = _tr_chain_ki(w2, len(w2))
+            # chain failure restores cursor only; the lAr slice stays
+            return w3 if ok else w2
+        _ = v3
+        return w
+    # 3: [(ndA|nA)] ( lArI-del | sU-del try(lAr-del chain) | chain )
+    p = _tr_first(w, n, (_mk_ndA, _mk_nA))
+    if p is not None:
+        q = _mk_lArI(w, p)
+        if q is not None:
+            return w[:q]
+        q = _mk_sU(w, p)
+        if q is not None:
+            w = w[:q]
+            w, _ = _tr_try_lar_chain(w, len(w))
+            return w
+        w2, _, ok = _tr_chain_ki(w, p)
+        if ok:
+            return w2
+        # fall through to branch 4 only when (ndA|nA) chain fails:
+        # the generated code breaks this branch and tries the next
+        p = None
+    # 4: [(ndAn|nU)] ( sU-del try(lAr-del chain) | lArI(no slice) )
+    p = _tr_first(w, n, (_mk_ndAn, _mk_nU))
+    if p is not None:
+        q = _mk_sU(w, p)
+        if q is not None:
+            w = w[:q]
+            w, _ = _tr_try_lar_chain(w, len(w))
+            return w
+        if _mk_lArI(w, p) is not None:
+            return w  # matched but never sliced (reference quirk)
+    # 5: [DAn] del, try([ poss-del try(lAr-del chain)
+    #                    | lAr-del try(chain) | chain ])
+    p = _mk_DAn(w, n)
+    if p is not None:
+        w = w[:p]
+        q = _mk_possessives(w, len(w))
+        if q is not None:
+            w = w[:q]
+            w, _ = _tr_try_lar_chain(w, len(w))
+            return w
+        q = _mk_lAr(w, len(w))
+        if q is not None:
+            w = w[:q]
+            w2, _, ok = _tr_chain_ki(w, len(w))
+            return w2 if ok else w
+        w2, _, ok = _tr_chain_ki(w, len(w))
+        return w2 if ok else w
+    # 6: [(nUn|ylA)] del, try( lAr-del chain (slice permanent on
+    #    chain failure, then retry next alt) | (poss|sU)-del
+    #    try(lAr-del chain) | chain )
+    p = _tr_first(w, n, (_mk_nUn, _mk_ylA))
+    if p is not None:
+        w = w[:p]
+        # alt1: lAr-del + chain; chain failure keeps the slice and
+        # falls through to alt2 on the SLICED word
+        q = _mk_lAr(w, len(w))
+        if q is not None:
+            w2 = w[:q]
+            w3, _, ok = _tr_chain_ki(w2, len(w2))
+            if ok:
+                return w3
+            w = w2  # slice permanent; cursor restored for alt2
+        q = _tr_first(w, len(w), (_mk_possessives, _mk_sU))
+        if q is not None:
+            w = w[:q]
+            w, _ = _tr_try_lar_chain(w, len(w))
+            return w
+        w2, _, ok = _tr_chain_ki(w, len(w))
+        return w2 if ok else w
+    # 7: [lArI] del
+    p = _mk_lArI(w, n)
+    if p is not None:
+        return w[:p]
+    # 8: chain alone
+    w2, _, ok = _tr_chain_ki(w, n)
+    if ok:
+        return w2
+    # 9: [(DA|yU|yA)] del, try( ((poss-del try([lAr consumed]))
+    #    | lAr) del; [chain] )
+    p = _tr_first(w, n, (_mk_DA, _mk_yU, _mk_yA))
+    if p is not None:
+        w = w[:p]
+        q = _mk_possessives(w, len(w))
+        if q is not None:
+            w = w[:q]
+            r = _mk_lAr(w, len(w))
+            if r is not None:
+                w = w[:r]
+            w2, _, ok = _tr_chain_ki(w, len(w))
+            return w2 if ok else w
+        q = _mk_lAr(w, len(w))
+        if q is not None:
+            w = w[:q]
+            w2, _, ok = _tr_chain_ki(w, len(w))
+            return w2 if ok else w
+        return w
+    # 10: [(poss|sU)] del, try(lAr-del chain); else overall failure
+    p = _tr_first(w, n, (_mk_possessives, _mk_sU))
+    if p is not None:
+        w = w[:p]
+        w, _ = _tr_try_lar_chain(w, len(w))
+        return w
+    return w
+
+
+def _tr_append_u(w: str) -> str:
+    """append_U_to_stems_ending_with_d_or_g (:2671-2924)."""
+    if not w or w[-1] not in ("d", "g"):
+        return w
+    j = len(w) - 1
+    while j >= 0 and w[j] not in _TR_VOWELS:
+        j -= 1
+    if j < 0:
+        return w
+    v = w[j]
+    if v in "aı":
+        return w + "ı"
+    if v in "ei":
+        return w + "i"
+    if v in "ou":
+        return w + "u"
+    return w + "ü"
+
+
+_TR_FINAL = {"b": "p", "c": "ç", "d": "t", "ğ": "k"}
+
+
+def apostrophe_strip(s: str) -> str:
+    """tr/ApostropheFilter.java:50-57: drop the first apostrophe
+    (U+0027 or U+2019) and everything after it."""
+    for k, ch in enumerate(s):
+        if ch in ("'", "’"):
+            return s[:k]
+    return s
+
+
+def turkish_lowercase(s: str) -> str:
+    """tr/TurkishLowerCaseFilter.java:55-111: I before a combining dot
+    above (other NSMs may intervene) -> i with the dot removed; bare
+    I -> dotless ı; everything else code-point lowercase (İ -> i)."""
+    import unicodedata
+
+    out: list[str] = []
+    i_or_after = False
+    chars = list(s)
+    n = len(chars)
+    k = 0
+    while k < n:
+        ch = chars[k]
+        i_or_after = (ch == "I") or (
+            i_or_after and unicodedata.category(ch) == "Mn"
+        )
+        if i_or_after:
+            if ch == "\u0307":
+                k += 1  # delete the dot (composed-lowercase mimic)
+                continue
+            if ch == "I":
+                dotted = False
+                for j in range(k + 1, n):
+                    if unicodedata.category(chars[j]) != "Mn":
+                        break
+                    if chars[j] == "\u0307":
+                        dotted = True
+                        break
+                if dotted:
+                    out.append("i")
+                else:
+                    out.append("ı")
+                    i_or_after = False
+                k += 1
+                continue
+        if ch == "İ":
+            # Java Character.toLowerCase(U+0130) -> 'i' (single char);
+            # Python str.lower() would add a combining dot
+            out.append("i")
+        else:
+            out.append(ch.lower())
+        k += 1
+    return "".join(out)
+
+
+def turkish_stem(w: str) -> str:
+    """Snowball Turkish (TurkishStemmer.java stem():3080-3146).
+
+    Requires >1 vowel; strips nominal verb suffixes, then (unless the
+    lAr branch unset the flag) noun suffix chains with the recursive
+    ki-chain; postlude appends U after d/g stems and devoices the last
+    consonant.  'ad'/'soyad' are reserved (no postlude)."""
+    if sum(1 for c in w if c in _TR_VOWELS) < 2:
+        return w
+    w, cont = _tr_nominal_verb(w)
+    if not cont:
+        return w
+    w = _tr_noun_suffixes(w)
+    if w in ("ad", "soyad"):
+        return w
+    w = _tr_append_u(w)
+    if w and w[-1] in _TR_FINAL:
+        w = w[:-1] + _TR_FINAL[w[-1]]
+    return w
+
+
 # ----------------------------------------------------------------- Dutch
 
 _NL_VOWELS = frozenset("aeiouyè")          # g_v (DutchStemmer.java:69)

@@ -13,9 +13,12 @@ from pathlib import Path
 import pytest
 
 from lucene_solr_spark.analysis.snowball import (
+    apostrophe_strip,
     danish_stem,
     dutch_stem,
     romanian_stem,
+    turkish_lowercase,
+    turkish_stem,
 )
 
 _FIX = Path("fixtures/snowball_vocab")
@@ -38,6 +41,7 @@ def _load(lang):
         ("danish", danish_stem, 23829),
         ("dutch", dutch_stem, 45669),
         ("romanian", romanian_stem, 22570),
+        ("turkish", turkish_stem, 96325),
     ],
 )
 def test_complete_vocabulary(lang, stem, expected_n):
@@ -58,6 +62,32 @@ def test_dutch_analyzer_stem_dict():
     assert _dutch_stem_lazy("ei") == "eier"
     assert _dutch_stem_lazy("kind") == "kinder"
     assert _dutch_stem_lazy("lichamelijk") == "licham"
+
+
+def test_turkish_lowercase_filter():
+    """TestTurkishLowerCaseFilter vectors: composed, decomposed, and
+    intervening-NSM forms (tr/TestTurkishLowerCaseFilter.java:37-68)."""
+    assert turkish_lowercase("\u0130STANBUL") == "istanbul"
+    assert turkish_lowercase("\u0130ZM\u0130R") == "izmir"
+    assert turkish_lowercase("ISPARTA") == "\u0131sparta"
+    # decomposed I + combining dot above
+    assert turkish_lowercase("\u0049\u0307STANBUL") == "istanbul"
+    assert turkish_lowercase("\u0049\u0307ZM\u0049\u0307R") == "izmir"
+    # intervening non-spacing mark between I and the dot
+    assert (
+        turkish_lowercase("\u0049\u0316\u0307STANBUL")
+        == "i\u0316stanbul"
+    )
+    assert turkish_lowercase("I\u0316SPARTA") == "\u0131\u0316sparta"
+    assert turkish_lowercase("\u0049\u0307") == "i"
+    assert turkish_lowercase("") == ""
+
+
+def test_apostrophe_filter():
+    """TestApostropheFilter vector: Türkiye'de -> türkiye etc."""
+    toks = "Türkiye'de 2003'te Van Gölü'nü gördüm".split()
+    got = [turkish_lowercase(apostrophe_strip(t)) for t in toks]
+    assert got == ["türkiye", "2003", "van", "gölü", "gördüm"]
 
 
 def test_chains_run_and_stop():
