@@ -2773,6 +2773,71 @@ ROMANIAN_GATE_PHRASE = (
 )
 
 
+# exercises accent folding, the -mente/R1, -imentos/R2, verb-RV rules
+# and the residual/step-5 deletions plus the br stop list
+BRAZILIAN_GATE_PHRASE = (
+    "quilométricas aborrecimentos qualidades chegou possibilidade "
+    "as com não para"
+)
+
+# exercises Cyrillic→Latin, diacritic folding and the dj/lj/nj/dz
+# digraph expansions
+SERBIAN_GATE_PHRASE = "ђаче уштеде džak čokolada ćevapčići šišmiš жут"
+
+
+def q_brazilian_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BrazilianAnalyzer chain (analysis/br/BrazilianAnalyzer.java:
+    tokenize → lowercase → br stop → BrazilianStemFilter over the
+    Orengo-style rule stemmer of BrazilianStemmer.java:40-1024,
+    quirks preserved).  Pinned on the COMPLETE 86-pair
+    TestBrazilianAnalyzer golden set (fixtures/stemmer_goldens/br.tsv)."""
+    d = _table(spark, sf_dir, "documents")
+    t = build_tables(
+        d.select(
+            "doc_id",
+            F.concat(
+                F.col("text"), F.lit(" " + BRAZILIAN_GATE_PHRASE)
+            ).alias("text"),
+        ),
+        id_col="doc_id",
+        text_col="text",
+        analyzer="brazilian",
+    )
+    return (
+        t.term_stats.select(
+            "term", "df", F.col("ttf").cast("long").alias("ttf")
+        )
+        .orderBy(F.col("df").desc(), F.col("term").asc())
+        .limit(20)
+    )
+
+
+def q_serbian_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Serbian normalization chain (sr/SerbianNormalizationFilter.java:
+    30-210 via its factory: lowercase → bald-Latin fold with dj/lj/nj/
+    dz digraph expansion).  Verified on the reference's complete
+    alphabet vectors (tests/test_serbian.py)."""
+    d = _table(spark, sf_dir, "documents")
+    t = build_tables(
+        d.select(
+            "doc_id",
+            F.concat(
+                F.col("text"), F.lit(" " + SERBIAN_GATE_PHRASE)
+            ).alias("text"),
+        ),
+        id_col="doc_id",
+        text_col="text",
+        analyzer="serbian",
+    )
+    return (
+        t.term_stats.select(
+            "term", "df", F.col("ttf").cast("long").alias("ttf")
+        )
+        .orderBy(F.col("df").desc(), F.col("term").asc())
+        .limit(20)
+    )
+
+
 # exercises the ApostropheFilter, İ/I Turkish lowercasing, the lAr and
 # possessive suffixes, the recursive ki-chain and final devoicing
 TURKISH_GATE_PHRASE = (
@@ -4535,6 +4600,8 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dutch_analysis": q_dutch_analysis,
         "romanian_analysis": q_romanian_analysis,
         "turkish_analysis": q_turkish_analysis,
+        "brazilian_analysis": q_brazilian_analysis,
+        "serbian_analysis": q_serbian_analysis,
         "path_hierarchy": q_path_hierarchy,
         "suggest_fuzzy": q_suggest_fuzzy,
         "term_query": q_term_query,
@@ -5268,11 +5335,20 @@ ORDER BY docs DESC, node ASC LIMIT 20
         ROMANIAN_STOP,
     )
 
+    from lucene_solr_spark.analysis.light_stemmers import (
+        _brazilian_stem_lazy,
+        _serbian_norm_lazy,
+    )
+    from lucene_solr_spark.analysis.snowball_stops import BRAZILIAN_STOP
+
     for _lang, _phrase, _stops, _stem in (
         ("danish", DANISH_GATE_PHRASE, DANISH_STOP, _danish_stem_lazy),
         ("dutch", DUTCH_GATE_PHRASE, DUTCH_STOP, _dutch_stem_lazy),
         ("romanian", ROMANIAN_GATE_PHRASE, ROMANIAN_STOP,
          _romanian_stem_lazy),
+        ("brazilian", BRAZILIAN_GATE_PHRASE, BRAZILIAN_STOP,
+         _brazilian_stem_lazy),
+        ("serbian", SERBIAN_GATE_PHRASE, (), _serbian_norm_lazy),
     ):
         _stopset = frozenset(_stops)
         _map = []

@@ -744,6 +744,7 @@ def _load_stops() -> dict[str, frozenset]:
         PERSIAN_STOP,
     )
     from lucene_solr_spark.analysis.snowball_stops import (
+        BRAZILIAN_STOP,
         DANISH_STOP,
         DUTCH_STOP,
         ROMANIAN_STOP,
@@ -755,6 +756,8 @@ def _load_stops() -> dict[str, frozenset]:
         "dutch": frozenset(DUTCH_STOP),
         "romanian": frozenset(ROMANIAN_STOP),
         "turkish": frozenset(TURKISH_STOP),
+        "brazilian": frozenset(BRAZILIAN_STOP),
+        "serbian": frozenset(),
         "french": frozenset(FRENCH_STOP),
         "german": frozenset(GERMAN_STOP),
         "spanish": frozenset(SPANISH_STOP),
@@ -868,6 +871,21 @@ def _turkish_stem_lazy(w: str) -> str:
     return turkish_stem(w)
 
 
+def _brazilian_stem_lazy(w: str) -> str:
+    # BrazilianStemFilter.java:61-67: keep the original term when the
+    # stemmer returns null or an identical discriminator
+    from lucene_solr_spark.analysis.brazilian import brazilian_stem
+
+    s = brazilian_stem(w)
+    return w if s is None else s
+
+
+def _serbian_norm_lazy(w: str) -> str:
+    from lucene_solr_spark.analysis.serbian import serbian_normalize
+
+    return serbian_normalize(w)
+
+
 def _light_analyze_flat(content: pd.Series, lang: str):
     """Flat analyzer kernel: tokenize → (elision fr) → lowercase →
     snowball stop → light stem, with per-batch vocabulary dedup so each
@@ -924,6 +942,8 @@ def _light_analyze_flat(content: pd.Series, lang: str):
         "dutch": _dutch_stem_lazy,
         "romanian": _romanian_stem_lazy,
         "turkish": _turkish_stem_lazy,
+        "brazilian": _brazilian_stem_lazy,
+        "serbian": _serbian_norm_lazy,
     }[lang]
 
     tr_fold = None

@@ -216,6 +216,13 @@ NAMED_ANALYZERS = {
     # TurkishAnalyzer.java:103-114: tokenize -> ApostropheFilter ->
     # TurkishLowerCaseFilter -> tr stop -> SnowballFilter(Turkish)
     "turkish": _lazy_light("turkish"),
+    # BrazilianAnalyzer.java: tokenize -> lowercase -> br stop ->
+    # BrazilianStemFilter (analysis/brazilian.py, Orengo-style rules)
+    "brazilian": _lazy_light("brazilian"),
+    # sr/SerbianNormalizationFilterFactory: lowercase -> bald-Latin
+    # normalization (no reference analyzer exists; this is the
+    # documented factory chain)
+    "serbian": _lazy_light("serbian"),
     # HindiAnalyzer.java: tokenize -> lowercase -> HindiNormalizer ->
     # hi stop (on NORMALIZED forms, the reference's order) -> HindiStemmer
     # (IndicNormalizer + DecimalDigitFilter are documented omissions)
