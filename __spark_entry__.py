@@ -2773,6 +2773,41 @@ ROMANIAN_GATE_PHRASE = (
 )
 
 
+# exercises the declension endings, fix_conflicts (aite→aitė),
+# fix_chdz (č→t), the initial-'a' region quirk and the lt stop list
+LITHUANIAN_GATE_PHRASE = (
+    "vaikas knygoms kačių mergaitės augintinis ąžuolas ir bei į"
+)
+
+
+def q_lithuanian_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LithuanianAnalyzer chain (analysis/lt/LithuanianAnalyzer.java:
+    tokenize → lowercase → lt stop → SnowballFilter(Lithuanian) —
+    LithuanianStemmer.java: fix_conflicts, 206 R1-limited case
+    endings, repeated 62 derivational suffixes, č/dž and gd fixes).
+    Pinned on the COMPLETE 372-assertion TestLithuanianStemming golden
+    set (fixtures/stemmer_goldens/lt.tsv)."""
+    d = _table(spark, sf_dir, "documents")
+    t = build_tables(
+        d.select(
+            "doc_id",
+            F.concat(
+                F.col("text"), F.lit(" " + LITHUANIAN_GATE_PHRASE)
+            ).alias("text"),
+        ),
+        id_col="doc_id",
+        text_col="text",
+        analyzer="lithuanian",
+    )
+    return (
+        t.term_stats.select(
+            "term", "df", F.col("ttf").cast("long").alias("ttf")
+        )
+        .orderBy(F.col("df").desc(), F.col("term").asc())
+        .limit(20)
+    )
+
+
 # exercises accent folding, the -mente/R1, -imentos/R2, verb-RV rules
 # and the residual/step-5 deletions plus the br stop list
 BRAZILIAN_GATE_PHRASE = (
@@ -4602,6 +4637,7 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "turkish_analysis": q_turkish_analysis,
         "brazilian_analysis": q_brazilian_analysis,
         "serbian_analysis": q_serbian_analysis,
+        "lithuanian_analysis": q_lithuanian_analysis,
         "path_hierarchy": q_path_hierarchy,
         "suggest_fuzzy": q_suggest_fuzzy,
         "term_query": q_term_query,
@@ -5337,9 +5373,13 @@ ORDER BY docs DESC, node ASC LIMIT 20
 
     from lucene_solr_spark.analysis.light_stemmers import (
         _brazilian_stem_lazy,
+        _lithuanian_stem_lazy,
         _serbian_norm_lazy,
     )
-    from lucene_solr_spark.analysis.snowball_stops import BRAZILIAN_STOP
+    from lucene_solr_spark.analysis.snowball_stops import (
+        BRAZILIAN_STOP,
+        LITHUANIAN_STOP,
+    )
 
     for _lang, _phrase, _stops, _stem in (
         ("danish", DANISH_GATE_PHRASE, DANISH_STOP, _danish_stem_lazy),
@@ -5349,6 +5389,8 @@ ORDER BY docs DESC, node ASC LIMIT 20
         ("brazilian", BRAZILIAN_GATE_PHRASE, BRAZILIAN_STOP,
          _brazilian_stem_lazy),
         ("serbian", SERBIAN_GATE_PHRASE, (), _serbian_norm_lazy),
+        ("lithuanian", LITHUANIAN_GATE_PHRASE, LITHUANIAN_STOP,
+         _lithuanian_stem_lazy),
     ):
         _stopset = frozenset(_stops)
         _map = []

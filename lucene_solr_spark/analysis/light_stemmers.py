@@ -746,6 +746,7 @@ def _load_stops() -> dict[str, frozenset]:
     from lucene_solr_spark.analysis.snowball_stops import (
         BRAZILIAN_STOP,
         DANISH_STOP,
+        LITHUANIAN_STOP,
         DUTCH_STOP,
         ROMANIAN_STOP,
         TURKISH_STOP,
@@ -758,6 +759,7 @@ def _load_stops() -> dict[str, frozenset]:
         "turkish": frozenset(TURKISH_STOP),
         "brazilian": frozenset(BRAZILIAN_STOP),
         "serbian": frozenset(),
+        "lithuanian": frozenset(LITHUANIAN_STOP),
         "french": frozenset(FRENCH_STOP),
         "german": frozenset(GERMAN_STOP),
         "spanish": frozenset(SPANISH_STOP),
@@ -886,6 +888,12 @@ def _serbian_norm_lazy(w: str) -> str:
     return serbian_normalize(w)
 
 
+def _lithuanian_stem_lazy(w: str) -> str:
+    from lucene_solr_spark.analysis.lithuanian import lithuanian_stem
+
+    return lithuanian_stem(w)
+
+
 def _light_analyze_flat(content: pd.Series, lang: str):
     """Flat analyzer kernel: tokenize → (elision fr) → lowercase →
     snowball stop → light stem, with per-batch vocabulary dedup so each
@@ -944,6 +952,7 @@ def _light_analyze_flat(content: pd.Series, lang: str):
         "turkish": _turkish_stem_lazy,
         "brazilian": _brazilian_stem_lazy,
         "serbian": _serbian_norm_lazy,
+        "lithuanian": _lithuanian_stem_lazy,
     }[lang]
 
     tr_fold = None

@@ -223,6 +223,9 @@ NAMED_ANALYZERS = {
     # normalization (no reference analyzer exists; this is the
     # documented factory chain)
     "serbian": _lazy_light("serbian"),
+    # LithuanianAnalyzer.java: tokenize -> lowercase -> lt stop ->
+    # SnowballFilter(Lithuanian) (analysis/lithuanian.py)
+    "lithuanian": _lazy_light("lithuanian"),
     # HindiAnalyzer.java: tokenize -> lowercase -> HindiNormalizer ->
     # hi stop (on NORMALIZED forms, the reference's order) -> HindiStemmer
     # (IndicNormalizer + DecimalDigitFilter are documented omissions)
