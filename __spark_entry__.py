@@ -2773,6 +2773,70 @@ ROMANIAN_GATE_PHRASE = (
 )
 
 
+ARMENIAN_GATE_PHRASE = "է արծիվ արծիվներ հայերեն լեզուներով"
+BASQUE_GATE_PHRASE = "izan zaldi zaldiak mendiari mendietan etxeko"
+CATALAN_GATE_PHRASE = (
+    "un Diccionari de l'Institut d'Estudis Catalans llengües llengua"
+)
+IRISH_GATE_PHRASE = (
+    "le b'fhearr m'athair nAthair tUISCE gcat bhfuinneog "
+    "siopadóireacht síceapatacha"
+)
+
+
+def _analyzer_gate(
+    spark: SparkSession, sf_dir: str, analyzer: str, phrase: str
+) -> DataFrame:
+    d = _table(spark, sf_dir, "documents")
+    t = build_tables(
+        d.select(
+            "doc_id",
+            F.concat(F.col("text"), F.lit(" " + phrase)).alias("text"),
+        ),
+        id_col="doc_id",
+        text_col="text",
+        analyzer=analyzer,
+    )
+    return (
+        t.term_stats.select(
+            "term", "df", F.col("ttf").cast("long").alias("ttf")
+        )
+        .orderBy(F.col("df").desc(), F.col("term").asc())
+        .limit(20)
+    )
+
+
+def q_armenian_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ArmenianAnalyzer chain (hy/ArmenianAnalyzer.java: tokenize →
+    lowercase → hy stop → SnowballFilter(Armenian) — pV-limited
+    ending/verb/adjective/noun deletes, ArmenianStemmer.java)."""
+    return _analyzer_gate(spark, sf_dir, "armenian", ARMENIAN_GATE_PHRASE)
+
+
+def q_basque_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BasqueAnalyzer chain (eu/BasqueAnalyzer.java: tokenize →
+    lowercase → eu stop → SnowballFilter(Basque) — repeated aditzak/
+    izenak + adjetiboak with RV/R1/R2 checks, BasqueStemmer.java)."""
+    return _analyzer_gate(spark, sf_dir, "basque", BASQUE_GATE_PHRASE)
+
+
+def q_catalan_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CatalanAnalyzer chain (ca/CatalanAnalyzer.java: tokenize →
+    elision(d/l/m/n/s/t) → lowercase → ca stop → SnowballFilter
+    (Catalan) — pronoun/standard-or-verb/residual + accent cleaning,
+    CatalanStemmer.java).  Reproduces the reference's contractions
+    golden (diccion/inst/estud/catalan)."""
+    return _analyzer_gate(spark, sf_dir, "catalan", CATALAN_GATE_PHRASE)
+
+
+def q_irish_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IrishAnalyzer chain (ga/IrishAnalyzer.java:132-142: tokenize →
+    hyphenation-stop(h/n/t) → elision(d/m/b) → IrishLowerCaseFilter →
+    ga stop → SnowballFilter(Irish) — initial de-mutation + region-
+    checked suffix deletes)."""
+    return _analyzer_gate(spark, sf_dir, "irish", IRISH_GATE_PHRASE)
+
+
 # exercises the declension endings, fix_conflicts (aite→aitė),
 # fix_chdz (č→t), the initial-'a' region quirk and the lt stop list
 LITHUANIAN_GATE_PHRASE = (
@@ -4638,6 +4702,10 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "brazilian_analysis": q_brazilian_analysis,
         "serbian_analysis": q_serbian_analysis,
         "lithuanian_analysis": q_lithuanian_analysis,
+        "armenian_analysis": q_armenian_analysis,
+        "basque_analysis": q_basque_analysis,
+        "catalan_analysis": q_catalan_analysis,
+        "irish_analysis": q_irish_analysis,
         "path_hierarchy": q_path_hierarchy,
         "suggest_fuzzy": q_suggest_fuzzy,
         "term_query": q_term_query,
@@ -5438,6 +5506,69 @@ WITH toks AS (
   FROM documents
 ),
 smap(tok, stem) AS (VALUES {",".join(_tr_map)}),
+p AS (
+  SELECT t.doc_id, m.stem AS term, count(*) AS tf
+  FROM toks t JOIN smap m USING (tok) GROUP BY t.doc_id, m.stem
+)
+SELECT term, count(*) AS df, CAST(sum(tf) AS BIGINT) AS ttf
+FROM p GROUP BY term
+ORDER BY df DESC, term ASC LIMIT 20
+"""
+
+    from lucene_solr_spark.analysis.armenian import armenian_stem
+    from lucene_solr_spark.analysis.basque import basque_stem
+    from lucene_solr_spark.analysis.catalan import catalan_stem
+    from lucene_solr_spark.analysis.irish import (
+        irish_lowercase,
+        irish_stem,
+    )
+    from lucene_solr_spark.analysis.light_stemmers import _elision
+    from lucene_solr_spark.analysis.snowball_stops import (
+        ARMENIAN_STOP,
+        BASQUE_STOP,
+        CATALAN_STOP,
+        IRISH_STOP,
+    )
+
+    def _ca_fold(tok):
+        return _elision(tok.lower(), ("d", "l", "m", "n", "s", "t"))
+
+    def _ga_fold(tok):
+        if tok.lower() in ("h", "n", "t"):
+            return ""
+        for _ap in ("'", "’"):
+            _head, _sep, _rest = tok.partition(_ap)
+            if _sep and _head.lower() in ("d", "m", "b") and _rest:
+                tok = _rest
+                break
+        return irish_lowercase(tok)
+
+    for _lang, _phrase, _stops, _fold, _stem in (
+        ("armenian", ARMENIAN_GATE_PHRASE, ARMENIAN_STOP, str.lower,
+         armenian_stem),
+        ("basque", BASQUE_GATE_PHRASE, BASQUE_STOP, str.lower,
+         basque_stem),
+        ("catalan", CATALAN_GATE_PHRASE, CATALAN_STOP, _ca_fold,
+         catalan_stem),
+        ("irish", IRISH_GATE_PHRASE, IRISH_STOP, _ga_fold, irish_stem),
+    ):
+        _stopset = frozenset(_stops)
+        _map = []
+        for _tok in sorted(set(_corpus_vocab + _phrase.split())):
+            _f = _fold(_tok)
+            if not _f or _f in _stopset:
+                continue
+            _map.append(
+                "('" + _tok.replace("'", "''") + "','"
+                + _stem(_f).replace("'", "''") + "')"
+            )
+        sqls[f"{_lang}_analysis"] = f"""
+WITH toks AS (
+  SELECT doc_id,
+         unnest(string_split(text || ' {_phrase.replace("'", "''")}', ' ')) AS tok
+  FROM documents
+),
+smap(tok, stem) AS (VALUES {",".join(_map)}),
 p AS (
   SELECT t.doc_id, m.stem AS term, count(*) AS tf
   FROM toks t JOIN smap m USING (tok) GROUP BY t.doc_id, m.stem

@@ -744,8 +744,12 @@ def _load_stops() -> dict[str, frozenset]:
         PERSIAN_STOP,
     )
     from lucene_solr_spark.analysis.snowball_stops import (
+        ARMENIAN_STOP,
+        BASQUE_STOP,
         BRAZILIAN_STOP,
+        CATALAN_STOP,
         DANISH_STOP,
+        IRISH_STOP,
         LITHUANIAN_STOP,
         DUTCH_STOP,
         ROMANIAN_STOP,
@@ -760,6 +764,10 @@ def _load_stops() -> dict[str, frozenset]:
         "brazilian": frozenset(BRAZILIAN_STOP),
         "serbian": frozenset(),
         "lithuanian": frozenset(LITHUANIAN_STOP),
+        "armenian": frozenset(ARMENIAN_STOP),
+        "basque": frozenset(BASQUE_STOP),
+        "catalan": frozenset(CATALAN_STOP),
+        "irish": frozenset(IRISH_STOP),
         "french": frozenset(FRENCH_STOP),
         "german": frozenset(GERMAN_STOP),
         "spanish": frozenset(SPANISH_STOP),
@@ -894,6 +902,30 @@ def _lithuanian_stem_lazy(w: str) -> str:
     return lithuanian_stem(w)
 
 
+def _armenian_stem_lazy(w: str) -> str:
+    from lucene_solr_spark.analysis.armenian import armenian_stem
+
+    return armenian_stem(w)
+
+
+def _basque_stem_lazy(w: str) -> str:
+    from lucene_solr_spark.analysis.basque import basque_stem
+
+    return basque_stem(w)
+
+
+def _catalan_stem_lazy(w: str) -> str:
+    from lucene_solr_spark.analysis.catalan import catalan_stem
+
+    return catalan_stem(w)
+
+
+def _irish_stem_lazy(w: str) -> str:
+    from lucene_solr_spark.analysis.irish import irish_stem
+
+    return irish_stem(w)
+
+
 def _light_analyze_flat(content: pd.Series, lang: str):
     """Flat analyzer kernel: tokenize → (elision fr) → lowercase →
     snowball stop → light stem, with per-batch vocabulary dedup so each
@@ -953,6 +985,10 @@ def _light_analyze_flat(content: pd.Series, lang: str):
         "brazilian": _brazilian_stem_lazy,
         "serbian": _serbian_norm_lazy,
         "lithuanian": _lithuanian_stem_lazy,
+        "armenian": _armenian_stem_lazy,
+        "basque": _basque_stem_lazy,
+        "catalan": _catalan_stem_lazy,
+        "irish": _irish_stem_lazy,
     }[lang]
 
     tr_fold = None
@@ -968,6 +1004,21 @@ def _light_analyze_flat(content: pd.Series, lang: str):
         tr_fold = lambda tok: turkish_lowercase(  # noqa: E731
             apostrophe_strip(tok)
         )
+    elif lang == "irish":
+        # IrishAnalyzer.java:132-142: hyphenation-stop (h/n/t) and
+        # elision (d/m/b) run BEFORE IrishLowerCaseFilter, which is
+        # case-sensitive (n/t + uppercase vowel -> n-/t- prefix)
+        from lucene_solr_spark.analysis.irish import irish_lowercase
+
+        def tr_fold(tok):  # noqa: F811
+            if tok.lower() in ("h", "n", "t"):
+                return ""
+            for ap in ("'", "’"):
+                head, sep, rest = tok.partition(ap)
+                if sep and head.lower() in ("d", "m", "b") and rest:
+                    tok = rest
+                    break
+            return irish_lowercase(tok)
 
     doc_idx_parts, term_parts, pos_parts = [], [], []
     for di, text in enumerate(content.to_numpy()):
@@ -979,6 +1030,10 @@ def _light_analyze_flat(content: pd.Series, lang: str):
                 t = french_elision(t)
             elif lang == "italian":
                 t = italian_elision(t)
+            elif lang == "catalan":
+                # CatalanAnalyzer DEFAULT_ARTICLES (ignore-case, so
+                # post-lowercase elision is equivalent)
+                t = _elision(t, ("d", "l", "m", "n", "s", "t"))
             if norm is not None:
                 t = norm(t)
             if not t or t in stops:

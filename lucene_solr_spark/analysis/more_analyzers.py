@@ -226,6 +226,16 @@ NAMED_ANALYZERS = {
     # LithuanianAnalyzer.java: tokenize -> lowercase -> lt stop ->
     # SnowballFilter(Lithuanian) (analysis/lithuanian.py)
     "lithuanian": _lazy_light("lithuanian"),
+    # ArmenianAnalyzer.java / BasqueAnalyzer.java: tokenize ->
+    # lowercase -> stop -> SnowballFilter
+    "armenian": _lazy_light("armenian"),
+    "basque": _lazy_light("basque"),
+    # CatalanAnalyzer.java: tokenize -> elision(d/l/m/n/s/t) ->
+    # lowercase -> ca stop -> SnowballFilter(Catalan)
+    "catalan": _lazy_light("catalan"),
+    # IrishAnalyzer.java:132-142: tokenize -> hyphenation-stop(h/n/t)
+    # -> elision(d/m/b) -> IrishLowerCaseFilter -> ga stop -> stem
+    "irish": _lazy_light("irish"),
     # HindiAnalyzer.java: tokenize -> lowercase -> HindiNormalizer ->
     # hi stop (on NORMALIZED forms, the reference's order) -> HindiStemmer
     # (IndicNormalizer + DecimalDigitFilter are documented omissions)
