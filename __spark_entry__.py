@@ -2773,6 +2773,23 @@ ROMANIAN_GATE_PHRASE = (
 )
 
 
+# exercises the dictionary pass-through (flying stays), country
+# conflation (italians→italy), plural/ied/ing rules and -ation mapping
+KSTEM_GATE_PHRASE = (
+    "italians flying calories amplification happiness militarily "
+    "injunctive the was"
+)
+
+
+def q_kstem_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KStem chain (solr.KStemFilterFactory: tokenize → lowercase →
+    en stop → KStemFilter over the Krovetz morphological stemmer,
+    en/KStemmer.java:70-1520 with its 27,495-word head dictionary).
+    Pinned on the COMPLETE 12,130-pair kstemTestData examples
+    (fixtures/snowball_vocab/kstem_examples.tsv.gz)."""
+    return _analyzer_gate(spark, sf_dir, "kstem", KSTEM_GATE_PHRASE)
+
+
 ARMENIAN_GATE_PHRASE = "է արծիվ արծիվներ հայերեն լեզուներով"
 BASQUE_GATE_PHRASE = "izan zaldi zaldiak mendiari mendietan etxeko"
 CATALAN_GATE_PHRASE = (
@@ -4703,6 +4720,7 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "serbian_analysis": q_serbian_analysis,
         "lithuanian_analysis": q_lithuanian_analysis,
         "armenian_analysis": q_armenian_analysis,
+        "kstem_analysis": q_kstem_analysis,
         "basque_analysis": q_basque_analysis,
         "catalan_analysis": q_catalan_analysis,
         "irish_analysis": q_irish_analysis,
@@ -5543,7 +5561,12 @@ ORDER BY df DESC, term ASC LIMIT 20
                 break
         return irish_lowercase(tok)
 
+    from lucene_solr_spark.analysis.kstem import kstem as _kstem_fn
+    from lucene_solr_spark.analysis.stopwords import ENGLISH_STOP_WORDS
+
     for _lang, _phrase, _stops, _fold, _stem in (
+        ("kstem", KSTEM_GATE_PHRASE, ENGLISH_STOP_WORDS, str.lower,
+         _kstem_fn),
         ("armenian", ARMENIAN_GATE_PHRASE, ARMENIAN_STOP, str.lower,
          armenian_stem),
         ("basque", BASQUE_GATE_PHRASE, BASQUE_STOP, str.lower,

@@ -765,6 +765,7 @@ def _load_stops() -> dict[str, frozenset]:
         "serbian": frozenset(),
         "lithuanian": frozenset(LITHUANIAN_STOP),
         "armenian": frozenset(ARMENIAN_STOP),
+        "kstem": _english_stops(),
         "basque": frozenset(BASQUE_STOP),
         "catalan": frozenset(CATALAN_STOP),
         "irish": frozenset(IRISH_STOP),
@@ -902,6 +903,18 @@ def _lithuanian_stem_lazy(w: str) -> str:
     return lithuanian_stem(w)
 
 
+def _english_stops():
+    from lucene_solr_spark.analysis.stopwords import ENGLISH_STOP_WORDS
+
+    return frozenset(ENGLISH_STOP_WORDS)
+
+
+def _kstem_lazy(w: str) -> str:
+    from lucene_solr_spark.analysis.kstem import kstem
+
+    return kstem(w)
+
+
 def _armenian_stem_lazy(w: str) -> str:
     from lucene_solr_spark.analysis.armenian import armenian_stem
 
@@ -986,6 +999,7 @@ def _light_analyze_flat(content: pd.Series, lang: str):
         "serbian": _serbian_norm_lazy,
         "lithuanian": _lithuanian_stem_lazy,
         "armenian": _armenian_stem_lazy,
+        "kstem": _kstem_lazy,
         "basque": _basque_stem_lazy,
         "catalan": _catalan_stem_lazy,
         "irish": _irish_stem_lazy,

@@ -236,6 +236,9 @@ NAMED_ANALYZERS = {
     # IrishAnalyzer.java:132-142: tokenize -> hyphenation-stop(h/n/t)
     # -> elision(d/m/b) -> IrishLowerCaseFilter -> ga stop -> stem
     "irish": _lazy_light("irish"),
+    # solr.KStemFilterFactory chain: tokenize -> lowercase -> en stop
+    # -> KStemFilter (analysis/kstem.py, Krovetz morphological stemmer)
+    "kstem": _lazy_light("kstem"),
     # HindiAnalyzer.java: tokenize -> lowercase -> HindiNormalizer ->
     # hi stop (on NORMALIZED forms, the reference's order) -> HindiStemmer
     # (IndicNormalizer + DecimalDigitFilter are documented omissions)

@@ -110,3 +110,27 @@ def test_english_analyzer_chain(spark):
     # IS a stopword; "tokenizer's" → stemmed tokenizer stem) hold
     got2 = {r["doc_id"] for r in s.docs(TermQuery(porter_stem("tokenizer"))).collect()}
     assert got2 == {3}
+
+
+def test_complete_porter_vocabulary():
+    """The reference's COMPLETE porterTestData.zip vocabulary (23,531
+    words, en/TestPorterStemFilter.java testVocabulary) — every word
+    asserted, not just the inline goldens."""
+    import gzip
+    from pathlib import Path
+
+    pairs = []
+    with gzip.open(
+        Path("fixtures/snowball_vocab/porter_en.tsv.gz"),
+        "rt",
+        encoding="utf-8",
+    ) as f:
+        for line in f:
+            if line.startswith("#"):
+                continue
+            w, s = line.rstrip("\n").split("\t")
+            pairs.append((w, s))
+    assert len(pairs) == 23531
+    bad = [(w, want, porter_stem(w)) for w, want in pairs
+           if porter_stem(w) != want]
+    assert bad == [], f"{len(bad)} mismatches, first: {bad[:5]}"
