@@ -2773,6 +2773,24 @@ ROMANIAN_GATE_PHRASE = (
 )
 
 
+# exercises the camelCase capture patterns: ALL-CAPS runs, TitleCase,
+# lowercase runs after digits/underscores/acronyms, and digit runs
+PATTERN_GATE_PHRASE = (
+    "letsPartyLIKEits1999_dude camelCaseFilter getHTTPResponse "
+    "parse2JSONfast plain"
+)
+
+
+def q_pattern_capture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PatternCaptureGroupTokenFilter camelCase chain (pattern/
+    PatternCaptureGroupTokenFilter.java:76-180 — every capture group
+    of every pattern in start order, preserveOriginal, posInc 0;
+    analysis/pattern.py verified on the reference's full vector set)."""
+    return _analyzer_gate(
+        spark, sf_dir, "pattern_camel", PATTERN_GATE_PHRASE
+    )
+
+
 # exercises the dictionary pass-through (flying stays), country
 # conflation (italians→italy), plural/ied/ing rules and -ation mapping
 KSTEM_GATE_PHRASE = (
@@ -4721,6 +4739,7 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lithuanian_analysis": q_lithuanian_analysis,
         "armenian_analysis": q_armenian_analysis,
         "kstem_analysis": q_kstem_analysis,
+        "pattern_capture": q_pattern_capture,
         "basque_analysis": q_basque_analysis,
         "catalan_analysis": q_catalan_analysis,
         "irish_analysis": q_irish_analysis,
@@ -5560,6 +5579,28 @@ ORDER BY df DESC, term ASC LIMIT 20
                 tok = _rest
                 break
         return irish_lowercase(tok)
+
+    from lucene_solr_spark.analysis.pattern import camel_case_capture
+
+    _pc_map = []
+    for _tok in sorted(set(_corpus_vocab + PATTERN_GATE_PHRASE.split())):
+        for _term in camel_case_capture(_tok, preserve_original=True):
+            _pc_map.append(f"('{_tok}','{_term.lower()}')")
+    sqls["pattern_capture"] = f"""
+WITH toks AS (
+  SELECT doc_id,
+         unnest(string_split(text || ' {PATTERN_GATE_PHRASE}', ' ')) AS tok
+  FROM documents
+),
+smap(tok, term) AS (VALUES {",".join(_pc_map)}),
+p AS (
+  SELECT t.doc_id, m.term, count(*) AS tf
+  FROM toks t JOIN smap m USING (tok) GROUP BY t.doc_id, m.term
+)
+SELECT term, count(*) AS df, CAST(sum(tf) AS BIGINT) AS ttf
+FROM p GROUP BY term
+ORDER BY df DESC, term ASC LIMIT 20
+"""
 
     from lucene_solr_spark.analysis.kstem import kstem as _kstem_fn
     from lucene_solr_spark.analysis.stopwords import ENGLISH_STOP_WORDS

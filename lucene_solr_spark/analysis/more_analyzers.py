@@ -167,7 +167,29 @@ def phonetic_metaphone_analyze_batch_flat(content: pd.Series):
     return _flatten(tok_lists, pos_lists)
 
 
+def pattern_camel_analyze_batch_flat(content: pd.Series):
+    """PatternCaptureGroupTokenFilter camelCase chain (the documented
+    configuration, PatternCaptureGroupTokenFilter.java:56-67 +
+    factory): whitespace tokenize → capture groups (preserveOriginal,
+    all at ONE position) → lowercase."""
+    from lucene_solr_spark.analysis.pattern import camel_case_capture
+
+    tok_lists: list[list[str]] = []
+    pos_lists: list[list[int]] = []
+    for t in content.tolist():
+        terms: list[str] = []
+        positions: list[int] = []
+        for p, w in enumerate(str(t).split()):
+            for out in camel_case_capture(w, preserve_original=True):
+                terms.append(out.lower())
+                positions.append(p)
+        tok_lists.append(terms)
+        pos_lists.append(positions)
+    return _flatten(tok_lists, pos_lists)
+
+
 NAMED_ANALYZERS = {
+    "pattern_camel": pattern_camel_analyze_batch_flat,
     "whitespace": whitespace_analyze_batch_flat,
     "phonetic_metaphone": phonetic_metaphone_analyze_batch_flat,
     "simple": simple_analyze_batch_flat,
