@@ -2773,6 +2773,24 @@ ROMANIAN_GATE_PHRASE = (
 )
 
 
+def q_auto_stopwords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """QueryAutoStopWordAnalyzer (query/QueryAutoStopWordAnalyzer.java:
+    47-120): the index-derived stop set — every term whose docFreq
+    exceeds numDocs * maxPercentDocs (default 0.4) — as a term_stats
+    filter, never a per-query recount."""
+    from lucene_solr_spark.analysis.auto_stopwords import (
+        auto_stopword_terms,
+    )
+
+    t = _index_tables(spark, sf_dir)
+    n = _table(spark, sf_dir, "documents").count()
+    return (
+        auto_stopword_terms(t.term_stats, n)
+        .select("term", F.col("df").cast("long").alias("df"))
+        .orderBy(F.col("df").desc(), F.col("term").asc())
+    )
+
+
 # exercises the camelCase capture patterns: ALL-CAPS runs, TitleCase,
 # lowercase runs after digits/underscores/acronyms, and digit runs
 PATTERN_GATE_PHRASE = (
@@ -4740,6 +4758,7 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "armenian_analysis": q_armenian_analysis,
         "kstem_analysis": q_kstem_analysis,
         "pattern_capture": q_pattern_capture,
+        "auto_stopwords": q_auto_stopwords,
         "basque_analysis": q_basque_analysis,
         "catalan_analysis": q_catalan_analysis,
         "irish_analysis": q_irish_analysis,
@@ -5579,6 +5598,15 @@ ORDER BY df DESC, term ASC LIMIT 20
                 tok = _rest
                 break
         return irish_lowercase(tok)
+
+    sqls["auto_stopwords"] = f"""
+WITH {_IDX},
+n AS (SELECT count(*) AS nd FROM documents)
+SELECT t.term, CAST(t.df AS BIGINT) AS df
+FROM tstats t CROSS JOIN n
+WHERE t.df > CAST(n.nd * 0.4 AS BIGINT)
+ORDER BY t.df DESC, t.term ASC
+"""
 
     from lucene_solr_spark.analysis.pattern import camel_case_capture
 
