@@ -2752,6 +2752,67 @@ def q_latvian_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+RUSSIAN_GATE_PHRASE = (
+    "и вихри враждебные веют над нами тёмные силы гнетут"
+)
+SWEDISH_SNOW_GATE_PHRASE = (
+    "och jaktkarlarne följeslagare klokheten bottnarna fullt löst"
+)
+FINNISH_GATE_PHRASE = (
+    "ja aakkosjärjestykseen edeltäjistään taakkansa puutarhassa"
+)
+HUNGARIAN_GATE_PHRASE = (
+    "és abrosszal alapstruktúráját babaággyal kiállításokon"
+)
+NORWEGIAN_SNOW_GATE_PHRASE = (
+    "og havnedistriktene høstpløyningen vaktsomhetens erte"
+)
+
+
+def q_russian_snowball(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DEFAULT RussianAnalyzer chain (ru/RussianAnalyzer.java:121:
+    tokenize → lowercase → ru stop → SnowballFilter(Russian)); stemmer
+    pinned on the complete 49,673-word vocabulary."""
+    return _analyzer_gate(
+        spark, sf_dir, "russian_snowball", RUSSIAN_GATE_PHRASE
+    )
+
+
+def q_swedish_snowball(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DEFAULT SwedishAnalyzer chain (sv/SwedishAnalyzer.java:124);
+    stemmer pinned on the complete 30,623-word vocabulary."""
+    return _analyzer_gate(
+        spark, sf_dir, "swedish_snowball", SWEDISH_SNOW_GATE_PHRASE
+    )
+
+
+def q_finnish_snowball(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DEFAULT FinnishAnalyzer chain (fi/FinnishAnalyzer.java:124)
+    incl. the among-method fallback entries (seen/den/tten/siin);
+    stemmer pinned on the complete 50,000-word vocabulary."""
+    return _analyzer_gate(
+        spark, sf_dir, "finnish_snowball", FINNISH_GATE_PHRASE
+    )
+
+
+def q_hungarian_snowball(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DEFAULT HungarianAnalyzer chain (hu/HungarianAnalyzer.java:124)
+    incl. digraph-aware R1 marking and 3-char undoubling; stemmer
+    pinned on the complete 30,000-word vocabulary."""
+    return _analyzer_gate(
+        spark, sf_dir, "hungarian_snowball", HUNGARIAN_GATE_PHRASE
+    )
+
+
+def q_norwegian_snowball(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DEFAULT NorwegianAnalyzer chain (no/NorwegianAnalyzer.java:124)
+    incl. the k-after-consonant s-ending and erte→er; stemmer pinned
+    on the complete 20,628-word vocabulary."""
+    return _analyzer_gate(
+        spark, sf_dir, "norwegian_snowball", NORWEGIAN_SNOW_GATE_PHRASE
+    )
+
+
 # exercises the els/igst/løst rules, the consonant-pair drop (gt/kt),
 # the s-ending guard and the undouble step
 DANISH_GATE_PHRASE = (
@@ -4759,6 +4820,11 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kstem_analysis": q_kstem_analysis,
         "pattern_capture": q_pattern_capture,
         "auto_stopwords": q_auto_stopwords,
+        "russian_snowball": q_russian_snowball,
+        "swedish_snowball": q_swedish_snowball,
+        "finnish_snowball": q_finnish_snowball,
+        "hungarian_snowball": q_hungarian_snowball,
+        "norwegian_snowball": q_norwegian_snowball,
         "basque_analysis": q_basque_analysis,
         "catalan_analysis": q_catalan_analysis,
         "irish_analysis": q_irish_analysis,
@@ -5631,9 +5697,32 @@ ORDER BY df DESC, term ASC LIMIT 20
 """
 
     from lucene_solr_spark.analysis.kstem import kstem as _kstem_fn
+    from lucene_solr_spark.analysis.snowball import (
+        finnish_stem as _fi_snow,
+        hungarian_stem as _hu_snow,
+        norwegian_stem as _no_snow,
+        russian_stem as _ru_snow,
+        swedish_stem as _sv_snow,
+    )
+    from lucene_solr_spark.analysis.snowball_stops import (
+        FINNISH_STOP as _FI_ST,
+        HUNGARIAN_STOP as _HU_ST,
+        NORWEGIAN_STOP as _NO_ST,
+        RUSSIAN_STOP as _RU_ST,
+    )
     from lucene_solr_spark.analysis.stopwords import ENGLISH_STOP_WORDS
 
     for _lang, _phrase, _stops, _fold, _stem in (
+        ("russian_snowball", RUSSIAN_GATE_PHRASE, _RU_ST, str.lower,
+         _ru_snow),
+        ("swedish_snowball", SWEDISH_SNOW_GATE_PHRASE, _sv_stops,
+         str.lower, _sv_snow),
+        ("finnish_snowball", FINNISH_GATE_PHRASE, _FI_ST, str.lower,
+         _fi_snow),
+        ("hungarian_snowball", HUNGARIAN_GATE_PHRASE, _HU_ST,
+         str.lower, _hu_snow),
+        ("norwegian_snowball", NORWEGIAN_SNOW_GATE_PHRASE, _NO_ST,
+         str.lower, _no_snow),
         ("kstem", KSTEM_GATE_PHRASE, ENGLISH_STOP_WORDS, str.lower,
          _kstem_fn),
         ("armenian", ARMENIAN_GATE_PHRASE, ARMENIAN_STOP, str.lower,
@@ -5654,7 +5743,11 @@ ORDER BY df DESC, term ASC LIMIT 20
                 "('" + _tok.replace("'", "''") + "','"
                 + _stem(_f).replace("'", "''") + "')"
             )
-        sqls[f"{_lang}_analysis"] = f"""
+        _key = (
+            _lang if _lang.endswith("_snowball")
+            else f"{_lang}_analysis"
+        )
+        sqls[_key] = f"""
 WITH toks AS (
   SELECT doc_id,
          unnest(string_split(text || ' {_phrase.replace("'", "''")}', ' ')) AS tok

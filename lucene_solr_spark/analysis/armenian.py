@@ -89,9 +89,10 @@ def armenian_stem(w: str) -> str:
             if i < n:  # second non-vowel passed
                 p2 = i + 1
 
-    # ending (R2-limited), then verb, adjective, noun — all >= pV
-    m = _hy_longest(w, max(pv, p2), _HY_ENDING)
-    if m is not None:
+    # ending: longest match within the pV setlimit, then a post-hoc R2
+    # check on THAT match (no shorter-entry retry), like the reference
+    m = _hy_longest(w, pv, _HY_ENDING)
+    if m is not None and len(w) - len(m) >= p2:
         w = w[: -len(m)]
     for table in (_HY_VERB, _HY_ADJ, _HY_NOUN):
         m = _hy_longest(w, pv, table)

@@ -766,6 +766,14 @@ def _load_stops() -> dict[str, frozenset]:
         "lithuanian": frozenset(LITHUANIAN_STOP),
         "armenian": frozenset(ARMENIAN_STOP),
         "kstem": _english_stops(),
+        # the DEFAULT analyzer chains for these five end in
+        # SnowballFilter ({Russian,Swedish,Finnish,Hungarian,
+        # Norwegian}Analyzer.java:121-124); same stop sets
+        "russian_snowball": frozenset(RUSSIAN_STOP),
+        "swedish_snowball": frozenset(SWEDISH_STOP),
+        "finnish_snowball": frozenset(FINNISH_STOP),
+        "hungarian_snowball": frozenset(HUNGARIAN_STOP),
+        "norwegian_snowball": frozenset(NORWEGIAN_STOP),
         "basque": frozenset(BASQUE_STOP),
         "catalan": frozenset(CATALAN_STOP),
         "irish": frozenset(IRISH_STOP),
@@ -915,6 +923,15 @@ def _kstem_lazy(w: str) -> str:
     return kstem(w)
 
 
+def _snowball_lazy(name):
+    def stem(w: str) -> str:
+        from lucene_solr_spark.analysis import snowball
+
+        return getattr(snowball, f"{name}_stem")(w)
+
+    return stem
+
+
 def _armenian_stem_lazy(w: str) -> str:
     from lucene_solr_spark.analysis.armenian import armenian_stem
 
@@ -1000,6 +1017,11 @@ def _light_analyze_flat(content: pd.Series, lang: str):
         "lithuanian": _lithuanian_stem_lazy,
         "armenian": _armenian_stem_lazy,
         "kstem": _kstem_lazy,
+        "russian_snowball": _snowball_lazy("russian"),
+        "swedish_snowball": _snowball_lazy("swedish"),
+        "finnish_snowball": _snowball_lazy("finnish"),
+        "hungarian_snowball": _snowball_lazy("hungarian"),
+        "norwegian_snowball": _snowball_lazy("norwegian"),
         "basque": _basque_stem_lazy,
         "catalan": _catalan_stem_lazy,
         "irish": _irish_stem_lazy,

@@ -261,6 +261,15 @@ NAMED_ANALYZERS = {
     # solr.KStemFilterFactory chain: tokenize -> lowercase -> en stop
     # -> KStemFilter (analysis/kstem.py, Krovetz morphological stemmer)
     "kstem": _lazy_light("kstem"),
+    # the DEFAULT {Russian,Swedish,Finnish,Hungarian,Norwegian}Analyzer
+    # chains end in SnowballFilter (analysis/snowball.py, each pinned
+    # on its complete TestSnowballVocabData vocabulary); the plain
+    # names above keep the solr *LightStemFilterFactory configuration
+    "russian_snowball": _lazy_light("russian_snowball"),
+    "swedish_snowball": _lazy_light("swedish_snowball"),
+    "finnish_snowball": _lazy_light("finnish_snowball"),
+    "hungarian_snowball": _lazy_light("hungarian_snowball"),
+    "norwegian_snowball": _lazy_light("norwegian_snowball"),
     # HindiAnalyzer.java: tokenize -> lowercase -> HindiNormalizer ->
     # hi stop (on NORMALIZED forms, the reference's order) -> HindiStemmer
     # (IndicNormalizer + DecimalDigitFilter are documented omissions)

@@ -41,6 +41,524 @@ def _longest_suffix(w: str, p: int, suffixes) -> str | None:
     return best
 
 
+# -------------------------------------------------------------- Hungarian
+
+_HU_VOWELS = frozenset("aeiouáéíóõöúûü")
+_HU_DIGRAPHS = ("dzs", "ccs", "zzs", "ggy", "lly", "nny", "tty",
+                "ssz", "cs", "gy", "ly", "ny", "sz", "ty", "zs")
+_HU_START_DIGRAPH = ("dzs", "cs", "gy", "ly", "ny", "sz", "ty", "zs")
+_HU_DOUBLE = (
+    "bb", "cc", "dd", "ff", "gg", "jj", "kk", "ll", "mm", "nn", "pp",
+    "rr", "ccs", "ss", "zzs", "tt", "vv", "ggy", "lly", "nny", "tty",
+    "ssz", "zz",
+)
+_HU_CASE = (
+    "ba", "ra", "be", "re", "ig", "nak", "nek", "val", "vel", "ul",
+    "nál", "nél", "ból", "ról", "tól", "bõl", "rõl", "tõl", "ül",
+    "n", "an", "ban", "en", "ben", "képpen", "on", "ön", "képp",
+    "kor", "t", "at", "et", "ként", "anként", "enként", "onként",
+    "ot", "ért", "öt", "hez", "hoz", "höz", "vá", "vé",
+)
+_HU_OWNED = {
+    "éi": "", "áéi": "a", "ééi": "e", "é": "", "ké": "", "aké": "",
+    "eké": "", "oké": "", "áké": "a", "éké": "e", "öké": "",
+    "éé": "e",
+}
+_HU_SING = {
+    "a": "", "ja": "", "d": "", "ad": "", "ed": "", "od": "",
+    "ád": "a", "éd": "e", "öd": "", "e": "", "je": "", "nk": "",
+    "unk": "", "ánk": "a", "énk": "e", "ünk": "", "uk": "",
+    "juk": "", "ájuk": "a", "ük": "", "jük": "", "éjük": "e",
+    "m": "", "am": "", "em": "", "om": "", "ám": "a", "ém": "e",
+    "o": "", "á": "a", "é": "e",
+}
+_HU_PLUR = {
+    "id": "", "aid": "", "jaid": "", "eid": "", "jeid": "",
+    "áid": "a", "éid": "e", "i": "", "ai": "", "jai": "", "ei": "",
+    "jei": "", "ái": "a", "éi": "e", "itek": "", "eitek": "",
+    "jeitek": "", "éitek": "e", "ik": "", "aik": "", "jaik": "",
+    "eik": "", "jeik": "", "áik": "a", "éik": "e", "ink": "",
+    "aink": "", "jaink": "", "eink": "", "jeink": "", "áink": "a",
+    "éink": "e", "aitok": "", "jaitok": "", "áitok": "a", "im": "",
+    "aim": "", "jaim": "", "eim": "", "jeim": "", "áim": "a",
+    "éim": "e",
+}
+_HU_PLURAL = {"k": "", "ak": "", "ek": "", "ok": "", "ák": "a",
+              "ék": "e", "ök": ""}
+
+
+def _hu_p1(w: str) -> int:
+    """HungarianStemmer.r_mark_regions (:246-317): vowel-initial words
+    mark after the first consonant (a digraph counts whole); consonant-
+    initial words mark after the first vowel."""
+    n = len(w)
+    if n == 0:
+        return 0
+    if w[0] in _HU_VOWELS:
+        i = 1
+        while i < n and w[i] in _HU_VOWELS:
+            i += 1
+        if i >= n:
+            return n
+        for d in _HU_START_DIGRAPH:
+            if w.startswith(d, i):
+                return i + len(d)
+        return i + 1
+    i = 0
+    while i < n and w[i] not in _HU_VOWELS:
+        i += 1
+    return i + 1 if i < n else n
+
+
+def _hu_v_ending(w: str, p1: int) -> str:
+    # [á|é] R1 -> a|e (unrestricted longest match, post-hoc R1 check)
+    if w.endswith("á") and len(w) - 1 >= p1:
+        return w[:-1] + "a"
+    if w.endswith("é") and len(w) - 1 >= p1:
+        return w[:-1] + "e"
+    return w
+
+
+def _hu_match(w: str, p1: int, suffixes) -> str | None:
+    """Hungarian routines run find_among_b UNRESTRICTED and only then
+    check R1 on the longest match — a too-long match fails the whole
+    routine, never retries a shorter entry."""
+    m = _longest_suffix(w, 0, suffixes)
+    if m is not None and len(w) - len(m) >= p1:
+        return m
+    return None
+
+
+def _hu_map_step(w: str, p1: int, table: dict) -> str:
+    m = _hu_match(w, p1, tuple(table))
+    if m is not None:
+        w = w[: -len(m)] + table[m]
+    return w
+
+
+def hungarian_stem(w: str) -> str:
+    """Snowball Hungarian (HungarianStemmer.java:20-235 tables,
+    stem():1057-1180) — the DEFAULT HungarianAnalyzer stem step
+    (hu/HungarianAnalyzer.java:124)."""
+    p1 = _hu_p1(w)
+
+    def dbl(v: str) -> bool:
+        return any(v.endswith(d) for d in _HU_DOUBLE)
+
+    # instrum: al/el in R1, preceded by a doubled consonant -> delete
+    # and undouble (undouble removes the SECOND-to-last char, which
+    # matters for the 3-char doubles: ssz -> sz, ccs -> cs)
+    m = _hu_match(w, p1, ("al", "el"))
+    if m is not None and dbl(w[:-2]):
+        w = w[:-2]
+        w = w[:-2] + w[-1]
+
+    # case: among in R1 -> delete, then v_ending
+    m = _hu_match(w, p1, _HU_CASE)
+    if m is not None:
+        w = _hu_v_ending(w[: -len(m)], p1)
+
+    # case_special: án/én/ánként in R1 -> a/e/a
+    m = _hu_match(w, p1, ("án", "én", "ánként"))
+    if m is not None:
+        w = w[: -len(m)] + ("e" if m == "én" else "a")
+
+    # case_other: stul/stül del; astul/estül del; ástul->a, éstül->e
+    m = _hu_match(w, p1, ("stul", "astul", "ástul", "stül", "estül",
+                          "éstül"))
+    if m is not None:
+        rep = {"ástul": "a", "éstül": "e"}.get(m, "")
+        w = w[: -len(m)] + rep
+
+    # factive: á/é in R1 after a doubled consonant -> delete, undouble
+    m = _hu_match(w, p1, ("á", "é"))
+    if m is not None and dbl(w[:-1]):
+        w = w[:-1]
+        w = w[:-2] + w[-1]
+
+    # owned, sing_owner, plur_owner, plural (each a replacement map
+    # in R1; v_ending only runs inside r_case)
+    w = _hu_map_step(w, p1, _HU_OWNED)
+    w = _hu_map_step(w, p1, _HU_SING)
+    w = _hu_map_step(w, p1, _HU_PLUR)
+    return _hu_map_step(w, p1, _HU_PLURAL)
+
+
+# --------------------------------------------------------------- Finnish
+
+_FI_V1 = frozenset("aeiouyäö")
+_FI_V2 = frozenset("aeiouäö")
+_FI_AEI = frozenset("aeiä")
+_FI_PARTICLE_END = _FI_V1 | {"n", "t"}
+_FI_LONG = ("aa", "ee", "ii", "oo", "uu", "ää", "öö")
+_FI_P1 = ("pa", "kaan", "han", "kin", "hän", "kään", "ko", "pä", "kö")
+_FI_CASE_UNCOND = (
+    "lla", "na", "ssa", "ta", "lta", "sta", "lle", "ine", "ksi",
+    "llä", "nä", "ssä", "tä", "ltä", "stä",
+)
+# among entries with attached condition routines (FinnishStemmer.java
+# a_6:91-96): when the routine fails, find_among_b FALLS BACK to the
+# parent entry 'n'
+_FI_CASE_VI = ("den", "tten", "siin")   # r_VI: i after V2
+_FI_CASE_LONG = ("seen",)               # r_LONG: doubled vowel
+_FI_CASE_H = {"han": "a", "hen": "e", "hin": "i", "hon": "o",
+              "hän": "ä", "hön": "ö"}
+_FI_OTHER_1 = ("mma", "mpa", "mmi", "mpi", "mmä", "mpä")
+_FI_OTHER_U = ("eja", "imma", "impa", "immi", "impi", "ejä", "immä",
+               "impä")
+
+
+def _fi_regions(w: str) -> tuple[int, int]:
+    n = len(w)
+
+    def scan(start):
+        i = start
+        while i < n and w[i] not in _FI_V1:
+            i += 1
+        while i < n and w[i] in _FI_V1:
+            i += 1
+        return i + 1 if i < n else n
+
+    p1 = scan(0)
+    p2 = scan(p1) if p1 < n else n
+    return p1, p2
+
+
+def finnish_stem(w: str) -> str:
+    """Snowball Finnish (FinnishStemmer.java:20-155 tables, stem():
+    884-1040) — the DEFAULT FinnishAnalyzer stem step
+    (fi/FinnishAnalyzer.java:124)."""
+    p1, p2 = _fi_regions(w)
+    ending_removed = False
+
+    # particle_etc (R1; sti additionally R2; the particle-end check is
+    # outside the limit)
+    m = _longest_suffix(w, p1, _FI_P1 + ("sti",))
+    if m == "sti":
+        if len(w) - 3 >= p2:
+            w = w[:-3]
+    elif m is not None:
+        q = len(w) - len(m)
+        if q >= 1 and w[q - 1] in _FI_PARTICLE_END:
+            w = w[:q]
+
+    # possessive (R1)
+    m = _longest_suffix(
+        w, p1, ("nsa", "mme", "nne", "ni", "si", "an", "en", "än",
+                "nsä")
+    )
+    if m == "si":
+        if not w[:-2].endswith("k"):
+            w = w[:-2]
+    elif m == "ni":
+        w = w[:-2]
+        if w.endswith("kse"):
+            w = w[:-1] + "i"
+    elif m in ("nsa", "mme", "nne", "nsä"):
+        w = w[:-3]
+    elif m == "an":
+        if w[:-2].endswith(("lla", "na", "ssa", "ta", "lta", "sta")):
+            w = w[:-2]
+    elif m == "än":
+        if w[:-2].endswith(("llä", "nä", "ssä", "tä", "ltä", "stä")):
+            w = w[:-2]
+    elif m == "en":
+        if w[:-2].endswith(("lle", "ine")):
+            w = w[:-2]
+
+    # case_ending (R1)
+    m = _longest_suffix(
+        w, p1,
+        _FI_CASE_UNCOND + _FI_CASE_VI + _FI_CASE_LONG
+        + tuple(_FI_CASE_H) + ("a", "ä", "n", "tta", "ttä"),
+    )
+    if m in _FI_CASE_VI:
+        q = len(w) - len(m)
+        # r_VI under the R1 limit: 'i' after a V2 char, both in R1
+        if not (
+            q - 2 >= p1 and w[q - 1] == "i" and w[q - 2] in _FI_V2
+        ):
+            m = "n"  # method failed: fall back to the parent entry
+    elif m in _FI_CASE_LONG:
+        q = len(w) - len(m)
+        if not (q - 2 >= p1 and w[q - 2:q] in _FI_LONG):
+            m = "n"
+    if m is not None:
+        q = len(w) - len(m)
+        ok = False
+        extra = 0
+        if m in _FI_CASE_UNCOND + _FI_CASE_VI + _FI_CASE_LONG:
+            ok = True
+        elif m in _FI_CASE_H:
+            ok = q >= 1 and w[q - 1] == _FI_CASE_H[m]
+        elif m in ("tta", "ttä"):
+            ok = q >= 1 and w[q - 1] == "e"
+        elif m in ("a", "ä"):
+            # preceded by V1 preceded by non-V1
+            ok = (
+                q >= 2
+                and w[q - 1] in _FI_V1
+                and w[q - 2] not in _FI_V1
+            )
+        elif m == "n":
+            ok = True
+            # long vowel or 'ie' before the n: drop one extra char
+            # (but never past the R1 setlimit floor... the extra char
+            # consumes within the limited region)
+            if (
+                (w[:q].endswith(_FI_LONG) or w[:q].endswith("ie"))
+                and q - 1 >= p1
+            ):
+                extra = 1
+        if ok:
+            w = w[: q - extra]
+            ending_removed = True
+
+    # other_endings (R2; mma/mpa family not after "po")
+    m = _longest_suffix(w, p2, _FI_OTHER_1 + _FI_OTHER_U)
+    if m is not None:
+        if m in _FI_OTHER_U or not w[: -len(m)].endswith("po"):
+            w = w[: -len(m)]
+
+    # i_plural (if an ending was removed) else t_plural
+    if ending_removed:
+        m = _longest_suffix(w, p1, ("i", "j"))
+        if m is not None:
+            w = w[:-1]
+    else:
+        if (
+            w.endswith("t")
+            and len(w) - 1 >= p1
+            and len(w) >= 2
+            and w[-2] in _FI_V1
+        ):
+            w = w[:-1]
+            m = _longest_suffix(w, p2, ("mma", "imma"))
+            if m == "imma" or (
+                m == "mma" and not w[:-3].endswith("po")
+            ):
+                w = w[: -len(m)]
+
+    # tidy (all R1-limited except the final undouble)
+    if len(w) - 2 >= p1 and w[-2:] in _FI_LONG:
+        w = w[:-1]
+    # the AEI / j / o checks read the preceding char under the same
+    # R1 setlimit, so it must lie in R1 as well
+    if (
+        len(w) - 2 >= p1
+        and w[-1] in _FI_AEI
+        and w[-2] not in _FI_V1
+    ):
+        w = w[:-1]
+    if len(w) - 2 >= p1 and w.endswith(("oj", "uj")):
+        w = w[:-1]
+    if len(w) - 2 >= p1 and w.endswith("jo"):
+        w = w[:-1]
+    # undouble the LAST consonant anywhere in the word
+    i = len(w) - 1
+    while i >= 0 and w[i] in _FI_V1:
+        i -= 1
+    if i >= 1 and w[i - 1] == w[i]:
+        w = w[:i] + w[i + 1:]
+    return w
+
+
+# --------------------------------------------------------------- Russian
+
+_RU_VOWELS = frozenset("аеиоуыэюя")
+_RU_PG_1 = ("в", "вши", "вшись")            # need preceding а/я
+_RU_PG_2 = ("ив", "ыв", "ивши", "ывши", "ившись", "ывшись")
+_RU_ADJ = (
+    "ее", "ие", "ое", "ые", "ими", "ыми", "ей", "ий", "ой", "ый",
+    "ем", "им", "ом", "ым", "его", "ого", "ему", "ому", "их", "ых",
+    "ею", "ою", "ую", "юю", "ая", "яя",
+)
+_RU_PART_1 = ("ем", "нн", "вш", "щ", "ющ")  # need preceding а/я
+_RU_PART_2 = ("ивш", "ывш", "ующ")
+_RU_VERB_1 = (
+    "ла", "на", "ете", "йте", "ли", "й", "л", "ем", "н", "ло", "но",
+    "нно", "ет", "ют", "ны", "ть", "ешь",
+)
+_RU_VERB_2 = (
+    "ила", "ыла", "ена", "ите", "ейте", "уйте", "или", "ыли", "ей",
+    "уй", "ил", "ыл", "им", "ым", "ен", "ило", "ыло", "ено", "ует",
+    "ит", "ыт", "уют", "ят", "ены", "ить", "ыть", "ишь", "ю", "ую",
+)
+_RU_NOUN = (
+    "а", "ев", "ов", "е", "ие", "ье", "и", "еи", "ии", "ами", "ями",
+    "иями", "й", "ей", "ией", "ий", "ой", "ам", "ем", "ием", "ом",
+    "ям", "иям", "о", "у", "ах", "ях", "иях", "ы", "ь", "ю", "ию",
+    "ью", "я", "ия", "ья",
+)
+
+
+def _ru_among_ay(w, pv, g1, g2):
+    """Longest match over g1∪g2 within RV; g1 entries additionally
+    need a preceding а/я (within RV); returns new end or None."""
+    m = _longest_suffix(w, pv, g1 + g2)
+    if m is None:
+        return None
+    if m in g2:
+        return len(w) - len(m)
+    q = len(w) - len(m)
+    if q - 1 >= pv and w[q - 1] in ("а", "я"):
+        return q
+    return None
+
+
+def russian_stem(w: str) -> str:
+    """Snowball Russian (RussianStemmer.java:20-184 tables, stem():
+    582-720) — the DEFAULT RussianAnalyzer stem step
+    (ru/RussianAnalyzer.java:121).  All matching runs within RV."""
+    n = len(w)
+    i = 0
+    while i < n and w[i] not in _RU_VOWELS:
+        i += 1
+    if i >= n:
+        return w
+    pv = i + 1
+    # p2 = after the second vowel-consonant sequence
+    p2 = n
+    i = pv
+    while i < n and w[i] in _RU_VOWELS:
+        i += 1
+    if i < n:
+        i += 1
+        while i < n and w[i] not in _RU_VOWELS:
+            i += 1
+        if i < n:
+            i += 1
+            while i < n and w[i] in _RU_VOWELS:
+                i += 1
+            if i < n:
+                p2 = i + 1
+
+    # step 1
+    q = _ru_among_ay(w, pv, _RU_PG_1, _RU_PG_2)
+    if q is not None:
+        w = w[:q]
+    else:
+        m = _longest_suffix(w, pv, ("ся", "сь"))
+        if m is not None:
+            w = w[: -len(m)]
+        # adjectival: adjective, then try participle
+        m = _longest_suffix(w, pv, _RU_ADJ)
+        if m is not None:
+            w = w[: -len(m)]
+            q = _ru_among_ay(w, pv, _RU_PART_1, _RU_PART_2)
+            if q is not None:
+                w = w[:q]
+        else:
+            q = _ru_among_ay(w, pv, _RU_VERB_1, _RU_VERB_2)
+            if q is not None:
+                w = w[:q]
+            else:
+                m = _longest_suffix(w, pv, _RU_NOUN)
+                if m is not None:
+                    w = w[: -len(m)]
+
+    # step 2: final и
+    if w.endswith("и") and len(w) - 1 >= pv:
+        w = w[:-1]
+
+    # derivational: ост/ость in R2
+    m = _longest_suffix(w, max(pv, p2), ("ост", "ость"))
+    if m is not None:
+        w = w[: -len(m)]
+
+    # tidy_up (longest of ейше/ейш/н/ь)
+    m = _longest_suffix(w, pv, ("ейше", "ейш", "н", "ь"))
+    if m in ("ейше", "ейш"):
+        w = w[: -len(m)]
+        if w.endswith("нн") and len(w) - 1 >= pv:
+            w = w[:-1]
+    elif m == "н":
+        if len(w) >= 2 and w[-2] == "н":
+            w = w[:-1]
+    elif m == "ь":
+        w = w[:-1]
+    return w
+
+
+# --------------------------------------------------------------- Swedish
+
+_SV_VOWELS = frozenset("aeiouyäåö")
+_SV_S_END = frozenset("bcdfghjklmnoprtvy")
+_SV_MAIN = (
+    "a", "arna", "erna", "heterna", "orna", "ad", "e", "ade", "ande",
+    "arne", "are", "aste", "en", "anden", "aren", "heten", "ern",
+    "ar", "er", "heter", "or", "s", "as", "arnas", "ernas", "ornas",
+    "es", "ades", "andes", "ens", "arens", "hetens", "erns", "at",
+    "andet", "het", "ast",
+)
+_SV_OTHER = ("ig", "lig", "els", "fullt", "löst")
+
+
+def swedish_stem(w: str) -> str:
+    """Snowball Swedish (SwedishStemmer.java:20-77,159-300) — the
+    DEFAULT SwedishAnalyzer stem step (sv/SwedishAnalyzer.java:124)."""
+    p1 = _scand_r1(w, _SV_VOWELS)
+    m = _longest_suffix(w, p1, _SV_MAIN)
+    if m is not None:
+        if m != "s":
+            w = w[: -len(m)]
+        elif len(w) >= 2 and w[-2] in _SV_S_END:
+            w = w[:-1]
+    if len(w) - 2 >= p1 and w[-2:] in (
+        "dd", "gd", "nn", "dt", "gt", "kt", "tt"
+    ):
+        w = w[:-1]
+    m = _longest_suffix(w, p1, _SV_OTHER)
+    if m == "löst":
+        w = w[:-1]
+    elif m == "fullt":
+        w = w[:-1]
+    elif m is not None:
+        w = w[: -len(m)]
+    return w
+
+
+# -------------------------------------------------------------- Norwegian
+
+_NO_VOWELS = frozenset("aeiouyåæø")
+_NO_S_END = frozenset("bcdfghjlmnoprtvyz")  # no k (guarded separately)
+_NO_MAIN = (
+    "a", "e", "ede", "ande", "ende", "ane", "ene", "hetene", "en",
+    "heten", "ar", "er", "heter", "s", "as", "es", "edes", "endes",
+    "enes", "hetenes", "ens", "hetens", "ers", "ets", "et", "het",
+    "ast",
+)
+_NO_ERT = ("erte", "ert")
+_NO_OTHER = (
+    "leg", "eleg", "ig", "eig", "lig", "elig", "els", "lov", "elov",
+    "slov", "hetslov",
+)
+
+
+def norwegian_stem(w: str) -> str:
+    """Snowball Norwegian (NorwegianStemmer.java:20-72,150-290) — the
+    DEFAULT NorwegianAnalyzer stem step (no/NorwegianAnalyzer.java:
+    124).  The s-ending accepts k only after a non-vowel."""
+    p1 = _scand_r1(w, _NO_VOWELS)
+    m = _longest_suffix(w, p1, _NO_MAIN + _NO_ERT)
+    if m is not None:
+        if m in _NO_ERT:
+            w = w[: -len(m)] + "er"
+        elif m != "s":
+            w = w[: -len(m)]
+        elif len(w) >= 2 and (
+            w[-2] in _NO_S_END
+            or (w[-2] == "k" and len(w) >= 3 and w[-3] not in _NO_VOWELS)
+        ):
+            w = w[:-1]
+    if len(w) - 2 >= p1 and w[-2:] in ("dt", "vt"):
+        w = w[:-1]
+    m = _longest_suffix(w, p1, _NO_OTHER)
+    if m is not None:
+        w = w[: -len(m)]
+    return w
+
+
 # --------------------------------------------------------------- Turkish
 #
 # Snowball Turkish (Evren Kapusuz Çilden's algorithm;

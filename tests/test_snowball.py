@@ -16,7 +16,12 @@ from lucene_solr_spark.analysis.snowball import (
     apostrophe_strip,
     danish_stem,
     dutch_stem,
+    finnish_stem,
+    hungarian_stem,
+    norwegian_stem,
     romanian_stem,
+    russian_stem,
+    swedish_stem,
     turkish_lowercase,
     turkish_stem,
 )
@@ -42,6 +47,11 @@ def _load(lang):
         ("dutch", dutch_stem, 45669),
         ("romanian", romanian_stem, 22570),
         ("turkish", turkish_stem, 96325),
+        ("swedish", swedish_stem, 30623),
+        ("norwegian", norwegian_stem, 20628),
+        ("russian", russian_stem, 49673),
+        ("finnish", finnish_stem, 50000),
+        ("hungarian", hungarian_stem, 30000),
     ],
 )
 def test_complete_vocabulary(lang, stem, expected_n):
