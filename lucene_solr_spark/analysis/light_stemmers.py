@@ -766,6 +766,8 @@ def _load_stops() -> dict[str, frozenset]:
         "lithuanian": frozenset(LITHUANIAN_STOP),
         "armenian": frozenset(ARMENIAN_STOP),
         "kstem": _english_stops(),
+        "english_snowball": _english_stops(),
+        "german2_snowball": frozenset(GERMAN_STOP),
         # the DEFAULT analyzer chains for these five end in
         # SnowballFilter ({Russian,Swedish,Finnish,Hungarian,
         # Norwegian}Analyzer.java:121-124); same stop sets
@@ -1022,6 +1024,10 @@ def _light_analyze_flat(content: pd.Series, lang: str):
         "finnish_snowball": _snowball_lazy("finnish"),
         "hungarian_snowball": _snowball_lazy("hungarian"),
         "norwegian_snowball": _snowball_lazy("norwegian"),
+        # SnowballPorterFilterFactory language="English"/"German2"
+        # configurations (Porter2 / umlaut-aware German variant)
+        "english_snowball": _snowball_lazy("english"),
+        "german2_snowball": _snowball_lazy("german2"),
         "basque": _basque_stem_lazy,
         "catalan": _catalan_stem_lazy,
         "irish": _irish_stem_lazy,

@@ -265,6 +265,12 @@ NAMED_ANALYZERS = {
     # chains end in SnowballFilter (analysis/snowball.py, each pinned
     # on its complete TestSnowballVocabData vocabulary); the plain
     # names above keep the solr *LightStemFilterFactory configuration
+    # SnowballPorterFilterFactory language="English" (Porter2) and
+    # language="German2" (umlaut-expanding variant) chains: tokenize ->
+    # lowercase -> {en,de} stop -> SnowballFilter; each pinned on its
+    # complete TestSnowballVocabData vocabulary
+    "english_snowball": _lazy_light("english_snowball"),
+    "german2_snowball": _lazy_light("german2_snowball"),
     "russian_snowball": _lazy_light("russian_snowball"),
     "swedish_snowball": _lazy_light("swedish_snowball"),
     "finnish_snowball": _lazy_light("finnish_snowball"),

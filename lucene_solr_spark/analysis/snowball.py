@@ -41,6 +41,310 @@ def _longest_suffix(w: str, p: int, suffixes) -> str | None:
     return best
 
 
+# ------------------------------------------------------- English (Porter2)
+
+_EN_V = frozenset("aeiouy")
+_EN_V_WXY = _EN_V | {"w", "x", "Y"}
+_EN_VALID_LI = frozenset("cdeghkmnrt")
+_EN_DOUBLE = ("bb", "dd", "ff", "gg", "mm", "nn", "pp", "rr", "tt")
+_EN_EXC1 = {
+    "skis": "ski", "skies": "sky", "dying": "die", "lying": "lie",
+    "tying": "tie", "idly": "idl", "gently": "gentl", "ugly": "ugli",
+    "early": "earli", "only": "onli", "singly": "singl",
+    "sky": "sky", "news": "news", "howe": "howe", "atlas": "atlas",
+    "cosmos": "cosmos", "bias": "bias", "andes": "andes",
+}
+_EN_EXC2 = frozenset(
+    ("succeed", "proceed", "exceed", "canning", "inning", "earring",
+     "herring", "outing")
+)
+_EN_STEP2 = {
+    "tional": "tion", "enci": "ence", "anci": "ance", "abli": "able",
+    "entli": "ent", "izer": "ize", "ization": "ize",
+    "ational": "ate", "ation": "ate", "ator": "ate", "alism": "al",
+    "aliti": "al", "alli": "al", "fulness": "ful", "ousli": "ous",
+    "ousness": "ous", "iveness": "ive", "iviti": "ive",
+    "biliti": "ble", "bli": "ble", "fulli": "ful", "lessli": "less",
+}
+_EN_STEP3 = {
+    "tional": "tion", "ational": "ate", "alize": "al",
+    "icate": "ic", "iciti": "ic", "ical": "ic", "ful": "", "ness": "",
+}
+_EN_STEP4 = (
+    "ic", "ance", "ence", "able", "ible", "ate", "ive", "ize", "iti",
+    "al", "ism", "er", "ous", "ant", "ent", "ment", "ement",
+)
+
+
+def _en_shortv(w: str, end: int) -> bool:
+    """shortv at position ``end`` (EnglishStemmer.java:373-412):
+    non-WXY-vowel + vowel + non-vowel, or word-initial vowel +
+    non-vowel."""
+    if end >= 3:
+        if (
+            w[end - 1] not in _EN_V_WXY
+            and w[end - 2] in _EN_V
+            and w[end - 3] not in _EN_V
+        ):
+            return True
+    if end == 2 and w[0] in _EN_V and w[1] not in _EN_V:
+        return True
+    return False
+
+
+def english_stem(w: str) -> str:  # noqa: C901 — Porter2's rule ladder
+    """Snowball English / Porter2 (EnglishStemmer.java) — the
+    SnowballPorterFilterFactory language="English" configuration (the
+    default EnglishAnalyzer keeps classic Porter, analysis/porter.py)."""
+    if w in _EN_EXC1:
+        return _EN_EXC1[w]
+    if len(w) < 3:
+        return w
+
+    # prelude: strip a leading apostrophe; y -> Y at start/after vowel
+    if w.startswith("'"):
+        w = w[1:]
+    s = list(w)
+    if s and s[0] == "y":
+        s[0] = "Y"
+    for k in range(1, len(s)):
+        if s[k] == "y" and s[k - 1] in _EN_V:
+            s[k] = "Y"
+    w = "".join(s)
+
+    # mark_regions (special gener/commun/arsen prefixes)
+    n = len(w)
+    p1 = None
+    for pre in ("gener", "commun", "arsen"):
+        if w.startswith(pre):
+            p1 = len(pre)
+            break
+    if p1 is None:
+        i = 0
+        while i < n and w[i] not in _EN_V:
+            i += 1
+        while i < n and w[i] in _EN_V:
+            i += 1
+        p1 = i + 1 if i < n else n
+    i = p1
+    while i < n and w[i] not in _EN_V:
+        i += 1
+    while i < n and w[i] in _EN_V:
+        i += 1
+    p2 = i + 1 if i < n else n
+
+    # step 0: 's' / 's / '
+    for suf in ("'s'", "'s", "'"):
+        if w.endswith(suf):
+            w = w[: -len(suf)]
+            break
+
+    # step 1a
+    if w.endswith("sses"):
+        w = w[:-2]
+    elif w.endswith(("ied", "ies")):
+        w = w[:-3] + ("i" if len(w) - 3 > 1 else "ie")
+    elif w.endswith(("ss", "us")):
+        pass
+    elif w.endswith("s"):
+        if any(c in _EN_V for c in w[: -2]):
+            w = w[:-1]
+
+    if w in _EN_EXC2:
+        return w
+
+    # step 1b
+    m = _longest_suffix(w, 0, ("ed", "eed", "ing", "edly", "eedly",
+                               "ingly"))
+    if m in ("eed", "eedly"):
+        if len(w) - len(m) >= p1:
+            w = w[: -len(m)] + "ee"
+    elif m is not None:
+        stem = w[: -len(m)]
+        if any(c in _EN_V for c in stem):
+            w = stem
+            if w.endswith(("at", "bl", "iz")):
+                w += "e"
+            elif w.endswith(_EN_DOUBLE):
+                w = w[:-1]
+            elif len(w) == p1 and _en_shortv(w, len(w)):
+                w += "e"
+
+    # step 1c: y/Y -> i after a non-vowel that is not word-initial
+    if (
+        len(w) > 2
+        and w[-1] in ("y", "Y")
+        and w[-2] not in _EN_V
+    ):
+        w = w[:-1] + "i"
+
+    # step 2 (R1)
+    m = _longest_suffix(w, 0, tuple(_EN_STEP2) + ("ogi", "li"))
+    if m is not None and len(w) - len(m) >= p1:
+        if m == "ogi":
+            if w[:-3].endswith("l"):
+                w = w[:-1]
+        elif m == "li":
+            if w[:-2].endswith(tuple(_EN_VALID_LI)):
+                w = w[:-2]
+        else:
+            w = w[: -len(m)] + _EN_STEP2[m]
+
+    # step 3 (R1; ative needs R2)
+    m = _longest_suffix(w, 0, tuple(_EN_STEP3) + ("ative",))
+    if m is not None and len(w) - len(m) >= p1:
+        if m == "ative":
+            if len(w) - 5 >= p2:
+                w = w[:-5]
+        else:
+            w = w[: -len(m)] + _EN_STEP3[m]
+
+    # step 4 (R2; ion after s/t)
+    m = _longest_suffix(w, 0, _EN_STEP4 + ("ion",))
+    if m is not None and len(w) - len(m) >= p2:
+        if m == "ion":
+            if w[:-3].endswith(("s", "t")):
+                w = w[:-3]
+        else:
+            w = w[: -len(m)]
+
+    # step 5
+    if w.endswith("e"):
+        if len(w) - 1 >= p2 or (
+            len(w) - 1 >= p1 and not _en_shortv(w, len(w) - 1)
+        ):
+            w = w[:-1]
+    elif w.endswith("l"):
+        if len(w) - 1 >= p2 and w[:-1].endswith("l"):
+            w = w[:-1]
+
+    return w.replace("Y", "y")
+
+
+# --------------------------------------------------------------- German2
+
+_DE2_VOWELS = frozenset("aeiouyäöü")
+_DE2_S_END = frozenset("bdfghklmnrt")
+_DE2_ST_END = frozenset("bdfghklmnt")
+
+
+def german2_stem(w: str) -> str:
+    """Snowball German2 (German2Stemmer.java:20-85 tables, stem():
+    690-745) — the SnowballPorterFilterFactory language="German2"
+    configuration: folds ae/oe/ue spellings to umlauts in the prelude
+    (skipping qu), ß -> ss, u/y between vowels marked as consonants."""
+    # prelude part 1: u/y between vowels -> U/Y
+    s = list(w)
+    for k in range(1, len(s) - 1):
+        if (
+            s[k] in ("u", "y")
+            and s[k - 1] in _DE2_VOWELS
+            and s[k + 1] in _DE2_VOWELS
+        ):
+            s[k] = s[k].upper()
+    # prelude part 2: left-to-right substitution sweep
+    out: list[str] = []
+    k = 0
+    n = len(s)
+    while k < n:
+        two = "".join(s[k:k + 2])
+        if s[k] == "ß":
+            out.append("ss")
+            k += 1
+        elif two == "qu":
+            # 'qu' hops TWO more chars (German2Stemmer.java:205-215):
+            # the following pair is protected from folding; if fewer
+            # than 2 chars remain the sweep stops entirely
+            if k + 4 <= n:
+                out.extend(s[k:k + 4])
+                k += 4
+            else:
+                out.extend(s[k:])
+                k = n
+        elif two == "ae":
+            out.append("ä")
+            k += 2
+        elif two == "oe":
+            out.append("ö")
+            k += 2
+        elif two == "ue":
+            out.append("ü")
+            k += 2
+        else:
+            out.append(s[k])
+            k += 1
+    w = "".join(out)
+
+    # regions: standard R1/R2, R1 clamped to >= 3
+    n = len(w)
+
+    def scan(start):
+        i = start
+        while i < n and w[i] not in _DE2_VOWELS:
+            i += 1
+        while i < n and w[i] in _DE2_VOWELS:
+            i += 1
+        return i + 1 if i < n else n
+
+    p1_raw = scan(0)
+    p2 = scan(p1_raw) if p1_raw < n else n
+    p1 = max(p1_raw, 3)
+
+    # step 1 (a_2, post-R1-check on the longest match)
+    m = _longest_suffix(w, 0, ("e", "em", "en", "ern", "er", "s",
+                               "es"))
+    if m is not None and len(w) - len(m) >= p1:
+        if m != "s":
+            w = w[: -len(m)]
+        elif len(w) >= 2 and w[-2] in _DE2_S_END:
+            w = w[:-1]
+
+    # step 2 (a_3): en/er/est delete; st after st_ending with >= 3
+    # more chars before it
+    m = _longest_suffix(w, 0, ("en", "er", "st", "est"))
+    if m is not None and len(w) - len(m) >= p1:
+        if m != "st":
+            w = w[: -len(m)]
+        elif (
+            len(w) >= 3
+            and w[-3] in _DE2_ST_END
+            and len(w) - 6 >= 0
+        ):
+            w = w[:-2]
+
+    # step 3 (a_5, R2 derivational)
+    m = _longest_suffix(w, 0, ("end", "ig", "ung", "lich", "isch",
+                               "ik", "heit", "keit"))
+    if m is not None and len(w) - len(m) >= p2:
+        if m in ("end", "ung"):
+            w = w[: -len(m)]
+            if (
+                w.endswith("ig")
+                and len(w) - 2 >= p2
+                and not w[:-2].endswith("e")
+            ):
+                w = w[:-2]
+        elif m in ("ig", "ik", "isch"):
+            if not w[: -len(m)].endswith("e"):
+                w = w[: -len(m)]
+        elif m in ("lich", "heit"):
+            w = w[: -len(m)]
+            m2 = _longest_suffix(w, p1, ("er", "en"))
+            if m2 is not None:
+                w = w[:-2]
+        elif m == "keit":
+            w = w[:-4]
+            m2 = _longest_suffix(w, 0, ("lich", "ig"))
+            if m2 is not None and len(w) - len(m2) >= p2:
+                w = w[: -len(m2)]
+
+    # postlude
+    return (
+        w.replace("U", "u").replace("Y", "y")
+        .replace("ä", "a").replace("ö", "o").replace("ü", "u")
+    )
+
+
 # -------------------------------------------------------------- Hungarian
 
 _HU_VOWELS = frozenset("aeiouáéíóõöúûü")

@@ -16,7 +16,9 @@ from lucene_solr_spark.analysis.snowball import (
     apostrophe_strip,
     danish_stem,
     dutch_stem,
+    english_stem,
     finnish_stem,
+    german2_stem,
     hungarian_stem,
     norwegian_stem,
     romanian_stem,
@@ -52,6 +54,8 @@ def _load(lang):
         ("russian", russian_stem, 49673),
         ("finnish", finnish_stem, 50000),
         ("hungarian", hungarian_stem, 30000),
+        ("english", english_stem, 29417),
+        ("german2", german2_stem, 35033),
     ],
 )
 def test_complete_vocabulary(lang, stem, expected_n):
