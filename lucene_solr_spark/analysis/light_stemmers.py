@@ -768,6 +768,11 @@ def _load_stops() -> dict[str, frozenset]:
         "kstem": _english_stops(),
         "english_snowball": _english_stops(),
         "german2_snowball": frozenset(GERMAN_STOP),
+        "german_snowball": frozenset(GERMAN_STOP),
+        "french_snowball": frozenset(FRENCH_STOP),
+        "spanish_snowball": frozenset(SPANISH_STOP),
+        "italian_snowball": frozenset(ITALIAN_STOP),
+        "portuguese_snowball": frozenset(PORTUGUESE_STOP),
         # the DEFAULT analyzer chains for these five end in
         # SnowballFilter ({Russian,Swedish,Finnish,Hungarian,
         # Norwegian}Analyzer.java:121-124); same stop sets
@@ -1028,6 +1033,11 @@ def _light_analyze_flat(content: pd.Series, lang: str):
         # configurations (Porter2 / umlaut-aware German variant)
         "english_snowball": _snowball_lazy("english"),
         "german2_snowball": _snowball_lazy("german2"),
+        "german_snowball": _snowball_lazy("german"),
+        "french_snowball": _snowball_lazy("french"),
+        "spanish_snowball": _snowball_lazy("spanish"),
+        "italian_snowball": _snowball_lazy("italian"),
+        "portuguese_snowball": _snowball_lazy("portuguese"),
         "basque": _basque_stem_lazy,
         "catalan": _catalan_stem_lazy,
         "irish": _irish_stem_lazy,
@@ -1068,9 +1078,9 @@ def _light_analyze_flat(content: pd.Series, lang: str):
         terms, poss = [], []
         for pos, tok in enumerate(toks):
             t = tr_fold(tok) if tr_fold is not None else tok.lower()
-            if lang == "french":
+            if lang in ("french", "french_snowball"):
                 t = french_elision(t)
-            elif lang == "italian":
+            elif lang in ("italian", "italian_snowball"):
                 t = italian_elision(t)
             elif lang == "catalan":
                 # CatalanAnalyzer DEFAULT_ARTICLES (ignore-case, so

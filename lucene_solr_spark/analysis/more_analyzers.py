@@ -271,6 +271,15 @@ NAMED_ANALYZERS = {
     # complete TestSnowballVocabData vocabulary
     "english_snowball": _lazy_light("english_snowball"),
     "german2_snowball": _lazy_light("german2_snowball"),
+    # SnowballPorterFilterFactory language="German"/"French"/"Spanish"/
+    # "Italian"/"Portuguese" chains (fr/it keep their analyzers'
+    # ElisionFilter step); each pinned on its complete
+    # TestSnowballVocabData vocabulary
+    "german_snowball": _lazy_light("german_snowball"),
+    "french_snowball": _lazy_light("french_snowball"),
+    "spanish_snowball": _lazy_light("spanish_snowball"),
+    "italian_snowball": _lazy_light("italian_snowball"),
+    "portuguese_snowball": _lazy_light("portuguese_snowball"),
     "russian_snowball": _lazy_light("russian_snowball"),
     "swedish_snowball": _lazy_light("swedish_snowball"),
     "finnish_snowball": _lazy_light("finnish_snowball"),

@@ -273,8 +273,27 @@ def german2_stem(w: str) -> str:
         else:
             out.append(s[k])
             k += 1
-    w = "".join(out)
+    return _german_steps("".join(out))
 
+
+def german_stem(w: str) -> str:
+    """Snowball German (GermanStemmer.java) — identical suffix tables
+    to German2 (a_1-a_4 == German2 a_2-a_5); the prelude only maps
+    ß -> ss and marks u/y between vowels, with NO ae/oe/ue folding.
+    SnowballPorterFilterFactory language="German" configuration."""
+    s = list(w.replace("ß", "ss"))
+    for k in range(1, len(s) - 1):
+        if (
+            s[k] in ("u", "y")
+            and s[k - 1] in _DE2_VOWELS
+            and s[k + 1] in _DE2_VOWELS
+        ):
+            s[k] = s[k].upper()
+    return _german_steps("".join(s))
+
+
+def _german_steps(w: str) -> str:
+    """Shared German/German2 region marking + steps 1-3 + postlude."""
     # regions: standard R1/R2, R1 clamped to >= 3
     n = len(w)
 
@@ -343,6 +362,750 @@ def german2_stem(w: str) -> str:
         w.replace("U", "u").replace("Y", "y")
         .replace("ä", "a").replace("ö", "o").replace("ü", "u")
     )
+
+
+# --------------------------------------------------------------- Spanish
+
+_ES_VOWELS = frozenset("aeiouáéíóúü")
+_ES_UNACCENT = str.maketrans("áéíóú", "aeiou")
+_ES_PRONOUNS = ("me", "se", "sela", "selo", "selas", "selos", "la",
+                "le", "lo", "las", "les", "los", "nos")
+_ES_GERUNDS_ACC = {"iéndo": "iendo", "ándo": "ando", "ár": "ar",
+                   "ér": "er", "ír": "ir"}
+_ES_GERUNDS_PLAIN = ("ando", "iendo", "ar", "er", "ir")
+_ES_S1_DELETE_R2 = (
+    "anza", "anzas", "ico", "ica", "icos", "icas", "ismo", "ismos",
+    "able", "ables", "ible", "ibles", "ista", "istas", "oso", "osa",
+    "osos", "osas", "amiento", "amientos", "imiento", "imientos",
+)
+_ES_S1_IC = ("adora", "ador", "ación", "adoras", "adores", "aciones",
+             "ante", "antes", "ancia", "ancias")
+_ES_S2A = ("ya", "ye", "yan", "yen", "yeron", "yendo", "yo", "yó",
+           "yas", "yes", "yais", "yamos")
+_ES_S2B_GU = ("en", "es", "éis", "emos")
+_ES_S2B = (
+    "arían", "arías", "arán", "arás", "aríais", "aría", "aréis",
+    "aríamos", "aremos", "ará", "aré", "erían", "erías", "erán",
+    "erás", "eríais", "ería", "eréis", "eríamos", "eremos", "erá",
+    "eré", "irían", "irías", "irán", "irás", "iríais", "iría",
+    "iréis", "iríamos", "iremos", "irá", "iré", "aba", "ada", "ida",
+    "ía", "ara", "iera", "ad", "ed", "id", "ase", "iese", "aste",
+    "iste", "an", "aban", "ían", "aran", "ieran", "asen", "iesen",
+    "aron", "ieron", "ado", "ido", "ando", "iendo", "ió", "ar", "er",
+    "ir", "as", "abas", "adas", "idas", "ías", "aras", "ieras",
+    "ases", "ieses", "ís", "áis", "abais", "íais", "arais", "ierais",
+    "aseis", "ieseis", "asteis", "isteis", "ados", "idos", "amos",
+    "ábamos", "íamos", "imos", "áramos", "iéramos", "iésemos",
+    "ásemos",
+)
+_ES_S3_DELETE = ("os", "a", "o", "á", "í", "ó")
+
+
+def _romance_rv(w: str, vowels) -> int:
+    """RV for the Romance stemmers (SpanishStemmer.java r_mark_regions):
+    second letter consonant -> after next vowel; first two letters
+    vowels -> after next consonant; else after the third letter."""
+    n = len(w)
+    if n < 3:
+        return n
+    if w[1] not in vowels:
+        i = 2
+        while i < n and w[i] not in vowels:
+            i += 1
+        return i + 1 if i < n else n
+    if w[0] in vowels and w[1] in vowels:
+        i = 2
+        while i < n and w[i] in vowels:
+            i += 1
+        return i + 1 if i < n else n
+    return 3
+
+
+def _std_regions(w: str, vowels) -> tuple[int, int]:
+    """Standard R1/R2: after the first non-vowel following a vowel."""
+    n = len(w)
+
+    def scan(start):
+        i = start
+        while i < n and w[i] not in vowels:
+            i += 1
+        while i < n and w[i] in vowels:
+            i += 1
+        return i + 1 if i < n else n
+
+    p1 = scan(0)
+    p2 = scan(p1) if p1 < n else n
+    return p1, p2
+
+
+def spanish_stem(w: str) -> str:  # noqa: C901 — mirrors the rule ladder
+    """Snowball Spanish (SpanishStemmer.java) — the default
+    SpanishAnalyzer keeps SpanishLightStemFilter; this is the
+    SnowballPorterFilterFactory language="Spanish" configuration,
+    pinned on the reference's complete 28,377-word vocabulary."""
+    rv = _romance_rv(w, _ES_VOWELS)
+    p1, p2 = _std_regions(w, _ES_VOWELS)
+
+    # step 0: attached pronoun (pronoun match unrestricted; the gerund/
+    # infinitive ending before it must start in RV)
+    pron = _longest_suffix(w, 0, _ES_PRONOUNS)
+    if pron is not None:
+        base = w[: -len(pron)]
+        g = _longest_suffix(
+            base, rv,
+            tuple(_ES_GERUNDS_ACC) + _ES_GERUNDS_PLAIN + ("yendo",),
+        )
+        if g in _ES_GERUNDS_ACC:
+            w = base[: -len(g)] + _ES_GERUNDS_ACC[g]
+        elif g == "yendo":
+            if len(base) > 5 and base[-6] == "u":
+                w = base
+        elif g is not None:
+            w = base
+
+    # step 1: standard suffix removal (single longest match, then its
+    # own region condition; no fallback to shorter suffixes)
+    changed = False
+    m = _longest_suffix(
+        w, 0,
+        _ES_S1_DELETE_R2 + _ES_S1_IC
+        + ("logía", "logías", "ución", "uciones", "encia", "encias",
+           "amente", "mente", "idad", "idades", "iva", "ivo", "ivas",
+           "ivos"),
+    )
+    if m is not None:
+        start = len(w) - len(m)
+        if m in ("logía", "logías"):
+            if start >= p2:
+                w = w[:start] + "log"
+                changed = True
+        elif m in ("ución", "uciones"):
+            if start >= p2:
+                w = w[:start] + "u"
+                changed = True
+        elif m in ("encia", "encias"):
+            if start >= p2:
+                w = w[:start] + "ente"
+                changed = True
+        elif m == "amente":
+            if start >= p1:
+                w = w[:start]
+                changed = True
+                if w.endswith("iv") and len(w) - 2 >= p2:
+                    w = w[:-2]
+                    if w.endswith("at") and len(w) - 2 >= p2:
+                        w = w[:-2]
+                else:
+                    m2 = _longest_suffix(w, p2, ("os", "ic", "ad"))
+                    if m2 is not None:
+                        w = w[:-2]
+        elif m == "mente":
+            if start >= p2:
+                w = w[:start]
+                changed = True
+                m2 = _longest_suffix(w, p2, ("ante", "able", "ible"))
+                if m2 is not None:
+                    w = w[: -len(m2)]
+        elif m in ("idad", "idades"):
+            if start >= p2:
+                w = w[:start]
+                changed = True
+                m2 = _longest_suffix(w, p2, ("abil", "ic", "iv"))
+                if m2 is not None:
+                    w = w[: -len(m2)]
+        elif m in ("iva", "ivo", "ivas", "ivos"):
+            if start >= p2:
+                w = w[:start]
+                changed = True
+                if w.endswith("at") and len(w) - 2 >= p2:
+                    w = w[:-2]
+        elif m in _ES_S1_IC:
+            if start >= p2:
+                w = w[:start]
+                changed = True
+                if w.endswith("ic") and len(w) - 2 >= p2:
+                    w = w[:-2]
+        else:  # plain delete-if-R2 group
+            if start >= p2:
+                w = w[:start]
+                changed = True
+
+    # step 2a: verb suffixes beginning y (suffix in RV, preceding u
+    # may be outside RV); only if step 1 removed nothing
+    if not changed:
+        m = _longest_suffix(w, rv, _ES_S2A)
+        if m is not None and len(w) - len(m) >= 1 \
+                and w[len(w) - len(m) - 1] == "u":
+            w = w[: -len(m)]
+            changed = True
+        if not changed:
+            # step 2b: other verb suffixes in RV
+            m = _longest_suffix(w, rv, _ES_S2B + _ES_S2B_GU)
+            if m is not None:
+                w = w[: -len(m)]
+                if m in _ES_S2B_GU and w.endswith("gu"):
+                    w = w[:-1]
+
+    # step 3: residual suffix in RV
+    m = _longest_suffix(w, rv, _ES_S3_DELETE + ("e", "é"))
+    if m is not None:
+        w = w[: -len(m)]
+        if m in ("e", "é") and w.endswith("gu") and len(w) - 1 >= rv:
+            w = w[:-1]
+
+    return w.translate(_ES_UNACCENT)
+
+
+# --------------------------------------------------------------- Italian
+
+_IT_VOWELS = frozenset("aeiouàèìòù")
+_IT_ACUTE = str.maketrans("áéíóú", "àèìòù")
+_IT_AEIO = frozenset("aeioàèìò")
+_IT_PRONOUNS = (
+    "la", "cela", "gliela", "mela", "tela", "vela", "le", "cele",
+    "gliele", "mele", "tele", "vele", "ne", "cene", "gliene", "mene",
+    "sene", "tene", "vene", "ci", "li", "celi", "glieli", "meli",
+    "teli", "veli", "gli", "mi", "si", "ti", "vi", "lo", "celo",
+    "glielo", "melo", "telo", "velo",
+)
+_IT_S1_R2 = (
+    "ica", "osa", "ista", "anza", "ice", "atrice", "iche", "abile",
+    "ibile", "ose", "ante", "mente", "iste", "anze", "ici", "atrici",
+    "ichi", "abili", "ibili", "ismi", "osi", "anti", "isti", "ico",
+    "ismo", "oso", "istà", "istè", "istì",
+)
+_IT_S1_IC = ("azione", "azioni", "atore", "atori")
+_IT_VERB = (
+    "isca", "enda", "ata", "ita", "uta", "ava", "eva", "iva",
+    "erebbe", "irebbe", "isce", "ende", "are", "ere", "ire", "asse",
+    "ate", "avate", "evate", "ivate", "ete", "erete", "irete", "ite",
+    "ereste", "ireste", "ute", "erai", "irai", "isci", "endi",
+    "erei", "irei", "assi", "ati", "iti", "eresti", "iresti", "uti",
+    "avi", "evi", "ivi", "isco", "ando", "endo", "Yamo", "iamo",
+    "avamo", "evamo", "ivamo", "eremo", "iremo", "assimo", "ammo",
+    "emmo", "eremmo", "iremmo", "immo", "ano", "iscano", "avano",
+    "evano", "ivano", "eranno", "iranno", "ono", "iscono", "arono",
+    "erono", "irono", "erebbero", "irebbero", "assero", "essero",
+    "issero", "ato", "ito", "uto", "avo", "evo", "ivo", "ar", "ir",
+    "erà", "irà", "erò", "irò",
+)
+
+
+def italian_stem(w: str) -> str:  # noqa: C901 — mirrors the rule ladder
+    """Snowball Italian (ItalianStemmer.java a_0-a_7 tables) — the
+    SnowballPorterFilterFactory language="Italian" configuration (the
+    default ItalianAnalyzer keeps ItalianLightStem); pinned on the
+    reference's complete vocabulary."""
+    # prelude sweep 1: acute -> grave, qu -> qU
+    w = w.translate(_IT_ACUTE)
+    out: list[str] = []
+    k = 0
+    n = len(w)
+    while k < n:
+        if w[k] == "q" and k + 1 < n and w[k + 1] == "u":
+            out.append("qU")
+            k += 2
+        else:
+            out.append(w[k])
+            k += 1
+    s = list("".join(out))
+    # prelude sweep 2: u/i between vowels -> U/I
+    n = len(s)
+    for k in range(1, n - 1):
+        if s[k] in ("u", "i") and s[k - 1] in _IT_VOWELS \
+                and s[k + 1] in _IT_VOWELS:
+            s[k] = s[k].upper()
+    w = "".join(s)
+
+    rv = _romance_rv(w, _IT_VOWELS)
+    p1, p2 = _std_regions(w, _IT_VOWELS)
+
+    # step 0: attached pronoun — longest pronoun, then longest of the
+    # a_3 endings, whose START must lie in RV (no fallback)
+    pron = _longest_suffix(w, 0, _IT_PRONOUNS)
+    if pron is not None:
+        base = w[: -len(pron)]
+        g = _longest_suffix(base, 0, ("ando", "endo", "ar", "er",
+                                      "ir"))
+        if g is not None and len(base) - len(g) >= rv:
+            if g in ("ando", "endo"):
+                w = base
+            else:
+                w = base + "e"
+
+    # step 1: standard suffixes (longest match, then its condition)
+    s1_done = False
+    m = _longest_suffix(
+        w, 0,
+        _IT_S1_R2 + _IT_S1_IC
+        + ("logia", "logie", "uzione", "uzioni", "usione", "usioni",
+           "enza", "enze", "amento", "amenti", "imento", "imenti",
+           "amente", "ità", "ivo", "ivi", "iva", "ive"),
+    )
+    if m is not None:
+        start = len(w) - len(m)
+        if m == "amente":
+            if start >= p1:
+                w = w[:start]
+                s1_done = True
+                m2 = _longest_suffix(w, 0, ("ic", "abil", "os", "iv"))
+                if m2 is not None and len(w) - len(m2) >= p2:
+                    w = w[: -len(m2)]
+                    if m2 == "iv" and w.endswith("at") \
+                            and len(w) - 2 >= p2:
+                        w = w[:-2]
+        elif m in ("amento", "amenti", "imento", "imenti"):
+            if start >= rv:
+                w = w[:start]
+                s1_done = True
+        elif m in _IT_S1_IC:
+            if start >= p2:
+                w = w[:start]
+                s1_done = True
+                if w.endswith("ic") and len(w) - 2 >= p2:
+                    w = w[:-2]
+        elif m in ("logia", "logie"):
+            if start >= p2:
+                w = w[:start] + "log"
+                s1_done = True
+        elif m in ("uzione", "uzioni", "usione", "usioni"):
+            if start >= p2:
+                w = w[:start] + "u"
+                s1_done = True
+        elif m in ("enza", "enze"):
+            if start >= p2:
+                w = w[:start] + "ente"
+                s1_done = True
+        elif m == "ità":
+            if start >= p2:
+                w = w[:start]
+                s1_done = True
+                m2 = _longest_suffix(w, 0, ("ic", "abil", "iv"))
+                if m2 is not None and len(w) - len(m2) >= p2:
+                    w = w[: -len(m2)]
+        elif m in ("ivo", "ivi", "iva", "ive"):
+            if start >= p2:
+                w = w[:start]
+                s1_done = True
+                if w.endswith("at") and len(w) - 2 >= p2:
+                    w = w[:-2]
+                    if w.endswith("ic") and len(w) - 2 >= p2:
+                        w = w[:-2]
+        else:  # plain delete-if-R2
+            if start >= p2:
+                w = w[:start]
+                s1_done = True
+
+    # step 2: verb suffixes in RV, only if step 1 removed nothing
+    if not s1_done:
+        m = _longest_suffix(w, rv, _IT_VERB)
+        if m is not None:
+            w = w[: -len(m)]
+
+    # step 3a: final a/e/i/o/à/è/ì/ò in RV, then a preceding i in RV
+    if w and w[-1] in _IT_AEIO and len(w) - 1 >= rv:
+        w = w[:-1]
+        if w.endswith("i") and len(w) - 1 >= rv:
+            w = w[:-1]
+    # step 3b: final h after c/g — the RV check sits at the c/g
+    # position (ItalianStemmer.r_vowel_suffix consumes c/g before RV)
+    if w.endswith(("ch", "gh")) and len(w) - 2 >= rv:
+        w = w[:-1]
+
+    return w.replace("I", "i").replace("U", "u")
+
+
+# ------------------------------------------------------------- Portuguese
+
+_PT_VOWELS = frozenset("aeiouáéíóúâêô")
+_PT_S1_R2 = (
+    "ica", "ância", "adora", "osa", "ista", "eza", "ante", "ável",
+    "ível", "ico", "ismo", "oso", "amento", "imento", "aça~o",
+    "ador", "icas", "adoras", "osas", "istas", "ezas", "adores",
+    "antes", "aço~es", "icos", "ismos", "osos", "amentos",
+    "imentos",
+)
+_PT_VERB = (
+    "ada", "ida", "ia", "aria", "eria", "iria", "ara", "era", "ira",
+    "ava", "asse", "esse", "isse", "aste", "este", "iste", "ei",
+    "arei", "erei", "irei", "am", "iam", "ariam", "eriam", "iriam",
+    "aram", "eram", "iram", "avam", "em", "arem", "erem", "irem",
+    "assem", "essem", "issem", "ado", "ido", "ando", "endo", "indo",
+    "ara~o", "era~o", "ira~o", "ar", "er", "ir", "as", "adas",
+    "idas", "ias", "arias", "erias", "irias", "aras", "eras",
+    "iras", "avas", "es", "ardes", "erdes", "irdes", "ares", "eres",
+    "ires", "asses", "esses", "isses", "astes", "estes", "istes",
+    "is", "ais", "eis", "areis", "ereis", "ireis", "áreis", "éreis",
+    "íreis", "ásseis", "ésseis", "ísseis", "áveis", "íeis",
+    "aríeis", "eríeis", "iríeis", "ados", "idos", "amos", "áramos",
+    "éramos", "íramos", "ávamos", "íamos", "aríamos", "eríamos",
+    "iríamos", "emos", "aremos", "eremos", "iremos", "ássemos",
+    "êssemos", "íssemos", "imos", "armos", "ermos", "irmos",
+    "ámos", "arás", "erás", "irás", "eu", "iu", "ou", "ará", "erá",
+    "irá",
+)
+
+
+def portuguese_stem(w: str) -> str:  # noqa: C901 — mirrors the rules
+    """Snowball Portuguese (PortugueseStemmer.java a_0-a_8 tables) —
+    the SnowballPorterFilterFactory language="Portuguese"
+    configuration (the default PortugueseAnalyzer keeps
+    PortugueseLightStem); pinned on the reference's vocabulary."""
+    # prelude: nasal vowels become vowel + tilde consonant
+    w = w.replace("ã", "a~").replace("õ", "o~")
+
+    rv = _romance_rv(w, _PT_VOWELS)
+    p1, p2 = _std_regions(w, _PT_VOWELS)
+
+    # step 1: standard suffix removal
+    s1_done = False
+    m = _longest_suffix(
+        w, 0,
+        _PT_S1_R2
+        + ("logía", "logías", "ución", "uciones", "ência", "ências",
+           "amente", "mente", "idade", "idades", "iva", "ivo",
+           "ivas", "ivos", "ira", "iras"),
+    )
+    if m is not None:
+        start = len(w) - len(m)
+        if m in ("logía", "logías"):
+            if start >= p2:
+                w = w[:start] + "log"
+                s1_done = True
+        elif m in ("ución", "uciones"):
+            if start >= p2:
+                w = w[:start] + "u"
+                s1_done = True
+        elif m in ("ência", "ências"):
+            if start >= p2:
+                w = w[:start] + "ente"
+                s1_done = True
+        elif m == "amente":
+            if start >= p1:
+                w = w[:start]
+                s1_done = True
+                m2 = _longest_suffix(w, 0, ("ic", "ad", "os", "iv"))
+                if m2 is not None and len(w) - len(m2) >= p2:
+                    w = w[: -len(m2)]
+                    if m2 == "iv" and w.endswith("at") \
+                            and len(w) - 2 >= p2:
+                        w = w[:-2]
+        elif m == "mente":
+            if start >= p2:
+                w = w[:start]
+                s1_done = True
+                m2 = _longest_suffix(w, 0, ("ante", "avel", "ível"))
+                if m2 is not None and len(w) - len(m2) >= p2:
+                    w = w[: -len(m2)]
+        elif m in ("idade", "idades"):
+            if start >= p2:
+                w = w[:start]
+                s1_done = True
+                m2 = _longest_suffix(w, 0, ("ic", "abil", "iv"))
+                if m2 is not None and len(w) - len(m2) >= p2:
+                    w = w[: -len(m2)]
+        elif m in ("iva", "ivo", "ivas", "ivos"):
+            if start >= p2:
+                w = w[:start]
+                s1_done = True
+                if w.endswith("at") and len(w) - 2 >= p2:
+                    w = w[:-2]
+        elif m in ("ira", "iras"):
+            if start >= rv and start >= 1 and w[start - 1] == "e":
+                w = w[:start] + "ir"
+                s1_done = True
+        else:
+            if start >= p2:
+                w = w[:start]
+                s1_done = True
+
+    # step 2: verb suffixes in RV, only if step 1 removed nothing
+    verb_done = False
+    if not s1_done:
+        m = _longest_suffix(w, rv, _PT_VERB)
+        if m is not None:
+            w = w[: -len(m)]
+            verb_done = True
+
+    if s1_done or verb_done:
+        # step 3: final i preceded by c, i in RV
+        if w.endswith("ci") and len(w) - 1 >= rv:
+            w = w[:-1]
+    else:
+        # step 4: residual suffix in RV
+        m = _longest_suffix(w, rv, ("a", "i", "o", "os", "á", "í",
+                                    "ó"))
+        if m is not None:
+            w = w[: -len(m)]
+
+    # step 5: residual form (always)
+    if w and w[-1] in ("e", "é", "ê"):
+        if len(w) - 1 >= rv:
+            w = w[:-1]
+            if w.endswith("gu") and len(w) - 1 >= rv:
+                w = w[:-1]
+            elif w.endswith("ci") and len(w) - 1 >= rv:
+                w = w[:-1]
+    elif w.endswith("ç"):
+        w = w[:-1] + "c"
+
+    return w.replace("a~", "ã").replace("o~", "õ")
+
+
+# ---------------------------------------------------------------- French
+
+_FR_VOWELS = frozenset("aeiouyàâèéêëîïôùû")
+_FR_KEEP_S = frozenset("aiosuè")
+_FR_S1 = (
+    "iqUe", "atrice", "ance", "ence", "logie", "able", "isme",
+    "euse", "iste", "ive", "if", "usion", "ation", "ution", "ateur",
+    "iqUes", "atrices", "ances", "ences", "logies", "ables", "ismes",
+    "euses", "istes", "ives", "ifs", "usions", "ations", "utions",
+    "ateurs", "ments", "ements", "issements", "ités", "ment",
+    "ement", "issement", "amment", "emment", "aux", "eaux", "eux",
+    "ité",
+)
+_FR_S2A = (
+    "ira", "ie", "isse", "issante", "i", "irai", "ir", "iras",
+    "ies", "îmes", "isses", "issantes", "îtes", "is", "irais",
+    "issais", "irions", "issions", "irons", "issons", "issants",
+    "it", "irait", "issait", "issant", "iraIent", "issaIent",
+    "irent", "issent", "iront", "ît", "iriez", "issiez", "irez",
+    "issez",
+)
+_FR_S2B_E = ("era", "ée", "erai", "er", "eras", "ées", "erais",
+             "erions", "erons", "és", "erait", "eraIent", "èrent",
+             "eront", "ez", "iez", "eriez", "erez", "é")
+_FR_S2B_A = ("a", "asse", "ante", "ai", "as", "âmes", "asses",
+             "antes", "âtes", "ais", "assions", "ants", "ait",
+             "ant", "aIent", "assent", "ât", "assiez")
+
+
+def _fr_mark_rv(w: str) -> int:
+    """FrenchStemmer.r_mark_regions: two leading vowels -> after the
+    third letter; col/par/tap prefix -> 3; else after the first vowel
+    past position 0."""
+    n = len(w)
+    if n >= 3 and w[0] in _FR_VOWELS and w[1] in _FR_VOWELS:
+        return 3
+    if w[:3] in ("col", "par", "tap"):
+        return 3
+    i = 1
+    while i < n and w[i] not in _FR_VOWELS:
+        i += 1
+    return i + 1 if i < n else n
+
+
+def french_stem(w: str) -> str:  # noqa: C901 — mirrors the rule ladder
+    """Snowball French (FrenchStemmer.java a_0-a_8 tables, stem():
+    1320-1480) — the SnowballPorterFilterFactory language="French"
+    configuration (the default FrenchAnalyzer keeps FrenchLightStem);
+    pinned on the reference's complete 20,403-word vocabulary."""
+    # prelude: mark u/i between vowels, y next to a vowel, u after q
+    s = list(w)
+    n = len(s)
+    for k in range(n):
+        c = s[k]
+        prevv = k > 0 and s[k - 1] in _FR_VOWELS
+        nextv = k + 1 < n and s[k + 1] in _FR_VOWELS
+        if c == "u" and ((prevv and nextv) or (k > 0 and s[k - 1] == "q")):
+            s[k] = "U"
+        elif c == "i" and prevv and nextv:
+            s[k] = "I"
+        elif c == "y" and (prevv or nextv):
+            s[k] = "Y"
+    w = "".join(s)
+
+    rv = _fr_mark_rv(w)
+    p1, p2 = _std_regions(w, _FR_VOWELS)
+
+    def in_r(m_len: int, p: int, word: str) -> bool:
+        return len(word) - m_len >= p
+
+    # --- step 1: standard suffix removal.  Cases 13/14/15 slice and
+    # then FAIL (FrenchStemmer.java:995-1028), which sends control to
+    # the verb steps; a failed region check also falls through.
+    altered = False        # a suffix routine succeeded
+    s1_done = False        # standard_suffix returned true
+    m = _longest_suffix(w, 0, _FR_S1)
+    if m is not None:
+        start = len(w) - len(m)
+        if m in ("amment",):
+            if start >= rv:
+                w = w[:start] + "ant"
+        elif m in ("emment",):
+            if start >= rv:
+                w = w[:start] + "ent"
+        elif m in ("ment", "ments"):
+            idx = start - 1
+            if idx >= rv and idx >= 0 and w[idx] in _FR_VOWELS:
+                w = w[:start]
+        elif m in ("ance", "iqUe", "isme", "able", "iste", "eux",
+                   "ances", "iqUes", "ismes", "ables", "istes"):
+            if start >= p2:
+                w = w[:start]
+                s1_done = True
+        elif m in ("atrice", "ateur", "ation", "atrices", "ateurs",
+                   "ations"):
+            if start >= p2:
+                w = w[:start]
+                s1_done = True
+                if w.endswith("ic"):
+                    if len(w) - 2 >= p2:
+                        w = w[:-2]
+                    else:
+                        w = w[:-2] + "iqU"
+        elif m in ("logie", "logies"):
+            if start >= p2:
+                w = w[:start] + "log"
+                s1_done = True
+        elif m in ("usion", "ution", "usions", "utions"):
+            if start >= p2:
+                w = w[:start] + "u"
+                s1_done = True
+        elif m in ("ence", "ences"):
+            if start >= p2:
+                w = w[:start] + "ent"
+                s1_done = True
+        elif m in ("ement", "ements"):
+            if start >= rv:
+                w = w[:start]
+                s1_done = True
+                m2 = _longest_suffix(w, 0, ("iv", "eus", "abl", "iqU",
+                                            "ièr", "Ièr"))
+                if m2 == "iv" and len(w) - 2 >= p2:
+                    w = w[:-2]
+                    if w.endswith("at") and len(w) - 2 >= p2:
+                        w = w[:-2]
+                elif m2 == "eus":
+                    if len(w) - 3 >= p2:
+                        w = w[:-3]
+                    elif len(w) - 3 >= p1:
+                        w = w[:-3] + "eux"
+                elif m2 in ("abl", "iqU"):
+                    if len(w) - 3 >= p2:
+                        w = w[:-3]
+                elif m2 in ("ièr", "Ièr"):
+                    if len(w) - 3 >= rv:
+                        w = w[:-3] + "i"
+        elif m in ("ité", "ités"):
+            if start >= p2:
+                w = w[:start]
+                s1_done = True
+                m2 = _longest_suffix(w, 0, ("abil", "ic", "iv"))
+                if m2 == "abil":
+                    if len(w) - 4 >= p2:
+                        w = w[:-4]
+                    else:
+                        w = w[:-4] + "abl"
+                elif m2 == "ic":
+                    if len(w) - 2 >= p2:
+                        w = w[:-2]
+                    else:
+                        w = w[:-2] + "iqU"
+                elif m2 == "iv":
+                    if len(w) - 2 >= p2:
+                        w = w[:-2]
+        elif m in ("if", "ive", "ifs", "ives"):
+            if start >= p2:
+                w = w[:start]
+                s1_done = True
+                if w.endswith("at") and len(w) - 2 >= p2:
+                    w = w[:-2]
+                    if w.endswith("ic"):
+                        if len(w) - 2 >= p2:
+                            w = w[:-2]
+                        else:
+                            w = w[:-2] + "iqU"
+        elif m == "eaux":
+            w = w[:start] + "eau"
+            s1_done = True
+        elif m == "aux":
+            if start >= p1:
+                w = w[:start] + "al"
+                s1_done = True
+        elif m in ("euse", "euses"):
+            if start >= p2:
+                w = w[:start]
+                s1_done = True
+            elif start >= p1:
+                w = w[:start] + "eux"
+                s1_done = True
+        elif m in ("issement", "issements"):
+            if start >= p1 and start >= 1 \
+                    and w[start - 1] not in _FR_VOWELS:
+                w = w[:start]
+                s1_done = True
+
+    altered = s1_done
+    if not s1_done:
+        # --- step 2a: i-verb suffixes in RV preceded by a non-vowel
+        # (the non-vowel must itself be in RV)
+        done_2a = False
+        m = _longest_suffix(w, rv, _FR_S2A)
+        if m is not None:
+            idx = len(w) - len(m) - 1
+            if idx >= rv and w[idx] not in _FR_VOWELS:
+                w = w[: -len(m)]
+                done_2a = True
+        if not done_2a:
+            # --- step 2b: other verb suffixes in RV
+            m = _longest_suffix(w, rv, _FR_S2B_E + _FR_S2B_A
+                                + ("ions",))
+            if m == "ions":
+                if len(w) - 4 >= p2:
+                    w = w[:-4]
+                    altered = True
+            elif m in _FR_S2B_E:
+                w = w[: -len(m)]
+                altered = True
+            elif m in _FR_S2B_A:
+                w = w[: -len(m)]
+                altered = True
+                if w.endswith("e") and len(w) - 1 >= rv:
+                    w = w[:-1]
+        else:
+            altered = True
+
+    if altered:
+        # --- step 3: final Y -> i, final ç -> c
+        if w.endswith("Y"):
+            w = w[:-1] + "i"
+        elif w.endswith("ç"):
+            w = w[:-1] + "c"
+    else:
+        # --- step 4: residual suffixes
+        if w.endswith("s") and len(w) >= 2 and w[-2] not in _FR_KEEP_S:
+            w = w[:-1]
+        m = _longest_suffix(w, rv, ("ion", "Ière", "ière", "Ier",
+                                    "ier", "e", "ë"))
+        if m == "ion":
+            start = len(w) - 3
+            if start >= p2 and start - 1 >= rv and w[start - 1] in "st":
+                w = w[:start]
+        elif m in ("Ière", "ière", "Ier", "ier"):
+            w = w[: -len(m)] + "i"
+        elif m == "e":
+            w = w[:-1]
+        elif m == "ë":
+            if len(w) - 3 >= rv and w.endswith("guë"):
+                w = w[:-1]
+
+    # --- un_double: enn/onn/ett/ell/eill -> drop the last letter
+    if w.endswith(("enn", "onn", "ett", "ell", "eill")):
+        w = w[:-1]
+
+    # --- un_accent: é/è followed by >=1 trailing non-vowel -> e
+    i = len(w) - 1
+    cnt = 0
+    while i >= 0 and w[i] not in _FR_VOWELS:
+        i -= 1
+        cnt += 1
+    if cnt >= 1 and i >= 0 and w[i] in ("é", "è"):
+        w = w[:i] + "e" + w[i + 1:]
+
+    # postlude
+    return w.replace("I", "i").replace("U", "u").replace("Y", "y")
 
 
 # -------------------------------------------------------------- Hungarian

@@ -18,11 +18,16 @@ from lucene_solr_spark.analysis.snowball import (
     dutch_stem,
     english_stem,
     finnish_stem,
+    french_stem,
     german2_stem,
+    german_stem,
     hungarian_stem,
+    italian_stem,
     norwegian_stem,
+    portuguese_stem,
     romanian_stem,
     russian_stem,
+    spanish_stem,
     swedish_stem,
     turkish_lowercase,
     turkish_stem,
@@ -56,6 +61,11 @@ def _load(lang):
         ("hungarian", hungarian_stem, 30000),
         ("english", english_stem, 29417),
         ("german2", german2_stem, 35033),
+        ("german", german_stem, 35033),
+        ("spanish", spanish_stem, 28377),
+        ("french", french_stem, 20403),
+        ("italian", italian_stem, 35494),
+        ("portuguese", portuguese_stem, 32016),
     ],
 )
 def test_complete_vocabulary(lang, stem, expected_n):
