@@ -4075,6 +4075,24 @@ def q_dfr_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _topk(s.docs(q), 10)
 
 
+def q_dfi_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DFI chi-squared top-10 for the SHOULD disjunction 'spark
+    window' (DFISimilarity.java:41-66 + IndependenceChiSquared.java:
+    28-30): expected = (ttf+1)·docLen/(numberOfFieldTokens+1) in
+    left-to-right float ops over the byte315-quantized docLen, docs at
+    or below the expected frequency score 0, survivors score
+    boost·(float)log2((f−e)²/e + 1).  The oracle replays each float32
+    op in DuckDB FLOAT arithmetic."""
+    s = _searcher(spark, sf_dir, scoring="dfi_chi2")
+    q = BooleanQuery(
+        (
+            BooleanClause(Occur.SHOULD, TermQuery("spark")),
+            BooleanClause(Occur.SHOULD, TermQuery("window")),
+        )
+    )
+    return _topk(s.docs(q), 10)
+
+
 def q_dfr_pl2(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DFR PL2 top-10 for 'spark window' — the canonical DFR config
     (BasicModelP.java:38-44 Poisson, AfterEffectB.java:31-36 Bernoulli,
@@ -4622,6 +4640,8 @@ _GATE_WINDOW = [
     "sorted_topk", "replication_fetch", "composite_routing",
     "term_automaton", "fvh_highlight", "freetext_suggest",
     "sq_ann_topk", "diversified_topk", "check_index", "stream_window",
+    # never gated: session-10 additions
+    "dfi_similarity",
     # Deferred behind the 50-slot window (EVERY ONE strict-verified at
     # sf0.01 by scripts/driver_strict.py this round — full-registry
     # sweep, 0 failures — and replicated in-suite by
@@ -4669,6 +4689,7 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ib_ll": q_ib_ll,
         "edismax_boosted": q_edismax_boosted,
         "dfr_similarity": q_dfr_similarity,
+        "dfi_similarity": q_dfi_similarity,
         "dfr_pl2": q_dfr_pl2,
         "dfr_phrase": q_dfr_phrase,
         "lm_jelinek_mercer": q_lm_jelinek_mercer,
@@ -8448,6 +8469,55 @@ scored AS (
          CAST(CAST(SUM(CAST(CASE WHEN s > 0 THEN s ELSE CAST(0 AS FLOAT) END
                             AS DOUBLE)) AS FLOAT) AS DOUBLE) AS score
   FROM per GROUP BY doc_id
+)
+{_TOPK_TAIL.format(k=10)}
+"""
+
+    # ---- DFI chi-squared float32 replica (DFISimilarity.java:41-66,
+    # IndependenceChiSquared.java:28-30): expected =
+    # (ttf+1)·docLen/(sttf+1) — the long counts convert to FLOAT at the
+    # arithmetic, float multiply then float divide; freq <= expected
+    # scores 0; else boost·(float)log2((f−e)²/e + 1) with float ops
+    # inside the log2 argument (double log, one float cast).
+    sqls["dfi_similarity"] = f"""
+WITH {_IDX},
+{_bm25_f32_ctes()},
+tstats2 AS (
+  SELECT term, count(*) AS df, CAST(sum(tf) AS BIGINT) AS ttf
+  FROM postings GROUP BY term
+),
+dfiw AS (
+  SELECT t.term, CAST(t.ttf + 1 AS FLOAT) AS a
+  FROM tstats2 t
+  WHERE t.term IN ('spark', 'window')
+),
+cst AS (SELECT CAST(sttf + 1 AS FLOAT) AS cc FROM cstats),
+per AS (
+  SELECT p.doc_id,
+         CAST(p.tf AS FLOAT) AS fq,
+         CAST(CAST(w.a * cv.nt AS FLOAT) / cs.cc AS FLOAT) AS expd
+  FROM postings p
+  JOIN dfiw w USING (term)
+  JOIN norms nm USING (doc_id)
+  JOIN b315 cv ON nm.length BETWEEN cv.lo AND cv.hi
+  CROSS JOIN cst cs
+),
+perscore AS (
+  SELECT doc_id,
+         CASE WHEN fq <= expd THEN CAST(0 AS FLOAT)
+              ELSE CAST(CAST(1 AS FLOAT) * CAST(
+                ln(CAST(
+                     CAST(CAST(CAST(fq - expd AS FLOAT)
+                               * CAST(fq - expd AS FLOAT) AS FLOAT)
+                          / expd AS FLOAT)
+                     + CAST(1 AS FLOAT) AS FLOAT)) / ln(2)
+                AS FLOAT) AS FLOAT) END AS s
+  FROM per
+),
+scored AS (
+  SELECT doc_id,
+         CAST(CAST(SUM(CAST(s AS DOUBLE)) AS FLOAT) AS DOUBLE) AS score
+  FROM perscore GROUP BY doc_id
 )
 {_TOPK_TAIL.format(k=10)}
 """

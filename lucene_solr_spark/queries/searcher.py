@@ -114,6 +114,7 @@ class IndexSearcher:
             "lm_dirichlet", "dfr_in_l_h2", "dfr_pl2", "lm_jelinek_mercer",
             "ib_spl_df", "axiomatic_f2exp", "boolean_sim",
             "sweetspot_exact", "dfr_ine_b_h1", "ib_ll_df",
+            "dfi_chi2", "dfi_standardized", "dfi_saturated",
         ):
             raise ValueError(f"unknown scoring mode {scoring!r}")
         # SweetSpotSimilarity tunables (lucene/misc/
@@ -132,7 +133,7 @@ class IndexSearcher:
             "lucene", "classic", "lm_dirichlet", "dfr_in_l_h2",
             "dfr_pl2", "lm_jelinek_mercer", "ib_spl_df",
             "axiomatic_f2exp", "boolean_sim", "dfr_ine_b_h1",
-            "ib_ll_df",
+            "ib_ll_df", "dfi_chi2", "dfi_standardized", "dfi_saturated",
         )
         # SimilarityBase-family modes: per-term stats beyond docFreq
         # feed the kernel directly (_score_col_sb); the idf/weight
@@ -141,6 +142,7 @@ class IndexSearcher:
             "lm_dirichlet", "dfr_in_l_h2", "dfr_pl2",
             "lm_jelinek_mercer", "ib_spl_df", "axiomatic_f2exp",
             "boolean_sim", "dfr_ine_b_h1", "ib_ll_df",
+            "dfi_chi2", "dfi_standardized", "dfi_saturated",
         )
         self.stats = tables.stats
         # Denormalize norms onto postings once (the per-segment norms file
@@ -597,6 +599,20 @@ class IndexSearcher:
                 F.col("freq"), F.col("norm_byte"),
                 doc_freq, self.stats.doc_count,
                 self.stats.sum_total_term_freq,
+            )
+        elif self.scoring in (
+            "dfi_chi2", "dfi_standardized", "dfi_saturated"
+        ):
+            from lucene_solr_spark.scoring.similarities import dfi_score
+
+            col = dfi_score(
+                F.col("freq"), F.col("norm_byte"), boost,
+                ttf, self.stats.sum_total_term_freq,
+                measure={
+                    "dfi_chi2": "chi_squared",
+                    "dfi_standardized": "standardized",
+                    "dfi_saturated": "saturated",
+                }[self.scoring],
             )
         elif self.scoring == "boolean_sim":
             # BooleanSimilarity.java:62-75 — score is the query boost,

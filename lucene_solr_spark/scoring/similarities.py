@@ -364,3 +364,48 @@ def ib_ll_df_h2_score(
     inner = _f32(F.lit(lam) / _f32(tfn + F.lit(lam)))
     s = (-F.log(inner)).cast("float").cast("double")
     return (F.lit(float(np.float32(boost))) * s).cast("float")
+
+
+def dfi_score(
+    freq: Column,
+    norm_byte: Column,
+    boost: float,
+    ttf: int,
+    sum_total_term_freq: int,
+    measure: str = "chi_squared",
+) -> Column:
+    """DFI (Divergence From Independence) float32 score
+    (DFISimilarity.java:41-66 with the three Independence measures:
+    IndependenceChiSquared.java:28-30, IndependenceSaturated.java:28-30,
+    IndependenceStandardized.java:29-31).
+
+        expected = (ttf+1)·docLen/(numberOfFieldTokens+1)   [the long
+                   counts convert to float at the arithmetic — float
+                   multiply then float divide, left to right]
+        freq <= expected → 0
+        measure  = chi2: (f−e)²/e | sat: (f−e)/e | std: (f−e)/(float)√e
+        score    = boost · (float)log2(measure + 1)
+
+    docLen is the byte315-quantized value SimilarityBase scores with.
+    """
+    a = np.float32(ttf + 1.0)  # (long→float) ttf+1
+    c = np.float32(sum_total_term_freq + 1.0)  # numberOfFieldTokens+1
+    dl = _doclen_col(norm_byte)
+    expected = _f32(_f32(F.lit(float(a)) * dl) / F.lit(float(c)))
+    fq = freq.cast("double")  # tf as float32 is exact below 2^24
+    d = _f32(fq - expected)
+    if measure == "chi_squared":
+        m = _f32(_f32(d * d) / expected)
+    elif measure == "saturated":
+        m = _f32(d / expected)
+    elif measure == "standardized":
+        m = _f32(d / _f32(F.sqrt(expected)))
+    else:
+        raise ValueError(f"unknown DFI independence measure {measure!r}")
+    log2m = (F.log(_f32(m + F.lit(1.0))) / F.lit(_LOG2)).cast("float")
+    score = (
+        F.lit(float(np.float32(boost))) * log2m.cast("double")
+    ).cast("float")
+    return F.when(fq > expected, score).otherwise(
+        F.lit(0.0).cast("float")
+    )

@@ -387,3 +387,69 @@ def test_ib_ll_spot_value(spark, docs_df):
         r["doc_id"]: r["score"] for r in s.docs(TermQuery("spark")).collect()
     }[row["doc_id"]]
     assert got == pytest.approx(float(want), abs=0)
+
+
+@pytest.mark.parametrize(
+    "mode,measure",
+    [
+        ("dfi_chi2", "chi_squared"),
+        ("dfi_standardized", "standardized"),
+        ("dfi_saturated", "saturated"),
+    ],
+)
+def test_dfi_spot_values(spark, docs_df, mode, measure):
+    """Replay DFISimilarity.java:41-66 (+ the three Independence
+    measures) in numpy float32 per (tf, docLen) and compare to the
+    engine's column kernel, including the freq<=expected → 0 clamp."""
+    from lucene_solr_spark.index import build_tables
+    from lucene_solr_spark.scoring.bm25 import NORM_TABLE
+
+    t = build_tables(docs_df, id_col="doc_id", text_col="text")
+    s = IndexSearcher(t, scoring=mode)
+    rows = (
+        s._term_postings("spark")
+        .select("doc_id", "tf", "norm_byte")
+        .orderBy("doc_id")
+        .limit(30)
+        .collect()
+    )
+    assert rows
+    got = {
+        r["doc_id"]: r["score"]
+        for r in s.docs(TermQuery("spark")).orderBy("doc_id").collect()
+    }
+    ttf = int(t.term_stats.filter(F.col("term") == "spark").first()["ttf"])
+    sttf = t.stats.sum_total_term_freq
+    a = np.float32(ttf + 1.0)
+    c = np.float32(sttf + 1.0)
+    clamped = 0
+    for r in rows:
+        freq = np.float32(r["tf"])
+        dl = np.float32(NORM_TABLE[r["norm_byte"] & 0xFF])
+        expected = np.float32(np.float32(a * dl) / c)
+        if freq <= expected:
+            want = np.float32(0.0)
+            clamped += 1
+        else:
+            d = np.float32(freq - expected)
+            if measure == "chi_squared":
+                m = np.float32(np.float32(d * d) / expected)
+            elif measure == "saturated":
+                m = np.float32(d / expected)
+            else:
+                m = np.float32(
+                    d / np.float32(math.sqrt(float(expected)))
+                )
+            want = np.float32(
+                np.float32(1.0)
+                * np.float32(
+                    math.log(float(np.float32(m + np.float32(1.0))))
+                    / math.log(2.0)
+                )
+            )
+        assert got[r["doc_id"]] == pytest.approx(float(want), abs=0), (
+            r["doc_id"], r["tf"], r["norm_byte"],
+        )
+    # the corpus must exercise BOTH branches for the clamp to be pinned
+    if measure == "chi_squared":
+        assert 0 < clamped < len(rows) or clamped == 0
