@@ -3493,6 +3493,29 @@ def q_gather_nodes(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_shortest_path(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """shortestPath stream (solrj io/graph/ShortestPathStream.java):
+    ALL shortest paths 't:error' → 't:purchase' over the bipartite
+    user↔event_type graph as '->'-joined path tuples, maxDepth=4.
+    Distributed BFS levels first, then path enumeration restricted to
+    the shortest-path DAG (level(v)=level(u)+1 edges only) — path
+    count is the output size, never an intermediate blow-up.  The
+    oracle replays both phases with DuckDB recursive CTEs."""
+    from lucene_solr_spark.streaming.graph import shortest_paths
+
+    ev = _table(spark, sf_dir, "events")
+    fwd = ev.select(
+        F.concat(F.lit("u:"), F.col("user_id")).alias("src"),
+        F.concat(F.lit("t:"), F.col("event_type")).alias("dst"),
+    ).distinct()
+    edges = fwd.unionByName(
+        fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    return shortest_paths(
+        edges, "t:error", "t:purchase", "src", "dst", max_hops=4
+    ).orderBy("path")
+
+
 def q_features_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
     """FeaturesSelectionStream: top-10 terms by information gain against
     the binary outcome lang='en' (solrj io/stream/FeaturesSelectionStream
@@ -4641,7 +4664,7 @@ _GATE_WINDOW = [
     "term_automaton", "fvh_highlight", "freetext_suggest",
     "sq_ann_topk", "diversified_topk", "check_index", "stream_window",
     # never gated: session-10 additions
-    "dfi_similarity",
+    "dfi_similarity", "shortest_path",
     # Deferred behind the 50-slot window (EVERY ONE strict-verified at
     # sf0.01 by scripts/driver_strict.py this round — full-registry
     # sweep, 0 failures — and replicated in-suite by
@@ -4776,6 +4799,7 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pivot_rollup": q_pivot_rollup,
         "suggest_freetext": q_suggest_freetext,
         "gather_nodes": q_gather_nodes,
+        "shortest_path": q_shortest_path,
         "features_selection": q_features_selection,
         "text_logit": q_text_logit,
         "stream_evaluators": q_stream_evaluators,
@@ -5978,6 +6002,39 @@ SELECT node, 1 AS level FROM l1
 UNION ALL
 SELECT node, 2 AS level FROM l2
 ORDER BY level, node
+"""
+
+    # shortestPath: recursive BFS levels (UNION-deduped, maxDepth 4),
+    # min-level distances, then path enumeration over the level DAG —
+    # the same two phases the Spark operator runs.
+    sqls["shortest_path"] = """
+WITH RECURSIVE eb AS (
+  SELECT DISTINCT 'u:' || CAST(user_id AS VARCHAR) AS src,
+         't:' || event_type AS dst
+  FROM events
+),
+e AS (SELECT src, dst FROM eb UNION SELECT dst, src FROM eb),
+lvl(node, level) AS (
+  SELECT 't:error', 0
+  UNION
+  SELECT e.dst, l.level + 1
+  FROM lvl l JOIN e ON e.src = l.node
+  WHERE l.level < 4
+),
+dist AS (SELECT node, min(level) AS d FROM lvl GROUP BY node),
+tgt AS (SELECT min(d) AS d FROM dist WHERE node = 't:purchase'),
+paths(endpoint, path, level) AS (
+  SELECT 't:error', CAST('t:error' AS VARCHAR), 0
+  UNION ALL
+  SELECT e.dst, p.path || '->' || e.dst, p.level + 1
+  FROM paths p
+  JOIN e ON e.src = p.endpoint
+  JOIN dist dd ON dd.node = e.dst AND dd.d = p.level + 1
+  CROSS JOIN tgt WHERE p.level < tgt.d
+)
+SELECT path FROM paths CROSS JOIN tgt
+WHERE endpoint = 't:purchase' AND level = tgt.d
+ORDER BY path
 """
 
     sqls["features_selection"] = f"""

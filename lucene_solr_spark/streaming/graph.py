@@ -133,3 +133,87 @@ def shortest_path(
         visited = visited.unionByName(nxt)
         frontier = nxt
     return None
+
+
+def shortest_paths(
+    edges: DataFrame,
+    src: object,
+    dst: object,
+    from_col: str,
+    to_col: str,
+    max_hops: int = 6,
+) -> DataFrame:
+    """ALL shortest paths from ``src`` to ``dst`` as '->'-joined path
+    strings — ShortestPathStream.java's tuple output (each emitted
+    tuple carries the full node path), bounded by ``max_hops`` (the
+    stream's maxDepth parameter).
+
+    Two distributed phases, no driver-side path materialization:
+
+    1. BFS levels (the gather_nodes frontier loop) until ``dst`` is
+       first reached, remembering each node's discovery level — the
+       per-level loop is driver-controlled but every set stays a
+       DataFrame.
+    2. Path enumeration restricted to the SHORTEST-PATH DAG: only
+       edges (u, v) with level(v) = level(u)+1 can appear on a
+       shortest path, so d successive joins of the path frontier
+       against the level-filtered edge table enumerate exactly the
+       shortest paths; path count is the output size, never an
+       intermediate blow-up.
+
+    Returns a DataFrame with one ``path`` string column (empty if
+    ``dst`` is unreachable within ``max_hops``)."""
+    spark = edges.sparkSession
+    roots = spark.createDataFrame([(src,)], ["node"])
+    levels = roots.select("node", F.lit(0).alias("level"))
+    visited = roots
+    frontier = roots
+    dist = None
+    for level in range(1, max_hops + 1):
+        nxt = (
+            edges.join(
+                frontier.withColumnRenamed("node", from_col), from_col
+            )
+            .select(F.col(to_col).alias("node"))
+            .distinct()
+            .join(visited, "node", "left_anti")
+        )
+        nxt = nxt.persist()
+        if nxt.limit(1).count() == 0:
+            nxt.unpersist()
+            break
+        levels = levels.unionByName(
+            nxt.select("node", F.lit(level).alias("level"))
+        )
+        if nxt.filter(F.col("node") == dst).limit(1).count() > 0:
+            dist = level
+            break
+        visited = visited.unionByName(nxt)
+        frontier = nxt
+    if dist is None:
+        return spark.createDataFrame([], "path string")
+    # phase 2: enumerate over the level DAG
+    lv = levels.withColumnRenamed("node", "_lnode")
+    paths = roots.select(
+        F.col("node").alias("endpoint"),
+        F.col("node").cast("string").alias("path"),
+    )
+    for level in range(1, dist + 1):
+        step = (
+            edges.join(
+                paths.withColumnRenamed("endpoint", from_col), from_col
+            )
+            .join(
+                lv.filter(F.col("level") == level),
+                F.col(to_col) == F.col("_lnode"),
+            )
+            .select(
+                F.col(to_col).alias("endpoint"),
+                F.concat(
+                    F.col("path"), F.lit("->"), F.col(to_col)
+                ).alias("path"),
+            )
+            .distinct()
+        )
+        paths = step
+    return paths.filter(F.col("endpoint") == dst).select("path")

@@ -93,3 +93,46 @@ def test_freetext_bigram_model(spark):
         for r in suggest_freetext(df, "query", n=5).collect()
     ]
     assert got == [("engine", 3), ("plan", 1)]
+
+
+def test_shortest_paths_enumerates_all(spark):
+    """Diamond + longer detour: exactly the two 3-hop paths come back,
+    the 4-hop detour does not (ShortestPathStream emits only paths of
+    the first level where the target is found)."""
+    from lucene_solr_spark.streaming.graph import shortest_paths
+
+    e = _edges(spark, [
+        ("a", "b1"), ("a", "b2"), ("b1", "c"), ("b2", "c"), ("c", "z"),
+        # detour a->x->y->c->z (4 hops to z)
+        ("a", "x"), ("x", "y"), ("y", "c"),
+    ])
+    got = sorted(
+        r["path"]
+        for r in shortest_paths(e, "a", "z", "src", "dst", 6).collect()
+    )
+    assert got == ["a->b1->c->z", "a->b2->c->z"]
+
+
+def test_shortest_paths_respects_max_hops_and_unreachable(spark):
+    from lucene_solr_spark.streaming.graph import shortest_paths
+
+    e = _edges(spark, [("a", "b"), ("b", "c"), ("c", "d")])
+    assert shortest_paths(e, "a", "d", "src", "dst", 2).count() == 0
+    assert [
+        r["path"]
+        for r in shortest_paths(e, "a", "d", "src", "dst", 3).collect()
+    ] == ["a->b->c->d"]
+    # fully unreachable node
+    assert shortest_paths(e, "a", "zz", "src", "dst", 6).count() == 0
+
+
+def test_shortest_paths_duplicate_edges_collapse(spark):
+    """Multigraph edges (the events relation repeats (user, type)
+    pairs) must not duplicate path tuples."""
+    from lucene_solr_spark.streaming.graph import shortest_paths
+
+    e = _edges(spark, [("a", "b"), ("a", "b"), ("b", "z")])
+    assert [
+        r["path"]
+        for r in shortest_paths(e, "a", "z", "src", "dst", 4).collect()
+    ] == ["a->b->z"]
