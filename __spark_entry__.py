@@ -181,7 +181,8 @@ def _bm25_f32_ctes() -> str:
     from lucene_solr_spark.scoring.bm25 import NORM_TABLE, byte315_length_ranges
 
     vals = ",".join(
-        f"({b},{lo},{hi},CAST({float(NORM_TABLE[b])!r} AS FLOAT))"
+        f"({b},{lo},{hi},"
+        f"CAST(CAST({float(NORM_TABLE[b])!r} AS DOUBLE) AS FLOAT))"
         for b, lo, hi in byte315_length_ranges()
     )
     return f"""
@@ -4098,6 +4099,20 @@ def q_dfr_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _topk(s.docs(q), 10)
 
 
+def q_explain_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vectorized explain (Solr debug=results; IndexSearcher.explain +
+    BM25Similarity.explainScore:259-297): the explanation LEAF VALUES
+    for every hit of TermQuery('spark') as columns — freq, the
+    byte315-quantized docLen, the k1·((1−b)+b·dl/avgdl) cache term,
+    the shared float32 idf, and the float32 score, all produced by the
+    same whole-stage-codegen kernel the search path uses.  Per-doc
+    explain() is CheckHits-pinned in tests/test_explain.py; this gate
+    pins the distributed full-hit-set variant against a DuckDB FLOAT
+    replica."""
+    s = _searcher(spark, sf_dir, scoring="lucene")
+    return s.explain_hits("spark").orderBy("doc_id")
+
+
 def q_dfi_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DFI chi-squared top-10 for the SHOULD disjunction 'spark
     window' (DFISimilarity.java:41-66 + IndependenceChiSquared.java:
@@ -4664,7 +4679,7 @@ _GATE_WINDOW = [
     "term_automaton", "fvh_highlight", "freetext_suggest",
     "sq_ann_topk", "diversified_topk", "check_index", "stream_window",
     # never gated: session-10 additions
-    "dfi_similarity", "shortest_path",
+    "dfi_similarity", "shortest_path", "explain_scores",
     # Deferred behind the 50-slot window (EVERY ONE strict-verified at
     # sf0.01 by scripts/driver_strict.py this round — full-registry
     # sweep, 0 failures — and replicated in-suite by
@@ -4713,6 +4728,7 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "edismax_boosted": q_edismax_boosted,
         "dfr_similarity": q_dfr_similarity,
         "dfi_similarity": q_dfi_similarity,
+        "explain_scores": q_explain_scores,
         "dfr_pl2": q_dfr_pl2,
         "dfr_phrase": q_dfr_phrase,
         "lm_jelinek_mercer": q_lm_jelinek_mercer,
@@ -8528,6 +8544,38 @@ scored AS (
   FROM per GROUP BY doc_id
 )
 {_TOPK_TAIL.format(k=10)}
+"""
+
+    # ---- explain leaf values for every 'spark' hit: float32 idf /
+    # quantized docLen / cache term / score, widened to DOUBLE (the
+    # engine emits bit-identical binary32, so no rounding is needed).
+    sqls["explain_scores"] = f"""
+WITH {_IDX},
+{_bm25_f32_ctes()},
+w AS (
+  SELECT CAST(ln(1 + (c.n - t.df + 0.5) / (t.df + 0.5)) AS FLOAT)
+         AS idf32
+  FROM tstats t CROSS JOIN cstats c WHERE t.term = 'spark'
+),
+hits AS (
+  SELECT p.doc_id, p.tf, b.nt, cv.cache, w.idf32,
+         (CAST(w.idf32 * CAST(2.2 AS FLOAT) AS FLOAT)
+            * CAST(p.tf AS FLOAT))
+           / (CAST(p.tf AS FLOAT) + cv.cache) AS s
+  FROM postings p
+  JOIN norms nm USING (doc_id)
+  JOIN cachev cv ON nm.length BETWEEN cv.lo AND cv.hi
+  JOIN b315 b ON b.byte = cv.byte
+  CROSS JOIN w
+  WHERE p.term = 'spark'
+)
+SELECT doc_id,
+       CAST(tf AS BIGINT) AS freq,
+       CAST(nt AS DOUBLE) AS dl,
+       CAST(cache AS DOUBLE) AS cache,
+       CAST(idf32 AS DOUBLE) AS idf,
+       CAST(s AS DOUBLE) AS score
+FROM hits ORDER BY doc_id
 """
 
     # ---- DFI chi-squared float32 replica (DFISimilarity.java:41-66,

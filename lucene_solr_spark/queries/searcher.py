@@ -661,6 +661,51 @@ class IndexSearcher:
             )
         return df_in.withColumn("score", acc)
 
+    def explain_hits(self, term: str, boost: float = 1.0) -> DataFrame:
+        """Vectorized explain — Solr's ``debug=results`` over the FULL
+        hit set of a TermQuery (BM25Similarity.explainScore:259-297
+        leaf values as columns): per-hit freq, byte315-quantized
+        docLen, the k1·((1−b)+b·dl/avgdl) norm cache term, the shared
+        float32 idf, and the float32 score from the same whole-stage-
+        codegen kernel the search path uses.  Per-doc ``explain()``
+        walks one document driver-side; this is the shape that
+        explains 10^12 hits — a column projection, no driver loop."""
+        if self.scoring != "lucene":
+            raise NotImplementedError(
+                "explain_hits implements the BM25 (lucene) explanation"
+            )
+        df_, _ = self.term_statistics([term])[term]
+        if df_ == 0:
+            spark = self._live_norms.sparkSession
+            return spark.createDataFrame(
+                [],
+                "doc_id bigint, freq bigint, dl double, cache double,"
+                " idf double, score double",
+            )
+        idf_v = self._idf(df_)
+        weight = self._weight(idf_v, boost)
+        rows = self._term_postings(term).select(
+            "doc_id", F.col("tf").alias("freq"), "norm_byte"
+        )
+        scored = self._score_col(weight, rows)
+        from lucene_solr_spark.scoring.bm25 import NORM_TABLE
+
+        norm_arr = F.array(
+            *[F.lit(float(v)) for v in NORM_TABLE.astype(np.float64)]
+        )
+        cache_arr = F.array(
+            *[F.lit(float(c)) for c in self._cache32.astype(np.float64)]
+        )
+        bidx = F.col("norm_byte").bitwiseAND(F.lit(255)) + F.lit(1)
+        return scored.select(
+            F.col("doc_id").cast("long").alias("doc_id"),
+            F.col("freq").cast("long").alias("freq"),
+            F.element_at(norm_arr, bidx).alias("dl"),
+            F.element_at(cache_arr, bidx).alias("cache"),
+            F.lit(float(idf_v)).alias("idf"),
+            F.col("score").cast("double").alias("score"),
+        )
+
     def _idf(self, doc_freq: int) -> float:
         n = self.stats.doc_count
         if self._sb:
