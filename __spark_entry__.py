@@ -1045,6 +1045,70 @@ def q_facet_exclude_tags(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multi.unionByName(selected).orderBy("domain", "bucket")
 
 
+def q_taxonomy_facet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Taxonomy facet counts with ancestor rollup (lucene/facet:
+    FastTaxonomyFacetCounts + IntTaxonomyFacets.rollup:43-66): each
+    doc's label path source/lang contributes to every path prefix, so
+    a depth-1 row carries its whole subtree's count — the values[]
+    array after rollup, as a distributed frame keyed by path instead
+    of a driver-side ordinal array."""
+    from lucene_solr_spark.queries.taxonomy import prefix_counts
+
+    d = _table(spark, sf_dir, "documents").withColumn(
+        "path", F.array(F.col("source"), F.col("lang"))
+    )
+    out = prefix_counts(d, "path")
+    return out.select(
+        F.col("depth").cast("long").alias("depth"),
+        "path",
+        F.col("cnt").cast("long").alias("cnt"),
+    ).orderBy("depth", "path")
+
+
+def q_drill_sideways(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DrillSideways over two drill-down dims (facet/DrillSideways.java:
+    20-33, DrillSidewaysQuery.java:44-90): base query p_retailprice ≥
+    950, drill-downs brand=Brand#12 and size ≤ 10.  Each dim's buckets
+    are counted over base ∧ the OTHER dim's filter (own filter
+    excluded) so near-miss values stay visible; `_hits` is the fully
+    drilled-down count."""
+    from lucene_solr_spark.queries.taxonomy import drill_sideways_counts
+
+    p = _table(spark, sf_dir, "part").filter(F.col("p_retailprice") >= 950)
+    base = p.select(
+        "p_brand", F.col("p_size").cast("string").alias("p_size_s"), "p_size"
+    )
+    out = drill_sideways_counts(
+        base,
+        {
+            "brand": F.col("p_brand") == "Brand#12",
+            "size": F.col("p_size") <= 10,
+        },
+        {"brand": "p_brand", "size": "p_size_s"},
+    )
+    return out.select(
+        "dim", "value", F.col("cnt").cast("long").alias("cnt")
+    ).orderBy("dim", "value")
+
+
+def q_association_facet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Association facets (taxonomy/TaxonomyFacetSumIntAssociations +
+    TaxonomyFacetSumFloatAssociations): per-label SUM of a per-doc int
+    payload (n_chars) and float payload (n_chars·0.25 — exactly
+    representable, so the distributed double sum is order-independent)
+    instead of a count, topN by int sum."""
+    from lucene_solr_spark.queries.taxonomy import association_sums
+
+    d = _table(spark, sf_dir, "documents")
+    return association_sums(
+        d,
+        F.col("lang"),
+        F.col("n_chars"),
+        F.col("n_chars") * F.lit(0.25),
+        10,
+    )
+
+
 def q_json_facet_nested(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Nested JSON facet request (search/facet/FacetModule.java +
     FacetFieldProcessor*): terms on lang (top-3 by count) with a
@@ -4737,6 +4801,9 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "boolean_similarity": q_boolean_similarity,
         "html_analysis": q_html_analysis,
         "facet_exclude_tags": q_facet_exclude_tags,
+        "taxonomy_facet": q_taxonomy_facet,
+        "drill_sideways": q_drill_sideways,
+        "association_facet": q_association_facet,
         "json_facet_nested": q_json_facet_nested,
         "heatmap_facet": q_heatmap_facet,
         "query_elevation": q_query_elevation,
@@ -5314,6 +5381,43 @@ SELECT term, df FROM sdf ORDER BY df DESC, term ASC LIMIT 20
     # char-filter chain: the markup is constructed IN the gate, so the
     # stripped+folded text is exactly text || ' resume cafe strasse'
     # (script body and comment gone, entities handled, accents folded)
+    # ---- taxonomy facets: rollup = every doc counted at every path
+    # prefix (IntTaxonomyFacets.rollup bottom-up == prefix groupBys).
+    sqls["taxonomy_facet"] = """
+SELECT CAST(1 AS BIGINT) AS depth, source AS path,
+       CAST(count(*) AS BIGINT) AS cnt
+FROM documents GROUP BY source
+UNION ALL
+SELECT CAST(2 AS BIGINT), source || '/' || lang, CAST(count(*) AS BIGINT)
+FROM documents GROUP BY source, lang
+ORDER BY depth, path
+"""
+
+    # ---- drill sideways: each dim counted under the OTHER dim's
+    # filter only; _hits is the fully drilled-down count.
+    sqls["drill_sideways"] = """
+SELECT 'brand' AS dim, p_brand AS value, CAST(count(*) AS BIGINT) AS cnt
+FROM part WHERE p_retailprice >= 950 AND p_size <= 10 GROUP BY p_brand
+UNION ALL
+SELECT 'size', CAST(p_size AS VARCHAR), CAST(count(*) AS BIGINT)
+FROM part WHERE p_retailprice >= 950 AND p_brand = 'Brand#12'
+GROUP BY p_size
+UNION ALL
+SELECT '_hits', '_all', CAST(count(*) AS BIGINT)
+FROM part
+WHERE p_retailprice >= 950 AND p_brand = 'Brand#12' AND p_size <= 10
+ORDER BY dim, value
+"""
+
+    # ---- association facets: sums of exactly-representable payloads,
+    # so the double sum is order-independent with no rounding.
+    sqls["association_facet"] = """
+SELECT lang AS label, CAST(sum(n_chars) AS BIGINT) AS sum_int,
+       CAST(sum(n_chars * 0.25) AS DOUBLE) AS sum_float
+FROM documents GROUP BY lang
+ORDER BY sum_int DESC, label ASC LIMIT 10
+"""
+
     sqls["facet_exclude_tags"] = f"""
 WITH {_IDX},
 m AS (SELECT DISTINCT doc_id FROM postings WHERE term = 'spark'),
