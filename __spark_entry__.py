@@ -4693,6 +4693,76 @@ def q_shard_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     return shard_report(split, new_ranges)
 
 
+# Shared synthetic LatLonPoint grid (same synthesis as geofilt_query /
+# function_valuesource): deterministic per-doc coordinates, exact halves
+# so every lat/lon is a representable double.
+_GEO_PT = (-55.0, -20.0)  # query point reachable at sf0.001 (60 docs)
+_GEO_SHELL = (
+    [-85.0, -35.0, -35.0, -60.0, -85.0],
+    [-130.0, -110.0, -20.0, 10.0, -10.0],
+)
+_GEO_HOLE = ([-70.0, -50.0, -50.0, -70.0], [-90.0, -90.0, -50.0, -50.0])
+
+
+def _geo_points(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _table(spark, sf_dir, "documents")
+        .select(
+            "doc_id",
+            ((F.col("doc_id") % 180) - 90 + 0.5).cast("double").alias("lat"),
+            (((F.col("doc_id") * 7) % 360) - 180 + 0.5)
+            .cast("double")
+            .alias("lon"),
+        )
+    )
+
+
+def q_geo_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LatLonPoint.nearest (sandbox NearestNeighbor.java:186-260): k
+    nearest points by haversin SORT KEY (SloppyMath.java:87-95 — no
+    asin/sqrt per row; meters conversion only on the k winners), with
+    the sargable calcBoxByDistFromPtDEG bounding-box prefilter — the
+    distributed analog of BKD cell pruning.  Plan is a shuffle-free
+    TakeOrderedAndProject over the pruned scan."""
+    from lucene_solr_spark.queries import geo
+
+    out = geo.nearest(
+        _geo_points(spark, sf_dir),
+        _GEO_PT[0],
+        _GEO_PT[1],
+        k=20,
+        max_km=4000.0,
+    )
+    return out.select(
+        "doc_id", F.round("dist_km", 4).alias("dist_km")
+    ).orderBy("dist_km", "doc_id")
+
+
+def q_geo_polygon(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LatLonPointInPolygonQuery: sargable bbox prefilter + exact
+    odd-even crossings containment (Polygon2D.java:328-346) as one
+    whole-stage-codegen expression; hole subtracts via the same test
+    (Polygon2D.componentContains:109-122)."""
+    from lucene_solr_spark.queries import geo
+
+    out = geo.polygon_query(
+        _geo_points(spark, sf_dir), _GEO_SHELL, holes=[_GEO_HOLE]
+    )
+    return out.select("doc_id", "lat", "lon").orderBy("doc_id")
+
+
+def q_geo_box(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LatLonPoint.newBoxQuery (LatLonDocValuesBoxQuery.java) with a
+    dateline-crossing longitude range (min_lon > max_lon → two pushed
+    ranges OR'd, same split the reference performs)."""
+    from lucene_solr_spark.queries import geo
+
+    out = geo.box_query(
+        _geo_points(spark, sf_dir), -80.0, -35.0, 140.0, -140.0
+    )
+    return out.select("doc_id", "lat", "lon").orderBy("doc_id")
+
+
 # --------------------------------------------------------------------------
 # the three driver hooks
 # --------------------------------------------------------------------------
@@ -4925,6 +4995,9 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "date_range_facet": q_date_range_facet,
         "corpus_prep": q_corpus_prep,
         "geofilt_query": q_geofilt_query,
+        "geo_nearest": q_geo_nearest,
+        "geo_polygon": q_geo_polygon,
+        "geo_box": q_geo_box,
         "core_analyzers": q_core_analyzers,
         # (all four above/below have full oracle replicas in
         # tests/test_entry.py meanwhile), then the round-1 green core
@@ -9315,5 +9388,72 @@ ORDER BY ida, idb
         + ",\n".join(_rows)
         + "\n) AS t(media_id, kind, d, value) ORDER BY media_id, d"
     )
+
+    # LatLonPoint geo gates: the oracle replicates the identical double
+    # arithmetic (haversin sort key, odd-even crossings) with bbox
+    # bounds / edge coefficients computed by the SAME Python helpers and
+    # embedded as exact repr literals, so both engines evaluate
+    # bit-identical expressions.
+    from lucene_solr_spark.queries import geo as _geo
+
+    _GEO_PTS_CTE = """pts AS (
+  SELECT doc_id,
+         CAST((doc_id % 180) - 90 + 0.5 AS DOUBLE) AS lat,
+         CAST(((doc_id * 7) % 360) - 180 + 0.5 AS DOUBLE) AS lon
+  FROM documents
+)"""
+    _qlat, _qlon = _GEO_PT
+    _lat_lo, _lat_hi, _lon_ranges = _geo.distance_box(_qlat, _qlon, 4000.0)
+    _lon_pred = " OR ".join(
+        f"(lon >= {lo!r} AND lon <= {hi!r})" for lo, hi in _lon_ranges
+    )
+    _km = repr(2.0 * _geo.TO_METERS / 1000.0)
+    sqls["geo_nearest"] = f"""
+WITH {_GEO_PTS_CTE},
+keyed AS (
+  SELECT doc_id,
+         (1 - cos(radians(lat) - radians({_qlat!r})))
+         + cos(radians(lat)) * cos(radians({_qlat!r}))
+           * (1 - cos(radians(lon - ({_qlon!r})))) AS k
+  FROM pts
+  WHERE lat >= {_lat_lo!r} AND lat <= {_lat_hi!r} AND ({_lon_pred})
+),
+topk AS (SELECT doc_id, k FROM keyed ORDER BY k ASC, doc_id ASC LIMIT 20)
+SELECT doc_id,
+       ROUND({_km} * asin(least(1.0, sqrt(k * 0.5))), 4) AS dist_km
+FROM topk
+WHERE {_km} * asin(least(1.0, sqrt(k * 0.5))) <= 4000.0
+ORDER BY dist_km, doc_id
+"""
+
+    def _crossings_sql(lats: list, lons: list) -> str:
+        terms = []
+        for _i in range(len(lats)):
+            la1, lo1 = lats[_i], lons[_i]
+            la2, lo2 = lats[(_i + 1) % len(lats)], lons[(_i + 1) % len(lats)]
+            if la1 == la2:
+                continue
+            terms.append(
+                f"CAST((({la1!r} > lat) != ({la2!r} > lat)) AND "
+                f"lon < {lo1 - lo2!r} * (lat - {la2!r}) / {la1 - la2!r} "
+                f"+ {lo2!r} AS INT)"
+            )
+        return "((" + " + ".join(terms) + ") % 2 = 1)"
+
+    _shell_in = _crossings_sql(*_GEO_SHELL)
+    _hole_in = _crossings_sql(*_GEO_HOLE)
+    sqls["geo_polygon"] = f"""
+WITH {_GEO_PTS_CTE}
+SELECT doc_id, lat, lon FROM pts
+WHERE {_shell_in} AND NOT {_hole_in}
+ORDER BY doc_id
+"""
+
+    sqls["geo_box"] = f"""
+WITH {_GEO_PTS_CTE}
+SELECT doc_id, lat, lon FROM pts
+WHERE lat >= -80.0 AND lat <= -35.0 AND (lon >= 140.0 OR lon <= -140.0)
+ORDER BY doc_id
+"""
 
     return sqls
