@@ -18,6 +18,7 @@ from __future__ import annotations
 
 import os
 from collections.abc import Callable
+from re import escape as re_escape
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
@@ -4763,6 +4764,60 @@ def q_geo_box(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "lat", "lon").orderBy("doc_id")
 
 
+def q_reversed_wildcard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ReversedWildcardFilter leading-wildcard acceleration
+    (solr/core/.../analysis/ReversedWildcardFilter.java:40-80 +
+    SolrQueryParserBase.java:1081-1099): the dictionary holds BOTH the
+    original term and marker+reversed(term) (withOriginal=true).  A
+    leading-wildcard pattern that passes shouldReverse is rewritten to
+    reverse(pattern+marker) — its sargable literal PREFIX turns the
+    full-vocabulary regex scan into a pushed StartsWith range scan; a
+    non-reversed pattern runs forward but must subtract marker-prefixed
+    false positives (the testFalsePositives contract)."""
+    from lucene_solr_spark.analysis import reverse as rw
+
+    t = _index_tables(spark, sf_dir)
+    base = t.postings.select("doc_id", "term")
+    # index-time doubled dictionary: F.reverse is the JVM codegen path
+    # (corpus terms are BMP; rw.reverse_str is the codepoint-exact
+    # kernel the analyzer chain uses)
+    doubled = base.unionByName(
+        base.select(
+            "doc_id",
+            F.concat(
+                F.lit(rw.START_OF_HEADING_MARKER), F.reverse(F.col("term"))
+            ).alias("term"),
+        )
+    )
+    out = []
+    for pat in ("*er", "gr*up"):
+        if rw.should_reverse(pat):
+            rewritten = rw.rewrite_wildcard(pat)
+            prefix = rw.sargable_prefix(rewritten)
+            rx = "^" + "".join(
+                ".*" if c == "*" else "." if c == "?" else re_escape(c)
+                for c in rewritten
+            ) + "$"
+            cond = F.col("term").startswith(prefix) & F.col("term").rlike(rx)
+        else:
+            rx = "^" + "".join(
+                ".*" if c == "*" else "." if c == "?" else re_escape(c)
+                for c in pat
+            ) + "$"
+            cond = ~F.col("term").startswith(
+                rw.START_OF_HEADING_MARKER
+            ) & F.col("term").rlike(rx)
+        out.append(
+            doubled.filter(cond)
+            .select(F.lit(pat).alias("wc"), "doc_id")
+            .distinct()
+        )
+    res = out[0]
+    for o in out[1:]:
+        res = res.unionByName(o)
+    return res.orderBy("wc", "doc_id")
+
+
 # --------------------------------------------------------------------------
 # the three driver hooks
 # --------------------------------------------------------------------------
@@ -4998,6 +5053,7 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "geo_nearest": q_geo_nearest,
         "geo_polygon": q_geo_polygon,
         "geo_box": q_geo_box,
+        "reversed_wildcard": q_reversed_wildcard,
         "core_analyzers": q_core_analyzers,
         # (all four above/below have full oracle replicas in
         # tests/test_entry.py meanwhile), then the round-1 green core
@@ -9454,6 +9510,21 @@ WITH {_GEO_PTS_CTE}
 SELECT doc_id, lat, lon FROM pts
 WHERE lat >= -80.0 AND lat <= -35.0 AND (lon >= 140.0 OR lon <= -140.0)
 ORDER BY doc_id
+"""
+
+    # ReversedWildcardFilter: the oracle states the USER-level
+    # semantics (a token matches the wildcard) — the Spark side must
+    # reach the same doc set through the marker-reversed dictionary
+    # rewrite, which is exactly the equivalence the reference's
+    # testQueryParsing/testFalsePositives pin.
+    sqls["reversed_wildcard"] = f"""
+WITH {_IDX}
+SELECT '*er' AS wc, doc_id FROM postings
+WHERE regexp_matches(term, '^.*er$')
+UNION
+SELECT 'gr*up' AS wc, doc_id FROM postings
+WHERE regexp_matches(term, '^gr.*up$')
+ORDER BY wc, doc_id
 """
 
     return sqls
