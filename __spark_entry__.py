@@ -4818,6 +4818,46 @@ def q_reversed_wildcard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res.orderBy("wc", "doc_id")
 
 
+def q_token_filters_misc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Capitalization / Truncate / CodepointCount over the term
+    dictionary (miscellaneous/{CapitalizationFilter,TruncateTokenFilter,
+    CodepointCountFilter}.java + core/TypeTokenFilter.java).  Truncate
+    and the codepoint window are pure Catalyst column expressions
+    (substring/length — vocabulary-scale pass, no Python); the
+    capitalization word-machine runs as ONE Arrow-batched pandas UDF
+    over the dictionary (vocabulary-bounded, never per-posting)."""
+    import pandas as pd
+
+    from lucene_solr_spark.analysis.miscfilters import (
+        capitalize,
+        standard_token_type,
+    )
+
+    def _cap(col):
+        return col.map(lambda t: capitalize(t, only_first_word=False))
+
+    def _ttype(col):
+        return col.map(standard_token_type)
+
+    cap = F.pandas_udf(_cap, "string")
+    ttype = F.pandas_udf(_ttype, "string")
+
+    t = _index_tables(spark, sf_dir)
+    terms = t.term_stats.select("term").distinct()
+    return (
+        terms.select(
+            "term",
+            cap(F.col("term")).alias("cap"),
+            F.substring(F.col("term"), 1, 3).alias("trunc3"),
+            ((F.length("term") >= 3) & (F.length("term") <= 5)).alias(
+                "in_window"
+            ),
+            ttype(F.col("term")).alias("ttype"),
+        )
+        .orderBy("term")
+    )
+
+
 # --------------------------------------------------------------------------
 # the three driver hooks
 # --------------------------------------------------------------------------
@@ -5054,6 +5094,7 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "geo_polygon": q_geo_polygon,
         "geo_box": q_geo_box,
         "reversed_wildcard": q_reversed_wildcard,
+        "token_filters_misc": q_token_filters_misc,
         "core_analyzers": q_core_analyzers,
         # (all four above/below have full oracle replicas in
         # tests/test_entry.py meanwhile), then the round-1 green core
@@ -9525,6 +9566,20 @@ UNION
 SELECT 'gr*up' AS wc, doc_id FROM postings
 WHERE regexp_matches(term, '^gr.*up$')
 ORDER BY wc, doc_id
+"""
+
+    # vocabulary is lowercase ASCII words: per-token capitalization
+    # reduces to upper-first; a digit-free token is always <ALPHANUM>
+    sqls["token_filters_misc"] = f"""
+WITH {_IDX}
+SELECT term,
+       upper(substr(term, 1, 1)) || substr(term, 2) AS cap,
+       substr(term, 1, 3) AS trunc3,
+       length(term) BETWEEN 3 AND 5 AS in_window,
+       CASE WHEN regexp_matches(term, '^[0-9.,]*[0-9][0-9.,]*$')
+            THEN '<NUM>' ELSE '<ALPHANUM>' END AS ttype
+FROM (SELECT DISTINCT term FROM postings)
+ORDER BY term
 """
 
     return sqls

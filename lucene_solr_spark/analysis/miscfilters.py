@@ -121,3 +121,135 @@ def trim_filter(tokens: list[str]) -> list[str]:
 def limit_token_count(tokens: list[str], max_count: int) -> list[str]:
     """LimitTokenCountFilter."""
     return tokens[:max_count]
+
+
+_MAX = 2**31 - 1
+
+
+def capitalize(
+    token: str,
+    only_first_word: bool = True,
+    keep: frozenset | None = None,
+    keep_ignore_case: bool = False,
+    force_first_letter: bool = True,
+    ok_prefix: tuple[str, ...] = (),
+    min_word_length: int = 0,
+    max_word_count: int = _MAX,
+    max_token_length: int = _MAX,
+) -> str:
+    """CapitalizationFilter (miscellaneous/CapitalizationFilter.java:
+    100-188), per token — words inside the token split at chars
+    <= ' ' or '.', mutated in place so separators survive verbatim.
+
+    Faithful quirks kept: the scan loop's extra ``i++`` after a
+    processed word means the char AFTER a separator is never tested as
+    a separator itself (a run of two spaces folds the second space into
+    the next word); ``maxWordCount`` restores the ORIGINAL token only
+    after the mutation pass counted too many words; a token at or above
+    ``maxTokenLength`` passes through untouched.
+    """
+    if len(token) >= max_token_length:
+        return token
+    buf = list(token)
+    keepset = (
+        frozenset(w.lower() for w in keep)
+        if keep is not None and keep_ignore_case
+        else keep
+    )
+
+    def in_keep(word: str) -> bool:
+        if keepset is None:
+            return False
+        return (word.lower() if keep_ignore_case else word) in keepset
+
+    def process(offset: int, length: int, word_count: int) -> None:
+        if length < 1:
+            return
+        word = "".join(buf[offset : offset + length])
+        if only_first_word and word_count > 0:
+            for i in range(length):
+                buf[offset + i] = buf[offset + i].lower()
+            return
+        if in_keep(word):
+            if word_count == 0 and force_first_letter:
+                buf[offset] = buf[offset].upper()
+            return
+        if length < min_word_length:
+            return
+        for p in ok_prefix:
+            if length >= len(p) and word.startswith(p):
+                return
+        buf[offset] = buf[offset].upper()
+        for i in range(1, length):
+            buf[offset + i] = buf[offset + i].lower()
+
+    word_count = 0
+    last_word_start = 0
+    i = 0
+    n = len(buf)
+    while i < n:
+        c = buf[i]
+        if c <= " " or c == ".":
+            length = i - last_word_start
+            if length > 0:
+                process(last_word_start, length, word_count)
+                word_count += 1
+                last_word_start = i + 1
+                i += 1  # the reference's double increment
+        i += 1
+    if last_word_start < n:
+        process(last_word_start, n - last_word_start, word_count)
+        word_count += 1
+    if word_count > max_word_count:
+        return token
+    return "".join(buf)
+
+
+def truncate_token(tokens: list[str], length: int) -> list[str]:
+    """TruncateTokenFilter (miscellaneous/TruncateTokenFilter.java:
+    48-58) — fixed-prefix truncation (the F5 Turkish stemming method);
+    keyword-attributed terms are exempt in the reference, and this
+    engine's keyword protection happens upstream of the chain."""
+    if length < 1:
+        raise ValueError("length parameter must be a positive number")
+    return [t[:length] for t in tokens]
+
+
+def codepoint_count_filter(
+    tokens: list[str], min_len: int, max_len: int
+) -> list[str]:
+    """CodepointCountFilter (miscellaneous/CodepointCountFilter.java:
+    57-72) — length measured in Unicode CODEPOINTS; the reference's
+    utf16-halving shortcut is a JVM artifact, Python len() is already
+    the codepoint count."""
+    if min_len < 0:
+        raise ValueError("minimum length must be greater than or equal to zero")
+    if min_len > max_len:
+        raise ValueError("maximum length must not be greater than minimum length")
+    return [t for t in tokens if min_len <= len(t) <= max_len]
+
+
+def standard_token_type(token: str) -> str:
+    """Token type under the UAX#29 numeric rules: a token with no
+    letters and at least one digit is <NUM> (digits joined by MidNum
+    continuers like '.'/',' stay one numeric token), everything else
+    <ALPHANUM> (standard/StandardTokenizer.java TOKEN_TYPES)."""
+    has_digit = any(ch.isdigit() for ch in token)
+    has_alpha = any(ch.isalpha() for ch in token)
+    return "<NUM>" if has_digit and not has_alpha else "<ALPHANUM>"
+
+
+def type_token_filter(
+    tokens: list[str],
+    types: list[str],
+    stop_types: frozenset,
+    use_white_list: bool = False,
+) -> list[str]:
+    """TypeTokenFilter (core/TypeTokenFilter.java:52-56): drop tokens
+    whose type is in ``stop_types`` (or KEEP only those, when
+    useWhiteList)."""
+    return [
+        t
+        for t, ty in zip(tokens, types)
+        if (ty in stop_types) == use_white_list
+    ]
