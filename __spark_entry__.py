@@ -4858,6 +4858,68 @@ def q_token_filters_misc(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# gate dictionary over the corpus vocabulary: -er suffixes strip to
+# dictionary stems, an s- prefix strips (spark → park), every other
+# corpus token is unknown and passes through unchanged
+HUNSPELL_GATE_AFF = """\
+SET UTF-8
+
+SFX R Y 2
+SFX R 0 er .
+SFX R 0 r e
+
+PFX S Y 1
+PFX S 0 s .
+"""
+HUNSPELL_GATE_DIC = """\
+5
+filt/R
+custom/R
+ord/R
+park/S
+tream/S
+"""
+# closed-vocab stem map implied by the gate dictionary
+_HUNSPELL_MAP = {
+    "filter": "filt",
+    "customer": "custom",
+    "order": "ord",
+    "spark": "park",
+    "stream": "tream",
+}
+
+
+def q_hunspell_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HunspellStemFilter chain (hunspell/Dictionary.java:300-560 +
+    Stemmer.java:100-600 + HunspellStemFilter.java:88-146): tokenize →
+    lowercase → stop → hunspell stems from an .aff/.dic pair; the
+    engine itself is pinned on the reference's complete scenario suite
+    (simple/circumfix/keepcase/needaffix/fullstrip/ignore/flag-modes/
+    condition/twofold/complexprefix, tests/test_hunspell.py)."""
+    from functools import partial
+
+    from lucene_solr_spark.analysis.hunspell import (
+        hunspell_analyze_batch_flat,
+        parse_dictionary,
+    )
+
+    hdic = parse_dictionary(HUNSPELL_GATE_AFF, HUNSPELL_GATE_DIC)
+    d = _table(spark, sf_dir, "documents")
+    t = build_tables(
+        d,
+        id_col="doc_id",
+        text_col="text",
+        analyzer=partial(hunspell_analyze_batch_flat, dictionary=hdic),
+    )
+    return (
+        t.term_stats.select(
+            "term", "df", F.col("ttf").cast("long").alias("ttf")
+        )
+        .orderBy(F.col("df").desc(), F.col("term").asc())
+        .limit(20)
+    )
+
+
 # --------------------------------------------------------------------------
 # the three driver hooks
 # --------------------------------------------------------------------------
@@ -5095,6 +5157,7 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "geo_box": q_geo_box,
         "reversed_wildcard": q_reversed_wildcard,
         "token_filters_misc": q_token_filters_misc,
+        "hunspell_analysis": q_hunspell_analysis,
         "core_analyzers": q_core_analyzers,
         # (all four above/below have full oracle replicas in
         # tests/test_entry.py meanwhile), then the round-1 green core
@@ -9580,6 +9643,25 @@ SELECT term,
             THEN '<NUM>' ELSE '<ALPHANUM>' END AS ttype
 FROM (SELECT DISTINCT term FROM postings)
 ORDER BY term
+"""
+
+    _hs_map = ",".join(
+        f"('{k}', '{v}')" for k, v in _HUNSPELL_MAP.items()
+    )
+    sqls["hunspell_analysis"] = f"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+),
+kept AS (SELECT doc_id, tok FROM toks WHERE tok NOT IN ({_STOP})),
+smap(tok, stem) AS (VALUES {_hs_map}),
+stemmed AS (
+  SELECT k.doc_id, COALESCE(m.stem, k.tok) AS term
+  FROM kept k LEFT JOIN smap m USING (tok)
+),
+p AS (SELECT doc_id, term, count(*) AS tf FROM stemmed GROUP BY doc_id, term)
+SELECT term, count(*) AS df, CAST(sum(tf) AS BIGINT) AS ttf
+FROM p GROUP BY term
+ORDER BY df DESC, term ASC LIMIT 20
 """
 
     return sqls
