@@ -4920,6 +4920,89 @@ def q_hunspell_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _pii_augmented(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic PII-bearing corpus: every 7th doc gains an email,
+    every 11th a phone + IP, every 13th an SSN shape (first matching
+    rule wins) — both engines synthesize the identical text."""
+    d = _table(spark, sf_dir, "documents").select("doc_id", "text")
+    suffix = (
+        F.when(
+            F.col("doc_id") % 7 == 0,
+            F.concat(
+                F.lit(" contact u"),
+                F.col("doc_id").cast("string"),
+                F.lit("@example.com now"),
+            ),
+        )
+        .when(F.col("doc_id") % 11 == 0, F.lit(" call 555-123-4567 or 10.0.0.1"))
+        .when(F.col("doc_id") % 13 == 0, F.lit(" ssn 123-45-6789 here"))
+        .otherwise(F.lit(""))
+    )
+    return d.withColumn("text", F.concat(F.col("text"), suffix))
+
+
+def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII masking (Dolma §2.3 / ROOTS-style scrub): email, SSN, phone,
+    IPv4 regex families replaced with stable mask tokens + per-family
+    counts — ONE whole-stage-codegen projection (regexp_replace /
+    regexp_count), no Python, no shuffle."""
+    from lucene_solr_spark.functions import pii
+
+    out = pii.pii_redact(_pii_augmented(spark, sf_dir))
+    return out.select(
+        "doc_id",
+        "text",
+        F.col("n_email").cast("int").alias("n_email"),
+        F.col("n_ssn").cast("int").alias("n_ssn"),
+        F.col("n_phone").cast("int").alias("n_phone"),
+        F.col("n_ipv4").cast("int").alias("n_ipv4"),
+    ).orderBy("doc_id")
+
+
+def _c4_augmented(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic multi-line pages exercising every C4 rule: a
+    terminal-punctuated body line, an always-kept line, a no-punct
+    line (dropped), and a tail that rotates through lorem-ipsum (page
+    drop), '{' (page drop), a javascript line (line drop → page falls
+    under min_lines), or a good line."""
+    d = _table(spark, sf_dir, "documents").select("doc_id", "text")
+    tail = (
+        F.when(F.col("doc_id") % 13 == 0, F.lit("lorem ipsum everywhere."))
+        .when(F.col("doc_id") % 17 == 0, F.lit("function() { return 1; }."))
+        .when(
+            F.col("doc_id") % 5 == 0,
+            F.lit("please enable javascript to continue."),
+        )
+        .otherwise(F.lit("one more good line stays here."))
+    )
+    page = F.concat(
+        F.col("text"), F.lit(".\nthe quick brown fox jumps.\nno punct line\n"),
+        tail,
+    )
+    return d.withColumn("text", page)
+
+
+def q_c4_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4 page cleaning (Raffel et al. 2020 §2.2): line rules
+    (terminal punctuation, ≥5 words, no 'javascript') then page rules
+    (≥3 retained lines, no 'lorem ipsum', no '{') — higher-order
+    split/filter/array_join column expressions, a pure scan-side map."""
+    from lucene_solr_spark.functions import pii
+
+    out = pii.c4_clean(_c4_augmented(spark, sf_dir))
+    return out.select("doc_id", "text").orderBy("doc_id")
+
+
+def q_dataset_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic md5-bucket train/val/test split — a pure function
+    of the row id, reproducible by ANY engine (no stored assignment
+    table, no sampling nondeterminism at 10^12 rows)."""
+    from lucene_solr_spark.functions import pii
+
+    d = _table(spark, sf_dir, "documents").select("doc_id")
+    return pii.hash_split(d).orderBy("doc_id")
+
+
 # --------------------------------------------------------------------------
 # the three driver hooks
 # --------------------------------------------------------------------------
@@ -5158,6 +5241,9 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "reversed_wildcard": q_reversed_wildcard,
         "token_filters_misc": q_token_filters_misc,
         "hunspell_analysis": q_hunspell_analysis,
+        "pii_redact": q_pii_redact,
+        "c4_clean": q_c4_clean,
+        "dataset_split": q_dataset_split,
         "core_analyzers": q_core_analyzers,
         # (all four above/below have full oracle replicas in
         # tests/test_entry.py meanwhile), then the round-1 green core
@@ -9662,6 +9748,91 @@ p AS (SELECT doc_id, term, count(*) AS tf FROM stemmed GROUP BY doc_id, term)
 SELECT term, count(*) AS df, CAST(sum(tf) AS BIGINT) AS ttf
 FROM p GROUP BY term
 ORDER BY df DESC, term ASC LIMIT 20
+"""
+
+    # same deterministic augmentation, same regex families, same order
+    _pii_aug = """
+aug AS (
+  SELECT doc_id,
+         text || CASE
+           WHEN doc_id % 7 = 0
+             THEN ' contact u' || CAST(doc_id AS VARCHAR) || '@example.com now'
+           WHEN doc_id % 11 = 0 THEN ' call 555-123-4567 or 10.0.0.1'
+           WHEN doc_id % 13 = 0 THEN ' ssn 123-45-6789 here'
+           ELSE '' END AS text
+  FROM documents
+)"""
+    _pii_email = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+    _pii_ssn = r"\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b"
+    _pii_phone = r"\b[0-9]{3}[-.][0-9]{3}[-.][0-9]{4}\b"
+    _pii_ip = r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b"
+    sqls["pii_redact"] = f"""
+WITH {_pii_aug},
+s1 AS (
+  SELECT doc_id,
+         CAST(len(regexp_extract_all(text, '{_pii_email}')) AS INT) AS n_email,
+         regexp_replace(text, '{_pii_email}', '|||EMAIL|||', 'g') AS text
+  FROM aug
+),
+s2 AS (
+  SELECT doc_id, n_email,
+         CAST(len(regexp_extract_all(text, '{_pii_ssn}')) AS INT) AS n_ssn,
+         regexp_replace(text, '{_pii_ssn}', '|||SSN|||', 'g') AS text
+  FROM s1
+),
+s3 AS (
+  SELECT doc_id, n_email, n_ssn,
+         CAST(len(regexp_extract_all(text, '{_pii_phone}')) AS INT) AS n_phone,
+         regexp_replace(text, '{_pii_phone}', '|||PHONE|||', 'g') AS text
+  FROM s2
+)
+SELECT doc_id, regexp_replace(text, '{_pii_ip}', '|||IP|||', 'g') AS text,
+       n_email, n_ssn, n_phone,
+       CAST(len(regexp_extract_all(text, '{_pii_ip}')) AS INT) AS n_ipv4
+FROM s3 ORDER BY doc_id
+"""
+
+    sqls["c4_clean"] = r"""
+WITH aug AS (
+  SELECT doc_id,
+         text || '.' || chr(10) || 'the quick brown fox jumps.' || chr(10)
+              || 'no punct line' || chr(10) ||
+         CASE WHEN doc_id % 13 = 0 THEN 'lorem ipsum everywhere.'
+              WHEN doc_id % 17 = 0 THEN 'function() { return 1; }.'
+              WHEN doc_id % 5 = 0 THEN 'please enable javascript to continue.'
+              ELSE 'one more good line stays here.' END AS text
+  FROM documents
+),
+kept AS (
+  SELECT doc_id, text,
+         list_filter(
+           string_split(text, chr(10)),
+           ln -> regexp_matches(ln, '[.!?"]$')
+                 AND len(regexp_split_to_array(trim(ln), ' +')) >= 5
+                 AND NOT contains(lower(ln), 'javascript')
+         ) AS k
+  FROM aug
+)
+SELECT doc_id, array_to_string(k, chr(10)) AS text
+FROM kept
+WHERE len(k) >= 3
+  AND NOT contains(lower(text), 'lorem ipsum')
+  AND NOT contains(text, '{')
+ORDER BY doc_id
+"""
+
+    sqls["dataset_split"] = """
+WITH b AS (
+  SELECT doc_id,
+         CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+              % 100 AS INT) AS bucket
+  FROM documents
+)
+SELECT doc_id, bucket,
+       CASE WHEN bucket >= 90 THEN 'test'
+            WHEN bucket >= 80 THEN 'val'
+            ELSE 'train' END AS split
+FROM b ORDER BY doc_id
 """
 
     return sqls

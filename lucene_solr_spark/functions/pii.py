@@ -1,0 +1,118 @@
+"""Training-data hygiene operators: PII redaction, C4-style page
+cleaning, deterministic dataset splits.
+
+Beyond the reference's surface (it predates LLM corpus prep) — the
+semantics follow the published pipelines:
+
+- PII masking: the regex families every public corpus pipeline scrubs
+  (emails, phone numbers, IPv4 addresses, US-SSN shapes) replaced with
+  stable mask tokens, as in Dolma (Soldaini et al. 2024, §2.3) and the
+  BigScience ROOTS pipeline (Laurençon et al. 2022).  Pure
+  ``regexp_replace`` / ``regexp_count`` column expressions — the whole
+  scrub is one whole-stage-codegen projection over 100 TB, no Python.
+- C4 cleaning (Raffel et al. 2020, §2.2): line-level — keep lines that
+  end in terminal punctuation, have ≥ ``min_line_words`` words, and do
+  not mention javascript; page-level — drop pages with fewer than
+  ``min_lines`` retained lines, containing ``lorem ipsum``, or
+  containing ``{``.  Expressed with split/filter/array_join
+  higher-order functions (no UDF, no shuffle: a pure scan-side map).
+- Deterministic split: md5-derived bucket (engine-reproducible, unlike
+  engine-private hash functions) → train/val/test assignment that any
+  system can recompute from the row alone — resumable and join-free at
+  any scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# (name, pattern, mask) — RE2/Java-portable syntax only, so Spark,
+# DuckDB and any downstream engine agree byte-for-byte
+PII_PATTERNS: list[tuple[str, str, str]] = [
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "|||EMAIL|||"),
+    ("ssn", r"\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b", "|||SSN|||"),
+    ("phone", r"\b[0-9]{3}[-.][0-9]{3}[-.][0-9]{4}\b", "|||PHONE|||"),
+    (
+        "ipv4",
+        r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b",
+        "|||IP|||",
+    ),
+]
+
+
+def pii_redact(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Mask PII spans and count them per family.
+
+    Order matters and is fixed: email → ssn → phone → ipv4 (an SSN
+    shape inside an already-masked email can't double-count; the
+    counts are measured on the text each pattern actually sees, same
+    as a sequential scrubber applies them)."""
+    out = df
+    col = F.col(text_col)
+    for name, pat, mask in PII_PATTERNS:
+        out = out.withColumn(f"n_{name}", F.regexp_count(col, F.lit(pat)))
+        out = out.withColumn(text_col, F.regexp_replace(col, pat, mask))
+    return out
+
+
+_TERMINAL = r'[.!?"]$'
+
+
+def _kept_lines(col: Column, min_line_words: int) -> Column:
+    lines = F.split(col, "\n")
+    return F.filter(
+        lines,
+        lambda ln: ln.rlike(_TERMINAL)
+        & (F.size(F.split(F.trim(ln), " +")) >= min_line_words)
+        & ~F.lower(ln).contains("javascript"),
+    )
+
+
+def c4_clean(
+    df: DataFrame,
+    text_col: str = "text",
+    min_line_words: int = 5,
+    min_lines: int = 3,
+) -> DataFrame:
+    """C4 page cleaning (Raffel et al. 2020 §2.2).  Returns surviving
+    pages with ``text`` rebuilt from the retained lines."""
+    col = F.col(text_col)
+    kept = _kept_lines(col, min_line_words)
+    return (
+        df.withColumn("_kept", kept)
+        .filter(
+            (F.size(F.col("_kept")) >= min_lines)
+            & ~F.lower(col).contains("lorem ipsum")
+            & ~col.contains("{")
+        )
+        .withColumn(text_col, F.array_join(F.col("_kept"), "\n"))
+        .drop("_kept")
+    )
+
+
+def hash_split(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    val_pct: int = 10,
+    test_pct: int = 10,
+) -> DataFrame:
+    """Deterministic train/val/test assignment from an md5-derived
+    bucket in [0, 100): test gets the top ``test_pct`` buckets, val the
+    next ``val_pct``, train the rest.  A pure function of the id — any
+    engine (and any later rerun) reproduces the identical split with no
+    stored assignment table."""
+    bucket = (
+        F.conv(
+            F.substring(F.md5(F.col(id_col).cast("string")), 1, 8), 16, 10
+        ).cast("long")
+        % 100
+    )
+    split = (
+        F.when(bucket >= 100 - test_pct, F.lit("test"))
+        .when(bucket >= 100 - test_pct - val_pct, F.lit("val"))
+        .otherwise(F.lit("train"))
+    )
+    return df.withColumn("bucket", bucket.cast("int")).withColumn(
+        "split", split
+    )

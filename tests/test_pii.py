@@ -1,0 +1,72 @@
+"""PII redaction, C4 cleaning, deterministic split (functions/pii.py)."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from lucene_solr_spark.functions.pii import c4_clean, hash_split, pii_redact
+
+
+def test_pii_redact_masks_and_counts(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "write to bob@corp.example.org or alice@a.io today"),
+            (2, "ssn 123-45-6789 phone 555-123-4567 ip 192.168.0.1"),
+            (3, "nothing sensitive here"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in pii_redact(df).collect()}
+    assert rows[1]["n_email"] == 2
+    assert "|||EMAIL|||" in rows[1]["text"]
+    assert "bob@" not in rows[1]["text"]
+    assert (rows[2]["n_ssn"], rows[2]["n_phone"], rows[2]["n_ipv4"]) == (1, 1, 1)
+    assert "|||SSN|||" in rows[2]["text"]
+    assert "|||PHONE|||" in rows[2]["text"]
+    assert "|||IP|||" in rows[2]["text"]
+    assert rows[3]["text"] == "nothing sensitive here"
+    assert (
+        rows[3]["n_email"],
+        rows[3]["n_ssn"],
+        rows[3]["n_phone"],
+        rows[3]["n_ipv4"],
+    ) == (0, 0, 0, 0)
+
+
+def test_c4_rules(spark):
+    keep = "this good line has five words.\nanother line with enough words.\na third fine line right here."
+    df = spark.createDataFrame(
+        [
+            (1, keep),
+            (2, keep + "\nlorem ipsum dolor sit amet."),  # page drop
+            (3, keep + "\nif (x) { y }."),  # page drop: '{'
+            (4, "too short.\nno terminal punct line\nonly one good line stays here."),  # < 3 kept lines
+            (5, keep + "\nplease enable javascript to continue now."),  # line drop only
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r["text"] for r in c4_clean(df).collect()}
+    assert set(out) == {1, 5}
+    assert out[1] == keep
+    assert out[5] == keep  # javascript line removed, page survives
+
+
+def test_hash_split_deterministic_and_complete(spark):
+    df = spark.createDataFrame([(i,) for i in range(500)], "doc_id long")
+    a = hash_split(df).collect()
+    b = hash_split(df).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+    splits = {r["split"] for r in a}
+    assert splits == {"train", "val", "test"}
+    by = {r["doc_id"]: r for r in a}
+    for r in a:
+        if r["bucket"] >= 90:
+            assert r["split"] == "test"
+        elif r["bucket"] >= 80:
+            assert r["split"] == "val"
+        else:
+            assert r["split"] == "train"
+    # roughly proportional (md5 is uniform; wide tolerance, no flake)
+    n_train = sum(1 for r in a if r["split"] == "train")
+    assert 300 <= n_train <= 460
+    assert by[42]["bucket"] == 84  # pinned cross-engine value
