@@ -5003,6 +5003,24 @@ def q_dataset_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pii.hash_split(d).orderBy("doc_id")
 
 
+def q_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style perplexity scoring (Wenzek et al. 2020): bigram LM
+    with stupid backoff trained on the corpus, every doc scored by
+    avg token log-prob; the keep/drop head is the low-ppl rank.  The
+    model is two count frames (unigram broadcast, bigram shuffle-join)
+    — no driver-side state, no Python."""
+    from lucene_solr_spark.functions.corpus_quality import lm_perplexity
+
+    d = _table(spark, sf_dir, "documents").select("doc_id", "text")
+    out = lm_perplexity(d)
+    return out.select(
+        "doc_id",
+        F.col("n_scored").cast("long").alias("n_scored"),
+        F.round("avg_logprob", 4).alias("avg_logprob"),
+        F.round("ppl", 4).alias("ppl"),
+    ).orderBy("doc_id")
+
+
 # --------------------------------------------------------------------------
 # the three driver hooks
 # --------------------------------------------------------------------------
@@ -5244,6 +5262,7 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_redact": q_pii_redact,
         "c4_clean": q_c4_clean,
         "dataset_split": q_dataset_split,
+        "lm_perplexity": q_lm_perplexity,
         "core_analyzers": q_core_analyzers,
         # (all four above/below have full oracle replicas in
         # tests/test_entry.py meanwhile), then the round-1 green core
@@ -9833,6 +9852,43 @@ SELECT doc_id, bucket,
             WHEN bucket >= 80 THEN 'val'
             ELSE 'train' END AS split
 FROM b ORDER BY doc_id
+"""
+
+    # bigram stupid-backoff LM: identical training corpus, identical
+    # backoff arithmetic (ln(c(vw)/c(v)) seen / ln(0.4·c(w)/N) unseen;
+    # first token of each doc takes the backoff path)
+    sqls["lm_perplexity"] = """
+WITH stream AS (
+  SELECT doc_id,
+         unnest(string_split(lower(trim(text)), ' ')) AS w,
+         unnest(range(len(string_split(lower(trim(text)), ' ')))) AS pos
+  FROM documents
+),
+pairs AS (
+  SELECT doc_id, pos, w,
+         lag(w) OVER (PARTITION BY doc_id ORDER BY pos) AS v
+  FROM stream
+),
+uni AS (SELECT w, count(*) AS cw FROM stream GROUP BY w),
+tot AS (SELECT count(*) AS n FROM stream),
+big AS (
+  SELECT v, w, count(*) AS cvw FROM pairs WHERE v IS NOT NULL GROUP BY v, w
+),
+scored AS (
+  SELECT p.doc_id,
+         CASE WHEN b.cvw IS NOT NULL
+              THEN ln(CAST(b.cvw AS DOUBLE) / cv.cw)
+              ELSE ln(0.4 * CAST(u.cw AS DOUBLE) / t.n) END AS logp
+  FROM pairs p
+  JOIN uni u USING (w)
+  LEFT JOIN big b ON b.v = p.v AND b.w = p.w
+  LEFT JOIN uni cv ON cv.w = p.v
+  CROSS JOIN tot t
+)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_scored,
+       ROUND(avg(logp), 4) AS avg_logprob,
+       ROUND(exp(-avg(logp)), 4) AS ppl
+FROM scored GROUP BY doc_id ORDER BY doc_id
 """
 
     return sqls

@@ -181,3 +181,75 @@ def sequence_packing(
         )
         .select("doc_id", F.col("grp").alias(group_col), "tokens", "bin")
     )
+
+
+def lm_perplexity(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    alpha: float = 0.4,
+) -> DataFrame:
+    """CCNet-style language-model quality scoring (Wenzek et al. 2020,
+    "CCNet: Extracting High Quality Monolingual Datasets"): score every
+    document by the average per-token log-probability under an n-gram
+    LM trained on the corpus itself, then keep the low-perplexity
+    head.  The LM here is a bigram model with stupid backoff (Brants et
+    al. 2007): logp(w|v) = ln(c(vw)/c(v)) when the bigram was seen,
+    else ln(alpha · c(w)/N).
+
+    Scale shape: the model IS two aggregation frames — unigram counts
+    (vocabulary-sized) and bigram counts (bigram-vocabulary-sized) —
+    broadcast-joined back onto the exploded token stream; one window
+    (lag over doc positions) forms the bigrams, one groupBy averages.
+    No Python, no driver-side model object; 100 TB just makes the two
+    count frames taller, not the plan different.
+
+    Returns (doc_id, n_scored, avg_logprob, ppl) — ppl = exp(−avg);
+    the first token of each doc is scored by the backoff path (no
+    left context), matching the oracle exactly.
+    """
+    toks = F.split(F.lower(F.trim(F.col(text_col))), " +")
+    base = df.select(F.col(id_col).alias("doc_id"), toks.alias("_t"))
+    stream = base.select(
+        "doc_id", F.posexplode(F.col("_t")).alias("pos", "w")
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    pairs = stream.withColumn("v", F.lag("w").over(w))
+    uni = stream.groupBy("w").agg(F.count("*").alias("cw"))
+    total = stream.count()
+    big = (
+        pairs.filter(F.col("v").isNotNull())
+        .groupBy("v", "w")
+        .agg(F.count("*").alias("cvw"))
+    )
+    ctx = uni.select(F.col("w").alias("v"), F.col("cw").alias("cv"))
+    # unigram/context tables broadcast (vocabulary-bounded); the
+    # BIGRAM table is NOT broadcast — at 100 TB it is billions of rows,
+    # so it joins by shuffle on (v, w), co-partitioned with the token
+    # stream it annotates
+    scored = (
+        pairs.join(F.broadcast(uni), "w")
+        .join(big, ["v", "w"], "left")
+        .join(F.broadcast(ctx), "v", "left")
+        .withColumn(
+            "logp",
+            F.when(
+                F.col("cvw").isNotNull(),
+                F.log(F.col("cvw").cast("double") / F.col("cv")),
+            ).otherwise(
+                F.log(
+                    F.lit(float(alpha))
+                    * F.col("cw").cast("double")
+                    / F.lit(float(total))
+                )
+            ),
+        )
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_scored"),
+            F.avg("logp").alias("avg_logprob"),
+        )
+        .withColumn("ppl", F.exp(-F.col("avg_logprob")))
+    )
