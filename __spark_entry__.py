@@ -5021,6 +5021,47 @@ def q_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+# space-separated Thai chunks (the corpus split keeps them whole for
+# the oracle); each chunk's dictionary segmentation is the closed map
+THAI_GATE_PHRASE = "การที่ได้ต้องแสดงว่างานดี ภาษาไทย ค้นหาข้อมูล"
+_THAI_CHUNK_MAP = {
+    # chunk -> post-stop segmented terms (การ/ที่/ได้/ต้อง/ว่า are stops)
+    "การที่ได้ต้องแสดงว่างานดี": ["แสดง", "งาน", "ดี"],
+    "ภาษาไทย": ["ภาษา", "ไทย"],
+    "ค้นหาข้อมูล": ["ค้นหา", "ข้อมูล"],
+}
+
+
+def q_thai_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ThaiAnalyzer chain (analysis/th/ThaiAnalyzer.java:85-105:
+    dictionary-segmenting ThaiTokenizer → lowercase → th stop), pinned
+    on the reference's complete TestThaiAnalyzer vectors
+    (tests/test_thai.py) — 45th verified analyzer chain."""
+    from functools import partial
+
+    from lucene_solr_spark.analysis.thai import thai_analyze_batch_flat
+
+    d = _table(spark, sf_dir, "documents")
+    t = build_tables(
+        d.select(
+            "doc_id",
+            F.concat(F.col("text"), F.lit(" " + THAI_GATE_PHRASE)).alias(
+                "text"
+            ),
+        ),
+        id_col="doc_id",
+        text_col="text",
+        analyzer=partial(thai_analyze_batch_flat),
+    )
+    return (
+        t.term_stats.select(
+            "term", "df", F.col("ttf").cast("long").alias("ttf")
+        )
+        .orderBy(F.col("df").desc(), F.col("term").asc())
+        .limit(20)
+    )
+
+
 # --------------------------------------------------------------------------
 # the three driver hooks
 # --------------------------------------------------------------------------
@@ -5263,6 +5304,7 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "c4_clean": q_c4_clean,
         "dataset_split": q_dataset_split,
         "lm_perplexity": q_lm_perplexity,
+        "thai_analysis": q_thai_analysis,
         "core_analyzers": q_core_analyzers,
         # (all four above/below have full oracle replicas in
         # tests/test_entry.py meanwhile), then the round-1 green core
@@ -9889,6 +9931,32 @@ SELECT doc_id, CAST(count(*) AS BIGINT) AS n_scored,
        ROUND(avg(logp), 4) AS avg_logprob,
        ROUND(exp(-avg(logp)), 4) AS ppl
 FROM scored GROUP BY doc_id ORDER BY doc_id
+"""
+
+    # ThaiAnalyzer: the ONLY stop set is the th list (English corpus
+    # tokens pass through, including 'the'/'a' — ThaiAnalyzer.java has
+    # no English stops); each space-kept Thai chunk explodes to its
+    # dictionary segmentation via the closed 1:many map
+    _th_map = ",".join(
+        f"('{chunk}', '{term}')"
+        for chunk, terms in _THAI_CHUNK_MAP.items()
+        for term in terms
+    )
+    sqls["thai_analysis"] = f"""
+WITH toks AS (
+  SELECT doc_id,
+         unnest(string_split(text || ' {THAI_GATE_PHRASE}', ' ')) AS tok
+  FROM documents
+),
+smap(tok, term) AS (VALUES {_th_map}),
+mapped AS (
+  SELECT t.doc_id, COALESCE(m.term, t.tok) AS term
+  FROM toks t LEFT JOIN smap m USING (tok)
+),
+p AS (SELECT doc_id, term, count(*) AS tf FROM mapped GROUP BY doc_id, term)
+SELECT term, count(*) AS df, CAST(sum(tf) AS BIGINT) AS ttf
+FROM p GROUP BY term
+ORDER BY df DESC, term ASC LIMIT 20
 """
 
     return sqls
