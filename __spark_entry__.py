@@ -5062,6 +5062,55 @@ def q_thai_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_wikipedia_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WikipediaTokenizer (wikipedia/WikipediaTokenizerImpl.jflex) over
+    deterministically-constructed wiki pages: each doc becomes
+    ``[[Category:<text>]] <text> ''<first-word>''`` so the token stream
+    carries CATEGORY, ALPHANUM and ITALICS types whose counts the
+    oracle derives analytically; the scanner itself is pinned on the
+    reference's complete test vectors incl. the 98-token handwritten
+    pin (tests/test_wikipedia.py)."""
+    import pandas as pd
+
+    from lucene_solr_spark.analysis.wikipedia import wikipedia_tokenize
+
+    d = _table(spark, sf_dir, "documents").select("doc_id", "text")
+    page = F.concat(
+        F.lit("[[Category:"),
+        F.col("text"),
+        F.lit("]] "),
+        F.col("text"),
+        F.lit(" ''"),
+        F.split(F.col("text"), " ")[0],
+        F.lit("''"),
+    )
+
+    def _tok(col):
+        return col.map(
+            lambda t: [[term, ty] for term, ty, _ in wikipedia_tokenize(t)]
+        )
+
+    tok = F.pandas_udf(_tok, "array<array<string>>")
+    stream = (
+        d.withColumn("page", page)
+        .select("doc_id", F.explode(tok(F.col("page"))).alias("tt"))
+        .select(
+            "doc_id",
+            F.col("tt")[0].alias("term"),
+            F.col("tt")[1].alias("ttype"),
+        )
+    )
+    return (
+        stream.groupBy("ttype", "term")
+        .agg(
+            F.countDistinct("doc_id").alias("df"),
+            F.count("*").alias("ttf"),
+        )
+        .orderBy(F.col("df").desc(), F.col("ttype").asc(), F.col("term").asc())
+        .limit(25)
+    )
+
+
 # --------------------------------------------------------------------------
 # the three driver hooks
 # --------------------------------------------------------------------------
@@ -5305,6 +5354,7 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dataset_split": q_dataset_split,
         "lm_perplexity": q_lm_perplexity,
         "thai_analysis": q_thai_analysis,
+        "wikipedia_analysis": q_wikipedia_analysis,
         "core_analyzers": q_core_analyzers,
         # (all four above/below have full oracle replicas in
         # tests/test_entry.py meanwhile), then the round-1 green core
@@ -9957,6 +10007,29 @@ p AS (SELECT doc_id, term, count(*) AS tf FROM mapped GROUP BY doc_id, term)
 SELECT term, count(*) AS df, CAST(sum(tf) AS BIGINT) AS ttf
 FROM p GROUP BY term
 ORDER BY df DESC, term ASC LIMIT 20
+"""
+
+    # constructed page = [[Category:text]] text ''first-word'' — the
+    # token stream is analytically: every text token once as CATEGORY,
+    # once as ALPHANUM, plus the first token as ITALICS
+    sqls["wikipedia_analysis"] = """
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+),
+firsts AS (
+  SELECT doc_id, string_split(text, ' ')[1] AS term FROM documents
+),
+stream AS (
+  SELECT doc_id, 'c' AS ttype, term FROM toks
+  UNION ALL
+  SELECT doc_id, '<ALPHANUM>' AS ttype, term FROM toks
+  UNION ALL
+  SELECT doc_id, 'i' AS ttype, term FROM firsts
+)
+SELECT ttype, term, CAST(count(DISTINCT doc_id) AS BIGINT) AS df,
+       CAST(count(*) AS BIGINT) AS ttf
+FROM stream GROUP BY ttype, term
+ORDER BY df DESC, ttype ASC, term ASC LIMIT 25
 """
 
     return sqls
