@@ -5111,6 +5111,52 @@ def q_wikipedia_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_hyphenation_compound(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyphenationCompoundWordTokenFilter (compound/
+    HyphenationCompoundWordTokenFilter.java:134-201 + hyphenation/
+    HyphenationTree.java:302-390 Liang algorithm): every doc gets
+    'sparkwindow streamtable' appended; TeX-style patterns k1w / m1t
+    hyphenate exactly at the constituent boundary and the dictionary
+    {spark,window,stream,table} admits the parts.  The decompose loop
+    itself is pinned on the reference's da_UTF8 basketballkurv vectors
+    in tests/test_compound_hyphenation.py."""
+    import pandas as pd
+
+    from lucene_solr_spark.analysis.compound import (
+        Hyphenator,
+        hyphenation_decompose,
+    )
+
+    hyp = Hyphenator(["k1w", "m1t"])
+    comp_dict = frozenset(["spark", "window", "stream", "table"])
+    d = _table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(F.col("text"), F.lit(" sparkwindow streamtable")).alias(
+            "text"
+        ),
+    )
+
+    def gen(it):
+        for pdf in it:
+            terms = []
+            for txt in pdf["text"]:
+                for tok in txt.split(" "):
+                    terms.append(tok)
+                    terms.extend(
+                        hyphenation_decompose(tok, hyp, comp_dict)
+                    )
+            yield pd.DataFrame({"term": terms})
+
+    out = d.mapInPandas(gen, "term string")
+    keep = ["spark", "window", "stream", "table", "sparkwindow", "streamtable"]
+    return (
+        out.filter(F.col("term").isin(keep))
+        .groupBy("term")
+        .agg(F.count("*").cast("long").alias("ttf"))
+        .orderBy("term")
+    )
+
+
 # --------------------------------------------------------------------------
 # the three driver hooks
 # --------------------------------------------------------------------------
@@ -5355,6 +5401,7 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lm_perplexity": q_lm_perplexity,
         "thai_analysis": q_thai_analysis,
         "wikipedia_analysis": q_wikipedia_analysis,
+        "hyphenation_compound": q_hyphenation_compound,
         "core_analyzers": q_core_analyzers,
         # (all four above/below have full oracle replicas in
         # tests/test_entry.py meanwhile), then the round-1 green core
@@ -10030,6 +10077,33 @@ SELECT ttype, term, CAST(count(DISTINCT doc_id) AS BIGINT) AS df,
        CAST(count(*) AS BIGINT) AS ttf
 FROM stream GROUP BY ttype, term
 ORDER BY df DESC, ttype ASC, term ASC LIMIT 25
+"""
+
+    # closed form: each appended compound contributes itself + its two
+    # hyphen-split parts once per doc; corpus words gain nothing (no
+    # k-w / m-t boundary exists in the vocabulary)
+    sqls["hyphenation_compound"] = """
+WITH toks AS (
+  SELECT unnest(string_split(text, ' ')) AS term FROM documents
+),
+base AS (
+  SELECT term, count(*) AS ttf FROM toks
+  WHERE term IN ('spark', 'window', 'stream', 'table') GROUP BY term
+),
+n AS (SELECT count(*) AS nd FROM documents),
+parts AS (
+  SELECT v.term, CAST(COALESCE(b.ttf, 0) + n.nd AS BIGINT) AS ttf
+  FROM (VALUES ('spark'), ('window'), ('stream'), ('table')) v(term)
+  LEFT JOIN base b USING (term) CROSS JOIN n
+),
+compounds AS (
+  SELECT 'sparkwindow' AS term, CAST(nd AS BIGINT) AS ttf FROM n
+  UNION ALL
+  SELECT 'streamtable', CAST(nd AS BIGINT) FROM n
+)
+SELECT term, ttf FROM (
+  SELECT * FROM parts UNION ALL SELECT * FROM compounds
+) ORDER BY term
 """
 
     return sqls

@@ -84,3 +84,131 @@ def decompose_batch(
         ts.append(t)
         ps.append(p)
     return pd.Series(ts), pd.Series(ps)
+
+
+# ---------------------------------------------------------------------------
+# HyphenationCompoundWordTokenFilter — Liang hyphenation + dictionary
+# check.  Refs: compound/HyphenationCompoundWordTokenFilter.java:134-201
+# (the decompose loop over hyphenation points with the min/max subword
+# window, the genitive partLength-1 fallback, onlyLongestMatch) and
+# compound/hyphenation/HyphenationTree.java:302-390 (Liang's algorithm:
+# '.'-padded word, max interletter digit per position, break where odd,
+# remain/push edge constraints, exception stoplist).  Patterns are the
+# standard TeX hyphenation pattern strings (digits interleaved with
+# letters) — load any language's published pattern set; tests pin the
+# algorithm on hand-derived patterns and pin the decompose loop on the
+# reference's own da_UTF8 vectors via injected hyphenation points.
+# ---------------------------------------------------------------------------
+
+
+class Hyphenator:
+    """Liang hyphenation over TeX pattern strings."""
+
+    def __init__(self, patterns, exceptions=()):
+        self.pat: dict[str, tuple] = {}
+        self.max_pat_len = 0
+        for p in patterns:
+            chars = []
+            vals = [0]
+            for ch in p:
+                if ch.isdigit():
+                    vals[len(chars)] = int(ch)
+                else:
+                    chars.append(ch)
+                    vals.append(0)
+            key = "".join(chars)
+            self.pat[key] = tuple(vals[: len(chars) + 1])
+            self.max_pat_len = max(self.max_pat_len, len(key))
+        self.exceptions: dict[str, list[int]] = {}
+        for e in exceptions:
+            word = e.replace("-", "")
+            offs, j = [], 0
+            for part in e.split("-")[:-1]:
+                j += len(part)
+                offs.append(j)
+            self.exceptions[word] = offs
+
+    def hyphenation_points(
+        self, word: str, remain: int = 1, push: int = 1
+    ) -> "list[int] | None":
+        """[0, break offsets..., len(word)] or None when unbreakable —
+        Hyphenation.getHyphenationPoints() with the synthetic ends."""
+        n = len(word)
+        if n < remain + push:
+            return None
+        low = word.lower()
+        if low in self.exceptions:
+            ks = [
+                j
+                for j in self.exceptions[low]
+                if j >= remain and j < n - push
+            ]
+            return [0] + ks + [n] if ks else None
+        padded = "." + low + "."
+        il = [0] * (len(padded) + 1)
+        for i in range(len(padded)):
+            lim = min(len(padded), i + self.max_pat_len)
+            for j in range(i + 1, lim + 1):
+                vals = self.pat.get(padded[i:j])
+                if vals:
+                    for k, v in enumerate(vals):
+                        if v > il[i + k]:
+                            il[i + k] = v
+        # il[i+1] odd => break after i letters (HyphenationTree:371-377)
+        ks = [
+            i
+            for i in range(n)
+            if (il[i + 1] & 1) == 1 and remain <= i <= n - push
+        ]
+        return [0] + ks + [n] if ks else None
+
+
+def hyphenation_decompose(
+    token: str,
+    hyphenator: "Hyphenator",
+    dictionary: "frozenset | None" = None,
+    min_word_size: int = DEFAULT_MIN_WORD_SIZE,
+    min_subword_size: int = DEFAULT_MIN_SUBWORD_SIZE,
+    max_subword_size: int = DEFAULT_MAX_SUBWORD_SIZE,
+    only_longest_match: bool = False,
+    points: "list[int] | None" = None,
+) -> list[str]:
+    """Subwords per HyphenationCompoundWordTokenFilter.decompose()
+    (original token NOT included; callers emit it first).  ``points``
+    injects precomputed hyphenation points (the test seam that pins
+    the loop on the reference's da_UTF8 vectors without the pattern
+    file)."""
+    if len(token) < min_word_size:
+        return []
+    hyp = points if points is not None else hyphenator.hyphenation_points(
+        token, 1, 1
+    )
+    if hyp is None:
+        return []
+    low = token.lower()
+    out: list[str] = []
+    for i in range(len(hyp)):
+        remaining = len(hyp) - i
+        start = hyp[i]
+        longest: "str | None" = None
+        for j in range(1, remaining):
+            part_len = hyp[i + j] - start
+            if part_len > max_subword_size:
+                break
+            if part_len < min_subword_size:
+                continue
+            cand = None
+            if dictionary is None or low[start : start + part_len] in dictionary:
+                cand = token[start : start + part_len]
+            elif low[start : start + part_len - 1] in dictionary:
+                # genitive-s / binding-character fallback
+                cand = token[start : start + part_len - 1]
+            if cand is not None:
+                if only_longest_match:
+                    if longest is None or len(longest) < len(cand):
+                        longest = cand
+                else:
+                    out.append(cand)
+        if only_longest_match and longest is not None:
+            out.append(longest)
+    return out
