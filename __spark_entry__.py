@@ -5157,6 +5157,16 @@ def q_hyphenation_compound(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact repeated-substring dedup (Lee et al. 2021): duplicated
+    8-token spans removed everywhere but their first (doc_id, pos)
+    occurrence — one gram groupBy + one join back, no corpus
+    self-join, no Python."""
+    d = _table(spark, sf_dir, "documents").select("doc_id", "text")
+    out = dedup.exact_substring_dedup(d, k=8)
+    return out.orderBy("doc_id")
+
+
 # --------------------------------------------------------------------------
 # the three driver hooks
 # --------------------------------------------------------------------------
@@ -5402,6 +5412,7 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "thai_analysis": q_thai_analysis,
         "wikipedia_analysis": q_wikipedia_analysis,
         "hyphenation_compound": q_hyphenation_compound,
+        "substring_dedup": q_substring_dedup,
         "core_analyzers": q_core_analyzers,
         # (all four above/below have full oracle replicas in
         # tests/test_entry.py meanwhile), then the round-1 green core
@@ -10104,6 +10115,61 @@ compounds AS (
 SELECT term, ttf FROM (
   SELECT * FROM parts UNION ALL SELECT * FROM compounds
 ) ORDER BY term
+"""
+
+    # 8-gram via 7 lead windows; keeper = lexicographic-min (doc_id,
+    # pos) encoded as doc_id·10^6+pos (pos ≪ 10^6); masked = the
+    # 8-token window of every non-keeper duplicated gram
+    sqls["substring_dedup"] = """
+WITH toks AS (
+  SELECT doc_id,
+         unnest(string_split(lower(trim(text)), ' ')) AS w,
+         unnest(range(len(string_split(lower(trim(text)), ' ')))) AS pos
+  FROM documents
+),
+g AS (
+  SELECT doc_id, pos,
+         w || ' ' || lead(w, 1) OVER win || ' ' || lead(w, 2) OVER win
+           || ' ' || lead(w, 3) OVER win || ' ' || lead(w, 4) OVER win
+           || ' ' || lead(w, 5) OVER win || ' ' || lead(w, 6) OVER win
+           || ' ' || lead(w, 7) OVER win AS gram,
+         lead(w, 7) OVER win AS tail
+  FROM toks
+  WINDOW win AS (PARTITION BY doc_id ORDER BY pos)
+),
+grams AS (SELECT doc_id, pos, gram FROM g WHERE tail IS NOT NULL),
+stats AS (
+  SELECT gram, count(*) AS n,
+         min(doc_id * 1000000 + pos) AS keeper
+  FROM grams GROUP BY gram
+),
+dup AS (
+  SELECT t.doc_id, t.pos
+  FROM grams t JOIN stats s USING (gram)
+  WHERE s.n >= 2 AND t.doc_id * 1000000 + t.pos <> s.keeper
+),
+masked AS (
+  SELECT DISTINCT d.doc_id, d.pos + u.u AS mp
+  FROM dup d CROSS JOIN (SELECT unnest(range(8)) AS u) u
+),
+kept AS (
+  SELECT t.doc_id, t.pos, t.w
+  FROM toks t LEFT JOIN masked m ON m.doc_id = t.doc_id AND m.mp = t.pos
+  WHERE m.doc_id IS NULL
+),
+rebuilt AS (
+  SELECT doc_id, string_agg(w, ' ' ORDER BY pos) AS text,
+         count(*) AS n_kept
+  FROM kept GROUP BY doc_id
+),
+sizes AS (
+  SELECT doc_id, len(string_split(lower(trim(text)), ' ')) AS n_toks
+  FROM documents
+)
+SELECT s.doc_id, COALESCE(r.text, '') AS text,
+       CAST(s.n_toks - COALESCE(r.n_kept, 0) AS BIGINT) AS removed
+FROM sizes s LEFT JOIN rebuilt r USING (doc_id)
+ORDER BY s.doc_id
 """
 
     return sqls

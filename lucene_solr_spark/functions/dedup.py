@@ -548,3 +548,94 @@ def signature_dedup(
         "signature",
         (F.col("doc_id") == F.min("doc_id").over(w)).alias("kept"),
     )
+
+
+def exact_substring_dedup(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 8,
+) -> DataFrame:
+    """Exact repeated-substring removal (Lee et al. 2021,
+    "Deduplicating Training Data Makes Language Models Better"):
+    token spans of length ≥ k that occur more than once in the corpus
+    are removed everywhere EXCEPT their first occurrence (smallest
+    (doc_id, pos) keeps it — the deterministic stand-in for the
+    paper's suffix-array order).
+
+    Fixed-length k-gram formulation: every duplicated ≥k-token span is
+    a union of duplicated k-grams, so masking the token window of
+    every non-keeper duplicated k-gram removes exactly the repeated
+    regions at k-token resolution.
+
+    Scale shape: one k-gram explode (k·tokens rows, narrow), one
+    groupBy gram computing (count, keeper) — partial aggregation
+    server-side, no driver state — one shuffle join back, one bounded
+    k× position explode, one per-doc rebuild agg.  No Python, no
+    self-join on documents; the gram table is the only large
+    intermediate and it shrinks by the df>1 filter before the join.
+
+    Returns (doc_id, text, removed) — text rebuilt from surviving
+    tokens in position order, removed = masked token count.
+    """
+    toks = F.split(F.lower(F.trim(F.col(text_col))), " +")
+    base = df.select(F.col(id_col).alias("doc_id"), toks.alias("_t"))
+    idx = F.sequence(F.lit(1), F.size(F.col("_t")) - k + 1)
+    grams = base.select(
+        "doc_id",
+        F.explode(
+            F.when(
+                F.size(F.col("_t")) >= k,
+                F.transform(
+                    idx,
+                    lambda i: F.struct(
+                        (i - 1).cast("long").alias("pos"),
+                        F.concat_ws(
+                            " ", F.slice(F.col("_t"), i, k)
+                        ).alias("g"),
+                    ),
+                ),
+            ).otherwise(F.array().cast("array<struct<pos:long,g:string>>"))
+        ).alias("pg"),
+    ).select("doc_id", F.col("pg.pos").alias("pos"), F.col("pg.g").alias("g"))
+    stats = grams.groupBy("g").agg(
+        F.count("*").alias("n"),
+        F.min(F.struct("doc_id", "pos")).alias("keeper"),
+    )
+    dup_occ = (
+        grams.join(stats.filter(F.col("n") >= 2), "g")
+        .filter(
+            (F.col("doc_id") != F.col("keeper.doc_id"))
+            | (F.col("pos") != F.col("keeper.pos"))
+        )
+        .select("doc_id", "pos")
+    )
+    masked = dup_occ.select(
+        "doc_id",
+        F.explode(F.sequence(F.col("pos"), F.col("pos") + k - 1)).alias("mp"),
+    ).distinct()
+    stream = base.select(
+        "doc_id", F.posexplode(F.col("_t")).alias("p", "w")
+    )
+    kept = stream.join(
+        masked,
+        (stream.doc_id == masked.doc_id) & (stream.p == masked.mp),
+        "left_anti",
+    )
+    rebuilt = kept.groupBy("doc_id").agg(
+        F.concat_ws(
+            " ", F.transform(F.array_sort(F.collect_list(F.struct("p", "w"))), lambda s: s.w)
+        ).alias("text"),
+        F.count("*").alias("n_kept"),
+    )
+    sizes = base.select("doc_id", F.size("_t").alias("n_toks"))
+    return (
+        sizes.join(rebuilt, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("text"), F.lit("")).alias("text"),
+            (F.col("n_toks") - F.coalesce(F.col("n_kept"), F.lit(0)))
+            .cast("long")
+            .alias("removed"),
+        )
+    )
