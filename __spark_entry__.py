@@ -5167,6 +5167,38 @@ def q_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.orderBy("doc_id")
 
 
+ICU_FOLD_PHRASE = "Résumé Straße ﬁnance ＦＵＬＬ Ćafé ΜΆΪΟΣ"
+_ICU_FOLD_MAP = {
+    "Résumé": "resume",
+    "Straße": "strasse",
+    "ﬁnance": "finance",
+    "ＦＵＬＬ": "full",
+    "Ćafé": "cafe",
+    "ΜΆΪΟΣ": "μαιοσ",
+}
+
+
+def q_icu_folding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ICUFoldingFilter-equivalent Unicode folding (lucene/analysis/icu
+    ICUFoldingFilter.java: NFKC + case fold + diacritic folding):
+    accent/width/ligature/case folds that KEEP non-Latin scripts —
+    applied at the VOCABULARY level (fold the distinct terms, never
+    per posting — the scale placement)."""
+    from lucene_solr_spark.analysis.charfilters import icu_fold_col
+
+    d = _table(spark, sf_dir, "documents")
+    toks = d.select(
+        F.explode(
+            F.split(
+                F.concat(F.col("text"), F.lit(" " + ICU_FOLD_PHRASE)), " "
+            )
+        ).alias("tok")
+    ).distinct()
+    return toks.select(
+        "tok", icu_fold_col(F.col("tok")).alias("folded")
+    ).orderBy("tok")
+
+
 # --------------------------------------------------------------------------
 # the three driver hooks
 # --------------------------------------------------------------------------
@@ -5413,6 +5445,7 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "wikipedia_analysis": q_wikipedia_analysis,
         "hyphenation_compound": q_hyphenation_compound,
         "substring_dedup": q_substring_dedup,
+        "icu_folding": q_icu_folding,
         "core_analyzers": q_core_analyzers,
         # (all four above/below have full oracle replicas in
         # tests/test_entry.py meanwhile), then the round-1 green core
@@ -10170,6 +10203,22 @@ SELECT s.doc_id, COALESCE(r.text, '') AS text,
        CAST(s.n_toks - COALESCE(r.n_kept, 0) AS BIGINT) AS removed
 FROM sizes s LEFT JOIN rebuilt r USING (doc_id)
 ORDER BY s.doc_id
+"""
+
+    # corpus vocabulary is lowercase ASCII (fold = identity); the
+    # appended phrase carries the accent/width/ligature/case cases
+    _icu_map = ",".join(
+        f"('{k}', '{v}')" for k, v in _ICU_FOLD_MAP.items()
+    )
+    sqls["icu_folding"] = f"""
+WITH toks AS (
+  SELECT DISTINCT unnest(string_split(text || ' {ICU_FOLD_PHRASE}', ' ')) AS tok
+  FROM documents
+),
+fmap(tok, folded) AS (VALUES {_icu_map})
+SELECT t.tok, COALESCE(m.folded, t.tok) AS folded
+FROM toks t LEFT JOIN fmap m USING (tok)
+ORDER BY t.tok
 """
 
     return sqls

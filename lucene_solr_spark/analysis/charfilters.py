@@ -240,3 +240,42 @@ def mapping_filter_col(col: Column, rules: list[tuple[str, str]]):
         return s.map(lambda t: mapping_filter(t or "", rules))
 
     return pandas_udf(_map_batch, "string")(col)
+
+
+def icu_fold(text: str) -> str:
+    """ICUFoldingFilter-equivalent Unicode folding (lucene/analysis/icu
+    ICUFoldingFilter.java: NFKC → UTR#30 foldings → case fold).
+
+    Composition here: NFKC compatibility normalization (ligatures,
+    fullwidth forms, circled digits), Unicode case folding (ß → ss,
+    final sigma), NFKD + combining-mark strip (the UTR#30
+    diacritic-removal folding), NFC recompose.  Covers the accent/
+    width/case/ligature foldings the reference test suite exercises;
+    the long tail of UTR#30 script-specific foldings (Hangul jamo
+    compat, symbol foldings beyond NFKC) is a documented divergence —
+    the reference needs the ICU data files for those too.
+
+    Unlike ``ascii_fold`` this KEEPS non-Latin scripts (Greek, Cyrillic,
+    CJK) intact while still de-accenting them — the right filter when
+    the corpus is multilingual and ASCIIFolding would destroy it.
+    """
+    import unicodedata as ud
+
+    s = ud.normalize("NFKC", text)
+    s = s.casefold()
+    s = ud.normalize("NFKD", s)
+    s = "".join(c for c in s if not ud.combining(c))
+    return ud.normalize("NFC", s)
+
+
+def icu_fold_col(col: Column) -> Column:
+    """Column form via an Arrow-batched pandas UDF (unicodedata is the
+    folding table; the JVM has no NFKC+casefold composition built in).
+    Vocabulary-level use (fold the term dictionary, not every posting)
+    keeps the Python cost off the hot path at scale."""
+    from pyspark.sql import functions as F
+
+    def _fold(s):
+        return s.map(lambda t: icu_fold(t) if t is not None else None)
+
+    return F.pandas_udf(_fold, "string")(col)

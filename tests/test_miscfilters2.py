@@ -114,3 +114,18 @@ def test_standard_token_type_midnum():
     assert standard_token_type("12.3") == "<NUM>"
     assert standard_token_type("abc123") == "<ALPHANUM>"
     assert standard_token_type("abc") == "<ALPHANUM>"
+
+
+def test_icu_fold_vectors():
+    from lucene_solr_spark.analysis.charfilters import icu_fold
+
+    # accent strip keeps non-Latin scripts; NFKC handles width/
+    # ligature/circled; casefold handles ß and final sigma
+    assert icu_fold("Résumé") == "resume"
+    assert icu_fold("ﬁnance") == "finance"
+    assert icu_fold("Straße") == "strasse"
+    assert icu_fold("ＦＵＬＬ") == "full"
+    assert icu_fold("①②") == "12"
+    assert icu_fold("ΜΆΪΟΣ") == "μαιοσ"  # Greek survives, de-accented
+    assert icu_fold("Ćafé") == "cafe"
+    assert icu_fold("plain") == "plain"
