@@ -5199,6 +5199,74 @@ def q_icu_folding(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("tok")
 
 
+SCANDI_GATE_PHRASE = "blaabaersyltetoej raeksmoergaas"
+_SCANDI_MAP = {
+    "blaabaersyltetoej": "blåbærsyltetøj",
+    "raeksmoergaas": "ræksmørgås",
+}
+
+
+def q_scandi_keyword_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KeywordRepeatFilter → ScandinavianNormalizationFilter →
+    RemoveDuplicatesTokenFilter (miscellaneous/KeywordRepeatFilter.java
+    + ScandinavianNormalizationFilter.java:60-130 +
+    RemoveDuplicatesTokenFilter.java): the exact+normalized retrieval
+    chain — every token is indexed verbatim AND normalized at the same
+    position, with no-op normalizations deduplicated; the normalizer
+    itself is pinned on the reference's complete vector set
+    (tests/test_miscfilters2.py)."""
+    import numpy as np
+
+    from lucene_solr_spark.analysis.analyzer import analyze_batch_flat
+    from lucene_solr_spark.analysis.miscfilters import (
+        scandinavian_normalization,
+    )
+
+    def chain(content):
+        doc_idx, terms, pos = analyze_batch_flat(content)
+        if terms.size == 0:
+            return doc_idx, terms, pos
+        od, ot, op = [], [], []
+        memo: dict[str, str] = {}
+        for di, t, p in zip(doc_idx, terms, pos):
+            od.append(di)
+            ot.append(t)
+            op.append(p)
+            n = memo.get(t)
+            if n is None:
+                n = scandinavian_normalization(t)
+                memo[t] = n
+            if n != t:
+                od.append(di)
+                ot.append(n)
+                op.append(p)
+        return (
+            np.asarray(od, dtype=doc_idx.dtype),
+            np.asarray(ot, dtype=object),
+            np.asarray(op, dtype=pos.dtype),
+        )
+
+    d = _table(spark, sf_dir, "documents")
+    t = build_tables(
+        d.select(
+            "doc_id",
+            F.concat(F.col("text"), F.lit(" " + SCANDI_GATE_PHRASE)).alias(
+                "text"
+            ),
+        ),
+        id_col="doc_id",
+        text_col="text",
+        analyzer=chain,
+    )
+    return (
+        t.term_stats.select(
+            "term", "df", F.col("ttf").cast("long").alias("ttf")
+        )
+        .orderBy(F.col("df").desc(), F.col("term").asc())
+        .limit(20)
+    )
+
+
 # --------------------------------------------------------------------------
 # the three driver hooks
 # --------------------------------------------------------------------------
@@ -5446,6 +5514,7 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hyphenation_compound": q_hyphenation_compound,
         "substring_dedup": q_substring_dedup,
         "icu_folding": q_icu_folding,
+        "scandi_keyword_chain": q_scandi_keyword_chain,
         "core_analyzers": q_core_analyzers,
         # (all four above/below have full oracle replicas in
         # tests/test_entry.py meanwhile), then the round-1 green core
@@ -10219,6 +10288,31 @@ fmap(tok, folded) AS (VALUES {_icu_map})
 SELECT t.tok, COALESCE(m.folded, t.tok) AS folded
 FROM toks t LEFT JOIN fmap m USING (tok)
 ORDER BY t.tok
+"""
+
+    # keyword-repeat chain: corpus tokens normalize to themselves
+    # (dedup drops the copy); the two appended words emit original AND
+    # normalized form per doc
+    _sc_map = ",".join(
+        f"('{k}', '{v}')" for k, v in _SCANDI_MAP.items()
+    )
+    sqls["scandi_keyword_chain"] = f"""
+WITH toks AS (
+  SELECT doc_id,
+         unnest(string_split(text || ' {SCANDI_GATE_PHRASE}', ' ')) AS tok
+  FROM documents
+),
+kept AS (SELECT doc_id, tok FROM toks WHERE tok NOT IN ({_STOP})),
+nmap(tok, norm) AS (VALUES {_sc_map}),
+stream AS (
+  SELECT doc_id, tok AS term FROM kept
+  UNION ALL
+  SELECT k.doc_id, m.norm AS term FROM kept k JOIN nmap m USING (tok)
+),
+p AS (SELECT doc_id, term, count(*) AS tf FROM stream GROUP BY doc_id, term)
+SELECT term, count(*) AS df, CAST(sum(tf) AS BIGINT) AS ttf
+FROM p GROUP BY term
+ORDER BY df DESC, term ASC LIMIT 20
 """
 
     return sqls

@@ -253,3 +253,114 @@ def type_token_filter(
         for t, ty in zip(tokens, types)
         if (ty in stop_types) == use_white_list
     ]
+
+
+def scandinavian_normalization(token: str) -> str:
+    """ScandinavianNormalizationFilter (miscellaneous/
+    ScandinavianNormalizationFilter.java:60-130): normalize the
+    interchangeable Scandinavian chars äÄöÖ and the digraphs
+    aa/ao/ae/oe/oo to åÅæÆøØ — the less-destructive alternative to
+    ScandinavianFolding (å/ä are NOT folded to a).  Ported loop-exact:
+    single-char maps first, digraph collapse only when a next char
+    remains, scan continues past each rewrite."""
+    buf = list(token)
+    length = len(buf)
+    i = 0
+    while i < length:
+        c = buf[i]
+        if c == "ä":
+            buf[i] = "æ"
+        elif c == "Ä":
+            buf[i] = "Æ"
+        elif c == "ö":
+            buf[i] = "ø"
+        elif c == "Ö":
+            buf[i] = "Ø"
+        elif length - 1 > i:
+            n = buf[i + 1]
+            if c == "a" and n in ("a", "o", "A", "O"):
+                del buf[i + 1]
+                length -= 1
+                buf[i] = "å"
+            elif c == "A" and n in ("a", "A", "o", "O"):
+                del buf[i + 1]
+                length -= 1
+                buf[i] = "Å"
+            elif c == "a" and n in ("e", "E"):
+                del buf[i + 1]
+                length -= 1
+                buf[i] = "æ"
+            elif c == "A" and n in ("e", "E"):
+                del buf[i + 1]
+                length -= 1
+                buf[i] = "Æ"
+            elif c == "o" and n in ("e", "E", "o", "O"):
+                del buf[i + 1]
+                length -= 1
+                buf[i] = "ø"
+            elif c == "O" and n in ("e", "E", "o", "O"):
+                del buf[i + 1]
+                length -= 1
+                buf[i] = "Ø"
+        i += 1
+    return "".join(buf[:length])
+
+
+def keyword_repeat_stem(tokens: list[str], stem_fn) -> list[tuple[str, int]]:
+    """KeywordRepeatFilter → stemmer → RemoveDuplicatesTokenFilter
+    (miscellaneous/KeywordRepeatFilter.java + RemoveDuplicatesToken
+    Filter.java): every token is emitted once keyword-protected
+    (unstemmed) and once stemmed at the SAME position; the duplicate
+    filter then drops the stemmed copy when stemming was a no-op.
+    Returns (term, position) pairs — the standard exact+stemmed
+    retrieval chain."""
+    out: list[tuple[str, int]] = []
+    for pos, tok in enumerate(tokens):
+        out.append((tok, pos))
+        stemmed = stem_fn(tok)
+        if stemmed != tok:
+            out.append((stemmed, pos))
+    return out
+
+
+def limit_token_offset(
+    tokens: list[str],
+    start_offsets: list[int],
+    max_start_offset: int,
+) -> list[str]:
+    """LimitTokenOffsetFilter (consumeAllTokens=false semantics): keep
+    tokens whose start offset is ≤ maxStartOffset."""
+    return [
+        t for t, o in zip(tokens, start_offsets) if o <= max_start_offset
+    ]
+
+
+def limit_token_position(
+    tokens: list[str],
+    positions: list[int],
+    max_token_position: int,
+) -> list[str]:
+    """LimitTokenPositionFilter: keep tokens whose (1-based, gap-aware)
+    position is ≤ maxTokenPosition."""
+    return [
+        t
+        for t, p in zip(tokens, positions)
+        if p + 1 <= max_token_position
+    ]
+
+
+def date_recognizer(tokens: list[str], fmt: str = "%m/%d/%Y") -> list[str]:
+    """DateRecognizerFilter (miscellaneous/DateRecognizerFilter.java:
+    50-58): keep only tokens that parse as dates under the supplied
+    format (the reference delegates to a DateFormat; the default here
+    is the en-US short date the factory examples use)."""
+    from datetime import datetime
+
+    out = []
+    for t in tokens:
+        try:
+            datetime.strptime(t, fmt)
+            out.append(t)
+        except ValueError:
+            continue
+    return out

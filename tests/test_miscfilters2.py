@@ -129,3 +129,66 @@ def test_icu_fold_vectors():
     assert icu_fold("ΜΆΪΟΣ") == "μαιοσ"  # Greek survives, de-accented
     assert icu_fold("Ćafé") == "cafe"
     assert icu_fold("plain") == "plain"
+
+
+def test_scandinavian_normalization_reference_vectors():
+    from lucene_solr_spark.analysis.miscfilters import (
+        scandinavian_normalization as n,
+    )
+
+    # TestScandinavianNormalizationFilter.java:51-107, verbatim
+    assert n("aeäaeeea") == "æææeea"
+    assert n("aeäaeeeae") == "æææeeæ"
+    assert n("aeaeeeae") == "ææeeæ"
+    assert n("bøen") == "bøen"
+    assert n("bOEen") == "bØen"
+    assert n("åene") == "åene"
+    assert n("blåbærsyltetøj") == "blåbærsyltetøj"
+    assert n("blaabaersyltetöj") == "blåbærsyltetøj"
+    assert n("räksmörgås") == "ræksmørgås"
+    assert n("raeksmörgaos") == "ræksmørgås"
+    assert n("raeksmörgaas") == "ræksmørgås"
+    assert n("raeksmoergås") == "ræksmørgås"
+    for same in ("ab", "ob", "Ab", "Ob", "å"):
+        assert n(same) == same
+    for src, want in [
+        ("aa", "å"), ("aA", "å"), ("ao", "å"), ("aO", "å"),
+        ("AA", "Å"), ("Aa", "Å"), ("Ao", "Å"), ("AO", "Å"),
+        ("æ", "æ"), ("ä", "æ"), ("Æ", "Æ"), ("Ä", "Æ"),
+        ("ae", "æ"), ("aE", "æ"), ("Ae", "Æ"), ("AE", "Æ"),
+        ("ö", "ø"), ("ø", "ø"), ("Ö", "Ø"), ("Ø", "Ø"),
+        ("oo", "ø"), ("oe", "ø"), ("oO", "ø"),
+    ]:
+        assert n(src) == want, src
+
+
+def test_keyword_repeat_stem():
+    from lucene_solr_spark.analysis.miscfilters import keyword_repeat_stem
+    from lucene_solr_spark.analysis.porter import porter_stem
+
+    out = keyword_repeat_stem(["running", "run", "cats"], porter_stem)
+    # stemmed copy at the same position; no-op stems deduplicated
+    assert out == [
+        ("running", 0), ("run", 0), ("run", 1), ("cats", 2), ("cat", 2),
+    ]
+
+
+def test_limit_token_offset_and_position():
+    from lucene_solr_spark.analysis.miscfilters import (
+        limit_token_offset,
+        limit_token_position,
+    )
+
+    toks = ["a", "b", "c"]
+    assert limit_token_offset(toks, [0, 4, 9], 4) == ["a", "b"]
+    assert limit_token_position(toks, [0, 1, 2], 2) == ["a", "b"]
+    # stop-gap positions count (gap-aware)
+    assert limit_token_position(toks, [0, 3, 4], 2) == ["a"]
+
+
+def test_date_recognizer():
+    from lucene_solr_spark.analysis.miscfilters import date_recognizer
+
+    toks = ["12/25/2023", "hello", "02/30/2023", "1/2/2020"]
+    # 02/30 is not a real date; 1/2/2020 parses under %m/%d/%Y
+    assert date_recognizer(toks) == ["12/25/2023", "1/2/2020"]
