@@ -5267,6 +5267,18 @@ def q_scandi_keyword_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic domain-mixing sampler (Pile/Dolma-style source
+    weights): per-lang keep rates applied via an md5-derived uniform —
+    a pure function of (doc_id, salt), reproducible by any engine, no
+    global coordination."""
+    from lucene_solr_spark.functions.pii import weighted_sample
+
+    d = _table(spark, sf_dir, "documents").select("doc_id", "lang")
+    out = weighted_sample(d, {"en": 0.5, "zh": 0.25}, group_col="lang")
+    return out.orderBy("doc_id")
+
+
 # --------------------------------------------------------------------------
 # the three driver hooks
 # --------------------------------------------------------------------------
@@ -5515,6 +5527,7 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "substring_dedup": q_substring_dedup,
         "icu_folding": q_icu_folding,
         "scandi_keyword_chain": q_scandi_keyword_chain,
+        "mixture_sample": q_mixture_sample,
         "core_analyzers": q_core_analyzers,
         # (all four above/below have full oracle replicas in
         # tests/test_entry.py meanwhile), then the round-1 green core
@@ -10313,6 +10326,19 @@ p AS (SELECT doc_id, term, count(*) AS tf FROM stream GROUP BY doc_id, term)
 SELECT term, count(*) AS df, CAST(sum(tf) AS BIGINT) AS ttf
 FROM p GROUP BY term
 ORDER BY df DESC, term ASC LIMIT 20
+"""
+
+    # identical md5 uniform: ('0x'||substr(md5(id||'mix'),1,8)) / 16^8
+    sqls["mixture_sample"] = """
+WITH u AS (
+  SELECT doc_id, lang,
+         ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || 'mix'), 1, 8))::BIGINT
+           / CAST(4294967296 AS DOUBLE) AS uu
+  FROM documents
+)
+SELECT doc_id, lang FROM u
+WHERE uu < CASE lang WHEN 'en' THEN 0.5 WHEN 'zh' THEN 0.25 ELSE 1.0 END
+ORDER BY doc_id
 """
 
     return sqls

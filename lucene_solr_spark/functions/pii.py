@@ -116,3 +116,39 @@ def hash_split(
     return df.withColumn("bucket", bucket.cast("int")).withColumn(
         "split", split
     )
+
+
+def weighted_sample(
+    df: DataFrame,
+    rates: dict,
+    group_col: str = "lang",
+    id_col: str = "doc_id",
+    default_rate: float = 1.0,
+    salt: str = "mix",
+) -> DataFrame:
+    """Deterministic per-domain mixture sampling (the data-mixing step
+    of every pretraining pipeline — e.g. The Pile / Dolma source
+    weights): keep a row iff its md5-derived uniform in [0,1) is below
+    its group's rate.  A pure function of (id, salt), so the sample is
+    reproducible, composable with resume/retry, and needs no global
+    coordination — rates are a broadcast-sized map applied scan-side.
+
+    ``salt`` decouples independent sampling decisions (two samplers
+    with different salts draw independent uniforms from the same id).
+    """
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.col(id_col).cast("string"), F.lit(salt))),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("double")
+        / float(16**8)
+    )
+    rate = F.lit(float(default_rate))
+    for k, v in sorted(rates.items()):
+        rate = F.when(F.col(group_col) == k, F.lit(float(v))).otherwise(rate)
+    return df.withColumn("_u", u).filter(F.col("_u") < rate).drop("_u")

@@ -70,3 +70,22 @@ def test_hash_split_deterministic_and_complete(spark):
     n_train = sum(1 for r in a if r["split"] == "train")
     assert 300 <= n_train <= 460
     assert by[42]["bucket"] == 84  # pinned cross-engine value
+
+
+def test_weighted_sample_deterministic_and_rate(spark):
+    from lucene_solr_spark.functions.pii import weighted_sample
+
+    df = spark.createDataFrame(
+        [(i, "en" if i % 2 == 0 else "de") for i in range(1000)],
+        "doc_id long, lang string",
+    )
+    a = weighted_sample(df, {"en": 0.3}).collect()
+    b = weighted_sample(df, {"en": 0.3}).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+    en = sum(1 for r in a if r["lang"] == "en")
+    de = sum(1 for r in a if r["lang"] == "de")
+    assert de == 500  # default rate 1.0 keeps everything
+    assert 100 <= en <= 200  # ~0.3 of 500, md5-uniform
+    # a different salt draws an independent sample
+    c = weighted_sample(df, {"en": 0.3}, salt="other").collect()
+    assert sorted(map(tuple, a)) != sorted(map(tuple, c))
