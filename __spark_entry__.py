@@ -5279,6 +5279,56 @@ def q_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.orderBy("doc_id")
 
 
+def q_block_join_scoremodes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ToParentBlockJoinQuery — ALL FOUR ScoreModes side by side
+    (lucene/join/ToParentBlockJoinQuery.java ScoreMode.{Max,Total,Avg,
+    Min}; BlockJoinParentQParser score= param): one partial+final
+    aggregation computes every mode from the same child pass — the
+    distributed equivalent of the reference's per-parent child loop."""
+    li = _table(spark, sf_dir, "lineitem")
+    child_score = F.col("l_extendedprice").cast("double") * (
+        F.lit(1.0) - F.col("l_discount").cast("double")
+    )
+    return (
+        li.filter(F.col("l_quantity") >= 45)
+        .select(
+            F.col("l_orderkey").alias("orderkey"),
+            child_score.alias("s"),
+            # Total/Avg sum in DECIMAL so the result is exact under ANY
+            # partial-aggregation order (double summation is
+            # order-dependent; at a 4dp rounding boundary that flips
+            # bits between engines)
+            F.round(child_score, 6).cast("decimal(18,6)").alias("s6"),
+        )
+        .groupBy("orderkey")
+        .agg(
+            F.round(F.max("s"), 4).alias("score_max"),
+            # exact integer micros of the decimal total — Total and Avg
+            # then round at 4dp in INTEGER arithmetic (half-up =
+            # (x + half) div unit), immune to the engine-divergent
+            # double/decimal division rounding at exact .5 boundaries
+            (F.sum("s6") * F.lit(1000000)).cast("long").alias("ti"),
+            F.round(F.min("s"), 4).alias("score_min"),
+            F.count("*").alias("matching_children"),
+        )
+        .select(
+            "orderkey",
+            "score_max",
+            (F.expr("(ti + 50) div 100") / F.lit(10000.0)).alias(
+                "score_total"
+            ),
+            (
+                F.expr("(2 * ti + 100 * matching_children) div (200 * matching_children)")
+                / F.lit(10000.0)
+            ).alias("score_avg"),
+            "score_min",
+            "matching_children",
+        )
+        .orderBy("orderkey")
+        .limit(200)
+    )
+
+
 # --------------------------------------------------------------------------
 # the three driver hooks
 # --------------------------------------------------------------------------
@@ -5528,6 +5578,7 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "icu_folding": q_icu_folding,
         "scandi_keyword_chain": q_scandi_keyword_chain,
         "mixture_sample": q_mixture_sample,
+        "block_join_scoremodes": q_block_join_scoremodes,
         "core_analyzers": q_core_analyzers,
         # (all four above/below have full oracle replicas in
         # tests/test_entry.py meanwhile), then the round-1 green core
@@ -10339,6 +10390,31 @@ WITH u AS (
 SELECT doc_id, lang FROM u
 WHERE uu < CASE lang WHEN 'en' THEN 0.5 WHEN 'zh' THEN 0.25 ELSE 1.0 END
 ORDER BY doc_id
+"""
+
+    sqls["block_join_scoremodes"] = """
+WITH c AS (
+  SELECT l_orderkey AS orderkey,
+         CAST(l_extendedprice AS DOUBLE) * (1.0 - CAST(l_discount AS DOUBLE)) AS s,
+         CAST(ROUND(CAST(l_extendedprice AS DOUBLE)
+                    * (1.0 - CAST(l_discount AS DOUBLE)), 6)
+              AS DECIMAL(18,6)) AS s6
+  FROM lineitem WHERE l_quantity >= 45
+)
+, g AS (
+  SELECT orderkey,
+         ROUND(max(s), 4) AS score_max,
+         CAST(sum(s6) * 1000000 AS BIGINT) AS ti,
+         ROUND(min(s), 4) AS score_min,
+         CAST(count(*) AS BIGINT) AS matching_children
+  FROM c GROUP BY orderkey
+)
+SELECT orderkey, score_max,
+       ((ti + 50) // 100) / 10000.0 AS score_total,
+       ((2 * ti + 100 * matching_children)
+          // (200 * matching_children)) / 10000.0 AS score_avg,
+       score_min, matching_children
+FROM g ORDER BY orderkey LIMIT 200
 """
 
     return sqls
