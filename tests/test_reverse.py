@@ -103,3 +103,8 @@ def test_gate_plan_is_sargable(spark):
     }
     assert rows == want_er | want_gr
     assert want_er and want_gr  # both branches exercised
+    # the reversed branch must carry a literal StartsWith prefix in
+    # the optimized plan (the sargable range-scan shape), not a bare
+    # full-vocabulary rlike
+    plan = df._jdf.queryExecution().optimizedPlan().toString()
+    assert "StartsWith" in plan
