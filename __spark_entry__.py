@@ -4826,8 +4826,6 @@ def q_token_filters_misc(spark: SparkSession, sf_dir: str) -> DataFrame:
     (substring/length — vocabulary-scale pass, no Python); the
     capitalization word-machine runs as ONE Arrow-batched pandas UDF
     over the dictionary (vocabulary-bounded, never per-posting)."""
-    import pandas as pd
-
     from lucene_solr_spark.analysis.miscfilters import (
         capitalize,
         standard_token_type,
