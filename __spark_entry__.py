@@ -355,7 +355,9 @@ def q_range_query(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_fuzzy_query(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Fuzzy (Levenshtein ≤ 1) term expansion (FuzzyQuery.java)."""
+    """Fuzzy term expansion at edit distance ≤ 1 WITH transpositions
+    (FuzzyQuery.java:58 defaultTranspositions=true — OSA metric:
+    'tabel' reaches 'table' in ONE edit via the adjacent swap)."""
     s = _searcher(spark, sf_dir)
     return _scored(s.docs(FuzzyQuery("tabel", max_edits=1)))
 
@@ -8242,10 +8244,14 @@ SELECT DISTINCT doc_id, CAST(1.0 AS DOUBLE) AS score
 FROM postings WHERE term >= 'batch' AND term < 'data'
 """
 
+    # transpositions=true (FuzzyQuery.java:58 default): adjacent swap
+    # is ONE edit.  At k=1 OSA and full Damerau coincide (their
+    # divergence needs >= 2 interacting edits), so DuckDB's
+    # damerau_levenshtein is exact here.
     sqls["fuzzy_query"] = f"""
 WITH {_IDX}
 SELECT DISTINCT doc_id, CAST(1.0 AS DOUBLE) AS score
-FROM postings WHERE levenshtein(term, 'tabel') <= 1
+FROM postings WHERE damerau_levenshtein(term, 'tabel') <= 1
 """
 
     sqls["match_all"] = f"""

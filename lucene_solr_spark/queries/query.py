@@ -166,6 +166,10 @@ class TermRangeQuery(Query):
 class FuzzyQuery(Query):
     term: str
     max_edits: int = 2  # ref: search/FuzzyQuery.java defaultMaxEdits
+    # ref: FuzzyQuery.java:58 defaultTranspositions = true — adjacent
+    # transpositions count as ONE edit (OSA / restricted Damerau, the
+    # metric LevenshteinAutomata builds); False = classic Levenshtein
+    transpositions: bool = True
 
 
 def boolean(

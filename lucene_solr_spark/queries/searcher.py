@@ -80,6 +80,30 @@ from lucene_solr_spark.scoring.bm25 import BM25, byte315_to_float, idf as idf32
 
 MAX_EXPANSION_TERMS = 1024  # ref: BooleanQuery.java:43
 
+
+def osa_distance(a: str, b: str) -> int:
+    """Optimal string alignment (restricted Damerau) distance — the
+    metric of LevenshteinAutomata with transpositions=true: an ADJACENT
+    swap is one edit, but no substring is edited twice (full Damerau
+    would allow ca→abc in 2; OSA says 3, matching the automaton)."""
+    la, lb = len(a), len(b)
+    prev2: list[int] | None = None
+    prev = list(range(lb + 1))
+    for i in range(1, la + 1):
+        cur = [i] + [0] * lb
+        for j in range(1, lb + 1):
+            cost = 0 if a[i - 1] == b[j - 1] else 1
+            cur[j] = min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + cost)
+            if (
+                i > 1
+                and j > 1
+                and a[i - 1] == b[j - 2]
+                and a[i - 2] == b[j - 1]
+            ):
+                cur[j] = min(cur[j], prev2[j - 2] + 1)
+        prev2, prev = prev, cur
+    return prev[lb]
+
 # Conjunction lead sides with docFreq at or below this are broadcast
 # (≈ a few hundred MB of (doc_id, score) rows worst-case — well inside
 # executor memory; above it, shuffle joins with AQE take over).
@@ -1302,18 +1326,25 @@ class IndexSearcher:
             # Automaton-style pruning (LevenshteinAutomata.java:33 prunes
             # the dictionary walk; here the same cost cut comes from two
             # sound pre-filters that reach the parquet scan, so the
-            # expensive levenshtein only touches surviving rows):
-            #   1. length window: ed(a,b) >= |len(a)-len(b)|
+            # expensive distance only touches surviving rows):
+            #   1. length window: ed(a,b) >= |len(a)-len(b)| (holds for
+            #      classic AND OSA — a transposition preserves length)
             #   2. pigeonhole pieces: split the query into max_edits+1
             #      contiguous pieces — k edits can destroy at most k
             #      pieces, so a match contains >= 1 piece verbatim
-            #      (Navarro's partition filter; sound for classic
-            #      Levenshtein, which is this query's metric)
+            #      (Navarro's partition filter).  Sound ONLY for classic
+            #      Levenshtein: an OSA transposition straddling a piece
+            #      boundary corrupts TWO pieces, so the transpositions
+            #      mode (FuzzyQuery.java:58 defaultTranspositions=true)
+            #      skips it and prefilters with classic <= 2k instead
+            #      (each transposition costs <= 2 classic edits, so
+            #      osa <= k  =>  classic <= 2k); the exact OSA check
+            #      runs on the collected candidates below.
             k = int(q.max_edits)
             qlen = len(q.term)
             tlen = F.length(F.col("term"))
             cond = (tlen >= qlen - k) & (tlen <= qlen + k)
-            if qlen >= k + 1 and k > 0:
+            if not q.transpositions and qlen >= k + 1 and k > 0:
                 n_pieces = k + 1
                 step = qlen // n_pieces
                 cuts = [i * step for i in range(n_pieces)] + [qlen]
@@ -1324,8 +1355,9 @@ class IndexSearcher:
                     lambda a, b: a | b,
                     [F.col("term").contains(p) for p in pieces if p],
                 )
+            lev_cap = 2 * k if q.transpositions else k
             cond = cond & (
-                F.levenshtein(F.col("term"), F.lit(q.term)) <= k
+                F.levenshtein(F.col("term"), F.lit(q.term)) <= lev_cap
             )
         else:
             raise TypeError(type(q).__name__)
@@ -1336,7 +1368,14 @@ class IndexSearcher:
             .limit(MAX_EXPANSION_TERMS)
             .collect()
         )
-        return [r["term"] for r in rows]
+        terms = [r["term"] for r in rows]
+        if isinstance(q, FuzzyQuery) and q.transpositions:
+            # exact OSA on the prefiltered candidates (vocabulary-
+            # bounded, after the pushed-down classic<=2k cut)
+            terms = [
+                t for t in terms if osa_distance(t, q.term) <= q.max_edits
+            ]
+        return terms
 
     def _filter_docset(self, q: Query) -> DataFrame:
         """Cached non-scoring DocSet for a FILTER clause — the

@@ -83,6 +83,26 @@ def test_fuzzy_pruning_matches_unpruned(searcher, oracle):
 
     for q, k in [("tble", 1), ("xindow", 1), ("windoww", 2), ("able", 2)]:
         want = sorted(t for t in oracle.postings if lev(t, q) <= k)
+        got = sorted(
+            searcher._expand_terms(FuzzyQuery(q, k, transpositions=False))
+        )
+        assert got == want, (q, k, got, want)
+
+
+def test_fuzzy_transpositions_osa(searcher, oracle):
+    """Default mode (FuzzyQuery.java:58 transpositions=true): OSA
+    distance — adjacent swaps are one edit; verified against a
+    brute-force OSA over the whole dictionary."""
+    from lucene_solr_spark.queries.searcher import osa_distance
+
+    # metric spot checks incl. the OSA-vs-full-Damerau separator
+    assert osa_distance("tabel", "table") == 1
+    assert osa_distance("ab", "ba") == 1
+    assert osa_distance("ca", "abc") == 3  # full Damerau would say 2
+    for q, k in [("tabel", 1), ("sprak", 1), ("windoww", 2), ("able", 2)]:
+        want = sorted(
+            t for t in oracle.postings if osa_distance(t, q) <= k
+        )
         got = sorted(searcher._expand_terms(FuzzyQuery(q, k)))
         assert got == want, (q, k, got, want)
 
