@@ -5329,6 +5329,60 @@ def q_block_join_scoremodes(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_fuzzy_blended(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FuzzyQuery's DEFAULT scoring path — TopTermsBlendedFreqScoring
+    Rewrite (MultiTermQuery.java:188-218 + BlendedTermQuery.java:
+    270-290 + FuzzyTermsEnum.java:229-236): every expanded term scores
+    with ARTIFICIAL df = max df of the group (rare-variant terms no
+    longer outscore the common spelling), boosted by the fuzzy
+    similarity 1 − ed/min(|cand|, |query|) (exact match boosts 1.0),
+    summed disjunctively.  Exact-double BM25 arithmetic, 4dp."""
+    from lucene_solr_spark.queries.searcher import osa_distance
+
+    qterm, k = "tabel", 1
+    t = _index_tables(spark, sf_dir)
+    vocab = [
+        (r["term"], int(r["df"]))
+        for r in t.term_stats.select("term", "df").collect()
+    ]
+    exp = [
+        (term, df, osa_distance(term, qterm))
+        for term, df in vocab
+        if osa_distance(term, qterm) <= k
+    ]
+    df_blend = max(df for _, df, _ in exp)
+    boosts = {
+        term: 1.0
+        if ed == 0
+        else 1.0 - float(ed) / min(len(term), len(qterm))
+        for term, _, ed in exp
+    }
+    st = t.stats
+    n, sttf = st.doc_count, st.sum_total_term_freq
+    avgdl = sttf / n
+    import math
+
+    idf = math.log(1.0 + (n - df_blend + 0.5) / (df_blend + 0.5))
+    bmap = F.create_map(
+        *[x for term, b in sorted(boosts.items()) for x in (F.lit(term), F.lit(b))]
+    )
+    tf = F.col("tf").cast("double")
+    per_term = (
+        bmap[F.col("term")]
+        * F.lit(idf * 2.2)
+        * tf
+        / (tf + 1.2 * (0.25 + 0.75 * F.col("length") / F.lit(avgdl)))
+    )
+    return (
+        t.postings.filter(F.col("term").isin(list(boosts)))
+        .join(t.doc_norms, "doc_id")
+        .select("doc_id", per_term.alias("s"))
+        .groupBy("doc_id")
+        .agg(F.round(F.sum("s"), 4).alias("score"))
+        .orderBy("doc_id")
+    )
+
+
 # --------------------------------------------------------------------------
 # the three driver hooks
 # --------------------------------------------------------------------------
@@ -5579,6 +5633,7 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scandi_keyword_chain": q_scandi_keyword_chain,
         "mixture_sample": q_mixture_sample,
         "block_join_scoremodes": q_block_join_scoremodes,
+        "fuzzy_blended": q_fuzzy_blended,
         "core_analyzers": q_core_analyzers,
         # (all four above/below have full oracle replicas in
         # tests/test_entry.py meanwhile), then the round-1 green core
@@ -10419,6 +10474,31 @@ SELECT orderkey, score_max,
           // (200 * matching_children)) / 10000.0 AS score_avg,
        score_min, matching_children
 FROM g ORDER BY orderkey LIMIT 200
+"""
+
+    # blended-freq fuzzy: artificial df = max df over the expansion,
+    # boost = 1 − ed/min(len(cand), len('tabel')) (1.0 on exact hit)
+    sqls["fuzzy_blended"] = f"""
+WITH {_IDX},
+exp AS (
+  SELECT term, df, damerau_levenshtein(term, 'tabel') AS ed
+  FROM tstats WHERE damerau_levenshtein(term, 'tabel') <= 1
+),
+blend AS (SELECT max(df) AS dfb FROM exp),
+scored AS (
+  SELECT p.doc_id,
+         CASE WHEN e.ed = 0 THEN 1.0
+              ELSE 1.0 - CAST(e.ed AS DOUBLE) / least(length(e.term), 5)
+         END
+         * ln(1 + (c.n - b.dfb + 0.5) / (b.dfb + 0.5)) * 2.2 * p.tf
+         / (p.tf + 1.2 * (0.25 + 0.75 * nm.length / (c.sttf / c.n))) AS s
+  FROM postings p
+  JOIN exp e USING (term)
+  JOIN norms nm USING (doc_id)
+  CROSS JOIN cstats c CROSS JOIN blend b
+)
+SELECT doc_id, ROUND(sum(s), 4) AS score
+FROM scored GROUP BY doc_id ORDER BY doc_id
 """
 
     return sqls
