@@ -5383,6 +5383,52 @@ def q_fuzzy_blended(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Commit points + point-in-time reads (SnapshotDeletionPolicy +
+    DirectoryReader.open(IndexCommit)): freeze the 8-segment manifest
+    (gen 1), tiered-merge the index (manifest changes, retired segment
+    files stay on disk), freeze again (gen 2) — then read term stats AT
+    BOTH commits.  Values must be identical across generations (merge
+    preserves content; time travel proves the old commit stays
+    readable) while the segment counts differ."""
+    from lucene_solr_spark.index.segments import (
+        SegmentedIndex,
+        commit_point,
+        manifest_at,
+        postings_at,
+    )
+
+    idx = SegmentedIndex(spark, _mktempdir("ttidx-"))
+    docs = _table(spark, sf_dir, "documents").select(
+        "doc_id", F.col("text").alias("content")
+    )
+    idx.build(docs, num_segments=8)
+    g1 = commit_point(idx)
+    plans = idx.plan_merges(max_merge_at_once=8, segs_per_tier=2)
+    nxt = max(idx.manifest()) + 1
+    for plan in plans:
+        idx.merge(plan, nxt)
+        nxt += 1
+    g2 = commit_point(idx)
+    # merge must actually have changed the live segment set — the two
+    # generations then proving identical stats is the point
+    assert len(manifest_at(idx, g2)) < len(manifest_at(idx, g1))
+    out = []
+    for gen in (g1, g2):
+        stats = (
+            postings_at(idx, gen)
+            .groupBy("term")
+            .agg(
+                F.sum("count").cast("long").alias("df"),
+                F.sum("sum_tf").cast("long").alias("ttf"),
+            )
+            .withColumn("gen", F.lit(gen))
+        )
+        out.append(stats)
+    res = out[0].unionByName(out[1])
+    return res.select("gen", "term", "df", "ttf").orderBy("gen", "term")
+
+
 # --------------------------------------------------------------------------
 # the three driver hooks
 # --------------------------------------------------------------------------
@@ -5634,6 +5680,7 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mixture_sample": q_mixture_sample,
         "block_join_scoremodes": q_block_join_scoremodes,
         "fuzzy_blended": q_fuzzy_blended,
+        "time_travel": q_time_travel,
         "core_analyzers": q_core_analyzers,
         # (all four above/below have full oracle replicas in
         # tests/test_entry.py meanwhile), then the round-1 green core
@@ -10499,6 +10546,20 @@ scored AS (
 )
 SELECT doc_id, ROUND(sum(s), 4) AS score
 FROM scored GROUP BY doc_id ORDER BY doc_id
+"""
+
+    # both commit points must serve the exact same term statistics —
+    # the oracle recomputes them once and emits them under gen 1 and 2
+    sqls["time_travel"] = f"""
+WITH {_IDX},
+ts AS (
+  SELECT term, CAST(count(*) AS BIGINT) AS df,
+         CAST(sum(tf) AS BIGINT) AS ttf
+  FROM postings GROUP BY term
+)
+SELECT g.gen, t.term, t.df, t.ttf
+FROM ts t CROSS JOIN (VALUES (1), (2)) g(gen)
+ORDER BY g.gen, t.term
 """
 
     return sqls

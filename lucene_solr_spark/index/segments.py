@@ -726,3 +726,53 @@ class SegmentedIndex:
         if ndocs != mdocs:
             problems.append(f"norms rows {ndocs} != manifest docs {mdocs}")
         return {"segments": len(man), "problems": problems}
+
+
+# ---------------------------------------------------------------------------
+# Commit points / point-in-time reads (SnapshotDeletionPolicy +
+# DirectoryReader.open(IndexCommit) — index/SnapshotDeletionPolicy.java,
+# index/IndexCommit.java).  A commit point freezes the CURRENT manifest
+# under commits/commit-<G>.json; retired segment parquet is never
+# deleted by merge (only its manifest row is dropped), so any frozen
+# generation stays readable forever — the same files-survive-until-
+# policy contract Lucene's deletion policy provides, and the mechanism
+# behind replication, backup and time-travel queries.
+# ---------------------------------------------------------------------------
+
+
+def _commits_dir(index: "SegmentedIndex") -> str:
+    return os.path.join(index.path, "commits")
+
+
+def commit_point(index: "SegmentedIndex") -> int:
+    """Freeze the current manifest as a numbered commit point."""
+    d = _commits_dir(index)
+    os.makedirs(d, exist_ok=True)
+    gens = [
+        int(fn[len("commit-"):-len(".json")])
+        for fn in os.listdir(d)
+        if fn.startswith("commit-") and fn.endswith(".json")
+    ]
+    gen = max(gens, default=0) + 1
+    payload = {
+        "generation": gen,
+        "segments": [i.__dict__ for i in index.manifest().values()],
+    }
+    tmp = os.path.join(d, f".commit-{gen}.tmp")
+    with open(tmp, "w") as f:
+        json.dump(payload, f)
+    os.replace(tmp, os.path.join(d, f"commit-{gen}.json"))
+    return gen
+
+
+def manifest_at(index: "SegmentedIndex", gen: int) -> dict[int, "SegmentInfo"]:
+    """The manifest as of commit point ``gen`` (IndexCommit view)."""
+    p = os.path.join(_commits_dir(index), f"commit-{gen}.json")
+    with open(p) as f:
+        payload = json.load(f)
+    return {d["segment"]: SegmentInfo(**d) for d in payload["segments"]}
+
+
+def postings_at(index: "SegmentedIndex", gen: int) -> DataFrame:
+    """Point-in-time postings read — DirectoryReader.open(commit)."""
+    return index.postings(segments=sorted(manifest_at(index, gen)))

@@ -158,3 +158,45 @@ def test_salted_merge_preserves_postings(spark, corpus, tmp_path):
     # one term ends up with multiple tail (<128) blocks
     rows = idx.postings().filter(F.col("count") < 128).groupBy("term").count()
     assert rows.filter(F.col("count") > 1).count() > 0
+
+
+def test_commit_points_survive_merge(spark, tmp_path):
+    """SnapshotDeletionPolicy/IndexCommit analog: a frozen commit stays
+    readable after the live manifest merges past it; both views serve
+    identical stats; an unknown generation raises."""
+    import pytest
+
+    from lucene_solr_spark.index import assign_doc_ids
+    from lucene_solr_spark.index.segments import (
+        SegmentedIndex,
+        commit_point,
+        manifest_at,
+        postings_at,
+    )
+    import pyspark.sql.functions as F
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    idx = SegmentedIndex(spark, str(tmp_path / "tt"))
+    idx.build(
+        docs.select("doc_id", F.col("text").alias("content")), num_segments=6
+    )
+    g1 = commit_point(idx)
+    nxt = max(idx.manifest()) + 1
+    for plan in idx.plan_merges(max_merge_at_once=6, segs_per_tier=1):
+        idx.merge(plan, nxt)
+        nxt += 1
+    g2 = commit_point(idx)
+    assert len(manifest_at(idx, g2)) < len(manifest_at(idx, g1))
+
+    def stats(gen):
+        return {
+            (r["term"], r["df"], r["ttf"])
+            for r in postings_at(idx, gen)
+            .groupBy("term")
+            .agg(F.sum("count").alias("df"), F.sum("sum_tf").alias("ttf"))
+            .collect()
+        }
+
+    assert stats(g1) == stats(g2)
+    with pytest.raises(FileNotFoundError):
+        manifest_at(idx, 99)
