@@ -8439,9 +8439,9 @@ ORDER BY ROUND(score, 4) DESC, doc_id ASC LIMIT 10
 
     sqls["spellcheck"] = f"""
 WITH {_IDX}
-SELECT term, levenshtein(term, 'windoe') AS dist, df
+SELECT term, damerau_levenshtein(term, 'windoe') AS dist, df
 FROM tstats
-WHERE levenshtein(term, 'windoe') <= 2 AND term != 'windoe'
+WHERE damerau_levenshtein(term, 'windoe') <= 2 AND term != 'windoe'
 ORDER BY dist ASC, df DESC, term ASC LIMIT 3
 """
 
@@ -8530,8 +8530,8 @@ SELECT lang, doc_id, score FROM r WHERE rn = 1 ORDER BY lang
 WITH {_IDX},
 sug1 AS (
   SELECT term FROM tstats
-  WHERE levenshtein(term, 'sprak') <= 2 AND term <> 'sprak'
-  ORDER BY levenshtein(term, 'sprak') ASC, df DESC, term ASC LIMIT 1
+  WHERE damerau_levenshtein(term, 'sprak') <= 2 AND term <> 'sprak'
+  ORDER BY damerau_levenshtein(term, 'sprak') ASC, df DESC, term ASC LIMIT 1
 ),
 sug2 AS (
   SELECT term FROM tstats

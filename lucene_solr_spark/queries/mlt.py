@@ -85,14 +85,32 @@ def spellcheck(
     word: str,
     max_suggestions: int = 3,
     max_edits: int = 2,
+    transpositions: bool = True,
 ) -> DataFrame:
     """Suggestions from the term dictionary: smallest edit distance
     first, then highest docFreq, then term — the DirectSpellChecker
-    ranking (lucene/suggest/.../spell/DirectSpellChecker.java)."""
+    ranking (lucene/suggest/.../spell/DirectSpellChecker.java), whose
+    candidate walk is a FuzzyTermsEnum with transpositions (the OSA
+    metric — adjacent swap is ONE edit), default-on like the reference.
+    The sargable classic-Levenshtein ≤ 2k cut prunes the dictionary
+    JVM-side (osa ≤ k ⇒ classic ≤ 2k); the exact OSA distance then
+    runs as a vocabulary-bounded Arrow batch."""
     ts = searcher.tables.term_stats
+    if not transpositions:
+        dist = F.levenshtein(F.col("term"), F.lit(word))
+        cand = ts.withColumn("dist", dist)
+    else:
+        from lucene_solr_spark.queries.searcher import osa_distance
+
+        def _osa(s):
+            return s.map(lambda t: osa_distance(t, word))
+
+        osa_col = F.pandas_udf(_osa, "int")
+        cand = ts.filter(
+            F.levenshtein(F.col("term"), F.lit(word)) <= 2 * max_edits
+        ).withColumn("dist", osa_col(F.col("term")))
     return (
-        ts.withColumn("dist", F.levenshtein(F.col("term"), F.lit(word)))
-        .filter((F.col("dist") <= max_edits) & (F.col("term") != word))
+        cand.filter((F.col("dist") <= max_edits) & (F.col("term") != word))
         .select("term", "dist", "df")
         .orderBy(F.col("dist").asc(), F.col("df").desc(), F.col("term").asc())
         .limit(max_suggestions)

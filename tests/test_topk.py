@@ -182,3 +182,54 @@ def test_leading_wildcard_reversed_prefix(searcher, oracle):
         F.col("term").startswith("wi") & F.col("term").rlike("^wi.*ow$")
     )._jdf.queryExecution().optimizedPlan().toString()
     assert "StartsWith" in lead_plan
+
+
+def test_spellcheck_osa_and_oracle_metric_agreement(searcher, oracle):
+    """DirectSpellChecker candidates use the OSA metric; the DuckDB
+    oracle uses full damerau_levenshtein — audit that the two metrics
+    agree on every (vocab term, query) pair the gates touch, and that
+    the ranking matches a brute-force recomputation."""
+    from lucene_solr_spark.queries.mlt import spellcheck
+    from lucene_solr_spark.queries.searcher import osa_distance
+
+    def full_damerau(a, b):
+        # textbook unrestricted Damerau (Lowrance-Wagner)
+        da = {}
+        maxd = len(a) + len(b)
+        d = [[maxd] * (len(b) + 2) for _ in range(len(a) + 2)]
+        for i in range(len(a) + 1):
+            d[i + 1][1] = i
+            d[i + 1][0] = maxd
+        for j in range(len(b) + 1):
+            d[1][j + 1] = j
+            d[0][j + 1] = maxd
+        for i in range(1, len(a) + 1):
+            db = 0
+            for j in range(1, len(b) + 1):
+                k = da.get(b[j - 1], 0)
+                l = db
+                if a[i - 1] == b[j - 1]:
+                    cost = 0
+                    db = j
+                else:
+                    cost = 1
+                d[i + 1][j + 1] = min(
+                    d[i][j] + cost,
+                    d[i + 1][j] + 1,
+                    d[i][j + 1] + 1,
+                    d[k][l] + (i - k - 1) + 1 + (j - l - 1),
+                )
+            da[a[i - 1]] = i
+        return d[len(a) + 1][len(b) + 1]
+
+    for q in ("windoe", "sprak", "tabel"):
+        for t in oracle.postings:
+            assert osa_distance(t, q) == full_damerau(t, q), (t, q)
+        got = [
+            (r["term"], r["dist"])
+            for r in spellcheck(searcher, q, max_suggestions=3).collect()
+        ]
+        for term, dist in got:
+            assert osa_distance(term, q) == dist
+        # transpositions reach the adjacent-swap neighbor in ONE edit
+    assert osa_distance("windoe", "window") == 1
