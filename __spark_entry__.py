@@ -8189,9 +8189,9 @@ ts AS (SELECT term, count(*) AS df FROM postings GROUP BY term),
 d AS (
   SELECT term, df,
          least(
-           levenshtein(substr(term, 1, 4), 'quary'),
-           levenshtein(substr(term, 1, 5), 'quary'),
-           levenshtein(substr(term, 1, 6), 'quary')
+           damerau_levenshtein(substr(term, 1, 4), 'quary'),
+           damerau_levenshtein(substr(term, 1, 5), 'quary'),
+           damerau_levenshtein(substr(term, 1, 6), 'quary')
          ) AS distance
   FROM ts
 )

@@ -122,27 +122,51 @@ def suggest_infix(
 
 
 def suggest_fuzzy(
-    term_stats: DataFrame, query: str, n: int = 10, max_edits: int = 1
+    term_stats: DataFrame,
+    query: str,
+    n: int = 10,
+    max_edits: int = 1,
+    transpositions: bool = True,
 ) -> DataFrame:
     """FuzzySuggester (lucene/suggest/.../analyzing/FuzzySuggester.java):
     completions whose PREFIX is within ``max_edits`` of the typed query
-    — 'serch' still suggests 'searching'.  Dictionary cost is cut the
-    same way as FuzzyQuery (length window on the compared prefix is
-    implicit; the levenshtein runs on substr(term, len±edits))."""
+    — 'serch' still suggests 'searching'.  Transpositions count as ONE
+    edit by default (FuzzySuggester.DEFAULT_TRANSPOSITIONS=true, the
+    OSA metric of its LevenshteinAutomata).  Dictionary cost is cut the
+    same way as FuzzyQuery: the sargable classic-Levenshtein window
+    prunes JVM-side (classic ≤ 2k bounds osa ≤ k), the exact OSA
+    minimum over the prefix window runs as a vocabulary-bounded Arrow
+    batch."""
     qlen = len(query)
     # a term is suggested iff SOME prefix of it is within max_edits of
     # the typed query; only prefix lengths within qlen±max_edits can
-    # qualify (length difference lower-bounds edit distance), so the
-    # true minimum is the least over that window
+    # qualify (length difference lower-bounds edit distance — true for
+    # classic AND OSA), so the true minimum is the least over that
+    # window
     lens = [k for k in range(max(1, qlen - max_edits), qlen + max_edits + 1)]
     dists = [
         F.levenshtein(F.substring(F.col("term"), 1, k), F.lit(query))
         for k in lens
     ]
     dist = dists[0] if len(dists) == 1 else F.least(*dists)
+    if transpositions:
+        from lucene_solr_spark.queries.searcher import osa_distance
+
+        def _osa_min(s):
+            return s.map(
+                lambda t: min(
+                    osa_distance(t[:k], query) for k in lens
+                )
+            )
+
+        osa_col = F.pandas_udf(_osa_min, "int")
+        cand = term_stats.filter(dist <= 2 * max_edits).withColumn(
+            "_dist", osa_col(F.col("term"))
+        )
+    else:
+        cand = term_stats.withColumn("_dist", dist)
     return (
-        term_stats.withColumn("_dist", dist)
-        .filter(F.col("_dist") <= max_edits)
+        cand.filter(F.col("_dist") <= max_edits)
         .select(
             "term",
             F.col("df").alias("weight"),
