@@ -1289,9 +1289,28 @@ class IndexSearcher:
         if isinstance(q, PrefixQuery):
             cond = F.col("term").startswith(q.prefix)
         elif isinstance(q, WildcardQuery):
+            # tokenize the pattern with WILDCARD_ESCAPE semantics
+            # (WildcardQuery.java:50,90-97: '\' makes the next char a
+            # literal; a trailing '\' is lenient — kept literal)
+            parts: list[tuple[str, str]] = []  # (kind, char)
+            i = 0
+            while i < len(q.pattern):
+                ch = q.pattern[i]
+                if ch == "*":
+                    parts.append(("any_string", ch))
+                elif ch == "?":
+                    parts.append(("any_char", ch))
+                elif ch == "\\" and i + 1 < len(q.pattern):
+                    i += 1
+                    parts.append(("lit", q.pattern[i]))
+                else:
+                    parts.append(("lit", ch))
+                i += 1
             pat = "^" + "".join(
-                ".*" if ch == "*" else "." if ch == "?" else re_escape(ch)
-                for ch in q.pattern
+                ".*" if kind == "any_string"
+                else "." if kind == "any_char"
+                else re_escape(c)
+                for kind, c in parts
             ) + "$"
             cond = F.col("term").rlike(pat)
             # Sargable pre-filters so the regex only touches surviving
@@ -1302,11 +1321,21 @@ class IndexSearcher:
             # which a parquet-resident dictionary with a materialized
             # rterm column turns into a PushedFilter instead of a full
             # vocabulary regex scan).
-            lead = q.pattern.split("*", 1)[0].split("?", 1)[0]
+            lead_chars: list[str] = []
+            for kind, c in parts:
+                if kind != "lit":
+                    break
+                lead_chars.append(c)
+            lead = "".join(lead_chars)
             if lead:
                 cond = F.col("term").startswith(lead) & cond
             else:
-                tail = q.pattern[::-1].split("*", 1)[0].split("?", 1)[0]
+                tail_chars: list[str] = []
+                for kind, c in reversed(parts):
+                    if kind != "lit":
+                        break
+                    tail_chars.append(c)
+                tail = "".join(tail_chars)
                 if tail:
                     cond = F.reverse(F.col("term")).startswith(tail) & cond
         elif isinstance(q, RegexpQuery):

@@ -233,3 +233,20 @@ def test_spellcheck_osa_and_oracle_metric_agreement(searcher, oracle):
             assert osa_distance(term, q) == dist
         # transpositions reach the adjacent-swap neighbor in ONE edit
     assert osa_distance("windoe", "window") == 1
+
+
+def test_wildcard_escape(searcher, oracle):
+    """WildcardQuery.WILDCARD_ESCAPE (WildcardQuery.java:50,90-97):
+    '\\*' is a literal star (matches nothing in this corpus), '\\w*'
+    escapes an ordinary char (same as unescaped), and a trailing
+    backslash is lenient."""
+    # escaped star: no vocabulary term contains '*'
+    assert searcher._expand_terms(WildcardQuery(r"\*")) == []
+    # escaping an ordinary char is a no-op
+    a = sorted(searcher._expand_terms(WildcardQuery(r"\wind*")))
+    b = sorted(searcher._expand_terms(WildcardQuery("wind*")))
+    assert a == b and a
+    # escaped '?' mid-pattern is literal → no match
+    assert searcher._expand_terms(WildcardQuery(r"wind\?w")) == []
+    # unescaped still wildcards
+    assert "window" in searcher._expand_terms(WildcardQuery("wind?w"))
