@@ -137,21 +137,13 @@ class WildcardQuery(Query):
 class RegexpQuery(Query):
     """Regular-expression term expansion (search/RegexpQuery.java via
     util/automaton/RegExp.java).  Lucene regexps match the WHOLE term
-    (implicit anchoring); the supported operator subset (literals, ., *,
-    +, ?, |, [...], (...), escapes) coincides syntactically with Java/
-    RE2-style regex, so the pattern is applied anchored.  The Lucene
-    extensions ~ (complement) and <n-m> (numeric interval) are not
-    supported and raise at construction."""
+    (implicit anchoring).  The FULL grammar (flags=ALL) is supported —
+    incl. the Lucene-specific ~ (complement), & (intersection),
+    <n-m> (numeric interval), @ (any string) and # (empty language)
+    operators — by the DFA engine in queries/luceneregexp.py; named
+    automata <identifier> raise (no provider), like the reference."""
 
     pattern: str
-
-    def __post_init__(self) -> None:
-        import re as _re
-
-        if _re.search(r"(?<!\\)[~<]", self.pattern):
-            raise ValueError(
-                "Lucene regexp extensions ~ and <n-m> are not supported"
-            )
 
 
 @dataclass(frozen=True)

@@ -1339,8 +1339,20 @@ class IndexSearcher:
                 if tail:
                     cond = F.reverse(F.col("term")).startswith(tail) & cond
         elif isinstance(q, RegexpQuery):
-            # anchored whole-term match (RegexpQuery.java semantics)
-            cond = F.col("term").rlike("^(?:" + q.pattern + ")$")
+            # anchored whole-term match against the FULL Lucene RegExp
+            # grammar (util/automaton/RegExp.java, ALL flags): beyond
+            # the Java-regex core this covers ~complement,
+            # &intersection, <n-m> intervals, @, #.  The compiled DFA
+            # walks the term dictionary as a vocabulary-bounded Arrow
+            # batch (the CompiledAutomaton-vs-TermsEnum cost class).
+            from lucene_solr_spark.queries.luceneregexp import LuceneRegExp
+
+            rx = LuceneRegExp(q.pattern)
+
+            def _rx_match(s):
+                return s.map(rx.matches)
+
+            cond = F.pandas_udf(_rx_match, "boolean")(F.col("term"))
         elif isinstance(q, TermRangeQuery):
             cond = F.lit(True)
             if q.lower is not None:
