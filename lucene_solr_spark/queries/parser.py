@@ -37,6 +37,7 @@ _TOKEN_RE = re.compile(
     \s*(
       \(|\)                              # grouping
     | "(?:[^"\\]|\\.)*"                  # quoted phrase
+    | /(?:[^/\\]|\\.)*/                  # /regex/ literal (REGEXPTERM)
     | \[[^\]]*\]|\{[^}]*\}               # term range
     | \&\&|\|\||!                        # symbolic operators
     | \^[0-9.]+                          # boost
@@ -182,6 +183,13 @@ class _Parser:
         return self._term_like(tok)
 
     def _term_like(self, tok: str) -> Query | None:
+        # /regex/ literal (QueryParserBase.handleBareTokenQuery REGEXPTERM
+        # — the reference's lucene parser builds a RegexpQuery; body is
+        # NOT analyzed, matching whole terms via the automaton)
+        if len(tok) >= 2 and tok.startswith("/") and tok.endswith("/"):
+            from lucene_solr_spark.queries.query import RegexpQuery
+
+            return RegexpQuery(tok[1:-1])
         # fuzzy
         m = re.match(r"(.+)~(\d*)$", tok)
         if m and "*" not in tok and "?" not in tok:

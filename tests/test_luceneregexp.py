@@ -92,3 +92,21 @@ def test_searcher_integration(searcher, oracle):
     assert got == want
     # interval terms don't exist in the alpha corpus
     assert searcher._expand_terms(RegexpQuery("<1-99>")) == []
+
+
+def test_parser_regex_literal(searcher, oracle):
+    """The classic parser's /regex/ literal (QueryParserBase
+    REGEXPTERM) builds a RegexpQuery with the unanalyzed body."""
+    from lucene_solr_spark.queries.parser import parse_query
+    from lucene_solr_spark.queries.query import RegexpQuery
+
+    assert parse_query("/wi.d*w/") == RegexpQuery("wi.d*w")
+    got = {
+        r["doc_id"]
+        for r in searcher.docs(parse_query("/w.ndow/")).collect()
+    }
+    want = set()
+    for t, pl in oracle.postings.items():
+        if len(t) == 6 and t[0] == "w" and t[2:] == "ndow":
+            want |= set(pl)
+    assert got == want and got
