@@ -5429,6 +5429,47 @@ def q_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res.select("gen", "term", "df", "ttf").orderBy("gen", "term")
 
 
+REGEXP_EXT_PHRASE = "493432 007 85"
+
+
+def q_regexp_extended(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lucene RegExp EXTENDED operators over the dictionary
+    (util/automaton/RegExp.java flags=ALL): '&' intersection with '~'
+    complement, and a <7-100> decimal interval with leading-zero
+    acceptance — compiled to a DFA (queries/luceneregexp.py) and walked
+    over the pushed-down term dictionary."""
+    from lucene_solr_spark.queries.luceneregexp import LuceneRegExp
+
+    d = _table(spark, sf_dir, "documents")
+    t = build_tables(
+        d.select(
+            "doc_id",
+            F.concat(F.col("text"), F.lit(" " + REGEXP_EXT_PHRASE)).alias(
+                "text"
+            ),
+        ),
+        id_col="doc_id",
+        text_col="text",
+    )
+    out = []
+    for tag, pat in (
+        ("inter", ".*a.*&~(.*w)"),
+        ("interval", "<7-100>"),
+    ):
+        rx = LuceneRegExp(pat)
+
+        def _match(s, rx=rx):
+            return s.map(rx.matches)
+
+        cond = F.pandas_udf(_match, "boolean")(F.col("term"))
+        out.append(
+            t.term_stats.filter(cond).select(
+                F.lit(tag).alias("op"), "term"
+            )
+        )
+    return out[0].unionByName(out[1]).orderBy("op", "term")
+
+
 # --------------------------------------------------------------------------
 # the three driver hooks
 # --------------------------------------------------------------------------
@@ -5681,6 +5722,7 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "block_join_scoremodes": q_block_join_scoremodes,
         "fuzzy_blended": q_fuzzy_blended,
         "time_travel": q_time_travel,
+        "regexp_extended": q_regexp_extended,
         "core_analyzers": q_core_analyzers,
         # (all four above/below have full oracle replicas in
         # tests/test_entry.py meanwhile), then the round-1 green core
@@ -10560,6 +10602,26 @@ ts AS (
 SELECT g.gen, t.term, t.df, t.ttf
 FROM ts t CROSS JOIN (VALUES (1), (2)) g(gen)
 ORDER BY g.gen, t.term
+"""
+
+    # intersection = AND of anchored regexes; complement = NOT; the
+    # interval accepts leading zeros (Automata.makeDecimalInterval
+    # digits=0) so 007 qualifies
+    sqls["regexp_extended"] = f"""
+WITH toks AS (
+  SELECT DISTINCT unnest(
+    string_split(text || ' {REGEXP_EXT_PHRASE}', ' ')
+  ) AS term
+  FROM documents
+),
+kept AS (SELECT term FROM toks WHERE term NOT IN ({_STOP}))
+SELECT 'inter' AS op, term FROM kept
+WHERE regexp_matches(term, '^.*a.*$') AND NOT regexp_matches(term, '^.*w$')
+UNION ALL
+SELECT 'interval' AS op, term FROM kept
+WHERE regexp_matches(term, '^[0-9]+$')
+  AND TRY_CAST(term AS BIGINT) BETWEEN 7 AND 100
+ORDER BY op, term
 """
 
     return sqls
