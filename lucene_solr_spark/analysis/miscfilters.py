@@ -364,3 +364,25 @@ def date_recognizer(tokens: list[str], fmt: str = "%m/%d/%Y") -> list[str]:
         except ValueError:
             continue
     return out
+
+
+def keyword_marker_stem(
+    tokens: list[str],
+    stem_fn,
+    keywords: "frozenset | None" = None,
+    pattern: "str | None" = None,
+) -> list[str]:
+    """{Set,Pattern}KeywordMarkerFilter → stemmer (miscellaneous/
+    SetKeywordMarkerFilter.java / PatternKeywordMarkerFilter.java +
+    KeywordAttribute contract): tokens in the protected set, or fully
+    matching the protect pattern, bypass the stemmer unchanged."""
+    import re as _re
+
+    pat = _re.compile(pattern) if pattern is not None else None
+    out = []
+    for t in tokens:
+        protected = (keywords is not None and t in keywords) or (
+            pat is not None and pat.fullmatch(t) is not None
+        )
+        out.append(t if protected else stem_fn(t))
+    return out

@@ -192,3 +192,18 @@ def test_date_recognizer():
     toks = ["12/25/2023", "hello", "02/30/2023", "1/2/2020"]
     # 02/30 is not a real date; 1/2/2020 parses under %m/%d/%Y
     assert date_recognizer(toks) == ["12/25/2023", "1/2/2020"]
+
+
+def test_keyword_marker():
+    from lucene_solr_spark.analysis.miscfilters import keyword_marker_stem
+    from lucene_solr_spark.analysis.porter import porter_stem
+
+    toks = ["running", "cats", "jumping"]
+    # set protection
+    assert keyword_marker_stem(
+        toks, porter_stem, keywords=frozenset(["cats"])
+    ) == ["run", "cats", "jump"]
+    # pattern protection (TestKeywordMarkerFilter-style)
+    assert keyword_marker_stem(toks, porter_stem, pattern=r".*ing") == [
+        "running", "cat", "jumping",
+    ]
