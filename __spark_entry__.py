@@ -2361,6 +2361,55 @@ def q_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     return contamination_check(d, bench, n=8, min_hits=1).orderBy("doc_id")
 
 
+def _url_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic synthetic URL per document (the input_hint corpus
+    carries no URL column): seven path variants exercising every
+    URLClassifyProcessor rule — dot segments, `seg/..` pairs, landing
+    suffixes, trailing slash, upper-case suffix spelling, query
+    strings.  The oracle synthesizes the identical strings in SQL."""
+    d = _table(spark, sf_dir, "documents").select("doc_id", "source")
+    g = (F.col("doc_id") % 10).cast("string")
+    path = (
+        F.when(F.col("doc_id") % 7 == 0, F.lit("/"))
+        .when(F.col("doc_id") % 7 == 1, F.concat(F.lit("/docs/guide"), g))
+        .when(F.col("doc_id") % 7 == 2, F.concat(F.lit("/docs/guide"), g, F.lit("/index.html")))
+        .when(F.col("doc_id") % 7 == 3, F.concat(F.lit("/docs/guide"), g, F.lit("/")))
+        .when(F.col("doc_id") % 7 == 4, F.concat(F.lit("/docs/./guide"), g, F.lit("/")))
+        .when(F.col("doc_id") % 7 == 5, F.concat(F.lit("/docs/x/../guide"), g))
+        .otherwise(F.lit("/Welcome.PHP"))
+    )
+    url = F.concat(
+        F.when(F.col("doc_id") % 2 == 0, F.lit("https")).otherwise(F.lit("http")),
+        F.lit("://www."), F.col("source"), F.lit(".example.com"), path,
+        F.when(F.col("doc_id") % 5 == 0, F.concat(F.lit("?id="), g)).otherwise(F.lit("")),
+    )
+    return d.withColumn("url", url)
+
+
+def q_url_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URLClassifyProcessor (update/processor/URLClassifyProcessor.java:
+    45-240) as pure column expressions: RFC 3986 dot-segment
+    normalization, length, path levels, toplevel/landingpage flags
+    (suffix list checked in reference order, '/' first), domain, and
+    the canonical URL with its faithful replaceFirst quirks (anchored,
+    case-sensitive, query-suffixed URLs unchanged)."""
+    from lucene_solr_spark.functions.urls import url_classify
+
+    return url_classify(_url_corpus(spark, sf_dir)).orderBy("doc_id")
+
+
+def q_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical-URL dedup over the url_classify output: one hash
+    groupBy on url_canonical (map-side combine — the same any-scale
+    shape as exact text dedup), min-doc_id survivor.  Dup groups form
+    because '/docs/x/../gN', '/docs/./gN/', '/docs/gN/index.html' all
+    canonicalize onto the same URL."""
+    from lucene_solr_spark.functions.urls import canonical_url_dedup, url_classify
+
+    out = canonical_url_dedup(url_classify(_url_corpus(spark, sf_dir)))
+    return out.orderBy("url_canonical")
+
+
 def q_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Concat-and-chunk sequence packing (GPT-style pretraining
     packer): per-language token stream in doc-id order cut every 256
@@ -5602,6 +5651,8 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "signature_dedup": q_signature_dedup,
         "repetition_filter": q_repetition_filter,
         "contamination_check": q_contamination_check,
+        "url_classify": q_url_classify,
+        "url_dedup": q_url_dedup,
         "sequence_packing": q_sequence_packing,
         "minhash_lsh": q_minhash_lsh,
         "simhash_dups": q_simhash_dups,
@@ -8952,6 +9003,89 @@ ORDER BY t.doc_id
 """
 
     # contamination: distinct word-8gram collisions vs the %97 benchmark
+    # URLClassifyProcessor oracle: identical synthesis + classification in
+    # SQL.  Dot-segment removal is iterated regexp_replace (RE2 has no
+    # lookahead; '[^/.][^/]*' excludes dot-leading segments, which the
+    # synthesis never emits — the Spark side's F.aggregate fold is the
+    # fully general RFC 3986 algorithm).  DuckDB 1.0's list_reduce
+    # corrupts list accumulators on pass-through branches, hence regex.
+    url_cls_cte = """
+WITH raw AS (
+  SELECT doc_id,
+    (CASE WHEN doc_id%2=0 THEN 'https' ELSE 'http' END) || '://www.' || source || '.example.com' AS base,
+    'www.' || source || '.example.com' AS host,
+    CASE doc_id%7
+      WHEN 0 THEN '/'
+      WHEN 1 THEN '/docs/guide' || (doc_id%10)::VARCHAR
+      WHEN 2 THEN '/docs/guide' || (doc_id%10)::VARCHAR || '/index.html'
+      WHEN 3 THEN '/docs/guide' || (doc_id%10)::VARCHAR || '/'
+      WHEN 4 THEN '/docs/./guide' || (doc_id%10)::VARCHAR || '/'
+      WHEN 5 THEN '/docs/x/../guide' || (doc_id%10)::VARCHAR
+      ELSE '/Welcome.PHP' END AS path,
+    CASE WHEN doc_id%5=0 THEN '?id=' || (doc_id%10)::VARCHAR ELSE '' END AS q
+  FROM documents
+),
+norm AS (
+  SELECT doc_id, base, host, q, base || path || q AS url,
+    regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(path, '/\\./', '/', 'g'), '/\\./', '/', 'g'), '/\\.$', '/'), '/[^/.][^/]*/\\.\\./', '/'), '/[^/.][^/]*/\\.\\.$', '/'), '/[^/.][^/]*/\\.\\./', '/'), '/[^/.][^/]*/\\.\\.$', '/'), '/[^/.][^/]*/\\.\\./', '/'), '/[^/.][^/]*/\\.\\.$', '/'), '/[^/.][^/]*/\\.\\./', '/'), '/[^/.][^/]*/\\.\\.$', '/') AS path_norm
+  FROM raw
+),
+cls AS (
+  SELECT doc_id, url, base || path_norm || q AS url_norm, host, q, path_norm,
+    lower(path_norm) AS lp
+  FROM norm
+),
+lpsfx AS (
+  SELECT *, CASE
+    WHEN ends_with(lp, '/') THEN '/'
+    WHEN ends_with(lp, 'index.html') THEN 'index.html'
+    WHEN ends_with(lp, 'index.htm') THEN 'index.htm'
+    WHEN ends_with(lp, 'index.phtml') THEN 'index.phtml'
+    WHEN ends_with(lp, 'index.shtml') THEN 'index.shtml'
+    WHEN ends_with(lp, 'index.xml') THEN 'index.xml'
+    WHEN ends_with(lp, 'index.php') THEN 'index.php'
+    WHEN ends_with(lp, 'index.asp') THEN 'index.asp'
+    WHEN ends_with(lp, 'index.aspx') THEN 'index.aspx'
+    WHEN ends_with(lp, 'welcome.html') THEN 'welcome.html'
+    WHEN ends_with(lp, 'welcome.htm') THEN 'welcome.htm'
+    WHEN ends_with(lp, 'welcome.phtml') THEN 'welcome.phtml'
+    WHEN ends_with(lp, 'welcome.shtml') THEN 'welcome.shtml'
+    WHEN ends_with(lp, 'welcome.xml') THEN 'welcome.xml'
+    WHEN ends_with(lp, 'welcome.php') THEN 'welcome.php'
+    WHEN ends_with(lp, 'welcome.asp') THEN 'welcome.asp'
+    WHEN ends_with(lp, 'welcome.aspx') THEN 'welcome.aspx'
+    ELSE '' END AS s
+  FROM cls
+),
+strip AS (
+  SELECT *, regexp_replace(
+      CASE WHEN s<>'' THEN regexp_replace(lp, s || '$', '') ELSE lp END,
+      '/+$','') AS stripped
+  FROM lpsfx
+),
+url_classified AS (
+  SELECT doc_id, url, url_norm,
+    CAST(length(url_norm) AS BIGINT) AS url_length,
+    CAST(length(stripped) - length(replace(stripped,'/','')) AS BIGINT) AS url_levels,
+    CAST(CASE WHEN length(stripped)=0 AND q='' THEN 1 ELSE 0 END AS BIGINT) AS url_toplevel,
+    CAST(CASE WHEN s<>'' AND q='' THEN 1 ELSE 0 END AS BIGINT) AS url_landingpage,
+    host AS url_domain,
+    CASE WHEN s<>'' THEN regexp_replace(url_norm, '/' || s || '$', '/') ELSE url_norm END AS url_canonical
+  FROM strip
+)
+"""
+    sqls["url_classify"] = url_cls_cte + """
+SELECT doc_id, url, url_norm, url_length, url_levels, url_toplevel,
+       url_landingpage, url_domain, url_canonical
+FROM url_classified ORDER BY doc_id
+"""
+    sqls["url_dedup"] = url_cls_cte + """
+SELECT url_canonical,
+       CAST(min(doc_id) AS BIGINT) AS rep_id,
+       CAST(count(*) AS BIGINT) AS dup_count
+FROM url_classified GROUP BY url_canonical ORDER BY url_canonical
+"""
+
     sqls["contamination_check"] = """
 WITH toks AS (
   SELECT doc_id,

@@ -24,9 +24,13 @@ sumtotaltermfreq(1) (need index-tables context via ``tables=``).
 geohash(2: encode lat/lon → 12-char cell), ghhsin(3: haversine between
 two geohash cell centers on a given-radius sphere).
 termfreq/docfreq/idf/norm live in the searcher layer (per-doc index
-state).  Out of scope (documented): currency (needs exchange-rate
-provider), joindf, childfield (block-join internal); agg_* are the
-facet aggregates (facet_metrics / facet_hll gates).
+state).  currency(field[,CODE]) (CurrencyField.java ConvertedCurrency
+ValueSource + convertAmount, rates from the example currency.xml) and
+childfield(field[,max|min]) (block-join child rollup) are implemented
+below; joindf remains out of scope (documented — cross-field docfreq
+lookup needs a second indexed field, covered by totaltermfreq/docfreq
+against ``tables=``); agg_* are the facet aggregates (facet_metrics /
+facet_hll gates).
 """
 
 from __future__ import annotations
