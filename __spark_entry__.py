@@ -2295,6 +2295,26 @@ def q_function_termfreq(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_joindf_function(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """joindf(field, qfield) — JoinDocFreqValueSource (lucene/queries/
+    .../valuesource/JoinDocFreqValueSource.java:39-85): each doc's
+    ``lead_term`` doc-value is looked up in the text index's terms
+    dict; docFreq on hit, 0 on a seekExact miss (stopword lead tokens
+    miss because StopFilter kept them out of the vocabulary).  The
+    terms dict rides a broadcast join — no driver collect at any
+    vocabulary size."""
+    from lucene_solr_spark.functions.valuesource import apply_function_query
+
+    t = _index_tables(spark, sf_dir)
+    d = _table(spark, sf_dir, "documents").withColumn(
+        "lead_term", F.split(F.lower(F.trim(F.col("text"))), " ").getItem(0)
+    )
+    d2, col = apply_function_query(d, "joindf(lead_term, text)", tables=t)
+    return d2.select(
+        "doc_id", "lead_term", col.cast("long").alias("joindf")
+    ).orderBy("doc_id")
+
+
 # --------------------------------------------------------------------------
 # training-data pipeline ops (dedup / similarity / text analysis)
 # --------------------------------------------------------------------------
@@ -5670,6 +5690,7 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "suggest_prefix": q_suggest_prefix,
         "rerank_query": q_rerank_query,
         "function_termfreq": q_function_termfreq,
+        "joindf_function": q_joindf_function,
         "segment_merge": q_segment_merge,
         "resume_lineage": q_resume_lineage,
         "sorted_topk": q_sorted_topk,
@@ -9410,6 +9431,20 @@ WITH {_IDX}
 SELECT term, df AS weight FROM tstats
 WHERE term LIKE 's%'
 ORDER BY weight DESC, term ASC LIMIT 10
+"""
+
+    # joindf: per-doc lead term (raw doc-values, split-on-space) looked
+    # up in the index vocabulary; seekExact miss (stopword lead) → 0
+    sqls["joindf_function"] = f"""
+WITH {_IDX},
+lead AS (
+  SELECT doc_id, string_split(lower(trim(text)), ' ')[1] AS lead_term
+  FROM documents
+)
+SELECT l.doc_id, l.lead_term,
+       CAST(COALESCE(t.df, 0) AS BIGINT) AS joindf
+FROM lead l LEFT JOIN tstats t ON t.term = l.lead_term
+ORDER BY l.doc_id
 """
 
     # rerank: window cutoff by UNROUNDED main score (identical doubles

@@ -26,11 +26,12 @@ two geohash cell centers on a given-radius sphere).
 termfreq/docfreq/idf/norm live in the searcher layer (per-doc index
 state).  currency(field[,CODE]) (CurrencyField.java ConvertedCurrency
 ValueSource + convertAmount, rates from the example currency.xml) and
-childfield(field[,max|min]) (block-join child rollup) are implemented
-below; joindf remains out of scope (documented — cross-field docfreq
-lookup needs a second indexed field, covered by totaltermfreq/docfreq
-against ``tables=``); agg_* are the facet aggregates (facet_metrics /
-facet_hll gates).
+childfield(field[,max|min]) (block-join child rollup) and
+joindf(field, qfield) (per-doc term → docFreq in the indexed field's
+terms dict, broadcast dictionary join) are implemented below — the
+ValueSourceParser vocabulary carries no remaining documented
+exclusions; agg_* are the facet aggregates (facet_metrics / facet_hll
+gates).
 """
 
 from __future__ import annotations
@@ -226,7 +227,7 @@ class _Parser:
     # schema field name token directly)
     _RAW_ARG_FNS = {
         "field", "ord", "rord", "totaltermfreq", "sumtotaltermfreq",
-        "currency", "childfield",
+        "currency", "childfield", "joindf",
     }
 
     def _ordinals(self, field: str, reverse: bool = False) -> Column:
@@ -284,6 +285,30 @@ class _Parser:
         if name == "rord":
             # reverse ordinal: #values + 1 − ord (ReverseOrdFieldSource)
             return self._ordinals(raw[0], reverse=True)
+        if name == "joindf":
+            # joindf(field, qfield): JoinDocFreqValueSource (lucene/
+            # queries/.../valuesource/JoinDocFreqValueSource.java:39-85)
+            # — the doc's term bytes from `field` doc-values, docFreq
+            # looked up in `qfield`'s terms enum; a term seekExact
+            # misses (or the doc has no value) → 0.  qfield resolves to
+            # the indexed field whose term_stats ride in ``tables=``;
+            # the terms dict is a broadcast dictionary join, never a
+            # driver collect.
+            if len(raw) != 2:
+                raise ValueError("joindf(field, qfield) takes 2 args")
+            if self.tables is None:
+                raise ValueError("joindf() needs tables= context")
+            if self.df is None:
+                raise ValueError("joindf() needs the DataFrame context")
+            fld = raw[0]
+            cname = f"__joindf_{fld}"
+            if all(cname not in d.columns for d, _ in self.joins):
+                dict_df = self.tables.term_stats.select(
+                    F.col("term").alias(fld),
+                    F.col("df").cast("double").alias(cname),
+                )
+                self.joins.append((dict_df, fld))
+            return F.coalesce(F.col(cname), F.lit(0.0))
         if name == "totaltermfreq":
             # totaltermfreq(field, term): Σ tf over all docs (constant)
             if self.tables is None:

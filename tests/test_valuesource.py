@@ -285,3 +285,30 @@ def test_childfield_function(spark):
     out, col = apply_function_query(df, "childfield(price,min)")
     got = {r["doc_id"]: r["v"] for r in out.select("doc_id", col.alias("v")).collect()}
     assert got[2] == 5.0 and got[5] == 3.0
+
+
+def test_joindf_function(spark):
+    """joindf(field, qfield) — JoinDocFreqValueSource: the doc's term
+    from `field` looked up in qfield's terms dict; docFreq on hit, 0 on
+    a seekExact miss or missing value."""
+    from lucene_solr_spark.functions.valuesource import apply_function_query
+    from lucene_solr_spark.index import build_tables
+
+    docs = spark.createDataFrame(
+        [(0, "spark fast"), (1, "fast fast spark"), (2, "slow")],
+        ["doc_id", "text"],
+    )
+    t = build_tables(docs, id_col="doc_id", text_col="text")
+    df = spark.createDataFrame(
+        [(0, "fast"), (1, "slow"), (2, "absent"), (3, None)],
+        ["doc_id", "probe"],
+    )
+    out, col = apply_function_query(df, "joindf(probe, text)", tables=t)
+    got = {r["doc_id"]: r["v"] for r in out.select("doc_id", col.alias("v")).collect()}
+    assert got[0] == 2.0   # 'fast' appears in docs 0 and 1
+    assert got[1] == 1.0
+    assert got[2] == 0.0   # vocabulary miss -> 0, like seekExact false
+    assert got[3] == 0.0   # missing doc value -> 0
+
+    with pytest.raises(ValueError, match="tables"):
+        apply_function_query(df, "joindf(probe, text)")
