@@ -5588,6 +5588,9 @@ _GATE_WINDOW = [
     "sorted_topk", "replication_fetch", "composite_routing",
     "term_automaton", "fvh_highlight", "freetext_suggest",
     "sq_ann_topk", "diversified_topk", "check_index", "stream_window",
+    # never gated: session-13 additions (URLClassifyProcessor family +
+    # the final ValueSource exclusion)
+    "url_classify", "url_dedup", "joindf_function",
     # never gated: session-10 additions
     "dfi_similarity", "shortest_path", "explain_scores",
     # Deferred behind the 50-slot window (EVERY ONE strict-verified at
