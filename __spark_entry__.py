@@ -5576,6 +5576,9 @@ _GATE_WINDOW = [
     "ltr_trees", "valuesource_extended", "core_analyzers",
     "suggest_analyzing", "suggest_infix", "suggest_fuzzy",
     "facet_intervals",
+    # never gated: session-13 additions (URLClassifyProcessor family +
+    # the final ValueSource exclusion) — newest code, gate first
+    "url_classify", "url_dedup", "joindf_function",
     # never gated: added this round (one representative per family —
     # the sibling parameterizations are strict-verified below)
     "lm_dirichlet", "dfr_similarity",
@@ -5588,9 +5591,6 @@ _GATE_WINDOW = [
     "sorted_topk", "replication_fetch", "composite_routing",
     "term_automaton", "fvh_highlight", "freetext_suggest",
     "sq_ann_topk", "diversified_topk", "check_index", "stream_window",
-    # never gated: session-13 additions (URLClassifyProcessor family +
-    # the final ValueSource exclusion)
-    "url_classify", "url_dedup", "joindf_function",
     # never gated: session-10 additions
     "dfi_similarity", "shortest_path", "explain_scores",
     # Deferred behind the 50-slot window (EVERY ONE strict-verified at
