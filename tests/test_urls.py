@@ -126,3 +126,83 @@ def test_canonical_dedup_merges_equivalent_forms(spark):
     assert groups["http://h.com/docs/guide1/"].dup_count == 2
     assert groups["http://h.com/docs/guide1/"].rep_id == 2
     assert groups["http://h.com/other"].dup_count == 1
+
+
+def _rfc3986_remove_dot_segments(path: str) -> str:
+    """Pure-Python reference model (RFC 3986 §5.2.4 restricted to the
+    absolute, well-behaved inputs url_classify handles: no '//' runs,
+    no rootless '..')."""
+    last = path.split("/")[-1]
+    trailing_dir = last in ("", ".", "..")
+    acc: list[str] = []
+    for seg in [s for s in path.split("/")[1:] if s != ""]:
+        if seg == ".":
+            continue
+        if seg == "..":
+            if acc:
+                acc.pop()
+            continue
+        acc.append(seg)
+    if not acc:
+        return "/"
+    return "/" + "/".join(acc) + ("/" if trailing_dir else "")
+
+
+def test_fold_matches_rfc_model_on_generated_paths(spark):
+    """Property-style sweep: the F.aggregate fold equals the pure-Python
+    RFC model over an exhaustive small grammar of segment sequences
+    (every 1-4 length combination of real segments and dot segments
+    with/without trailing slash — 1,248 paths)."""
+    import itertools
+
+    segs = ["a", "bb", ".", ".."]
+    paths = []
+    for n in (1, 2, 3, 4):
+        for combo in itertools.product(segs, repeat=n):
+            # skip rootless '..' (pops past root are engine-divergent
+            # by design; URI.normalize keeps them, we clamp)
+            depth = 0
+            ok = True
+            for s in combo:
+                if s == "a" or s == "bb":
+                    depth += 1
+                elif s == "..":
+                    if depth == 0:
+                        ok = False
+                        break
+                    depth -= 1
+            if not ok:
+                continue
+            for trail in ("", "/"):
+                paths.append("/" + "/".join(combo) + trail)
+    urls = [f"http://h.com{p}" for p in dict.fromkeys(paths)]
+    df = spark.createDataFrame(
+        [(i, u) for i, u in enumerate(urls)], "doc_id long, url string"
+    )
+    got = {
+        r["url"]: r["url_norm"]
+        for r in url_classify(df).select("url", "url_norm").collect()
+    }
+    bad = []
+    for u in urls:
+        path = u[len("http://h.com"):]
+        want = "http://h.com" + _rfc3986_remove_dot_segments(path)
+        if got[u] != want:
+            bad.append((u, got[u], want))
+    assert not bad, bad[:10]
+
+
+def test_url_classify_plan_is_shuffle_free(spark):
+    """Scale shape: classification is one linear pass — the physical
+    plan has no Exchange (shuffle) and no Python UDF (BatchEvalPython /
+    ArrowEvalPython); the only shuffle in the dedup path is the final
+    canonical groupBy."""
+    df = spark.createDataFrame([(0, "http://h.com/a/./b")], "doc_id long, url string")
+    plan = url_classify(df)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan
+    assert "EvalPython" not in plan, plan
+    dedup_plan = (
+        canonical_url_dedup(url_classify(df))
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "EvalPython" not in dedup_plan, dedup_plan
