@@ -2560,6 +2560,31 @@ def q_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): spherical k-means blocking +
+    within-cluster cosine τ-dedup with keep-first survivors, over the
+    same planted-near-copy augmentation as embedding_near_dups.  The
+    oracle is the EXACT GLOBAL all-pairs τ-join (no clusters): if the
+    cluster blocking split any τ≥0.98 pair, a drop would go missing
+    and the hash would mismatch — lossless blocking is verified, not
+    assumed."""
+    e = _table(spark, sf_dir, "embeddings")
+    planted = e.filter(F.col("vec_id") < 50).select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        F.transform(
+            "embedding",
+            lambda x: (x * F.lit(1.02) + F.lit(0.01)).cast("float"),
+        ).alias("embedding"),
+    )
+    aug = e.select("vec_id", "embedding").unionByName(planted)
+    out = similarity.semantic_dedup(
+        aug, threshold=0.98, num_clusters=8, kmeans_iters=2
+    )
+    return out.select(F.col("vec_id").cast("long").alias("vec_id"), "kept").orderBy(
+        "vec_id"
+    )
+
+
 def q_embedding_pairs_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EXACT all-pairs cosine ≥ τ via the blocked-GEMM self-join
     (guaranteed recall 1.0 — the exact counterpart of the LSH path;
@@ -5577,8 +5602,8 @@ _GATE_WINDOW = [
     "suggest_analyzing", "suggest_infix", "suggest_fuzzy",
     "facet_intervals",
     # never gated: session-13 additions (URLClassifyProcessor family +
-    # the final ValueSource exclusion) — newest code, gate first
-    "url_classify", "url_dedup", "joindf_function",
+    # the final ValueSource exclusion + SemDeDup) — newest code, gate first
+    "url_classify", "url_dedup", "joindf_function", "semantic_dedup",
     # never gated: added this round (one representative per family —
     # the sibling parameterizations are strict-verified below)
     "lm_dirichlet", "dfr_similarity",
@@ -5683,6 +5708,7 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lsh_ann": q_lsh_ann,
         "ivf_ann": q_ivf_ann,
         "embedding_near_dups": q_embedding_near_dups,
+        "semantic_dedup": q_semantic_dedup,
         "embedding_pairs_exact": q_embedding_pairs_exact,
         "multimodal_features": q_multimodal_features,
         "token_counts": q_token_counts,
@@ -10220,6 +10246,36 @@ p AS (
 )
 SELECT ida, idb, ROUND(c, 4) AS cosine FROM p WHERE c >= 0.98
 ORDER BY ida, idb
+"""
+
+    # SemDeDup: the oracle runs the GLOBAL all-pairs τ-join (no
+    # clustering) — a cluster split that lost a τ-pair on the Spark
+    # side would make a drop go missing and fail the hash
+    sqls["semantic_dedup"] = """
+WITH aug AS (
+  SELECT vec_id, embedding FROM embeddings
+  UNION ALL
+  SELECT vec_id + 100000 AS vec_id,
+         list_transform(embedding,
+                        x -> CAST(x * 1.02 + 0.01 AS FLOAT)) AS embedding
+  FROM embeddings WHERE vec_id < 50
+),
+v AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ve,
+         sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                               CAST(embedding AS DOUBLE[]))) AS n
+  FROM aug
+),
+dropped AS (
+  SELECT DISTINCT b.vec_id
+  FROM v a JOIN v b ON a.vec_id < b.vec_id
+  WHERE a.n > 0 AND b.n > 0
+    AND list_dot_product(a.ve, b.ve) / (a.n * b.n) >= 0.98
+)
+SELECT CAST(v.vec_id AS BIGINT) AS vec_id,
+       d.vec_id IS NULL AS kept
+FROM v LEFT JOIN dropped d ON v.vec_id = d.vec_id
+ORDER BY v.vec_id
 """
 
     # simhash near-dups over the portable 60-bit md5-derived hash: the

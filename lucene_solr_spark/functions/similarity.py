@@ -512,3 +512,104 @@ def sq_topk(
         .orderBy(F.col("cosine").desc(), F.col("vec_id").asc())
         .limit(k)
     )
+
+
+def semantic_dedup(
+    df: DataFrame,
+    threshold: float = 0.98,
+    num_clusters: int = 8,
+    kmeans_iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    arXiv:2303.09540 — the LAION/LLM curation recipe): cluster the
+    UNIT-NORMALIZED embeddings with the deterministic IVF Lloyd
+    k-means (on the unit sphere L2-argmin ≡ cosine-argmax, i.e.
+    spherical clustering), compare pairs ONLY within a cluster, and
+    drop every vector that has a strictly-lower-id neighbor with
+    cosine ≥ ``threshold`` (keep-first survivor — the engine's batch
+    dedup convention, same as SignatureUpdateProcessor's min-id).
+
+    Returns (id_col, kept boolean), one row per input vector.
+
+    Scale shape: the quadratic comparison is confined to clusters
+    (Σ n_c² ≪ n² — SemDeDup's whole point; the paper dedups 5B
+    embeddings this way), the k-means is the existing bounded-driver
+    ivf_index (K·dim floats collected, never vectors), and the pair
+    cosine is the JVM-side zip_with/aggregate fold.  At 100 TB the
+    assignment is written partitionBy(_cid) so the self-join is
+    partition-local.  The correctness gate runs the EXACT global
+    all-pairs τ-join as its oracle, so a cluster split that lost a
+    τ-pair would fail the gate — blocking is verified lossless on the
+    fixture, not assumed.
+
+    Zero-norm vectors cannot be cosine-duplicates; they skip
+    clustering and are kept unconditionally.
+
+    Blocking is OVERLAPPING: every vector participates in its
+    ``probes`` nearest clusters (the ε-overlap/multiprobe variant), so
+    a near-dup pair sitting on a Voronoi boundary is still co-blocked
+    unless it straddles past the 2nd-nearest centroid — and the gate's
+    global oracle would catch exactly that.  (Measured on the sf0.01
+    fixture: hard argmin assignment split one planted pair across a
+    boundary; probes=2 recovers it.)
+    """
+    probes = 2
+    v = F.col(vec_col)
+    d = df.select(F.col(id_col), v.alias("_v")).withColumn(
+        "_n", _norm(F.col("_v"))
+    )
+    nz = d.filter(F.col("_n") > 0).withColumn(
+        # the _n > 0 filter does not guard ANSI division when Catalyst
+        # collapses Filter+Project into one stage — guard in the expr
+        "_u",
+        F.transform(
+            "_v",
+            lambda x: F.when(
+                F.col("_n") > 0, x.cast("double") / F.col("_n")
+            ).otherwise(F.lit(0.0)),
+        ),
+    )
+    _assigned, centroids = ivf_index(
+        nz, num_clusters, kmeans_iters, id_col, "_u"
+    )
+    C = centroids.astype(np.float64)
+    c_sq = (C * C).sum(axis=1)
+
+    @F.pandas_udf("array<int>")
+    def near_cids(vs: pd.Series) -> pd.Series:
+        M = np.array([np.asarray(x, dtype=np.float64) for x in vs.to_numpy()])
+        dist = c_sq[None, :] - 2.0 * (M @ C.T)
+        top = np.argsort(dist, axis=1, kind="stable")[:, :probes]
+        return pd.Series(list(top.astype(np.int32)), index=vs.index)
+
+    assigned = nz.withColumn("_cid", F.explode(near_cids(F.col("_u"))))
+    a = assigned.select(
+        "_cid", F.col(id_col).alias("ida"), F.col("_u").alias("ua")
+    )
+    b = assigned.select(
+        "_cid", F.col(id_col).alias("idb"), F.col("_u").alias("ub")
+    )
+    cos = F.aggregate(
+        F.zip_with("ua", "ub", lambda x, y: x * y),
+        F.lit(0.0).cast("double"),
+        lambda acc, x: acc + x,
+    )
+    dropped = (
+        a.join(b, "_cid")
+        .filter(F.col("ida") < F.col("idb"))
+        .withColumn("_cos", cos)
+        .filter(F.col("_cos") >= threshold)
+        .select(F.col("idb").alias(id_col))
+        .distinct()
+        .withColumn("_dropped", F.lit(True))
+    )
+    return (
+        df.select(F.col(id_col))
+        .join(dropped, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce(~F.col("_dropped"), F.lit(True)).alias("kept"),
+        )
+    )

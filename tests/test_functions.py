@@ -460,3 +460,31 @@ def test_sq_fixture_boundary_margins(sf_dir):
     # of an exact .5 (where HALF_UP engines could disagree at 1-ulp)
     v = (M - mn) * 255.0 / r
     assert np.abs((v % 1) - 0.5).min() > 1e-9
+
+
+def test_semantic_dedup_drops_planted_copies(spark):
+    """SemDeDup: near-identical vectors (cos >= tau) collapse to the
+    min-id survivor; distant vectors and zero-norm vectors are kept."""
+    import numpy as np
+
+    from lucene_solr_spark.functions.similarity import semantic_dedup
+
+    rng = np.random.default_rng(7)
+    base = rng.standard_normal((40, 16)).astype("float32")
+    rows = [(i, [float(x) for x in base[i]]) for i in range(40)]
+    # planted near-copies of vectors 0..4 (tiny scale+offset, cos ~ 1)
+    rows += [
+        (100 + i, [float(x * 1.02 + 0.01) for x in base[i]]) for i in range(5)
+    ]
+    rows.append((999, [0.0] * 16))  # zero-norm: kept unconditionally
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = {
+        r["vec_id"]: r["kept"]
+        for r in semantic_dedup(
+            df, threshold=0.98, num_clusters=4, kmeans_iters=2
+        ).collect()
+    }
+    assert len(out) == 46
+    assert all(out[i] for i in range(40))        # originals survive
+    assert all(not out[100 + i] for i in range(5))  # copies dropped
+    assert out[999]                               # zero-norm kept
