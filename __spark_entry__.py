@@ -2295,6 +2295,27 @@ def q_function_termfreq(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_function_query_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """query("subquery" [, default]) inside a function query —
+    QueryValueSource (lucene/queries/.../valuesource/QueryValueSource
+    .java:44-120): per-doc score of the embedded query, default (0.0)
+    for non-matching docs.  Composed here with field arithmetic the way
+    boost-by-function requests use it: 2·query("spark") + 0.001·n_chars
+    over every document."""
+    from lucene_solr_spark.functions.valuesource import apply_function_query
+
+    s = _searcher(spark, sf_dir)
+    d = _table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    d2, col = apply_function_query(
+        d,
+        'sum(product(query("spark"), 2), product(n_chars, 0.001))',
+        searcher=s,
+    )
+    return d2.select(
+        "doc_id", F.round(col.cast("double"), 4).alias("fq")
+    ).orderBy("doc_id")
+
+
 def q_joindf_function(spark: SparkSession, sf_dir: str) -> DataFrame:
     """joindf(field, qfield) — JoinDocFreqValueSource (lucene/queries/
     .../valuesource/JoinDocFreqValueSource.java:39-85): each doc's
@@ -5604,6 +5625,7 @@ _GATE_WINDOW = [
     # never gated: session-13 additions (URLClassifyProcessor family +
     # the final ValueSource exclusion + SemDeDup) — newest code, gate first
     "url_classify", "url_dedup", "joindf_function", "semantic_dedup",
+    "function_query_score",
     # never gated: added this round (one representative per family —
     # the sibling parameterizations are strict-verified below)
     "lm_dirichlet", "dfr_similarity",
@@ -5720,6 +5742,7 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rerank_query": q_rerank_query,
         "function_termfreq": q_function_termfreq,
         "joindf_function": q_joindf_function,
+        "function_query_score": q_function_query_score,
         "segment_merge": q_segment_merge,
         "resume_lineage": q_resume_lineage,
         "sorted_topk": q_sorted_topk,
@@ -9461,6 +9484,17 @@ SELECT term, df AS weight FROM tstats
 WHERE term LIKE 's%'
 ORDER BY weight DESC, term ASC LIMIT 10
 """
+
+    # query() ValueSource: embedded-query score joined per doc, default
+    # 0 for non-matches, composed with field arithmetic
+    sqls["function_query_score"] = f"""
+WITH {{_IDX}},
+s1 AS ({{_bm25}})
+SELECT d.doc_id,
+       ROUND(COALESCE(s1.score, 0) * 2 + d.n_chars * 0.001, 4) AS fq
+FROM documents d LEFT JOIN s1 USING (doc_id)
+ORDER BY d.doc_id
+""".format(_IDX=_IDX, _bm25=_bm25_sql("spark"))
 
     # joindf: per-doc lead term (raw doc-values, split-on-space) looked
     # up in the index vocabulary; seekExact miss (stopword lead) → 0

@@ -165,7 +165,7 @@ def strdist_edit(a, b) -> Column:
 class _Parser:
     _TOK = re.compile(r'\s*([A-Za-z_][\w.]*|-?\d+\.?\d*(?:[eE]-?\d+)?|"[^"]*"|[(),])')
 
-    def __init__(self, text: str, df: DataFrame | None, tables=None):
+    def __init__(self, text: str, df: DataFrame | None, tables=None, searcher=None):
         self.toks: list[str] = []
         i = 0
         while i < len(text):
@@ -177,6 +177,7 @@ class _Parser:
         self.pos = 0
         self.df = df
         self.tables = tables  # IndexTables for maxdoc/numdocs/ttf/sttf
+        self.searcher = searcher  # IndexSearcher for query(subquery)
         # (dict_frame, join_key) pairs queued by ord()/rord() — the
         # caller (apply_function_query) broadcast-joins them onto df
         self.joins: list[tuple[DataFrame, str]] = []
@@ -227,7 +228,7 @@ class _Parser:
     # schema field name token directly)
     _RAW_ARG_FNS = {
         "field", "ord", "rord", "totaltermfreq", "sumtotaltermfreq",
-        "currency", "childfield", "joindf",
+        "currency", "childfield", "joindf", "query",
     }
 
     def _ordinals(self, field: str, reverse: bool = False) -> Column:
@@ -285,6 +286,31 @@ class _Parser:
         if name == "rord":
             # reverse ordinal: #values + 1 − ord (ReverseOrdFieldSource)
             return self._ordinals(raw[0], reverse=True)
+        if name == "query":
+            # query("subquery" [, default]): QueryValueSource (lucene/
+            # queries/.../valuesource/QueryValueSource.java:44-120) — the
+            # doc's score under the embedded query, ``default`` (0.0)
+            # where it does not match.  The score frame is queued as a
+            # doc_id-keyed side join; gates broadcast it (bounded match
+            # sets), at corpus scale it is a plain shuffled doc_id join.
+            if self.searcher is None:
+                raise ValueError("query() needs searcher= context")
+            if self.df is None:
+                raise ValueError("query() needs the DataFrame context")
+            import hashlib
+
+            from lucene_solr_spark.queries.parser import parse_query
+
+            sub = raw[0]
+            default = float(raw[1]) if len(raw) > 1 else 0.0
+            cname = "__query_" + hashlib.md5(sub.encode()).hexdigest()[:8]
+            if all(cname not in d.columns for d, _ in self.joins):
+                scores = self.searcher.docs(parse_query(sub)).select(
+                    F.col("doc_id"),
+                    F.col("score").cast("double").alias(cname),
+                )
+                self.joins.append((scores, "doc_id"))
+            return F.coalesce(F.col(cname), F.lit(default))
         if name == "joindf":
             # joindf(field, qfield): JoinDocFreqValueSource (lucene/
             # queries/.../valuesource/JoinDocFreqValueSource.java:39-85)
@@ -547,7 +573,7 @@ CURRENCY_RATES_USD = {
 
 
 def parse_function_query(
-    text: str, df: DataFrame | None = None, tables=None
+    text: str, df: DataFrame | None = None, tables=None, searcher=None
 ) -> Column:
     """Parse a Solr function-query string into a Column expression.
 
@@ -555,7 +581,7 @@ def parse_function_query(
     statistics (``scale``, ``ord``, ``rord``); ``tables`` supplies the
     IndexTables for index-statistics functions (``maxdoc``, ``numdocs``,
     ``totaltermfreq``, ``sumtotaltermfreq``)."""
-    p = _Parser(text, df, tables)
+    p = _Parser(text, df, tables, searcher)
     out = p.expr()
     if p.peek() is not None:
         raise ValueError(f"trailing input: {p.toks[p.pos:]}")
@@ -568,7 +594,7 @@ def parse_function_query(
 
 
 def apply_function_query(
-    df: DataFrame, text: str, tables=None
+    df: DataFrame, text: str, tables=None, searcher=None
 ) -> tuple[DataFrame, Column]:
     """Parse a function query AND apply any dictionary joins it needs.
 
@@ -578,7 +604,7 @@ def apply_function_query(
     returned unchanged.  Missing values (NULL field) yield NULL
     ordinals via the left join, matching OrdFieldSource's absent-doc
     behavior."""
-    p = _Parser(text, df, tables)
+    p = _Parser(text, df, tables, searcher)
     col = p.expr()
     if p.peek() is not None:
         raise ValueError(f"trailing input: {p.toks[p.pos:]}")

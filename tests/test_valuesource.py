@@ -312,3 +312,26 @@ def test_joindf_function(spark):
 
     with pytest.raises(ValueError, match="tables"):
         apply_function_query(df, "joindf(probe, text)")
+
+
+def test_query_valuesource(spark):
+    """query("sub" [, default]) — QueryValueSource: per-doc score of the
+    embedded query, default where it does not match."""
+    from lucene_solr_spark.functions.valuesource import apply_function_query
+    from lucene_solr_spark.index import build_tables
+    from lucene_solr_spark.queries import IndexSearcher
+
+    docs = spark.createDataFrame(
+        [(0, "spark fast"), (1, "fast fast"), (2, "slow")],
+        ["doc_id", "text"],
+    )
+    s = IndexSearcher(build_tables(docs, id_col="doc_id", text_col="text"))
+    out, col = apply_function_query(
+        docs, 'sum(query("spark", -1), 10)', searcher=s
+    )
+    got = {r["doc_id"]: r["v"] for r in out.select("doc_id", col.alias("v")).collect()}
+    assert got[0] > 10.0          # matching doc: 10 + positive BM25 score
+    assert got[1] == got[2] == 9.0  # non-matches take the -1 default
+
+    with pytest.raises(ValueError, match="searcher"):
+        apply_function_query(docs, 'query("spark")')
