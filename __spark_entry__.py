@@ -2316,6 +2316,44 @@ def q_function_query_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+def q_payload_function(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """payload(field, value[, default[, min|max|average|first]]) —
+    ValueSourceParser.java:711-756 + FloatPayloadValueSource.java:
+    62-178: per-doc PayloadFunction over 'spark' occurrences with
+    'term|(pos%7)+1' delimited payloads; non-matching docs take the
+    default (average→0, first→-1, max→0).  All three function modes
+    side-by-side, each a doc_id-keyed dictionary join."""
+    from lucene_solr_spark.functions.valuesource import apply_function_query
+    from lucene_solr_spark.queries.payloads import payload_postings
+
+    d = _table(spark, sf_dir, "documents")
+    payloaded = d.select(
+        "doc_id",
+        F.array_join(
+            F.transform(
+                F.split(F.col("text"), " +"),
+                lambda w, i: F.concat_ws("|", w, ((i % 7) + 1).cast("string")),
+            ),
+            " ",
+        ).alias("text"),
+    )
+    pp = payload_postings(payloaded)
+    base = d.select("doc_id")
+    df1, avg_c = apply_function_query(base, 'payload(text, "spark")', payloads=pp)
+    df2, first_c = apply_function_query(
+        df1, 'payload(text, "spark", -1, first)', payloads=pp
+    )
+    df3, max_c = apply_function_query(
+        df2, 'payload(text, "spark", 0, max)', payloads=pp
+    )
+    return df3.select(
+        "doc_id",
+        F.round(avg_c, 4).alias("avg_pay"),
+        first_c.alias("first_pay"),
+        max_c.alias("max_pay"),
+    ).orderBy("doc_id")
+
+
 def q_joindf_function(spark: SparkSession, sf_dir: str) -> DataFrame:
     """joindf(field, qfield) — JoinDocFreqValueSource (lucene/queries/
     .../valuesource/JoinDocFreqValueSource.java:39-85): each doc's
@@ -5625,7 +5663,7 @@ _GATE_WINDOW = [
     # never gated: session-13 additions (URLClassifyProcessor family +
     # the final ValueSource exclusion + SemDeDup) — newest code, gate first
     "url_classify", "url_dedup", "joindf_function", "semantic_dedup",
-    "function_query_score",
+    "function_query_score", "payload_function",
     # never gated: added this round (one representative per family —
     # the sibling parameterizations are strict-verified below)
     "lm_dirichlet", "dfr_similarity",
@@ -5743,6 +5781,7 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "function_termfreq": q_function_termfreq,
         "joindf_function": q_joindf_function,
         "function_query_score": q_function_query_score,
+        "payload_function": q_payload_function,
         "segment_merge": q_segment_merge,
         "resume_lineage": q_resume_lineage,
         "sorted_topk": q_sorted_topk,
@@ -9495,6 +9534,25 @@ SELECT d.doc_id,
 FROM documents d LEFT JOIN s1 USING (doc_id)
 ORDER BY d.doc_id
 """.format(_IDX=_IDX, _bm25=_bm25_sql("spark"))
+
+    # payload() function: per-doc PayloadFunction over 'spark' payloads
+    # (pos%7)+1 from the raw token stream; defaults for non-matching docs
+    sqls["payload_function"] = f"""
+WITH {_IDX},
+pay AS (
+  SELECT doc_id,
+         avg(CAST((pos % 7) + 1 AS DOUBLE)) AS avg_pay,
+         arg_min(CAST((pos % 7) + 1 AS DOUBLE), pos) AS first_pay,
+         max(CAST((pos % 7) + 1 AS DOUBLE)) AS max_pay
+  FROM toks WHERE term = 'spark' GROUP BY doc_id
+)
+SELECT d.doc_id,
+       ROUND(COALESCE(p.avg_pay, 0.0), 4) AS avg_pay,
+       COALESCE(p.first_pay, -1.0) AS first_pay,
+       COALESCE(p.max_pay, 0.0) AS max_pay
+FROM documents d LEFT JOIN pay p USING (doc_id)
+ORDER BY d.doc_id
+"""
 
     # joindf: per-doc lead term (raw doc-values, split-on-space) looked
     # up in the index vocabulary; seekExact miss (stopword lead) → 0

@@ -165,7 +165,10 @@ def strdist_edit(a, b) -> Column:
 class _Parser:
     _TOK = re.compile(r'\s*([A-Za-z_][\w.]*|-?\d+\.?\d*(?:[eE]-?\d+)?|"[^"]*"|[(),])')
 
-    def __init__(self, text: str, df: DataFrame | None, tables=None, searcher=None):
+    def __init__(
+        self, text: str, df: DataFrame | None, tables=None, searcher=None,
+        payloads=None,
+    ):
         self.toks: list[str] = []
         i = 0
         while i < len(text):
@@ -178,6 +181,7 @@ class _Parser:
         self.df = df
         self.tables = tables  # IndexTables for maxdoc/numdocs/ttf/sttf
         self.searcher = searcher  # IndexSearcher for query(subquery)
+        self.payloads = payloads  # payload postings for payload(field, term)
         # (dict_frame, join_key) pairs queued by ord()/rord() — the
         # caller (apply_function_query) broadcast-joins them onto df
         self.joins: list[tuple[DataFrame, str]] = []
@@ -228,7 +232,7 @@ class _Parser:
     # schema field name token directly)
     _RAW_ARG_FNS = {
         "field", "ord", "rord", "totaltermfreq", "sumtotaltermfreq",
-        "currency", "childfield", "joindf", "query",
+        "currency", "childfield", "joindf", "query", "payload",
     }
 
     def _ordinals(self, field: str, reverse: bool = False) -> Column:
@@ -286,6 +290,45 @@ class _Parser:
         if name == "rord":
             # reverse ordinal: #values + 1 − ord (ReverseOrdFieldSource)
             return self._ordinals(raw[0], reverse=True)
+        if name == "payload":
+            # payload(field, value[, default[, min|max|average|first]]):
+            # ValueSourceParser.java:711-756 + FloatPayloadValueSource
+            # .java:62-178 — per-doc PayloadFunction over the payloads
+            # of ``value``'s occurrences in ``field``; default func is
+            # "average", default value 0.0 for docs without the term.
+            # Context: a payload-postings frame (queries/payloads.py)
+            # joined per doc — the reference reads the same data from
+            # the postings' payload stream.
+            if self.payloads is None:
+                raise ValueError("payload() needs payloads= context")
+            if self.df is None:
+                raise ValueError("payload() needs the DataFrame context")
+            val = raw[1]
+            default = float(raw[2]) if len(raw) > 2 else 0.0
+            func = raw[3] if len(raw) > 3 else "average"
+            if func not in ("min", "max", "average", "first"):
+                raise ValueError(f"Invalid payload function: {func}")
+            pay = F.col("payloads")
+            if func == "average":
+                agg = F.aggregate(
+                    pay, F.lit(0.0), lambda a, x: a + x
+                ) / F.size(pay)
+            elif func == "min":
+                agg = F.array_min(pay)
+            elif func == "max":
+                agg = F.array_max(pay)
+            else:  # first: payloads are position-ordered
+                agg = F.element_at(pay, 1)
+            import hashlib
+
+            key = hashlib.md5(f"{val}|{func}".encode()).hexdigest()[:8]
+            cname = f"__payload_{key}"
+            if all(cname not in d.columns for d, _ in self.joins):
+                frame = self.payloads.filter(F.col("term") == val).select(
+                    "doc_id", agg.cast("double").alias(cname)
+                )
+                self.joins.append((frame, "doc_id"))
+            return F.coalesce(F.col(cname), F.lit(default))
         if name == "query":
             # query("subquery" [, default]): QueryValueSource (lucene/
             # queries/.../valuesource/QueryValueSource.java:44-120) — the
@@ -573,7 +616,8 @@ CURRENCY_RATES_USD = {
 
 
 def parse_function_query(
-    text: str, df: DataFrame | None = None, tables=None, searcher=None
+    text: str, df: DataFrame | None = None, tables=None, searcher=None,
+    payloads=None,
 ) -> Column:
     """Parse a Solr function-query string into a Column expression.
 
@@ -581,7 +625,7 @@ def parse_function_query(
     statistics (``scale``, ``ord``, ``rord``); ``tables`` supplies the
     IndexTables for index-statistics functions (``maxdoc``, ``numdocs``,
     ``totaltermfreq``, ``sumtotaltermfreq``)."""
-    p = _Parser(text, df, tables, searcher)
+    p = _Parser(text, df, tables, searcher, payloads)
     out = p.expr()
     if p.peek() is not None:
         raise ValueError(f"trailing input: {p.toks[p.pos:]}")
@@ -594,7 +638,7 @@ def parse_function_query(
 
 
 def apply_function_query(
-    df: DataFrame, text: str, tables=None, searcher=None
+    df: DataFrame, text: str, tables=None, searcher=None, payloads=None
 ) -> tuple[DataFrame, Column]:
     """Parse a function query AND apply any dictionary joins it needs.
 
@@ -604,7 +648,7 @@ def apply_function_query(
     returned unchanged.  Missing values (NULL field) yield NULL
     ordinals via the left join, matching OrdFieldSource's absent-doc
     behavior."""
-    p = _Parser(text, df, tables, searcher)
+    p = _Parser(text, df, tables, searcher, payloads)
     col = p.expr()
     if p.peek() is not None:
         raise ValueError(f"trailing input: {p.toks[p.pos:]}")

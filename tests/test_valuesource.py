@@ -335,3 +335,31 @@ def test_query_valuesource(spark):
 
     with pytest.raises(ValueError, match="searcher"):
         apply_function_query(docs, 'query("spark")')
+
+
+def test_payload_function(spark):
+    """payload(field, value[, default[, min|max|average|first]]) —
+    FloatPayloadValueSource semantics over the payload postings."""
+    from lucene_solr_spark.functions.valuesource import apply_function_query
+    from lucene_solr_spark.queries.payloads import payload_postings
+
+    docs = spark.createDataFrame(
+        [(0, "a|2 spark|4 spark|6"), (1, "spark|3"), (2, "b|9")],
+        ["doc_id", "text"],
+    )
+    pp = payload_postings(docs)
+    base = docs.select("doc_id")
+
+    def run(expr):
+        out, col = apply_function_query(base, expr, payloads=pp)
+        return {r["doc_id"]: r["v"] for r in out.select("doc_id", col.alias("v")).collect()}
+
+    assert run('payload(text, "spark")') == {0: 5.0, 1: 3.0, 2: 0.0}
+    assert run('payload(text, "spark", -1, first)') == {0: 4.0, 1: 3.0, 2: -1.0}
+    assert run('payload(text, "spark", 0, max)') == {0: 6.0, 1: 3.0, 2: 0.0}
+    assert run('payload(text, "spark", 0, min)') == {0: 4.0, 1: 3.0, 2: 0.0}
+
+    with pytest.raises(ValueError, match="Invalid payload function"):
+        run('payload(text, "spark", 0, median)')
+    with pytest.raises(ValueError, match="payloads"):
+        apply_function_query(base, 'payload(text, "spark")')
