@@ -24,14 +24,18 @@ sumtotaltermfreq(1) (need index-tables context via ``tables=``).
 geohash(2: encode lat/lon → 12-char cell), ghhsin(3: haversine between
 two geohash cell centers on a given-radius sphere).
 termfreq/docfreq/idf/norm live in the searcher layer (per-doc index
-state).  currency(field[,CODE]) (CurrencyField.java ConvertedCurrency
-ValueSource + convertAmount, rates from the example currency.xml) and
-childfield(field[,max|min]) (block-join child rollup) and
-joindf(field, qfield) (per-doc term → docFreq in the indexed field's
-terms dict, broadcast dictionary join) are implemented below — the
-ValueSourceParser vocabulary carries no remaining documented
-exclusions; agg_* are the facet aggregates (facet_metrics / facet_hll
-gates).
+state).  Also implemented below: currency(field[,CODE])
+(CurrencyField.java ConvertedCurrencyValueSource + convertAmount,
+rates from the example currency.xml), childfield(field[,max|min])
+(block-join child rollup), joindf(field, qfield) (per-doc term →
+docFreq in the indexed field's terms dict, broadcast dictionary
+join), query("sub"[,default]) (QueryValueSource — embedded-query
+score per doc via searcher= context), and payload(field, value
+[,default[,min|max|average|first]]) (FloatPayloadValueSource via
+payloads= context).  boost(q, f) is product(query(q), f) / the
+{!boost} QParser.  The ValueSourceParser vocabulary carries no
+remaining documented exclusions; agg_* are the facet aggregates
+(facet_metrics / facet_hll gates).
 """
 
 from __future__ import annotations
