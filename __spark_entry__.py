@@ -2489,6 +2489,27 @@ def q_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.orderBy("url_canonical")
 
 
+def q_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup-aware train/val/test split: trigram-Jaccard pairs →
+    connected components → md5 bucket of the CLUSTER representative, so
+    a near-duplicate of a test doc can never sit in train (the
+    decontamination discipline published with the big pretraining
+    corpora).  Singletons hash on their own id — identical to
+    dataset_split for them.  Oracle: recursive-CTE transitive closure
+    over the same exact pair set + the same md5 rule."""
+    d = _table(spark, sf_dir, "documents")
+    from lucene_solr_spark.functions import pii
+
+    pairs = dedup.ngram_jaccard_pairs(d, n=3, threshold=0.5)
+    out = pii.leakage_safe_split(d, pairs)
+    return out.select(
+        "doc_id",
+        F.col("group_key").cast("long").alias("group_key"),
+        "bucket",
+        "split",
+    ).orderBy("doc_id")
+
+
 def q_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Concat-and-chunk sequence packing (GPT-style pretraining
     packer): per-language token stream in doc-id order cut every 256
@@ -5663,7 +5684,7 @@ _GATE_WINDOW = [
     # never gated: session-13 additions (URLClassifyProcessor family +
     # the final ValueSource exclusion + SemDeDup) — newest code, gate first
     "url_classify", "url_dedup", "joindf_function", "semantic_dedup",
-    "function_query_score", "payload_function",
+    "function_query_score", "payload_function", "leakage_safe_split",
     # never gated: added this round (one representative per family —
     # the sibling parameterizations are strict-verified below)
     "lm_dirichlet", "dfr_similarity",
@@ -5782,6 +5803,7 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "joindf_function": q_joindf_function,
         "function_query_score": q_function_query_score,
         "payload_function": q_payload_function,
+        "leakage_safe_split": q_leakage_safe_split,
         "segment_merge": q_segment_merge,
         "resume_lineage": q_resume_lineage,
         "sorted_topk": q_sorted_topk,
@@ -9294,7 +9316,9 @@ FROM sig ORDER BY doc_id
 
     # near-dup clusters: same exact pair set as ngram_jaccard, then
     # transitive closure (recursive CTE) → min reachable id per node
-    sqls["dedup_clusters"] = """
+    # shared trigram-Jaccard → transitive-closure CTE (dedup_clusters
+    # and leakage_safe_split both label components from the same pairs)
+    cc_cte = """
 WITH RECURSIVE toks AS (
   SELECT doc_id,
          unnest(string_split(text, ' ')) AS term,
@@ -9336,11 +9360,31 @@ reach(src, dst) AS (
 lbl AS (
   SELECT src AS doc_id, LEAST(src, MIN(dst)) AS rep
   FROM reach GROUP BY src
-),
+)"""
+    sqls["dedup_clusters"] = cc_cte + """,
 sz AS (SELECT rep, count(*) AS cluster_size FROM lbl GROUP BY rep)
 SELECT l.doc_id, l.rep, s.cluster_size
 FROM lbl l JOIN sz s USING (rep)
 ORDER BY l.doc_id
+"""
+    # leakage-safe split: bucket on the component representative so a
+    # near-dup cluster never straddles train/test
+    sqls["leakage_safe_split"] = cc_cte + """,
+grp AS (
+  SELECT d.doc_id, COALESCE(l.rep, d.doc_id) AS group_key
+  FROM documents d LEFT JOIN lbl l USING (doc_id)
+),
+b AS (
+  SELECT doc_id, group_key,
+         CAST(('0x' || substr(md5(CAST(group_key AS VARCHAR)), 1, 8))::BIGINT
+              % 100 AS INT) AS bucket
+  FROM grp
+)
+SELECT doc_id, CAST(group_key AS BIGINT) AS group_key, bucket,
+       CASE WHEN bucket >= 90 THEN 'test'
+            WHEN bucket >= 80 THEN 'val'
+            ELSE 'train' END AS split
+FROM b ORDER BY doc_id
 """
 
     sqls["cosine_topk"] = """

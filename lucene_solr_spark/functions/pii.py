@@ -152,3 +152,49 @@ def weighted_sample(
     for k, v in sorted(rates.items()):
         rate = F.when(F.col(group_col) == k, F.lit(float(v))).otherwise(rate)
     return df.withColumn("_u", u).filter(F.col("_u") < rate).drop("_u")
+
+
+def leakage_safe_split(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    val_pct: int = 10,
+    test_pct: int = 10,
+) -> DataFrame:
+    """Near-dup-aware train/val/test split: bucket by the near-dup
+    CLUSTER representative instead of the row id, so every member of a
+    connected near-duplicate component lands in the SAME split — the
+    published decontamination discipline (a paraphrase of a test doc
+    must not sit in train).  ``pairs`` is any candidate near-dup pair
+    list (ida, idb), e.g. ngram_jaccard_pairs / minhash_lsh_pairs;
+    components come from the alternating large-star/small-star CC
+    (O(log n) rounds at any chain length).  Docs in no pair hash on
+    their own id — identical to ``hash_split`` for them.  The
+    assignment stays a pure function of (data, rule): any engine or
+    rerun reproduces it with no stored split table.
+    """
+    from lucene_solr_spark.functions.dedup import connected_components
+
+    cc = connected_components(pairs)
+    keyed = (
+        df.select(F.col(id_col))
+        .join(cc.select(F.col("doc_id").alias(id_col), "rep"), id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce(F.col("rep"), F.col(id_col)).alias("group_key"),
+        )
+    )
+    bucket = (
+        F.conv(
+            F.substring(F.md5(F.col("group_key").cast("string")), 1, 8), 16, 10
+        ).cast("long")
+        % 100
+    )
+    split = (
+        F.when(bucket >= 100 - test_pct, F.lit("test"))
+        .when(bucket >= 100 - test_pct - val_pct, F.lit("val"))
+        .otherwise(F.lit("train"))
+    )
+    return keyed.withColumn("bucket", bucket.cast("int")).withColumn(
+        "split", split
+    )

@@ -488,3 +488,27 @@ def test_semantic_dedup_drops_planted_copies(spark):
     assert all(out[i] for i in range(40))        # originals survive
     assert all(not out[100 + i] for i in range(5))  # copies dropped
     assert out[999]                               # zero-norm kept
+
+
+def test_leakage_safe_split_keeps_clusters_together(spark):
+    """Near-dup components always share a split; singletons match the
+    plain hash_split assignment."""
+    from lucene_solr_spark.functions.pii import hash_split, leakage_safe_split
+
+    df = spark.createDataFrame([(i,) for i in range(30)], ["doc_id"])
+    # components: {0,1,2} (chain), {10,11}; everything else singleton
+    pairs = spark.createDataFrame(
+        [(0, 1), (1, 2), (10, 11)], ["ida", "idb"]
+    )
+    out = {
+        r["doc_id"]: r
+        for r in leakage_safe_split(df, pairs).collect()
+    }
+    assert len(out) == 30
+    assert out[0]["split"] == out[1]["split"] == out[2]["split"]
+    assert out[0]["group_key"] == out[1]["group_key"] == out[2]["group_key"] == 0
+    assert out[10]["split"] == out[11]["split"]
+    base = {r["doc_id"]: r["split"] for r in hash_split(df).collect()}
+    for i in range(30):
+        if i not in (1, 2, 11):  # non-reps rehash on their rep's id
+            assert out[i]["split"] == base[i]
