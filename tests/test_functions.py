@@ -512,3 +512,43 @@ def test_leakage_safe_split_keeps_clusters_together(spark):
     for i in range(30):
         if i not in (1, 2, 11):  # non-reps rehash on their rep's id
             assert out[i]["split"] == base[i]
+
+
+def test_leakage_safe_split_invariant_random_graphs(spark):
+    """Invariant sweep over random pair graphs (fixed seeds): every
+    connected component is entirely inside ONE split, including long
+    chains and star shapes the pairwise check above does not cover."""
+    import numpy as np
+
+    from lucene_solr_spark.functions.pii import leakage_safe_split
+
+    for seed in (1, 2, 3):
+        rng = np.random.default_rng(seed)
+        n = 60
+        edges = {(int(a), int(b)) for a, b in rng.integers(0, n, (40, 2)) if a != b}
+        edges = {(min(a, b), max(a, b)) for a, b in edges}
+        df = spark.createDataFrame([(i,) for i in range(n)], ["doc_id"])
+        pairs = spark.createDataFrame(
+            [(a, b) for a, b in sorted(edges)], ["ida", "idb"]
+        )
+        rows = leakage_safe_split(df, pairs).collect()
+        split_of = {r["doc_id"]: r["split"] for r in rows}
+        group_of = {r["doc_id"]: r["group_key"] for r in rows}
+        # union-find ground truth
+        parent = list(range(n))
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in edges:
+            parent[find(a)] = find(b)
+        comp = {}
+        for i in range(n):
+            comp.setdefault(find(i), []).append(i)
+        for members in comp.values():
+            assert len({split_of[m] for m in members}) == 1, (seed, members)
+            assert len({group_of[m] for m in members}) == 1, (seed, members)
+            assert min(members) == group_of[members[0]], (seed, members)
