@@ -2495,12 +2495,16 @@ def q_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     a near-duplicate of a test doc can never sit in train (the
     decontamination discipline published with the big pretraining
     corpora).  Singletons hash on their own id — identical to
-    dataset_split for them.  Oracle: recursive-CTE transitive closure
-    over the same exact pair set + the same md5 rule."""
+    dataset_split for them.  Pairs come from MinHash-LSH — the only
+    viable generator at 10^12 docs (the exact trigram self-join is
+    ~18× slower already at sf0.1); the oracle's transitive closure is
+    over the EXACT Jaccard pair set, so the gate simultaneously
+    re-proves banding recall 1.0 on this corpus (a missed pair would
+    change a component and fail the hash)."""
     d = _table(spark, sf_dir, "documents")
     from lucene_solr_spark.functions import pii
 
-    pairs = dedup.ngram_jaccard_pairs(d, n=3, threshold=0.5)
+    pairs = dedup.minhash_lsh_pairs(d, threshold=0.5)
     out = pii.leakage_safe_split(d, pairs)
     return out.select(
         "doc_id",
