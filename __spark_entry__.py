@@ -2514,6 +2514,24 @@ def q_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+def q_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature mixture rebalancing (XLM-style q_g ∝ p_g^(1/T),
+    T=2 flattening): per-doc deterministic fractional repeat counts,
+    min-normalized so the head language repeats once.  All arithmetic
+    is sqrt/div over exact counts + integer md5 compare — bit-identical
+    in any engine (no pow, no cross-group float sums)."""
+    from lucene_solr_spark.functions import pii
+
+    d = _table(spark, sf_dir, "documents")
+    out = pii.temperature_mixture(d, group_col="lang", temperature=2.0)
+    return out.select(
+        "doc_id",
+        "lang",
+        F.round("rate", 6).alias("rate"),
+        F.col("repeats").cast("long").alias("repeats"),
+    ).orderBy("doc_id")
+
+
 def q_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Concat-and-chunk sequence packing (GPT-style pretraining
     packer): per-language token stream in doc-id order cut every 256
@@ -5689,6 +5707,7 @@ _GATE_WINDOW = [
     # the final ValueSource exclusion + SemDeDup) — newest code, gate first
     "url_classify", "url_dedup", "joindf_function", "semantic_dedup",
     "function_query_score", "payload_function", "leakage_safe_split",
+    "temperature_mixture",
     # never gated: added this round (one representative per family —
     # the sibling parameterizations are strict-verified below)
     "lm_dirichlet", "dfr_similarity",
@@ -5808,6 +5827,7 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "function_query_score": q_function_query_score,
         "payload_function": q_payload_function,
         "leakage_safe_split": q_leakage_safe_split,
+        "temperature_mixture": q_temperature_mixture,
         "segment_merge": q_segment_merge,
         "resume_lineage": q_resume_lineage,
         "sorted_topk": q_sorted_topk,
@@ -9582,6 +9602,26 @@ SELECT d.doc_id,
 FROM documents d LEFT JOIN s1 USING (doc_id)
 ORDER BY d.doc_id
 """.format(_IDX=_IDX, _bm25=_bm25_sql("spark"))
+
+    # temperature mixture: rate = sqrt(n_max/n_g), repeat = floor +
+    # integer-md5 fractional draw — identical closed form both engines
+    sqls["temperature_mixture"] = """
+WITH n AS (SELECT lang, count(*) AS c FROM documents GROUP BY lang),
+mx AS (SELECT max(c) AS cmax FROM n),
+r AS (
+  SELECT lang, sqrt(CAST(cmax AS DOUBLE) / CAST(c AS DOUBLE)) AS rate
+  FROM n, mx
+),
+b AS (
+  SELECT d.doc_id, d.lang, r.rate,
+         ('0x' || substr(md5(CAST(d.doc_id AS VARCHAR) || 'tmix'), 1, 8))::BIGINT AS bucket,
+         CAST((r.rate - floor(r.rate)) * 4294967296.0 AS BIGINT) AS fs
+  FROM documents d JOIN r USING (lang)
+)
+SELECT doc_id, lang, ROUND(rate, 6) AS rate,
+       CAST(floor(rate) + CASE WHEN bucket < fs THEN 1 ELSE 0 END AS BIGINT) AS repeats
+FROM b ORDER BY doc_id
+"""
 
     # payload() function: per-doc PayloadFunction over 'spark' payloads
     # (pos%7)+1 from the raw token stream; defaults for non-matching docs

@@ -198,3 +198,74 @@ def leakage_safe_split(
     return keyed.withColumn("bucket", bucket.cast("int")).withColumn(
         "split", split
     )
+
+
+def temperature_mixture(
+    df: DataFrame,
+    group_col: str = "source",
+    temperature: float = 2.0,
+    id_col: str = "doc_id",
+    salt: str = "tmix",
+) -> DataFrame:
+    """Temperature-based mixture rebalancing (the multilingual-XLM /
+    pretraining recipe: sampling share q_g ∝ p_g^(1/T); T>1 flattens
+    the distribution, upweighting tail domains): per-doc REPEAT COUNT
+    = ⌊r_g⌋ plus one more iff the
+    doc's md5-uniform falls below frac(r_g) — deterministic fractional
+    upsampling, normalized so the smallest factor is exactly 1 (tail
+    groups are never downsampled by this op; compose weighted_sample
+    for that).
+
+    Returns (id_col, group_col, rate, repeats).  Scale shape: one
+    broadcast-sized group-stats frame joined scan-side; the fractional
+    draw is integer md5 arithmetic (bucket < ⌊frac·2^32⌋ — no float
+    comparison at the boundary, so any engine reproduces the identical
+    expansion).
+
+    NB: the default T=2 keeps q_g ∝ √p_g in +,*,/,sqrt arithmetic
+    only — all IEEE-correctly-rounded, identical across engines.
+    Arbitrary T goes through pow(), whose last-ulp behavior is
+    library-specific; the correctness gate pins T=2.
+    """
+    # r'_g ∝ q_g/p_g with q ∝ p^(1/T); min-normalizing cancels every
+    # cross-group float SUM (whose reduction order is engine-defined):
+    # r_g = (n_max / n_g)^(1 − 1/T) — sqrt/div over exact long counts,
+    # bit-identical in any engine
+    stats = df.groupBy(group_col).agg(F.count("*").alias("_n"))
+    nmax = stats.agg(F.max("_n").alias("_nmax"))
+    ratio = F.col("_nmax").cast("double") / F.col("_n").cast("double")
+    if temperature == 2.0:
+        rate = F.sqrt(ratio)
+    else:
+        rate = F.pow(ratio, 1.0 - 1.0 / temperature)
+    rates = (
+        stats.crossJoin(F.broadcast(nmax))
+        .withColumn("rate", rate)
+        .select(group_col, "rate")
+    )
+    bucket = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.col(id_col).cast("string"), F.lit(salt))), 1, 8
+            ),
+            16,
+            10,
+        ).cast("long")
+    )
+    frac_scaled = (
+        ((F.col("rate") - F.floor(F.col("rate"))) * F.lit(float(16**8)))
+        .cast("long")
+    )
+    return (
+        df.select(F.col(id_col), F.col(group_col))
+        .join(F.broadcast(rates), group_col)
+        .select(
+            F.col(id_col),
+            F.col(group_col),
+            F.col("rate"),
+            (
+                F.floor(F.col("rate"))
+                + F.when(bucket < frac_scaled, F.lit(1)).otherwise(F.lit(0))
+            ).cast("int").alias("repeats"),
+        )
+    )

@@ -552,3 +552,39 @@ def test_leakage_safe_split_invariant_random_graphs(spark):
             assert len({split_of[m] for m in members}) == 1, (seed, members)
             assert len({group_of[m] for m in members}) == 1, (seed, members)
             assert min(members) == group_of[members[0]], (seed, members)
+
+
+def test_temperature_mixture_expected_repeats(spark):
+    """T=2 flattening: head group rate exactly 1 (never upsampled),
+    tail rate = sqrt(n_head/n_tail); expected expansion matches the
+    fractional-draw construction within the md5-uniform tolerance."""
+    import math
+
+    from lucene_solr_spark.functions.pii import temperature_mixture
+
+    rows = [(i, "big") for i in range(400)] + [
+        (1000 + i, "small") for i in range(100)
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "lang"])
+    out = temperature_mixture(df, group_col="lang", temperature=2.0).collect()
+    rates = {r["lang"]: r["rate"] for r in out}
+    assert rates["big"] == 1.0
+    assert rates["small"] == math.sqrt(4.0)  # sqrt(400/100) = 2.0
+    reps = {}
+    for r in out:
+        reps.setdefault(r["lang"], []).append(r["repeats"])
+    assert all(x == 1 for x in reps["big"])       # rate 1.0: always once
+    assert all(x == 2 for x in reps["small"])     # rate 2.0: exactly twice
+    # fractional case: 400 vs 50 -> rate sqrt(8) ~ 2.828, repeats in {2,3}
+    rows = [(i, "big") for i in range(400)] + [
+        (1000 + i, "small") for i in range(50)
+    ]
+    out2 = temperature_mixture(
+        spark.createDataFrame(rows, ["doc_id", "lang"]),
+        group_col="lang",
+        temperature=2.0,
+    ).collect()
+    small = [r["repeats"] for r in out2 if r["lang"] == "small"]
+    assert set(small) <= {2, 3}
+    frac = sum(1 for x in small if x == 3) / len(small)
+    assert 0.55 <= frac <= 1.0  # E=0.828, 50 draws: loose md5-uniform band
