@@ -2457,10 +2457,19 @@ def _url_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when(F.col("doc_id") % 7 == 5, F.concat(F.lit("/docs/x/../guide"), g))
         .otherwise(F.lit("/Welcome.PHP"))
     )
+    # fragments exercise the java.net.URL semantics: '#s<g>' survives
+    # into url_norm, and '#a?b' must NOT count as a query (URL.getQuery()
+    # is null when the only '?' sits inside the fragment)
+    frag = (
+        F.when(F.col("doc_id") % 11 == 3, F.concat(F.lit("#s"), g))
+        .when(F.col("doc_id") % 11 == 7, F.lit("#a?b"))
+        .otherwise(F.lit(""))
+    )
     url = F.concat(
         F.when(F.col("doc_id") % 2 == 0, F.lit("https")).otherwise(F.lit("http")),
         F.lit("://www."), F.col("source"), F.lit(".example.com"), path,
         F.when(F.col("doc_id") % 5 == 0, F.concat(F.lit("?id="), g)).otherwise(F.lit("")),
+        frag,
     )
     return d.withColumn("url", url)
 
@@ -9180,16 +9189,18 @@ WITH raw AS (
       WHEN 4 THEN '/docs/./guide' || (doc_id%10)::VARCHAR || '/'
       WHEN 5 THEN '/docs/x/../guide' || (doc_id%10)::VARCHAR
       ELSE '/Welcome.PHP' END AS path,
-    CASE WHEN doc_id%5=0 THEN '?id=' || (doc_id%10)::VARCHAR ELSE '' END AS q
+    CASE WHEN doc_id%5=0 THEN '?id=' || (doc_id%10)::VARCHAR ELSE '' END AS q,
+    CASE WHEN doc_id%11=3 THEN '#s' || (doc_id%10)::VARCHAR
+         WHEN doc_id%11=7 THEN '#a?b' ELSE '' END AS fr
   FROM documents
 ),
 norm AS (
-  SELECT doc_id, base, host, q, base || path || q AS url,
+  SELECT doc_id, base, host, q, fr, base || path || q || fr AS url,
     regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(path, '/\\./', '/', 'g'), '/\\./', '/', 'g'), '/\\.$', '/'), '/[^/.][^/]*/\\.\\./', '/'), '/[^/.][^/]*/\\.\\.$', '/'), '/[^/.][^/]*/\\.\\./', '/'), '/[^/.][^/]*/\\.\\.$', '/'), '/[^/.][^/]*/\\.\\./', '/'), '/[^/.][^/]*/\\.\\.$', '/'), '/[^/.][^/]*/\\.\\./', '/'), '/[^/.][^/]*/\\.\\.$', '/') AS path_norm
   FROM raw
 ),
 cls AS (
-  SELECT doc_id, url, base || path_norm || q AS url_norm, host, q, path_norm,
+  SELECT doc_id, url, base || path_norm || q || fr AS url_norm, host, q, path_norm,
     lower(path_norm) AS lp
   FROM norm
 ),
@@ -9615,7 +9626,7 @@ r AS (
 b AS (
   SELECT d.doc_id, d.lang, r.rate,
          ('0x' || substr(md5(CAST(d.doc_id AS VARCHAR) || 'tmix'), 1, 8))::BIGINT AS bucket,
-         CAST((r.rate - floor(r.rate)) * 4294967296.0 AS BIGINT) AS fs
+         CAST(floor((r.rate - floor(r.rate)) * 4294967296.0) AS BIGINT) AS fs
   FROM documents d JOIN r USING (lang)
 )
 SELECT doc_id, lang, ROUND(rate, 6) AS rate,

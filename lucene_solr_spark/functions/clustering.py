@@ -27,7 +27,7 @@ works corpus-wide since no stage collects to the driver.
 """
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from lucene_solr_spark.functions.dedup import connected_components
@@ -76,10 +76,25 @@ def base_clusters(
         .filter(F.col("n_docs") >= min_docs)
         .withColumn("score", F.col("n_docs") * F.col("plen"))
     )
-    w = Window.orderBy(F.col("score").desc(), F.col("phrase").asc())
+    # top_k FIRST (TakeOrderedAndProject: per-partition top-k + k-row
+    # merge, no global sort), THEN rank the ≤top_k-row frame by
+    # counting sort-predecessors in a broadcast self-join (k² ≤ 2500
+    # pairs) — the previous version ranked every scored phrase
+    # (vocabulary-shaped) through an unpartitioned window on a single
+    # task.  Phrases are unique (groupBy key), the ordering total, so
+    # predecessor-count + 1 == row_number.
+    top = scored.orderBy(
+        F.col("score").desc(), F.col("phrase").asc()
+    ).limit(top_k)
+    a, b = top.alias("a"), F.broadcast(top.select("phrase", "score").alias("b"))
+    before = (F.col("b.score") > F.col("a.score")) | (
+        (F.col("b.score") == F.col("a.score"))
+        & (F.col("b.phrase") < F.col("a.phrase"))
+    )
     return (
-        scored.withColumn("cluster_id", F.row_number().over(w))
-        .filter(F.col("cluster_id") <= top_k)
+        a.join(b, before, "left")
+        .groupBy("a.phrase", "a.n_docs", "a.score")
+        .agg((F.count("b.phrase") + 1).cast("int").alias("cluster_id"))
         .select("cluster_id", "phrase", "n_docs", "score")
     )
 

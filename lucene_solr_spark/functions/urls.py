@@ -38,6 +38,12 @@ the path's ~6 segments (vocabulary-independent, no shuffle, no UDF).
 ``canonical_url_dedup`` adds the single hash-groupBy every URL-level
 dedup needs — the same map-side-combine shape as exact text dedup.
 
+Fragments follow java.net.URL: the '#fragment' survives in
+``url_norm`` (``URI.normalize().toURL().toString()`` keeps the ref) and
+the query is the '?'..'#' span only — a '?' INSIDE the fragment
+('http://h/p#a?b') is not a query, so ``url.getQuery() == null`` checks
+(url_toplevel / url_landingpage) treat such URLs as query-free.
+
 Known, documented divergences from the JVM original: consecutive
 slashes ("//") and rootless ".." segments are assumed absent (the
 corpus-prep synthesis never emits them; ``URI.normalize`` keeps both
@@ -112,8 +118,18 @@ def url_classify(
     hostport = F.regexp_extract(url, r"^[A-Za-z][A-Za-z0-9+.\-]*://([^/?#]*)", 1)
     host = F.regexp_extract(hostport, r"^([^:]*)", 1)
     raw_path = F.regexp_extract(url, r"^[A-Za-z][A-Za-z0-9+.\-]*://[^/?#]*([^?#]*)", 1)
-    has_query = url.contains("?")
-    query = F.regexp_extract(url, r"\?([^#]*)", 1)
+    # java.net.URL semantics: the query is the part between '?' and the
+    # FIRST '#'; a '?' inside the fragment is NOT a query
+    # ('http://h/p#a?b' has query=null), and URL.toString() keeps the
+    # '#fragment' (URI.normalize().toURL() preserves the ref).
+    before_frag = F.substring_index(url, "#", 1)
+    has_frag = url.contains("#")
+    frag_part = F.when(
+        has_frag,
+        F.concat(F.lit("#"), F.regexp_extract(url, r"#(.*)$", 1)),
+    ).otherwise(F.lit(""))
+    has_query = before_frag.contains("?")
+    query = F.regexp_extract(before_frag, r"\?(.*)$", 1)
 
     path_norm = _normalize_path(
         F.when(raw_path == "", F.lit("/")).otherwise(raw_path)
@@ -121,6 +137,7 @@ def url_classify(
     url_norm = F.concat(
         scheme, F.lit("://"), hostport, path_norm,
         F.when(has_query, F.concat(F.lit("?"), query)).otherwise(F.lit("")),
+        frag_part,
     )
 
     lower_path = F.lower(path_norm)

@@ -171,7 +171,7 @@ class _Parser:
 
     def __init__(
         self, text: str, df: DataFrame | None, tables=None, searcher=None,
-        payloads=None,
+        payloads=None, payload_field=None, join_qfield=None,
     ):
         self.toks: list[str] = []
         i = 0
@@ -186,6 +186,14 @@ class _Parser:
         self.tables = tables  # IndexTables for maxdoc/numdocs/ttf/sttf
         self.searcher = searcher  # IndexSearcher for query(subquery)
         self.payloads = payloads  # payload postings for payload(field, term)
+        # one payloads= frame serves ONE field (likewise one tables=
+        # frame serves one joindf qfield): the caller may declare which
+        # (payload_field= / join_qfield=), and regardless, the first
+        # payload()/joindf() call binds the field so a second call
+        # naming a DIFFERENT field raises instead of silently reading
+        # the same frame.
+        self.payload_field = payload_field
+        self.join_qfield = join_qfield
         # (dict_frame, join_key) pairs queued by ord()/rord() — the
         # caller (apply_function_query) broadcast-joins them onto df
         self.joins: list[tuple[DataFrame, str]] = []
@@ -243,12 +251,18 @@ class _Parser:
         """ord(field): 1-based ordinal of the doc's value in the sorted
         value dictionary (OrdFieldSource.java / ReverseOrdFieldSource).
 
-        Implemented as a dense_rank over the DISTINCT-value frame
-        broadcast-joined back onto the data — the reference's sorted
-        terms dict as a dictionary-sized side relation.  Nothing is
-        ever collected to the driver (the old array_position-over-
-        collected-literal OOMed the driver and scanned O(cardinality)
-        per row); the window runs over dictionary-sized input only.
+        Distributed global rank without a global sort: the DISTINCT
+        values are range-partitioned on the field (repartitionByRange's
+        sampled range exchange), ranked WITHIN each partition (a
+        partitioned window — every task sorts only its slice), and the
+        per-partition row counts — one row per partition, bounded by
+        the parallelism, never by the dictionary — are prefix-summed
+        into partition offsets broadcast back onto the slices.  A
+        1M-distinct field therefore never lands on a single task (the
+        old unpartitioned ``Window.orderBy(field)`` did exactly that).
+        Values are distinct so row_number == dense_rank.  The only
+        driver round-trip is the ≤ #partitions count rows (the same
+        bounded exchange assign_doc_ids uses) — never field values.
         The join is queued on ``self.joins`` and applied by
         apply_function_query."""
         if self.df is None:
@@ -257,20 +271,44 @@ class _Parser:
 
         name = f"__{'rord' if reverse else 'ord'}_{field}"
         if all(name not in d.columns for d, _ in self.joins):
-            w = Window.orderBy(field)
-            dict_df = (
+            spark = self.df.sparkSession
+            nparts = max(int(spark.sparkContext.defaultParallelism), 1)
+            distinct = (
                 self.df.select(field)
                 .filter(F.col(field).isNotNull())
                 .distinct()
-                .withColumn("__o", F.dense_rank().over(w))
-                .withColumn("__n", F.count("*").over(Window.partitionBy()))
+                .repartitionByRange(nparts, F.col(field))
+                .withColumn("__pid", F.spark_partition_id())
             )
-            dict_df = dict_df.select(
+            local = distinct.withColumn(
+                "__lr",
+                F.row_number().over(
+                    Window.partitionBy("__pid").orderBy(field)
+                ),
+            ).persist()
+            # partition-count exchange: ≤ nparts rows to the driver,
+            # prefix-summed in plain Python (an unpartitioned running-
+            # sum window would re-introduce the single-task sort this
+            # rewrite removes — Catalyst eliminates foldable partition
+            # specs, so there is no warning-free window spelling)
+            counts = local.groupBy("__pid").agg(F.count("*").alias("__c"))
+            rows = sorted(
+                ((r["__pid"], r["__c"]) for r in counts.collect())
+            )
+            total = sum(c for _, c in rows)
+            offs_rows, acc = [], 0
+            for pid, c in rows:
+                offs_rows.append((pid, acc, total))
+                acc += c
+            offs = spark.createDataFrame(
+                offs_rows, "__pid int, __off long, __n long"
+            )
+            dict_df = local.join(F.broadcast(offs), "__pid").select(
                 field,
                 (
-                    (F.col("__n") + 1 - F.col("__o"))
+                    (F.col("__n") + 1 - (F.col("__off") + F.col("__lr")))
                     if reverse
-                    else F.col("__o")
+                    else (F.col("__off") + F.col("__lr"))
                 )
                 .cast("double")
                 .alias(name),
@@ -307,6 +345,17 @@ class _Parser:
                 raise ValueError("payload() needs payloads= context")
             if self.df is None:
                 raise ValueError("payload() needs the DataFrame context")
+            fld = raw[0]
+            if self.payload_field is None:
+                # bind on first use: the single payloads= frame serves
+                # exactly one field
+                self.payload_field = fld
+            elif fld != self.payload_field:
+                raise ValueError(
+                    f"payload() field {fld!r} does not match the "
+                    f"payloads= context field {self.payload_field!r} — "
+                    "one payloads frame serves one field"
+                )
             val = raw[1]
             default = float(raw[2]) if len(raw) > 2 else 0.0
             func = raw[3] if len(raw) > 3 else "average"
@@ -325,7 +374,7 @@ class _Parser:
                 agg = F.element_at(pay, 1)
             import hashlib
 
-            key = hashlib.md5(f"{val}|{func}".encode()).hexdigest()[:8]
+            key = hashlib.md5(f"{fld}|{val}|{func}".encode()).hexdigest()[:8]
             cname = f"__payload_{key}"
             if all(cname not in d.columns for d, _ in self.joins):
                 frame = self.payloads.filter(F.col("term") == val).select(
@@ -373,7 +422,17 @@ class _Parser:
                 raise ValueError("joindf() needs tables= context")
             if self.df is None:
                 raise ValueError("joindf() needs the DataFrame context")
-            fld = raw[0]
+            fld, qfield = raw
+            if self.join_qfield is None:
+                # bind on first use: the single tables= term_stats frame
+                # serves exactly one qfield
+                self.join_qfield = qfield
+            elif qfield != self.join_qfield:
+                raise ValueError(
+                    f"joindf() qfield {qfield!r} does not match the "
+                    f"tables= context field {self.join_qfield!r} — one "
+                    "term_stats frame serves one qfield"
+                )
             cname = f"__joindf_{fld}"
             if all(cname not in d.columns for d, _ in self.joins):
                 dict_df = self.tables.term_stats.select(
@@ -621,7 +680,7 @@ CURRENCY_RATES_USD = {
 
 def parse_function_query(
     text: str, df: DataFrame | None = None, tables=None, searcher=None,
-    payloads=None,
+    payloads=None, payload_field=None, join_qfield=None,
 ) -> Column:
     """Parse a Solr function-query string into a Column expression.
 
@@ -629,7 +688,7 @@ def parse_function_query(
     statistics (``scale``, ``ord``, ``rord``); ``tables`` supplies the
     IndexTables for index-statistics functions (``maxdoc``, ``numdocs``,
     ``totaltermfreq``, ``sumtotaltermfreq``)."""
-    p = _Parser(text, df, tables, searcher, payloads)
+    p = _Parser(text, df, tables, searcher, payloads, payload_field, join_qfield)
     out = p.expr()
     if p.peek() is not None:
         raise ValueError(f"trailing input: {p.toks[p.pos:]}")
@@ -642,7 +701,8 @@ def parse_function_query(
 
 
 def apply_function_query(
-    df: DataFrame, text: str, tables=None, searcher=None, payloads=None
+    df: DataFrame, text: str, tables=None, searcher=None, payloads=None,
+    payload_field=None, join_qfield=None,
 ) -> tuple[DataFrame, Column]:
     """Parse a function query AND apply any dictionary joins it needs.
 
@@ -652,7 +712,7 @@ def apply_function_query(
     returned unchanged.  Missing values (NULL field) yield NULL
     ordinals via the left join, matching OrdFieldSource's absent-doc
     behavior."""
-    p = _Parser(text, df, tables, searcher, payloads)
+    p = _Parser(text, df, tables, searcher, payloads, payload_field, join_qfield)
     col = p.expr()
     if p.peek() is not None:
         raise ValueError(f"trailing input: {p.toks[p.pos:]}")

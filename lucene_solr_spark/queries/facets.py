@@ -134,26 +134,28 @@ def facet_field_params(
         .agg(F.count("*").alias("cnt"))
         .filter(F.col("cnt") >= mincount)
     )
-    if sort == "index":
-        buckets = buckets.orderBy(F.col("bucket").asc())
-    else:
-        buckets = buckets.orderBy(F.col("cnt").desc(), F.col("bucket").asc())
+    order = (
+        [F.col("bucket").asc()]
+        if sort == "index"
+        else [F.col("cnt").desc(), F.col("bucket").asc()]
+    )
+    buckets = buckets.orderBy(*order)
     if offset:
         # facet.offset: skip the first N buckets of the ordered list.
-        # Window rank over the same ordering keeps this distributed
-        # (no driver-side slice); bucket lists are top-k sized.
-        from pyspark.sql import Window
-
-        order = (
-            [F.col("bucket").asc()]
-            if sort == "index"
-            else [F.col("cnt").desc(), F.col("bucket").asc()]
-        )
-        w = Window.orderBy(*order)
+        # Both takes are TakeOrderedAndProject (per-partition top-k +
+        # k-row merge, never a global sort); the first `offset` buckets
+        # are then anti-joined out of the top offset+limit.  Bucket
+        # values are unique (they come out of the groupBy) and the
+        # ordering is total (count desc, bucket asc), so the anti-join
+        # is exact — and everything after the takes is k-row-sized.
+        # (The previous version ranked the FULL bucket list —
+        # field-cardinality-sized — through an unpartitioned window on
+        # a single task.)
+        head = buckets.limit(offset).select("bucket")
         buckets = (
-            buckets.withColumn("_rk", F.row_number().over(w))
-            .filter(F.col("_rk") > offset)
-            .drop("_rk")
+            buckets.limit(offset + limit)
+            .join(F.broadcast(head), "bucket", "left_anti")
+            .orderBy(*order)
         )
     buckets = buckets.limit(limit)
     if missing:

@@ -1171,8 +1171,15 @@ class IndexSearcher:
         if q.slop > 0:
             # SloppyPhraseScorer semantics incl. the repeated-terms
             # machinery (one postings column per unique term; term_idx
-            # maps each phrase position to its term's column)
-            from lucene_solr_spark.queries.sloppy import sloppy_phrase_freq
+            # maps each phrase position to its term's column).  The
+            # kernel is the doc-parallel batch state machine — one
+            # numpy event loop per Arrow batch, no per-candidate-row
+            # Python traversal (sloppy.py sloppy_phrase_freq_batch,
+            # hypothesis-gated equivalent to the per-doc reference
+            # port).
+            from lucene_solr_spark.queries.sloppy import (
+                sloppy_phrase_freq_batch,
+            )
 
             offs = [int(p) for p in q.positions]
             tidx = [uniq.index(t) for t in q.terms]
@@ -1180,14 +1187,10 @@ class IndexSearcher:
 
             @F.pandas_udf("float")
             def sloppy_udf(*pcols: pd.Series) -> pd.Series:
-                # object-array access, not .iloc — pandas row indexing
-                # dominated this kernel's profile
                 cols = [c.to_numpy() for c in pcols]
-                out = np.zeros(len(cols[0]), dtype=np.float32)
-                for r in range(len(out)):
-                    lists = [np.asarray(c[r], dtype=np.int64) for c in cols]
-                    out[r] = sloppy_phrase_freq(lists, offs, slop, tidx)
-                return pd.Series(out)
+                return pd.Series(
+                    sloppy_phrase_freq_batch(cols, offs, slop, tidx)
+                )
 
             out = base.withColumn(
                 "freq", sloppy_udf(*[F.col(f"_p{i}") for i in range(len(uniq))])

@@ -26,6 +26,21 @@ machinery (search/SloppyPhraseScorer.java):
   get scored) matches the reference, including its documented
   asymmetries (see the Javadoc example: "a b"~2 on "x a b a y" scores
   1/1 + 1/3).
+
+The per-doc evaluator (``sloppy_phrase_freq``) is the line-faithful
+reference port; ``sloppy_phrase_freq_batch`` runs the IDENTICAL state
+machine doc-parallel — numpy arrays hold every candidate doc's heap
+keys / positions / match state, each iteration advances one event in
+EVERY still-active doc, and the per-iteration work is a handful of
+vectorized ops grouped by leader index (n groups, n = phrase length).
+A high-df phrase over millions of candidates therefore costs
+O(max events per doc) numpy steps of batch width instead of millions
+of interpreted heap traversals.  The heap is modeled as one key slot
+per PhrasePosition (the real heap always holds exactly n−1 entries);
+keys are allowed to go STALE exactly where the reference's rptStack
+drain leaves them stale (the group-blind rptInd match), so the
+repeated-terms quirks survive.  Equivalence batch-vs-scalar is
+hypothesis-gated in tests/test_sloppy.py.
 """
 
 from __future__ import annotations
@@ -170,3 +185,301 @@ def sloppy_phrase_freq(
             freq + np.float32(1.0) / np.float32(match_length + 1)
         )
     return float(freq)
+
+
+# ------------------------------------------------------------------ batch
+_INF = np.int64(np.iinfo(np.int64).max)
+
+
+def _flatten(col) -> "tuple[np.ndarray, np.ndarray]":
+    """Object column of per-doc position arrays → (flat, lens)."""
+    D = len(col)
+    lens = np.zeros(D, dtype=np.int64)
+    parts: list[np.ndarray] = []
+    for d in range(D):
+        a = col[d]
+        if a is None:
+            continue
+        k = len(a)
+        if k:
+            lens[d] = k
+            parts.append(np.asarray(a, dtype=np.int64))
+    flat = np.concatenate(parts) if parts else np.zeros(0, dtype=np.int64)
+    return flat, lens
+
+
+def sloppy_phrase_freq_batch(
+    pos_cols: "list[np.ndarray]",
+    offsets: "list[int]",
+    slop: int,
+    term_idx: "list[int] | None" = None,
+) -> np.ndarray:
+    """Batched phraseFreq: run sloppy_phrase_freq's EXACT state machine
+    over every doc at once.
+
+    ``pos_cols[u]`` is an object ndarray (one per-doc position array —
+    or None — per UNIQUE term); ``offsets``/``term_idx``/``slop`` as in
+    sloppy_phrase_freq.  Returns float32[D] freqs.
+
+    Doc-parallel restatement of the heap traversal: the PhraseQueue is
+    one int64 key slot per PhrasePosition (``hk``; the real heap always
+    holds exactly n−1 entries — every pp except the leader), with
+    key = adjusted_pos·n + perm[j] encoding the (pos, offset, ord)
+    lessThan order; keys go stale exactly where the reference leaves
+    heap entries stale (advanceRpts' group-blind rptStack drain), so
+    the repeated-terms quirks are preserved bit-for-bit.  Each while
+    iteration advances ONE event in every active doc via numpy ops
+    grouped by leader index; float32 accumulation order per doc is
+    identical to the scalar loop.  Equivalence is hypothesis-gated.
+    """
+    n = len(offsets)
+    if term_idx is None:
+        term_idx = list(range(n))
+    if len(term_idx) != n:
+        raise ValueError("term_idx must align with offsets")
+    D = len(pos_cols[0]) if pos_cols else 0
+    freq = np.zeros(D, dtype=np.float32)
+    if n == 0 or D == 0:
+        return freq
+
+    flats: list[np.ndarray] = []
+    lens_u: list[np.ndarray] = []
+    offs_u: list[np.ndarray] = []
+    for col in pos_cols:
+        fl, ln = _flatten(col)
+        flats.append(fl)
+        lens_u.append(ln)
+        off = np.zeros(D + 1, dtype=np.int64)
+        np.cumsum(ln, out=off[1:])
+        offs_u.append(off)
+
+    used = sorted(set(term_idx))
+    alive_mask = np.ones(D, dtype=bool)
+    for u in used:
+        alive_mask &= lens_u[u] > 0
+
+    if n == 1:
+        u = term_idx[0]
+        freq[alive_mask] = lens_u[u][alive_mask].astype(np.float32)
+        return freq
+
+    # repeat groups (phrase positions sharing a term, offset-sorted)
+    by_term: dict[int, list[int]] = {}
+    for j, t in enumerate(term_idx):
+        by_term.setdefault(t, []).append(j)
+    rpt_groups = [
+        sorted(g, key=lambda j: offsets[j])
+        for g in by_term.values()
+        if len(g) > 1
+    ]
+    grp = np.full(n, -1, dtype=np.int64)
+    rpt_ind = np.zeros(n, dtype=np.int64)
+    init_k = np.zeros(n, dtype=np.int64)
+    for gi, g in enumerate(rpt_groups):
+        for k, j in enumerate(g):
+            grp[j] = gi
+            rpt_ind[j] = k
+            init_k[j] = k
+    has_rpts = bool(rpt_groups)
+
+    # advanceRepeatGroups init: the k-th group member needs a k-th
+    # position — docs without one score 0 (scalar early return)
+    for j in range(n):
+        if init_k[j]:
+            alive_mask &= lens_u[term_idx[j]] >= init_k[j] + 1
+    alive = np.nonzero(alive_mask)[0]
+    A = alive.size
+    if A == 0:
+        return freq
+
+    offv = np.asarray(offsets, dtype=np.int64)
+    # perm encodes the heap tie-break (offset, ord) — unique per pp
+    order = sorted(range(n), key=lambda j: (offsets[j], j))
+    perm = np.empty(n, dtype=np.int64)
+    for r, j in enumerate(order):
+        perm[j] = r
+
+    base = np.empty((n, A), dtype=np.int64)   # flat base ptr per pp/doc
+    ln = np.empty((n, A), dtype=np.int64)
+    for j in range(n):
+        u = term_idx[j]
+        base[j] = offs_u[u][alive]
+        ln[j] = lens_u[u][alive]
+
+    idx = np.tile(init_k[:, None], (1, A))
+    cur = np.empty((n, A), dtype=np.int64)
+    for j in range(n):
+        cur[j] = flats[term_idx[j]][base[j] + idx[j]] - offv[j]
+    end = cur.max(axis=0)
+    key0 = cur * n + perm[:, None]
+    ar = np.arange(A)
+    leader = key0.argmin(axis=0)
+    hk = key0
+    hk[leader, ar] = _INF
+    nextp = hk.min(axis=0) // n
+    ml = end - cur[leader, ar]
+    fq = np.zeros(A, dtype=np.float32)
+    done = np.zeros(A, dtype=bool)
+
+    def _score(docs: np.ndarray) -> None:
+        # float32 accumulation identical to the scalar:
+        # freq = f32(freq + f32(1) / f32(ml + 1))
+        m = ml[docs] <= slop
+        dd = docs[m]
+        if dd.size:
+            fq[dd] = fq[dd] + np.float32(1.0) / (ml[dd] + 1).astype(
+                np.float32
+            )
+
+    def _advance(docs: np.ndarray, jarr: np.ndarray) -> np.ndarray:
+        """advance_pp for docs (leader index jarr per doc); returns a
+        bool exhausted mask (cur/end updated for the survivors)."""
+        exh = np.zeros(docs.size, dtype=bool)
+        for j in range(n):
+            m = np.nonzero(jarr == j)[0]
+            if m.size == 0:
+                continue
+            dd = docs[m]
+            ii = idx[j, dd] + 1
+            ex = ii >= ln[j, dd]
+            ok = ~ex
+            do = dd[ok]
+            idx[j, do] = ii[ok]
+            npv = flats[term_idx[j]][base[j, do] + ii[ok]] - offv[j]
+            cur[j, do] = npv
+            end[do] = np.maximum(end[do], npv)
+            exh[m] = ex
+        return exh
+
+    # per-group member matrix for collide()/drain lookups
+    mem = None
+    if has_rpts:
+        gmax = max(len(g) for g in rpt_groups)
+        mem = np.full((len(rpt_groups), gmax), -1, dtype=np.int64)
+        for gi, g in enumerate(rpt_groups):
+            for k, j in enumerate(g):
+                mem[gi, k] = j
+
+    def _advance_rpts(docs: np.ndarray) -> None:
+        """Vectorized advanceRpts for docs whose leader is in a repeat
+        group: resolve actual-position collisions by advancing the
+        lesser pp, then drain-and-requeue heap slots per the rptStack
+        discipline (group-blind rptInd match).  Docs that exhaust a
+        list mid-resolution final-score and go done (scalar `return
+        False` → break → trailing score)."""
+        j_cur = leader[docs].copy()
+        k0 = rpt_ind[leader[docs]]
+        bits = np.zeros(docs.size, dtype=np.int64)
+        act = np.arange(docs.size)
+        while act.size:
+            jj = j_cur[act]
+            colk = np.full(act.size, -1, dtype=np.int64)
+            for j in range(n):
+                if grp[j] < 0:
+                    continue
+                m = np.nonzero(jj == j)[0]
+                if m.size == 0:
+                    continue
+                dd = docs[act[m]]
+                tp = cur[j, dd] + offv[j]
+                found = np.full(m.size, -1, dtype=np.int64)
+                for j2 in rpt_groups[grp[j]]:
+                    if j2 == j:
+                        continue
+                    hit = (found == -1) & (cur[j2, dd] + offv[j2] == tp)
+                    found[hit] = rpt_ind[j2]
+                colk[m] = found
+            hitm = colk >= 0
+            act = act[hitm]
+            if act.size == 0:
+                break
+            kk = colk[hitm]
+            jj = j_cur[act]
+            gg = grp[jj]
+            j2 = mem[gg, kk]
+            dd = docs[act]
+            kj = cur[jj, dd] * n + perm[jj]
+            kj2 = cur[j2, dd] * n + perm[j2]
+            adv = np.where(kj < kj2, jj, j2)
+            exh = _advance(dd, adv)
+            # exhausted: scalar returns False → main breaks → final
+            # score with the CURRENT match length
+            ed = dd[exh]
+            if ed.size:
+                _score(ed)
+                done[ed] = True
+            ok = ~exh
+            act = act[ok]
+            sel = np.nonzero(ok)[0]
+            nb = np.nonzero(kk[ok] != k0[act])[0]
+            if nb.size:
+                a2 = act[nb]
+                bits[a2] |= np.int64(1) << kk[ok][nb]
+            j_cur[act] = adv[ok]
+        # rptStack drain: pop ascending heap keys until every marked
+        # rptInd was seen (group-blind), then requeue the drained pps
+        # at their CURRENT positions — un-drained stale entries stay
+        # stale, as in the reference
+        dm = np.nonzero((bits != 0) & ~done[docs])[0]
+        if dm.size == 0:
+            return
+        dd = docs[dm]
+        bb = bits[dm]
+        drained = np.zeros((n, dm.size), dtype=bool)
+        act2 = np.arange(dm.size)
+        while act2.size:
+            sub = dd[act2]
+            K = hk[:, sub].copy()
+            K[drained[:, act2]] = _INF
+            jq = K.argmin(axis=0)
+            drained[jq, act2] = True
+            rk = rpt_ind[jq]
+            ingrp = grp[jq] >= 0
+            match = ingrp & (((bb[act2] >> rk) & 1) == 1)
+            msel = np.nonzero(match)[0]
+            if msel.size:
+                a3 = act2[msel]
+                bb[a3] &= ~(np.int64(1) << rk[msel])
+            act2 = act2[bb[act2] != 0]
+        for j in range(n):
+            m = drained[j]
+            if m.any():
+                do = dd[m]
+                hk[j, do] = cur[j, do] * n + perm[j]
+
+    act = np.nonzero(~done)[0]
+    while act.size:
+        ld = leader[act]
+        exh = _advance(act, ld)
+        ed = act[exh]
+        if ed.size:
+            _score(ed)
+            done[ed] = True
+        rem = act[~exh]
+        if rem.size and has_rpts:
+            rp = rem[grp[leader[rem]] >= 0]
+            if rp.size:
+                _advance_rpts(rp)
+                rem = rem[~done[rem]]
+        if rem.size:
+            cl = cur[leader[rem], rem]
+            ovm = cl > nextp[rem]
+            ov = rem[ovm]
+            if ov.size:
+                _score(ov)
+                oldl = leader[ov]
+                hk[oldl, ov] = cur[oldl, ov] * n + perm[oldl]
+                nl = hk[:, ov].argmin(axis=0)
+                leader[ov] = nl
+                hk[nl, ov] = _INF
+                nextp[ov] = hk[:, ov].min(axis=0) // n
+                ml[ov] = end[ov] - cur[nl, ov]
+            sh = rem[~ovm]
+            if sh.size:
+                ml[sh] = np.minimum(
+                    ml[sh], end[sh] - cur[leader[sh], sh]
+                )
+        act = np.nonzero(~done)[0]
+
+    freq[alive] = fq
+    return freq

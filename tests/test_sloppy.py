@@ -146,3 +146,72 @@ def test_engine_repeated_terms_scores(searcher):
     # within the slop window scores positively
     assert all(r["score"] > 0 for r in rows)
     assert len(rows) > 0
+
+
+# ------------------------------------------------------- batch kernel
+from lucene_solr_spark.queries.sloppy import sloppy_phrase_freq_batch  # noqa: E402
+
+
+def _batch_vs_scalar(cols, offsets, slop, tidx):
+    D = len(cols[0])
+    batch = sloppy_phrase_freq_batch(cols, offsets, slop, tidx)
+    for d in range(D):
+        lists = [
+            np.asarray(c[d] if c[d] is not None else [], dtype=np.int64)
+            for c in cols
+        ]
+        ref = sloppy_phrase_freq(lists, offsets, slop, tidx)
+        assert batch[d] == ref, (d, ref, batch[d])
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.data())
+def test_batch_kernel_equals_scalar(data):
+    """Doc-parallel batch state machine == per-doc reference port,
+    bit-for-bit (float32 equality), over random position lists incl.
+    repeated terms, None docs, ties, and adjusted-position collisions."""
+    n_uniq = data.draw(st.integers(1, 3))
+    n_pp = data.draw(st.integers(1, 4))
+    tidx = [data.draw(st.integers(0, n_uniq - 1)) for _ in range(n_pp)]
+    offsets = data.draw(
+        st.lists(
+            st.integers(0, 7), min_size=n_pp, max_size=n_pp, unique=True
+        )
+    )
+    slop = data.draw(st.integers(0, 6))
+    D = data.draw(st.integers(1, 12))
+    cols = []
+    for _ in range(n_uniq):
+        col = np.empty(D, dtype=object)
+        for d in range(D):
+            ps = data.draw(
+                st.lists(st.integers(0, 20), max_size=6, unique=True)
+            )
+            col[d] = (
+                None
+                if not ps and data.draw(st.booleans())
+                else np.array(sorted(ps), dtype=np.int64)
+            )
+        cols.append(col)
+    _batch_vs_scalar(cols, offsets, slop, tidx)
+
+
+def test_batch_kernel_repeats_dense_collisions():
+    """Dense repeated-terms stress: every doc drives the collision /
+    rptStack machinery; exact float32 agreement with the scalar."""
+    import random
+
+    rng = random.Random(11)
+    for _ in range(60):
+        D = rng.randint(1, 25)
+        col = np.empty(D, dtype=object)
+        for d in range(D):
+            col[d] = np.array(
+                sorted(rng.sample(range(12), rng.randint(2, 8))),
+                dtype=np.int64,
+            )
+        n_pp = rng.randint(2, 4)
+        tidx = [0] * n_pp  # all phrase positions share ONE term
+        offs = sorted(rng.sample(range(6), n_pp))
+        slop = rng.randint(0, 8)
+        _batch_vs_scalar([col], offs, slop, tidx)

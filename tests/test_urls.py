@@ -98,6 +98,36 @@ def test_canonical_quirks(spark):
     )
 
 
+def test_fragment_semantics(spark):
+    """java.net.URL fragment rules: the '#fragment' survives into
+    url_norm (URI.normalize().toURL().toString() keeps the ref) and a
+    '?' INSIDE the fragment is NOT a query — 'http://h/p#a?b' has
+    getQuery()==null, so toplevel/landingpage checks see no query."""
+    out = _classify(
+        spark,
+        [
+            "http://h.com/a/./b#sec1",       # normalized path + fragment kept
+            "http://h.com/#a?b",             # '?' in fragment: NOT a query
+            "http://h.com/?q=1#frag",        # query AND fragment
+            "http://h.com/a/index.html#top", # fragment doesn't unblock landing
+        ],
+    )
+    assert out["http://h.com/a/./b#sec1"].url_norm == "http://h.com/a/b#sec1"
+    r = out["http://h.com/#a?b"]
+    assert r.url_norm == "http://h.com/#a?b"
+    # no query: root stays toplevel + landing despite the '?' in the fragment
+    assert (r.url_toplevel, r.url_landingpage) == (1, 1)
+    q = out["http://h.com/?q=1#frag"]
+    assert q.url_norm == "http://h.com/?q=1#frag"
+    assert (q.url_toplevel, q.url_landingpage) == (0, 0)
+    lp = out["http://h.com/a/index.html#top"]
+    # landing suffix check runs on getPath() (fragment-free) with no query
+    assert lp.url_landingpage == 1
+    # canonical replaceFirst('/'+lps+'$') is anchored on the FULL string:
+    # a trailing fragment means no match, url returned unchanged
+    assert lp.url_canonical == "http://h.com/a/index.html#top"
+
+
 def test_domain_and_port_preserved(spark):
     out = _classify(spark, ["https://Sub.Host.com:8080/a/"])
     r = out["https://Sub.Host.com:8080/a/"]
