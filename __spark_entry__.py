@@ -464,6 +464,20 @@ def q_multi_phrase(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _scored(s.docs(q))
 
 
+def q_multi_phrase_sloppy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sloppy MultiPhraseQuery '(spark|data) window'~2
+    (MultiPhraseQuery.java:55,83-90 setSlop → SloppyPhraseScorer over
+    each slot's UNION postings).  Slot term sets are disjoint, so the
+    two-list closed form of the sloppy traversal extends verbatim with
+    slot 0 = union(spark, data) positions; idf sums over ALL slot
+    terms (MultiPhraseQuery.createWeight).  Goldens mirroring
+    TestMultiPhraseQuery's slop cases live in
+    tests/test_multiphrase_sloppy.py."""
+    s = _searcher(spark, sf_dir)
+    q = MultiPhraseQuery((("spark", "data"), ("window",)), slop=2)
+    return _scored(s.docs(q))
+
+
 def q_function_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Function-query scoring: recip + linear over a field
     (ValueSourceParser.java: 'recip'/'linear'/'scale';
@@ -5765,6 +5779,7 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # exact-double mode; two-term sloppy closed form) ---------------
         "wand_topk": q_wand_topk,
         "sloppy_phrase": q_sloppy_phrase,
+        "multi_phrase_sloppy": q_multi_phrase_sloppy,
         "unified_highlight": q_unified_highlight,
         # -- never gated in round 1 ------------------------------------
         "span_near_ordered": q_span_near_ordered,
@@ -8568,6 +8583,42 @@ fr AS (
   GROUP BY doc_id
 ),
 {_span_score("'spark', 'window'")}
+"""
+
+    # sloppy multi-phrase: the SAME two-list closed form as
+    # sloppy_phrase, with slot 0 the UNION of spark+data positions
+    # (one token per position, so the union stays duplicate-free) and
+    # the idf sum over all three slot terms
+    sqls["multi_phrase_sloppy"] = f"""
+WITH {_IDX},
+merged AS (
+  SELECT doc_id, pos AS adj, 0 AS lst FROM kept WHERE term IN ('spark', 'data')
+  UNION ALL
+  SELECT doc_id, pos - 1 AS adj, 1 AS lst FROM kept WHERE term = 'window'
+),
+withpred AS (
+  SELECT doc_id, adj, lst,
+         COALESCE(lag(adj) OVER (PARTITION BY doc_id, lst ORDER BY adj),
+                  -999999) AS pred
+  FROM merged
+),
+seq AS (
+  SELECT doc_id, adj, lst,
+         lead(adj) OVER (PARTITION BY doc_id
+           ORDER BY adj, pred DESC,
+                    CASE WHEN pred = -999999 THEN lst ELSE -lst END) AS nadj,
+         lead(lst) OVER (PARTITION BY doc_id
+           ORDER BY adj, pred DESC,
+                    CASE WHEN pred = -999999 THEN lst ELSE -lst END) AS nlst
+  FROM withpred
+),
+fr AS (
+  SELECT doc_id, sum(1.0 / (1 + nadj - adj)) AS freq
+  FROM seq
+  WHERE nlst IS NOT NULL AND nlst <> lst AND nadj - adj <= 2
+  GROUP BY doc_id
+),
+{_span_score("'spark', 'data', 'window'")}
 """
 
     sqls["synonym_query"] = f"""

@@ -165,6 +165,7 @@ def minhash_lsh_pairs(
     threshold: float = 0.5,
     id_col: str = "doc_id",
     text_col: str = "text",
+    max_bucket_size: int = 1000,
 ) -> DataFrame:
     """Near-dup pairs via banded MinHash-LSH, verified with exact Jaccard.
 
@@ -172,6 +173,22 @@ def minhash_lsh_pairs(
     all collide (bucket join on (band_id, band_hash)); candidates are
     then verified against the true n-gram Jaccard — no false positives
     survive, recall is the standard LSH S-curve.
+
+    Hot-bucket guard (``max_bucket_size``): a degenerate bucket —
+    thousands of identical boilerplate docs, the NORM in web corpora —
+    would emit O(|bucket|²) candidate pairs inside one join key.
+    Buckets above the cap therefore switch from clique emission to the
+    signature-collapse path: docs with an IDENTICAL full minhash
+    signature group under a representative (min doc id) and emit
+    |group|−1 star edges, and only the per-signature representatives
+    pair clique-wise within the bucket.  Connectivity (what
+    dedup_clusters consumes) is preserved — members reach each other
+    through their representative — while the emitted edge count drops
+    from quadratic to linear in the bucket size.  A bucket whose
+    DISTINCT-signature count still exceeds the cap is dropped from
+    pair generation, the same documented recall trade as
+    ngram_jaccard_pairs' ``max_shingle_df`` hot-shingle guard.
+    Buckets at or under the cap are emitted exactly as before.
     """
     assert num_hashes % bands == 0
     rows = num_hashes // bands
@@ -204,17 +221,76 @@ def minhash_lsh_pairs(
     buckets = sig.select(
         "doc_id", F.explode(F.array(*band_cols)).alias("b")
     ).select("doc_id", F.col("b.band").alias("band"), F.col("b.bh").alias("bh"))
-    a, b = buckets.alias("a"), buckets.alias("b")
-    cand = (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.bh") == F.col("b.bh"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(F.col("a.doc_id").alias("ida"), F.col("b.doc_id").alias("idb"))
-        .distinct()
+    # hot-bucket census: one partial+final count per (band, bh); the
+    # over-cap list is ≤ bands·n/max_bucket_size rows, so materializing
+    # it on the driver is bounded by construction at any corpus size.
+    # The common case — no hot buckets — then keeps the plain clique
+    # plan with zero extra joins.
+    hot_rows = (
+        buckets.groupBy("band", "bh")
+        .agg(F.count(F.lit(1)).alias("_bsz"))
+        .filter(F.col("_bsz") > max_bucket_size)
+        .select("band", "bh")
+        .collect()
     )
+
+    def _clique(bk: DataFrame) -> DataFrame:
+        a, b = bk.alias("a"), bk.alias("b")
+        return (
+            a.join(
+                b,
+                (F.col("a.band") == F.col("b.band"))
+                & (F.col("a.bh") == F.col("b.bh"))
+                & (F.col("a.doc_id") < F.col("b.doc_id")),
+            )
+            .select(
+                F.col("a.doc_id").alias("ida"), F.col("b.doc_id").alias("idb")
+            )
+        )
+
+    if not hot_rows:
+        cand = _clique(buckets).distinct()
+    else:
+        spark = df.sparkSession
+        hot = F.broadcast(
+            spark.createDataFrame(
+                [(int(r["band"]), int(r["bh"])) for r in hot_rows],
+                "band int, bh long",
+            )
+        )
+        cold = buckets.join(hot, ["band", "bh"], "left_anti")
+        sig_cols = [f"mh{i}" for i in range(num_hashes)]
+        hot_members = buckets.join(hot, ["band", "bh"], "left_semi")
+        hot_sig = sig.join(
+            hot_members.select("doc_id").distinct(), "doc_id", "left_semi"
+        )
+        # identical-signature groups → star edges to the min-id rep
+        reps = hot_sig.groupBy(*sig_cols).agg(F.min("doc_id").alias("_rep"))
+        star = (
+            hot_sig.join(reps, sig_cols)
+            .filter(F.col("doc_id") != F.col("_rep"))
+            .select(F.col("_rep").alias("ida"), F.col("doc_id").alias("idb"))
+        )
+        # reps pair clique-wise within their hot buckets; a bucket whose
+        # rep count still exceeds the cap is dropped (documented guard)
+        rep_b = hot_members.join(
+            reps.select(F.col("_rep").alias("doc_id")), "doc_id", "left_semi"
+        )
+        rep_hot = (
+            rep_b.groupBy("band", "bh")
+            .agg(F.count(F.lit(1)).alias("_rsz"))
+            .filter(F.col("_rsz") > max_bucket_size)
+            .select("band", "bh")
+        )
+        rep_cold = rep_b.join(
+            F.broadcast(rep_hot), ["band", "bh"], "left_anti"
+        )
+        cand = (
+            _clique(cold)
+            .unionByName(star)
+            .unionByName(_clique(rep_cold))
+            .distinct()
+        )
     # Exact-Jaccard verification of CANDIDATES ONLY (never all pairs —
     # the candidate set is what makes LSH sub-quadratic at 10^12 docs).
     # Per-pair array_intersect over the per-doc shingle arrays: the two

@@ -190,16 +190,25 @@ class MultiPhraseQuery(Query):
     """Phrase with term alternatives per position slot.
 
     Ref: search/MultiPhraseQuery.java — each slot is a term set; the
-    position join unions each slot's postings first."""
+    position join unions each slot's postings first.  ``slop`` follows
+    Builder.setSlop (MultiPhraseQuery.java:83-90, rejecting negatives)
+    and routes execution through the SloppyPhraseScorer machinery with
+    the slot's union postings as one PhrasePositions each; slots with
+    OVERLAPPING term sets would take the reference's multi-term repeat
+    branch, which is not implemented (loud NotImplementedError at
+    execution)."""
 
     slots: tuple[tuple[str, ...], ...]
     positions: tuple[int, ...] = ()
+    slop: int = 0
 
     def __post_init__(self) -> None:
         if not self.positions:
             object.__setattr__(self, "positions", tuple(range(len(self.slots))))
         if len(self.positions) != len(self.slots):
             raise ValueError("slots and positions must align")
+        if self.slop < 0:
+            raise ValueError("slop value cannot be negative")
 
 
 @dataclass(frozen=True)

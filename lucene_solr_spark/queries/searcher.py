@@ -1111,6 +1111,44 @@ class IndexSearcher:
                 )
             )
             base = pl if base is None else base.join(pl, "doc_id", "inner")
+        if q.slop > 0:
+            # sloppy multi-phrase (MultiPhraseQuery.java:55,83-90 →
+            # SloppyPhraseScorer): each slot's UNION postings are one
+            # PhrasePositions; with disjoint slot term sets these are
+            # ordinary distinct pps, so the doc-parallel sloppy batch
+            # kernel applies as-is.  Overlapping slot term sets would
+            # take the reference's multi-term repeat branch
+            # (SloppyPhraseScorer.java:300-345) — not implemented.
+            seen: set[str] = set()
+            for slot in q.slots:
+                s = set(slot)
+                if seen & s:
+                    raise NotImplementedError(
+                        "sloppy MultiPhraseQuery with a term shared "
+                        "across slots (the SloppyPhraseScorer "
+                        "multi-term repeat branch) is not implemented"
+                    )
+                seen |= s
+            from lucene_solr_spark.queries.sloppy import (
+                sloppy_phrase_freq_batch,
+            )
+
+            offs = [int(p) for p in q.positions]
+            slop = int(q.slop)
+
+            @F.pandas_udf("float")
+            def msloppy_udf(*pcols: pd.Series) -> pd.Series:
+                cols = [c.to_numpy() for c in pcols]
+                return pd.Series(
+                    sloppy_phrase_freq_batch(cols, offs, slop)
+                )
+
+            out = base.withColumn(
+                "freq",
+                msloppy_udf(*[F.col(f"_p{i}") for i in range(len(q.slots))]),
+            ).filter(F.col("freq") > 0)
+            return _score(out).select("doc_id", "score")
+
         def _shift(col_name: str, off: int):
             # NB: F.transform dispatches on lambda arity — bind via closure
             return F.transform(F.col(col_name), lambda x: x - F.lit(off))

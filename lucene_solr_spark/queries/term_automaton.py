@@ -150,13 +150,14 @@ def _count_matches(
     return freq
 
 
-def automaton_freqs_batch(
+def automaton_freqs_loop(
     taq: TermAutomatonQuery,
     pos_lists: dict[str, np.ndarray],
     n_rows: int,
 ) -> np.ndarray:
-    """Per-doc freq for a batch: pos_lists[term][row] is that row's
-    position array (or None)."""
+    """Per-doc reference evaluator (the literal countMatches port run
+    one doc at a time) — kept as the equivalence oracle for the batch
+    kernel's tests."""
     dfa = taq._dfa
     if dfa is None:
         raise RuntimeError("finish() first")
@@ -172,6 +173,156 @@ def automaton_freqs_batch(
             events.extend((int(p), t) for p in pl)
         events.sort(key=lambda e: e[0])
         out[i] = _count_matches(events, dfa, has_any)
+    return out
+
+
+def _dfa_tables(dfa: _DFA, terms: list[str], has_any: bool):
+    """DFA → dense tables: S (state count), per-label 0/1 transition
+    matrices (row s has a single 1 at step(s, lab) — function
+    matrices, closed under product), the start-seed state per term,
+    and the accept-state mask."""
+    states = {0} | set(dfa.accept)
+    for (s, _lab), d in dfa.step.items():
+        states.add(s)
+        states.add(d)
+    S = max(states) + 1
+    labs = list(terms) + ([ANY] if has_any else [])
+    mats: dict[str, np.ndarray] = {}
+    for lab in labs:
+        m = np.zeros((S, S), dtype=np.int64)
+        for s in range(S):
+            d = dfa.step.get((s, lab))
+            if d is not None:
+                m[s, d] = 1
+        mats[lab] = m
+    seeds = {t: dfa.step.get((0, t)) for t in terms}
+    acc = np.zeros(S, dtype=bool)
+    for s in dfa.accept:
+        acc[s] = True
+    return S, mats, seeds, acc
+
+
+def automaton_freqs_batch(
+    taq: TermAutomatonQuery,
+    pos_lists: dict[str, np.ndarray],
+    n_rows: int,
+) -> np.ndarray:
+    """Per-doc freq for a batch: pos_lists[term][row] is that row's
+    position array (or None).
+
+    Doc-parallel restatement of countMatches: the per-position state
+    multiset becomes an int64 counts-vector per doc (multiplicity =
+    distinct start offsets, exactly what the scorer's state lists
+    hold), so one event step for EVERY doc is a handful of (docs × S)
+    @ (S × S) integer matmuls grouped by the event's term.  The sweep
+    iterates over event INDEX (k-th event of each doc), not over docs;
+    ANY-gap propagation between consecutive events applies
+    M_ANY^gap via binary exponentiation of the function matrix, bit
+    by bit over the per-doc gap lengths.  Same-position events consume
+    the same source frontier and accumulate into position+1, matching
+    the scorer's append discipline.  Equivalence with the per-doc port
+    is property-gated (tests/test_term_automaton_property.py)."""
+    dfa = taq._dfa
+    if dfa is None:
+        raise RuntimeError("finish() first")
+    has_any = taq.has_any
+    out = np.zeros(n_rows, dtype=np.float64)
+    terms = list(pos_lists)
+    if n_rows == 0 or not terms:
+        return out
+    S, mats, seeds, acc = _dfa_tables(dfa, terms, has_any)
+
+    # flatten (doc, position, term) events; stable order (doc, pos,
+    # term-index) replicates the scalar's stable position sort over
+    # dict-ordered term lists
+    pos_parts: list[np.ndarray] = []
+    doc_parts: list[np.ndarray] = []
+    ti_parts: list[np.ndarray] = []
+    for tix, t in enumerate(terms):
+        col = pos_lists[t]
+        for d in range(n_rows):
+            pl = col[d]
+            if pl is None or len(pl) == 0:
+                continue
+            a = np.asarray(pl, dtype=np.int64)
+            pos_parts.append(a)
+            doc_parts.append(np.full(len(a), d, dtype=np.int64))
+            ti_parts.append(np.full(len(a), tix, dtype=np.int64))
+    if not pos_parts:
+        return out
+    pos = np.concatenate(pos_parts)
+    docs = np.concatenate(doc_parts)
+    ti = np.concatenate(ti_parts)
+    order = np.lexsort((ti, pos, docs))
+    pos, docs, ti = pos[order], docs[order], ti[order]
+    counts = np.bincount(docs, minlength=n_rows)
+    off = np.zeros(n_rows + 1, dtype=np.int64)
+    np.cumsum(counts, out=off[1:])
+    live = np.nonzero(counts)[0]
+    L = live.size
+    nev = counts[live]
+    base_off = off[live]
+
+    Cp = np.zeros((L, S), dtype=np.int64)  # frontier at pp
+    Cn = np.zeros((L, S), dtype=np.int64)  # frontier at pp + 1
+    pp = np.full(L, -1, dtype=np.int64)    # previous event position
+    freq = np.zeros(L, dtype=np.int64)
+    m_any = mats.get(ANY)
+    any_pows: list[np.ndarray] = [m_any] if m_any is not None else []
+
+    maxev = int(nev.max())
+    for k in range(maxev):
+        act = np.nonzero(nev > k)[0]
+        e = base_off[act] + k
+        p = pos[e]
+        t = ti[e]
+        same = p == pp[act]
+        src = np.zeros((act.size, S), dtype=np.int64)
+        sm = np.nonzero(same)[0]
+        if sm.size:
+            src[sm] = Cp[act[sm]]
+        nsm = np.nonzero(~same)[0]
+        if nsm.size:
+            nd = act[nsm]
+            if has_any:
+                base = Cn[nd] + Cp[nd] @ m_any
+                gap = p[nsm] - pp[nd] - 1
+                mass = base.any(axis=1)
+                hot = np.nonzero(mass & (gap > 0))[0]
+                if hot.size:
+                    g = gap[hot]
+                    maxg = int(g.max())
+                    b = 0
+                    while (1 << b) <= maxg:
+                        if b >= len(any_pows):
+                            any_pows.append(
+                                any_pows[b - 1] @ any_pows[b - 1]
+                            )
+                        sel = np.nonzero((g >> b) & 1)[0]
+                        if sel.size:
+                            base[hot[sel]] = base[hot[sel]] @ any_pows[b]
+                        b += 1
+                src[nsm] = base
+            else:
+                adj = np.nonzero(p[nsm] == pp[nd] + 1)[0]
+                if adj.size:
+                    src[nsm[adj]] = Cn[nd[adj]]
+        stepped = np.zeros_like(src)
+        for tt in np.unique(t):
+            m = np.nonzero(t == tt)[0]
+            stepped[m] = src[m] @ mats[terms[tt]]
+            s0 = seeds[terms[tt]]
+            if s0 is not None:
+                stepped[m, s0] += 1
+        freq[act] += stepped[:, acc].sum(axis=1)
+        if sm.size:
+            Cn[act[sm]] += stepped[sm]
+        if nsm.size:
+            nd = act[nsm]
+            Cp[nd] = src[nsm]
+            Cn[nd] = stepped[nsm]
+            pp[nd] = p[nsm]
+    out[live] = freq.astype(np.float64)
     return out
 
 

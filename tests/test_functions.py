@@ -588,3 +588,49 @@ def test_temperature_mixture_expected_repeats(spark):
     assert set(small) <= {2, 3}
     frac = sum(1 for x in small if x == 3) / len(small)
     assert 0.55 <= frac <= 1.0  # E=0.828, 50 draws: loose md5-uniform band
+
+
+def test_minhash_lsh_hot_bucket_cap(spark):
+    """A degenerate bucket (hundreds of identical boilerplate docs)
+    must not go quadratic: above max_bucket_size the pairs collapse to
+    star edges around the min-id representative (plus rep-level clique
+    edges), so the emitted edge count is linear in the bucket size and
+    connected-components clustering still groups every copy."""
+    import time
+
+    boiler = "the quick brown fox jumps over the lazy dog again and again"
+    rows = [(i, boiler) for i in range(300)]
+    rows += [(1000, "completely different text with novel words here")]
+    rows += [(1001, boiler.replace("dog", "cat"))]  # near dup of boiler
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    t0 = time.time()
+    pairs = minhash_lsh_pairs(df, threshold=0.5, max_bucket_size=50).collect()
+    elapsed = time.time() - t0
+    got = {(r["ida"], r["idb"]) for r in pairs}
+    # linear, not quadratic: 300 identical docs → 299 star edges (+ the
+    # rep-level near-dup edge), nowhere near the 300*299/2 clique
+    assert len(got) < 350, len(got)
+    assert all((0, i) in got for i in range(1, 300))
+    # the near dup still pairs through the representative
+    assert (0, 1001) in got
+    assert not any(1000 in p for p in got)
+    # connectivity: clustering groups all 300 copies + the near dup
+    from lucene_solr_spark.functions.dedup import dedup_clusters
+
+    clusters = dedup_clusters(
+        spark.createDataFrame(
+            [(a, b) for a, b in got], "ida long, idb long"
+        )
+    ).collect()
+    comp = {r["doc_id"]: r["rep"] for r in clusters}
+    assert len({comp[i] for i in range(300)} | {comp[1001]}) == 1
+
+    # under the cap the exact clique semantics are unchanged
+    small = spark.createDataFrame(rows[:4], "doc_id long, text string")
+    clique = {
+        (r["ida"], r["idb"])
+        for r in minhash_lsh_pairs(small, threshold=0.5).collect()
+    }
+    assert {(0, 1), (0, 2), (0, 3), (1, 2), (1, 3), (2, 3)} <= clique
+    assert elapsed < 120

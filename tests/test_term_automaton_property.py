@@ -87,3 +87,48 @@ def test_sweep_equals_per_start_simulation():
         if want:
             checked_nonzero += 1
     assert checked_nonzero > 30  # the trials actually exercise matches
+
+
+def test_batch_kernel_equals_per_doc_port():
+    """The doc-parallel counts-vector kernel (automaton_freqs_batch)
+    equals the literal countMatches port (automaton_freqs_loop) on
+    random automata — ANY gaps, same-position multi-term events, None
+    docs — exactly (integer freqs)."""
+    import numpy as np
+
+    from lucene_solr_spark.queries.term_automaton import (
+        TermAutomatonQuery,
+        automaton_freqs_batch,
+        automaton_freqs_loop,
+    )
+
+    rng = np.random.default_rng(17)
+    for _ in range(200):
+        n_states = int(rng.integers(2, 6))
+        terms = [f"t{i}" for i in range(int(rng.integers(1, 4)))]
+        taq = TermAutomatonQuery()
+        for _t in range(int(rng.integers(1, 8))):
+            s, d = int(rng.integers(0, n_states)), int(rng.integers(0, n_states))
+            if rng.random() < 0.3:
+                taq.add_any_transition(s, d)
+            else:
+                taq.add_transition(s, d, terms[int(rng.integers(0, len(terms)))])
+        taq.set_accept(int(rng.integers(0, n_states)))
+        taq.finish()
+        D = int(rng.integers(1, 16))
+        pls = {}
+        for t in terms:
+            col = np.empty(D, dtype=object)
+            for d in range(D):
+                k = int(rng.integers(0, 6))
+                col[d] = (
+                    None
+                    if (k == 0 and rng.random() < 0.5)
+                    else np.sort(
+                        rng.choice(np.arange(0, 15), size=k, replace=False)
+                    ).astype(np.int64)
+                )
+            pls[t] = col
+        a = automaton_freqs_loop(taq, pls, D)
+        b = automaton_freqs_batch(taq, pls, D)
+        assert np.array_equal(a, b), (a, b)
