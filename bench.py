@@ -58,6 +58,15 @@ BENCH_QUERIES = [
     "quality_score",
     "language_id",
     "embedding_pairs_exact",
+    # round-3 heavy additions (previously unbenched — regressions in
+    # them were invisible) + round-4 operators
+    "semantic_dedup",
+    "substring_dedup",
+    "lm_perplexity",
+    "url_dedup",
+    "leakage_safe_split",
+    "multi_phrase_sloppy",
+    "collation_sort",
     # stream_sessionize is a correctness gate, not a throughput
     # headline: its wall is dominated by streaming-checkpoint fixed
     # costs (~20s regardless of data), which would only add noise here.
