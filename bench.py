@@ -67,6 +67,8 @@ BENCH_QUERIES = [
     "leakage_safe_split",
     "multi_phrase_sloppy",
     "collation_sort",
+    # high-df sloppy phrase — direct reading on the batched kernel
+    "sloppy_phrase",
     # stream_sessionize is a correctness gate, not a throughput
     # headline: its wall is dominated by streaming-checkpoint fixed
     # costs (~20s regardless of data), which would only add noise here.

@@ -479,7 +479,9 @@ def sloppy_phrase_freq_batch(
                 ml[sh] = np.minimum(
                     ml[sh], end[sh] - cur[leader[sh], sh]
                 )
-        act = np.nonzero(~done)[0]
+        # incremental active set: rem already excludes this step's
+        # exhausted/finished docs (no full-array rescan per event)
+        act = rem
 
     freq[alive] = fq
     return freq
