@@ -464,6 +464,21 @@ def q_multi_phrase(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _scored(s.docs(q))
 
 
+def q_precedence_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PrecedenceQueryParser (queryparser/flexible/precedence/): AND
+    binds tighter than OR, so 'spark AND window OR vector' executes as
+    '(+spark +window) vector' — the AND group scores only where BOTH
+    terms match, vector scores independently, SHOULD-sum combines
+    (classic would produce '+spark +window vector', a different doc
+    set).  Pinned structurally by tests/test_classic.py against
+    TestPrecedenceQueryParser's goldens."""
+    from lucene_solr_spark.queries.parser import parse_precedence_query
+
+    s = _searcher(spark, sf_dir)
+    q = parse_precedence_query("spark AND window OR vector")
+    return _scored(s.docs(q))
+
+
 def q_collation_sort(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ICU locale collation sort + range (ICUCollationKeyAnalyzer.java /
     Solr ICUCollationField → Spark's NATIVE Catalyst ICU 'de'
@@ -5807,6 +5822,7 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sloppy_phrase": q_sloppy_phrase,
         "multi_phrase_sloppy": q_multi_phrase_sloppy,
         "collation_sort": q_collation_sort,
+        "precedence_parse": q_precedence_parse,
         "unified_highlight": q_unified_highlight,
         # -- never gated in round 1 ------------------------------------
         "span_near_ordered": q_span_near_ordered,
@@ -8610,6 +8626,22 @@ fr AS (
   GROUP BY doc_id
 ),
 {_span_score("'spark', 'window'")}
+"""
+
+    # precedence parser: the (+spark +window) group scores only where
+    # both terms match; vector joins by SHOULD-sum
+    sqls["precedence_parse"] = f"""
+WITH {_IDX},
+s1 AS ({_bm25_sql("spark")}),
+s2 AS ({_bm25_sql("window")}),
+s3 AS ({_bm25_sql("vector")}),
+g1 AS (
+  SELECT s1.doc_id, s1.score + s2.score AS score
+  FROM s1 JOIN s2 USING (doc_id)
+),
+u AS (SELECT * FROM g1 UNION ALL SELECT * FROM s3),
+scored AS (SELECT doc_id, sum(score) AS score FROM u GROUP BY doc_id)
+SELECT doc_id, ROUND(score, 4) AS score FROM scored
 """
 
     # ICU 'de' collation ranks: DuckDB's ICU collation mirrors Spark's

@@ -65,11 +65,13 @@ class _Parser:
         tokens: list[str],
         analyze: Callable[[str], tuple[list[str], list[int]]],
         fields: frozenset[str] = frozenset(),
+        precedence: bool = False,
     ):
         self.toks = tokens
         self.i = 0
         self.analyze = analyze
         self.fields = fields
+        self.precedence = precedence
 
     def peek(self) -> str | None:
         return self.toks[self.i] if self.i < len(self.toks) else None
@@ -85,6 +87,81 @@ class _Parser:
         return q
 
     def query(self) -> Query:
+        if self.precedence:
+            return self.query_precedence()
+        return self.query_classic()
+
+    def query_precedence(self) -> Query:
+        """PrecedenceQueryParser semantics (queryparser/flexible/
+        precedence/processors/BooleanModifiersQueryNodeProcessor.java):
+        AND binds tighter than OR — consecutive AND-joined clauses form
+        one MUST group, OR separates SHOULD clauses at the outer level.
+        Pinned on TestPrecedenceQueryParser: 'a AND b' → '+a +b',
+        'c OR (a AND b)' → 'c (+a +b)', 'a AND NOT b' → '+a -b',
+        '((a OR b) AND NOT c) OR d' → '(+(a b) -c) d'."""
+        segs: list[list[BooleanClause]] = []
+        pend_and = False
+        while True:
+            tok = self.peek()
+            if tok is None or tok == ")":
+                break
+            if tok in ("AND", "&&"):
+                self.next()
+                pend_and = True
+                continue
+            if tok in ("OR", "||"):
+                self.next()
+                pend_and = False
+                continue
+            occur = Occur.SHOULD
+            if tok in ("NOT", "!"):
+                self.next()
+                occur = Occur.MUST_NOT
+                tok = self.peek()
+            elif tok == "+":
+                self.next()
+                occur = Occur.MUST
+                tok = self.peek()
+            elif tok == "-":
+                self.next()
+                occur = Occur.MUST_NOT
+                tok = self.peek()
+            if tok is None or tok == ")":
+                break
+            sub = self.atom()
+            nxt = self.peek()
+            if nxt and nxt.startswith("^"):
+                self.next()
+                sub = BoostQuery(sub, float(nxt[1:]))
+            if sub is None:  # stopword-only clause drops out
+                pend_and = False
+                continue
+            cl = BooleanClause(occur, sub)
+            if pend_and and segs:
+                seg = segs[-1]
+                if seg[-1].occur == Occur.SHOULD:
+                    seg[-1] = BooleanClause(Occur.MUST, seg[-1].query)
+                if cl.occur == Occur.SHOULD:
+                    cl = BooleanClause(Occur.MUST, cl.query)
+                seg.append(cl)
+            else:
+                segs.append([cl])
+            pend_and = False
+        if not segs:
+            return MatchNoDocsQuery("empty query")
+        outs: list[BooleanClause] = []
+        for seg in segs:
+            if len(seg) == 1:
+                outs.append(seg[0])
+            else:
+                outs.append(
+                    BooleanClause(Occur.SHOULD, BooleanQuery(tuple(seg)))
+                )
+        if len(outs) == 1 and outs[0].occur in (Occur.SHOULD, Occur.MUST):
+            return outs[0].query
+        return BooleanQuery(tuple(outs))
+
+    def query_classic(self) -> Query:
         """Clause list with Lucene's addClause conjunction semantics
         (queryparser/classic/QueryParserBase.java addClause)."""
         clauses: list[BooleanClause] = []
@@ -219,3 +296,37 @@ def parse_query(
     produces ``FieldQuery(name, ...)``; unknown prefixes are stripped
     (single-field compatibility)."""
     return _Parser(_lex(text), analyze, frozenset(fields)).parse()
+
+
+def parse_flexible_query(
+    text: str,
+    analyze: Callable[[str], tuple[list[str], list[int]]] = analyze_text,
+    fields: frozenset[str] | set[str] = frozenset(),
+) -> Query:
+    """The flexible StandardQueryParser surface
+    (queryparser/flexible/standard/StandardQueryParser.java).
+
+    At the reference's 7.x behavior the flexible parser is a
+    reimplementation of the classic grammar with IDENTICAL semantics
+    for everything this engine's subset covers (same default-OR, same
+    addClause conjunction promotion, same modifiers/boosts/ranges/
+    fuzzy/wildcards), so this is a documented alias of parse_query.
+    Known deltas OUTSIDE the subset, for migrators: the flexible
+    parser's pluggable processor pipeline (custom QueryNodeProcessors),
+    numeric PointsConfig fields, and interval functions (8.x+) are not
+    part of the classic subset here — use the engine's typed query
+    objects for those."""
+    return parse_query(text, analyze, fields)
+
+
+def parse_precedence_query(
+    text: str,
+    analyze: Callable[[str], tuple[list[str], list[int]]] = analyze_text,
+    fields: frozenset[str] | set[str] = frozenset(),
+) -> Query:
+    """PrecedenceQueryParser (queryparser/flexible/precedence/): same
+    grammar, but AND binds tighter than OR — 'a AND b OR c' parses as
+    '(+a +b) c' instead of classic's '+a +b c'."""
+    return _Parser(
+        _lex(text), analyze, frozenset(fields), precedence=True
+    ).parse()

@@ -193,10 +193,11 @@ class MultiPhraseQuery(Query):
     position join unions each slot's postings first.  ``slop`` follows
     Builder.setSlop (MultiPhraseQuery.java:83-90, rejecting negatives)
     and routes execution through the SloppyPhraseScorer machinery with
-    the slot's union postings as one PhrasePositions each; slots with
-    OVERLAPPING term sets would take the reference's multi-term repeat
-    branch, which is not implemented (loud NotImplementedError at
-    execution)."""
+    the slot's union postings as one PhrasePositions each — INCLUDING
+    the multi-term repeat branch for overlapping slot term sets
+    (connected-component repeat groups + iterative collision init,
+    SloppyPhraseScorer.java:285-345; goldens mirror
+    TestMultiPhraseQuery.testZeroPosIncrSloppy*)."""
 
     slots: tuple[tuple[str, ...], ...]
     positions: tuple[int, ...] = ()

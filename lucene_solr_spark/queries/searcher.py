@@ -1114,39 +1114,79 @@ class IndexSearcher:
         if q.slop > 0:
             # sloppy multi-phrase (MultiPhraseQuery.java:55,83-90 →
             # SloppyPhraseScorer): each slot's UNION postings are one
-            # PhrasePositions; with disjoint slot term sets these are
-            # ordinary distinct pps, so the doc-parallel sloppy batch
-            # kernel applies as-is.  Overlapping slot term sets would
-            # take the reference's multi-term repeat branch
-            # (SloppyPhraseScorer.java:300-345) — not implemented.
-            seen: set[str] = set()
-            for slot in q.slots:
-                s = set(slot)
-                if seen & s:
-                    raise NotImplementedError(
-                        "sloppy MultiPhraseQuery with a term shared "
-                        "across slots (the SloppyPhraseScorer "
-                        "multi-term repeat branch) is not implemented"
-                    )
-                seen |= s
+            # PhrasePositions.  Repeat classification mirrors
+            # repeatingPPs (SloppyPhraseScorer.java:467-480): terms in
+            # ≥2 slots repeat; hasMultiTermRpts iff a repeating term
+            # touches a multi-term slot.  Without multi-term repeats,
+            # pps with IDENTICAL slot keys are exactly the reference's
+            # repeat groups, so the doc-parallel batch kernel applies
+            # with pseudo-term ids; with them, the per-doc generalized
+            # engine (sloppy_phrase_freq_slots — the full MTP branch:
+            # connected-component groups + iterative init) runs per
+            # candidate row, like the reference's own sequential
+            # scorer.
             from lucene_solr_spark.queries.sloppy import (
                 sloppy_phrase_freq_batch,
+                sloppy_phrase_freq_slots,
             )
 
             offs = [int(p) for p in q.positions]
             slop = int(q.slop)
+            live_slots = [
+                tuple(t for t in slot if stats[t][0] > 0) for slot in q.slots
+            ]
+            tcnt: dict[str, int] = {}
+            for slot in live_slots:
+                for t in slot:
+                    tcnt[t] = tcnt.get(t, 0) + 1
+            rpt = {t for t, c in tcnt.items() if c >= 2}
+            has_mtp = any(len(s) > 1 and set(s) & rpt for s in live_slots)
+            # one positions column per DISTINCT slot key (union
+            # postings computed once, shared by repeated slots)
+            key_ids: dict[tuple[str, ...], int] = {}
+            tidx = [
+                key_ids.setdefault(tuple(sorted(s)), len(key_ids))
+                for s in live_slots
+            ]
+            ncols = len(key_ids)
 
-            @F.pandas_udf("float")
-            def msloppy_udf(*pcols: pd.Series) -> pd.Series:
-                cols = [c.to_numpy() for c in pcols]
-                return pd.Series(
-                    sloppy_phrase_freq_batch(cols, offs, slop)
-                )
+            if not has_mtp:
 
-            out = base.withColumn(
-                "freq",
-                msloppy_udf(*[F.col(f"_p{i}") for i in range(len(q.slots))]),
-            ).filter(F.col("freq") > 0)
+                @F.pandas_udf("float")
+                def msloppy_udf(*pcols: pd.Series) -> pd.Series:
+                    cols = [c.to_numpy() for c in pcols]
+                    return pd.Series(
+                        sloppy_phrase_freq_batch(cols, offs, slop, tidx)
+                    )
+
+            else:
+                tsets = [frozenset(s) for s in live_slots]
+
+                @F.pandas_udf("float")
+                def msloppy_udf(*pcols: pd.Series) -> pd.Series:
+                    cols = [c.to_numpy() for c in pcols]
+                    out = np.zeros(len(cols[0]), dtype=np.float32)
+                    for r in range(len(out)):
+                        pls = [
+                            np.asarray(cols[tidx[j]][r], dtype=np.int64)
+                            for j in range(len(offs))
+                        ]
+                        out[r] = sloppy_phrase_freq_slots(
+                            pls, offs, slop, tsets
+                        )
+                    return pd.Series(out)
+
+            # map slot columns onto distinct-key columns: _p{i} was
+            # built per SLOT above; feed one column per distinct key
+            first_col_of_key = {}
+            for i, k in enumerate(tidx):
+                first_col_of_key.setdefault(k, i)
+            cols_in = [
+                F.col(f"_p{first_col_of_key[k]}") for k in range(ncols)
+            ]
+            out = base.withColumn("freq", msloppy_udf(*cols_in)).filter(
+                F.col("freq") > 0
+            )
             return _score(out).select("doc_id", "score")
 
         def _shift(col_name: str, off: int):

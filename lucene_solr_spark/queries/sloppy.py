@@ -61,8 +61,8 @@ def sloppy_phrase_freq(
     ``pos_lists`` holds one sorted position array per UNIQUE term;
     ``offsets`` one query offset per phrase position; ``term_idx[j]``
     maps phrase position j to its term's array (identity when omitted —
-    the distinct-terms case).
-    """
+    the distinct-terms case).  Thin wrapper over the generalized
+    per-slot engine with singleton term sets."""
     n = len(offsets)
     if term_idx is None:
         term_idx = list(range(n))
@@ -70,24 +70,94 @@ def sloppy_phrase_freq(
         raise ValueError("term_idx must align with offsets")
     if n == 0:
         return 0.0
-    lists = [
+    per_pp = [
         np.asarray(pos_lists[term_idx[j]], dtype=np.int64) for j in range(n)
     ]
-    if any(len(p) == 0 for p in lists):
+    return sloppy_phrase_freq_slots(
+        per_pp, offsets, slop, [frozenset([term_idx[j]]) for j in range(n)]
+    )
+
+
+def sloppy_phrase_freq_slots(
+    pos_lists: "list[np.ndarray]",
+    offsets: "list[int]",
+    slop: int,
+    term_sets: "list[frozenset] | None" = None,
+) -> float:
+    """phraseFreq for one doc over PER-SLOT position lists — the full
+    SloppyPhraseScorer machinery INCLUDING the multi-term repeat branch
+    (SloppyPhraseScorer.java:285-345,414-446): ``pos_lists[j]`` is
+    slot j's UNION postings positions (UnionPostingsEnum merge),
+    ``term_sets[j]`` the slot's term identities.  Repeating terms are
+    those appearing in ≥2 slots; when any repeating slot is multi-term
+    (hasMultiTermRpts), repeat groups are the connected components of
+    the repeating-term co-occurrence graph (ppTermsBitSets +
+    unionTermGroups + termGroups) and doc init resolves collisions
+    iteratively (advanceRepeatGroups MTP branch, incl. the
+    ``rptInd < i → incr=0`` restart quirk); otherwise groups are
+    per-term and the j-th member starts at its j-th position."""
+    n = len(offsets)
+    if n == 0:
+        return 0.0
+    adj = [
+        np.asarray(p, dtype=np.int64) - off
+        for p, off in zip(pos_lists, offsets)
+    ]
+    if any(len(p) == 0 for p in adj):
         return 0.0
     if n == 1:
-        return float(np.float32(len(lists[0])))
-    adj = [p - off for p, off in zip(lists, offsets)]
+        return float(np.float32(len(adj[0])))
+    if term_sets is None:
+        term_sets = [frozenset([j]) for j in range(n)]
 
-    # repeat groups: phrase positions sharing a term, sorted by offset
-    by_term: dict[int, list[int]] = {}
-    for j, t in enumerate(term_idx):
-        by_term.setdefault(t, []).append(j)
-    rpt_groups = [
-        sorted(g, key=lambda j: offsets[j])
-        for g in by_term.values()
-        if len(g) > 1
-    ]
+    # repeatingTerms / repeatingPPs (SloppyPhraseScorer.java:449-480)
+    tcnt: dict = {}
+    for s in term_sets:
+        for t in s:
+            tcnt[t] = tcnt.get(t, 0) + 1
+    rpt_terms = {t for t, c in tcnt.items() if c >= 2}
+    rpp = [j for j in range(n) if term_sets[j] & rpt_terms]
+    has_multi = any(len(term_sets[j]) > 1 for j in rpp)
+    groups: list[list[int]]
+    if not rpt_terms:
+        groups = []
+    elif not has_multi:
+        by_t: dict = {}
+        for j in rpp:
+            (t,) = term_sets[j]
+            by_t.setdefault(t, []).append(j)
+        groups = [g for g in by_t.values() if len(g) > 1]
+    else:
+        # gatherRptGroups MTP branch: merge intersecting repeating-term
+        # sets to a fixed point (unionTermGroups), then collect each
+        # group's member pps
+        bb: list[set] = []
+        for j in rpp:
+            s = set(term_sets[j] & rpt_terms)
+            if s:
+                bb.append(s)
+        i = 0
+        while i < len(bb) - 1:
+            merged = False
+            j2 = i + 1
+            while j2 < len(bb):
+                if bb[i] & bb[j2]:
+                    bb[i] |= bb[j2]
+                    del bb[j2]
+                    merged = True
+                else:
+                    j2 += 1
+            if not merged:
+                i += 1
+        tg = {t: gi for gi, s in enumerate(bb) for t in s}
+        mem: list[set] = [set() for _ in bb]
+        for j in rpp:
+            for t in term_sets[j]:
+                gi = tg.get(t)
+                if gi is not None:
+                    mem[gi].add(j)
+        groups = [sorted(g) for g in mem if len(g) > 1]
+    rpt_groups = [sorted(g, key=lambda j: offsets[j]) for g in groups]
     grp = [-1] * n
     rpt_ind = [0] * n
     for gi, g in enumerate(rpt_groups):
@@ -97,14 +167,7 @@ def sloppy_phrase_freq(
     has_rpts = bool(rpt_groups)
 
     idx = [0] * n
-    # advanceRepeatGroups (non-multi-term): j-th group member starts at
-    # its term's j-th position — the no-collision start condition
-    for g in rpt_groups:
-        for k, j in enumerate(g):
-            if k >= len(adj[j]):
-                return 0.0
-            idx[j] = k
-    pos = [int(adj[j][idx[j]]) for j in range(n)]
+    pos = [int(adj[j][0]) for j in range(n)]
     end = max(pos)
 
     def advance_pp(j: int) -> bool:
@@ -123,6 +186,40 @@ def sloppy_phrase_freq(
             if j2 != j and pos[j2] + offsets[j2] == tp:
                 return rpt_ind[j2]
         return -1
+
+    # advanceRepeatGroups (:285-315)
+    if has_rpts:
+        if has_multi:
+            for rg in rpt_groups:
+                gi = 0
+                while gi < len(rg):
+                    incr = 1
+                    j = rg[gi]
+                    while True:
+                        k = collide(j)
+                        if k < 0:
+                            break
+                        j2 = rg[k]
+                        adv = (
+                            j
+                            if (pos[j], offsets[j]) < (pos[j2], offsets[j2])
+                            else j2
+                        )
+                        if not advance_pp(adv):
+                            return 0.0
+                        if rpt_ind[adv] < gi:
+                            incr = 0
+                            break
+                    gi += incr
+        else:
+            # j-th group member starts at its term's j-th position —
+            # the no-collision start condition
+            for g in rpt_groups:
+                for k, j in enumerate(g):
+                    for _ in range(k):
+                        if not advance_pp(j):
+                            return 0.0
+    end = max(pos)
 
     heap = [(pos[j], offsets[j], j) for j in range(n)]
     heapq.heapify(heap)

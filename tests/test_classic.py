@@ -90,3 +90,65 @@ def test_invalid_mode_rejected(classic_searcher):
 
     with pytest.raises(ValueError):
         IndexSearcher(classic_searcher.tables, scoring="tfidf")
+
+
+# --------------------------------------------------- precedence parser
+def test_precedence_and_binds_tighter():
+    """TestPrecedenceQueryParser.testSimple goldens: AND groups become
+    one MUST boolean, OR separates SHOULD clauses."""
+    from lucene_solr_spark.queries.parser import parse_precedence_query
+    from lucene_solr_spark.queries.query import (
+        BooleanQuery,
+        Occur,
+        TermQuery,
+    )
+
+    # 'a AND b' → '+a +b'
+    q = parse_precedence_query("alpha AND beta")
+    assert isinstance(q, BooleanQuery)
+    assert [(c.occur, c.query) for c in q.clauses] == [
+        (Occur.MUST, TermQuery("alpha")),
+        (Occur.MUST, TermQuery("beta")),
+    ]
+    # 'c OR (a AND b)' → 'c (+a +b)'
+    q = parse_precedence_query("gamma OR (alpha AND beta)")
+    assert [c.occur for c in q.clauses] == [Occur.SHOULD, Occur.SHOULD]
+    inner = q.clauses[1].query
+    assert isinstance(inner, BooleanQuery)
+    assert all(c.occur == Occur.MUST for c in inner.clauses)
+    # 'a AND b OR c AND d' → '(+a +b) (+c +d)'  (classic: '+a +b +c +d')
+    q = parse_precedence_query("alpha AND beta OR gamma AND delta")
+    assert len(q.clauses) == 2
+    assert all(c.occur == Occur.SHOULD for c in q.clauses)
+    for cl in q.clauses:
+        assert all(c.occur == Occur.MUST for c in cl.query.clauses)
+    # 'a AND NOT b' → '+a -b'
+    q = parse_precedence_query("alpha AND NOT beta")
+    assert [c.occur for c in q.clauses] == [Occur.MUST, Occur.MUST_NOT]
+    # '((a OR b) AND NOT c) OR d' → '(+(a b) -c) d'
+    q = parse_precedence_query("((alpha OR beta) AND NOT gamma) OR delta")
+    assert [c.occur for c in q.clauses] == [Occur.SHOULD, Occur.SHOULD]
+    grp = q.clauses[0].query
+    assert [c.occur for c in grp.clauses] == [Occur.MUST, Occur.MUST_NOT]
+    assert isinstance(grp.clauses[0].query, BooleanQuery)
+    # '+term -term term' unchanged (no conjunctions)
+    q = parse_precedence_query("+alpha -beta gamma")
+    assert [c.occur for c in q.clauses] == [
+        Occur.MUST,
+        Occur.MUST_NOT,
+        Occur.SHOULD,
+    ]
+
+
+def test_flexible_alias_matches_classic():
+    from lucene_solr_spark.queries.parser import (
+        parse_flexible_query,
+        parse_query,
+    )
+
+    for text in (
+        "alpha AND beta OR gamma",
+        '+alpha -beta "gamma delta"~2',
+        "al?ha bet* [alpha TO gamma]",
+    ):
+        assert parse_flexible_query(text) == parse_query(text)
