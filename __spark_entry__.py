@@ -464,6 +464,40 @@ def q_multi_phrase(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _scored(s.docs(q))
 
 
+def q_jpeg_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Baseline JPEG codec (functions/jpeg.py — pure-numpy T.81): per
+    doc, encode a uniform (8+doc_id%3)×(8+doc_id%5) image of EVEN value
+    v = (doc_id%128)·2 and decode it back.  For uniform even v the
+    quantized DC is exact ((v−128)·8/16 has no fractional part), so the
+    decoded pixel equals v EXACTLY — the oracle is the closed form, the
+    Spark side runs the real Huffman/DCT bitstream both ways.  Odd
+    dimensions exercise the block padding path."""
+    d = _table(spark, sf_dir, "documents").select("doc_id")
+
+    @F.pandas_udf("long")
+    def px(ids):
+        import numpy as np
+        import pandas as pd
+
+        from lucene_solr_spark.functions.jpeg import (
+            decode_jpeg,
+            encode_jpeg,
+        )
+
+        out = []
+        for i in ids:
+            v = int(i) % 128 * 2
+            h, w = 8 + int(i) % 3, 8 + int(i) % 5
+            dec = decode_jpeg(
+                encode_jpeg(np.full((h, w), v, dtype=np.uint8))
+            )
+            assert dec.shape == (h, w, 3)
+            out.append(int(dec[h - 1, w - 1, 0]))
+        return pd.Series(out)
+
+    return d.select("doc_id", px("doc_id").alias("pixel")).orderBy("doc_id")
+
+
 def q_precedence_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PrecedenceQueryParser (queryparser/flexible/precedence/): AND
     binds tighter than OR, so 'spark AND window OR vector' executes as
@@ -5823,6 +5857,7 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multi_phrase_sloppy": q_multi_phrase_sloppy,
         "collation_sort": q_collation_sort,
         "precedence_parse": q_precedence_parse,
+        "jpeg_roundtrip": q_jpeg_roundtrip,
         "unified_highlight": q_unified_highlight,
         # -- never gated in round 1 ------------------------------------
         "span_near_ordered": q_span_near_ordered,
@@ -8626,6 +8661,13 @@ fr AS (
   GROUP BY doc_id
 ),
 {_span_score("'spark', 'window'")}
+"""
+
+    # JPEG roundtrip: the closed-form expectation (uniform even v is
+    # DC-exact under q00=16) — the Spark side runs the real codec
+    sqls["jpeg_roundtrip"] = """
+SELECT doc_id, CAST((doc_id % 128) * 2 AS BIGINT) AS pixel
+FROM documents ORDER BY doc_id
 """
 
     # precedence parser: the (+spark +window) group scores only where

@@ -187,14 +187,20 @@ def synthesize_media(spark, n: int = 100, kind: str = "image") -> DataFrame:
 def decode_image(
     payload: bytes, width: int | None = None, height: int | None = None,
 ) -> np.ndarray:
-    """Binary payload → (H, W, 3) RGB uint8.  BMP decodes for real;
-    compressed formats raise with a clear message (drop a JPEG/PNG
-    decoder here — the Spark plumbing is format-agnostic)."""
+    """Binary payload → (H, W, 3) RGB uint8.  BMP and baseline JPEG
+    decode for real (the JPEG path is the pure-numpy T.81 baseline
+    codec in functions/jpeg.py — no external libraries); PNG/H.264
+    raise with a clear message (the Spark plumbing is
+    format-agnostic)."""
     if bytes(payload[:2]) == b"BM":
         return decode_bmp(bytes(payload))
+    if bytes(payload[:2]) == b"\xff\xd8":
+        from lucene_solr_spark.functions.jpeg import decode_jpeg
+
+        return decode_jpeg(bytes(payload))
     raise NotImplementedError(
-        "only uncompressed BMP decode is implemented in-container; "
-        "JPEG/PNG need external codecs"
+        "only uncompressed BMP and baseline JPEG decode are "
+        "implemented in-container; PNG/H.264 need external codecs"
     )
 
 

@@ -1,0 +1,208 @@
+"""Baseline JPEG codec tests (functions/jpeg.py — pure-numpy T.81).
+
+The decoder's correctness anchors are ANALYTIC: hand-assembled
+bitstreams whose decoded pixels have closed-form expectations derived
+from the spec (a DC-only block is uniform F00·q00/8 + 128), so the
+expectation shares no code with the decoder.  Roundtrips bound the
+combined encode+decode error by the quantization step.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from lucene_solr_spark.functions.jpeg import (
+    K3_AC_CHROMA,
+    K3_AC_LUMA,
+    K3_DC_CHROMA,
+    K3_DC_LUMA,
+    _canonical_codes,
+    decode_jpeg,
+    encode_jpeg,
+)
+
+
+def _pack_bits(bits_out):
+    total = sum(length for _, length in bits_out)
+    pad = (8 - total % 8) % 8
+    if pad:
+        bits_out = bits_out + [((1 << pad) - 1, pad)]
+    acc = n = 0
+    data = bytearray()
+    for code, length in bits_out:
+        for k in range(length - 1, -1, -1):
+            acc = (acc << 1) | ((code >> k) & 1)
+            n += 1
+            if n == 8:
+                data.append(acc)
+                if acc == 0xFF:
+                    data.append(0)
+                acc = n = 0
+    return bytes(data)
+
+
+def _headers(w, h, comps, qtables, huffs, dri=None):
+    """Assemble SOI..SOS headers.  comps: [(cid, hv, tq)], huffs:
+    [(tag, (bits, values))], qtables: {tq: flat64 int}."""
+    from lucene_solr_spark.functions.jpeg import ZIGZAG
+
+    out = bytearray(b"\xff\xd8")
+    for tq, q in qtables.items():
+        zz = np.zeros(64, dtype=np.uint8)
+        zz[:] = np.asarray(q).reshape(64)[ZIGZAG]
+        out += b"\xff\xdb" + (67).to_bytes(2, "big") + bytes([tq]) + bytes(zz)
+    if dri:
+        out += b"\xff\xdd" + (4).to_bytes(2, "big") + dri.to_bytes(2, "big")
+    sof = bytes([8]) + h.to_bytes(2, "big") + w.to_bytes(2, "big")
+    sof += bytes([len(comps)])
+    for cid, hv, tq in comps:
+        sof += bytes([cid, hv, tq])
+    out += b"\xff\xc0" + (len(sof) + 2).to_bytes(2, "big") + sof
+    for tag, (bits, values) in huffs:
+        seg = bytes([tag]) + bytes(bits) + bytes(values)
+        out += b"\xff\xc4" + (len(seg) + 2).to_bytes(2, "big") + seg
+    sos = bytearray([len(comps)])
+    for cid, _hv, _tq in comps:
+        tabs = 0x00 if cid == 1 else 0x11
+        sos += bytes([cid, tabs])
+    sos += bytes([0, 63, 0])
+    out += b"\xff\xda" + (len(sos) + 2).to_bytes(2, "big") + sos
+    return out
+
+
+def _dc_bits(enc_dc, enc_ac, dc_diff):
+    """Huffman bits for one DC-only block (category + magnitude + EOB)."""
+    t = 0 if dc_diff == 0 else abs(dc_diff).bit_length()
+    code = dc_diff if dc_diff >= 0 else dc_diff + (1 << t) - 1
+    bits = [enc_dc[t]]
+    if t:
+        bits.append((code, t))
+    bits.append(enc_ac[0x00])
+    return bits
+
+
+def test_dc_only_block_analytic():
+    """Uniform 8×8: pixel == F00·q00/8 + 128 exactly (IDCT closed
+    form) — q00=16, F00=16 → 160."""
+    _, enc_dc = _canonical_codes(*K3_DC_LUMA)
+    _, enc_ac = _canonical_codes(*K3_AC_LUMA)
+    out = _headers(
+        8, 8, [(1, 0x11, 0)], {0: np.full(64, 16)},
+        [(0x00, K3_DC_LUMA), (0x10, K3_AC_LUMA)],
+    )
+    out += _pack_bits(_dc_bits(enc_dc, enc_ac, 16))
+    out += b"\xff\xd9"
+    img = decode_jpeg(bytes(out))
+    assert img.shape == (8, 8, 3)
+    assert np.unique(img).tolist() == [160]
+
+
+def test_dc_prediction_across_blocks():
+    """Two blocks, DC diffs 16 then -8: second block's absolute DC is
+    8 → values 160 and 144 (q=16)."""
+    _, enc_dc = _canonical_codes(*K3_DC_LUMA)
+    _, enc_ac = _canonical_codes(*K3_AC_LUMA)
+    out = _headers(
+        16, 8, [(1, 0x11, 0)], {0: np.full(64, 16)},
+        [(0x00, K3_DC_LUMA), (0x10, K3_AC_LUMA)],
+    )
+    bits = _dc_bits(enc_dc, enc_ac, 16) + _dc_bits(enc_dc, enc_ac, -8)
+    out += _pack_bits(bits) + b"\xff\xd9"
+    img = decode_jpeg(bytes(out))
+    assert np.unique(img[:, :8]).tolist() == [160]
+    assert np.unique(img[:, 8:]).tolist() == [144]
+
+
+def test_420_subsampled_analytic():
+    """16×16 4:2:0: four DC-only luma blocks + one chroma block each;
+    expected RGB follows CCIR 601 from the closed-form plane values."""
+    _, dl = _canonical_codes(*K3_DC_LUMA)
+    _, al = _canonical_codes(*K3_AC_LUMA)
+    _, dc = _canonical_codes(*K3_DC_CHROMA)
+    _, ac = _canonical_codes(*K3_AC_CHROMA)
+    out = _headers(
+        16, 16,
+        [(1, 0x22, 0), (2, 0x11, 1), (3, 0x11, 1)],
+        {0: np.full(64, 16), 1: np.full(64, 16)},
+        [(0x00, K3_DC_LUMA), (0x10, K3_AC_LUMA),
+         (0x01, K3_DC_CHROMA), (0x11, K3_AC_CHROMA)],
+    )
+    # luma DC diffs 16, 0, 0, 0 → all four blocks Y=160; Cb diff 8 →
+    # plane 128+16=144; Cr diff -8 → 128-16=112
+    bits = (
+        _dc_bits(dl, al, 16) + _dc_bits(dl, al, 0)
+        + _dc_bits(dl, al, 0) + _dc_bits(dl, al, 0)
+        + _dc_bits(dc, ac, 8) + _dc_bits(dc, ac, -8)
+    )
+    out += _pack_bits(bits) + b"\xff\xd9"
+    img = decode_jpeg(bytes(out))
+    assert img.shape == (16, 16, 3)
+    y, cb, cr = 160.0, 144.0 - 128.0, 112.0 - 128.0
+    exp = [
+        round(y + 1.402 * cr),
+        round(y - 0.344136 * cb - 0.714136 * cr),
+        round(y + 1.772 * cb),
+    ]
+    got = img[0, 0].astype(int).tolist()
+    assert got == exp, (got, exp)
+    assert np.all(img == img[0, 0])
+
+
+def test_restart_markers():
+    """DRI=1 with RST0 between MCUs: DC predictor resets, so the
+    second block's diff is ABSOLUTE again."""
+    _, enc_dc = _canonical_codes(*K3_DC_LUMA)
+    _, enc_ac = _canonical_codes(*K3_AC_LUMA)
+    out = _headers(
+        16, 8, [(1, 0x11, 0)], {0: np.full(64, 16)},
+        [(0x00, K3_DC_LUMA), (0x10, K3_AC_LUMA)], dri=1,
+    )
+    out += _pack_bits(_dc_bits(enc_dc, enc_ac, 16))
+    out += b"\xff\xd0"  # RST0
+    out += _pack_bits(_dc_bits(enc_dc, enc_ac, 8))
+    out += b"\xff\xd9"
+    img = decode_jpeg(bytes(out))
+    assert np.unique(img[:, :8]).tolist() == [160]
+    assert np.unique(img[:, 8:]).tolist() == [144]  # 8*16/8+128
+
+
+def test_roundtrip_gray_and_color():
+    rng = np.random.default_rng(0)
+    x = np.linspace(0, 255, 24)
+    g = np.clip(
+        np.add.outer(x, x) / 2 + rng.normal(0, 3, (24, 24)), 0, 255
+    ).astype(np.uint8)
+    dec = decode_jpeg(encode_jpeg(g))
+    assert dec.shape == (24, 24, 3)
+    err = np.abs(dec[..., 0].astype(int) - g.astype(int))
+    assert err.max() <= 40 and err.mean() < 6  # K1-table quant bound
+    c = np.stack([g, g[::-1], 255 - g], axis=-1)
+    dec = decode_jpeg(encode_jpeg(c))
+    err = np.abs(dec.astype(int) - c.astype(int))
+    assert err.max() <= 48 and err.mean() < 8
+
+
+def test_roundtrip_odd_sizes():
+    rng = np.random.default_rng(1)
+    g = (rng.random((13, 21)) * 255).astype(np.uint8)
+    g[:] = np.sort(g, axis=1)  # smooth-ish rows
+    dec = decode_jpeg(encode_jpeg(g))
+    assert dec.shape == (13, 21, 3)
+
+
+def test_progressive_raises():
+    buf = bytearray(b"\xff\xd8")
+    sof = bytes([8, 0, 8, 0, 8, 1, 1, 0x11, 0])
+    buf += b"\xff\xc2" + (len(sof) + 2).to_bytes(2, "big") + sof
+    with pytest.raises(NotImplementedError):
+        decode_jpeg(bytes(buf))
+
+
+def test_decode_image_dispatches_jpeg():
+    from lucene_solr_spark.functions.multimodal import decode_image
+
+    g = np.full((8, 8), 100, dtype=np.uint8)
+    img = decode_image(encode_jpeg(g))
+    assert img.shape == (8, 8, 3)
+    assert abs(int(img[0, 0, 0]) - 100) <= 2
