@@ -498,6 +498,35 @@ def q_jpeg_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select("doc_id", px("doc_id").alias("pixel")).orderBy("doc_id")
 
 
+def q_png_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PNG codec (functions/png.py — stdlib-zlib DEFLATE, our chunk/
+    filter layer): per doc, encode a deterministic gradient
+    (1+doc_id%5)×(1+doc_id%7) greyscale image with filter type
+    doc_id%5 (sweeping None/Sub/Up/Average/Paeth across the corpus)
+    and decode it back.  PNG is LOSSLESS, so the corner pixel equals
+    the closed form (doc_id + 3·(w−1) + 5·(h−1)) mod 256 exactly."""
+    d = _table(spark, sf_dir, "documents").select("doc_id")
+
+    @F.pandas_udf("long")
+    def px(ids):
+        import numpy as np
+        import pandas as pd
+
+        from lucene_solr_spark.functions.png import decode_png, encode_png
+
+        out = []
+        for i in ids:
+            i = int(i)
+            h, w = 1 + i % 5, 1 + i % 7
+            yy, xx = np.mgrid[0:h, 0:w]
+            img = ((i + 3 * xx + 5 * yy) % 256).astype(np.uint8)
+            dec = decode_png(encode_png(img, filter_type=i % 5))
+            out.append(int(dec[h - 1, w - 1, 0]))
+        return pd.Series(out)
+
+    return d.select("doc_id", px("doc_id").alias("pixel")).orderBy("doc_id")
+
+
 def q_precedence_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PrecedenceQueryParser (queryparser/flexible/precedence/): AND
     binds tighter than OR, so 'spark AND window OR vector' executes as
@@ -5858,6 +5887,7 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "collation_sort": q_collation_sort,
         "precedence_parse": q_precedence_parse,
         "jpeg_roundtrip": q_jpeg_roundtrip,
+        "png_roundtrip": q_png_roundtrip,
         "unified_highlight": q_unified_highlight,
         # -- never gated in round 1 ------------------------------------
         "span_near_ordered": q_span_near_ordered,
@@ -8667,6 +8697,14 @@ fr AS (
     # DC-exact under q00=16) — the Spark side runs the real codec
     sqls["jpeg_roundtrip"] = """
 SELECT doc_id, CAST((doc_id % 128) * 2 AS BIGINT) AS pixel
+FROM documents ORDER BY doc_id
+"""
+
+    # PNG roundtrip: lossless codec, closed-form corner pixel
+    sqls["png_roundtrip"] = """
+SELECT doc_id,
+       CAST((doc_id + 3 * (doc_id % 7) + 5 * (doc_id % 5)) % 256 AS BIGINT)
+         AS pixel
 FROM documents ORDER BY doc_id
 """
 

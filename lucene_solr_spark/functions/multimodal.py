@@ -198,9 +198,14 @@ def decode_image(
         from lucene_solr_spark.functions.jpeg import decode_jpeg
 
         return decode_jpeg(bytes(payload))
+    if bytes(payload[:8]) == b"\x89PNG\r\n\x1a\n":
+        from lucene_solr_spark.functions.png import decode_png
+
+        return decode_png(bytes(payload))
     raise NotImplementedError(
-        "only uncompressed BMP and baseline JPEG decode are "
-        "implemented in-container; PNG/H.264 need external codecs"
+        "BMP, baseline JPEG and PNG decode are implemented "
+        "in-container; other formats (H.264, MP3, ...) need external "
+        "codecs"
     )
 
 

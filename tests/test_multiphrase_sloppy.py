@@ -152,3 +152,35 @@ def test_engine_multi_term_repeats(pizza_searcher):
     # no doc in this corpus has two
     q2 = MultiPhraseQuery((("pizza",), ("pizza",)), slop=3)
     assert pizza_searcher.docs(q2).count() == 0
+
+
+def test_mtp_random_stress_properties():
+    """Random overlapping-slot shapes through the full MTP machinery:
+    never crashes, freq ≥ 0, and freq is MONOTONE nondecreasing in
+    slop (a window scored at slop s is scored at every s' > s — the
+    traversal only ever adds score events as slop grows)."""
+    import random
+
+    from lucene_solr_spark.queries.sloppy import sloppy_phrase_freq_slots
+
+    rng = random.Random(23)
+    terms = list("abcdef")
+    for _ in range(300):
+        n_pp = rng.randint(2, 4)
+        tsets = []
+        for _j in range(n_pp):
+            k = rng.randint(1, 3)
+            tsets.append(frozenset(rng.sample(terms, k)))
+        positions = {t: sorted(rng.sample(range(15), rng.randint(1, 5)))
+                     for t in terms}
+        slots = []
+        for s in tsets:
+            u = sorted(set(sum((positions[t] for t in s), [])))
+            slots.append(np.asarray(u, dtype=np.int64))
+        offs = sorted(rng.sample(range(8), n_pp))
+        prev = -1.0
+        for slop in range(0, 8):
+            f = sloppy_phrase_freq_slots(slots, offs, slop, tsets)
+            assert f >= 0.0
+            assert f >= prev - 1e-6, (tsets, offs, slop, prev, f)
+            prev = f

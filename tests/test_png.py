@@ -1,0 +1,100 @@
+"""PNG codec tests (functions/png.py): per-filter hand-built scanline
+fixtures with closed-form reconstructions, lossless roundtrips, and
+chunk-integrity behavior."""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+import numpy as np
+import pytest
+
+from lucene_solr_spark.functions.png import _chunk, decode_png, encode_png
+
+SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def _build_png(w, h, ctype, raw_scanlines, plte=None):
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, ctype, 0, 0, 0)
+    out = SIG + _chunk(b"IHDR", ihdr)
+    if plte is not None:
+        out += _chunk(b"PLTE", bytes(plte))
+    out += _chunk(b"IDAT", zlib.compress(raw_scanlines))
+    out += _chunk(b"IEND", b"")
+    return out
+
+
+def test_filter_reconstruction_closed_form():
+    """Each filter decoded against the spec's Recon() equations applied
+    by hand to tiny known scanlines (grayscale, 4px wide)."""
+    # row0 filter None: [10, 20, 30, 40]
+    # row1 filter Sub:  enc [5, 5, 5, 5]  -> [5, 10, 15, 20]
+    # row2 filter Up:   enc [1, 1, 1, 1]  -> [6, 11, 16, 21]
+    # row3 filter Avg:  enc [0, 0, 0, 0]  -> x0=6//2=3, then
+    #                   x1=(3+11)//2=7, x2=(7+16)//2=11, x3=(11+21)//2=16
+    # row4 filter Paeth: enc [0,0,0,0] -> predictor picks nearest of
+    #                   (left, up, upleft); x0: a=0,b=3,c=0 -> b=3;
+    #                   x1: a=3,b=7,c=3 -> p=7,pb=0 -> 7; x2 -> 11; x3 -> 16
+    raw = bytes(
+        [0, 10, 20, 30, 40]
+        + [1, 5, 5, 5, 5]
+        + [2, 1, 1, 1, 1]
+        + [3, 0, 0, 0, 0]
+        + [4, 0, 0, 0, 0]
+    )
+    img = decode_png(_build_png(4, 5, 0, raw))
+    g = img[..., 0]
+    assert g[0].tolist() == [10, 20, 30, 40]
+    assert g[1].tolist() == [5, 10, 15, 20]
+    assert g[2].tolist() == [6, 11, 16, 21]
+    assert g[3].tolist() == [3, 7, 11, 16]
+    assert g[4].tolist() == [3, 7, 11, 16]
+    assert np.array_equal(img[..., 0], img[..., 2])  # grey replicated
+
+
+def test_palette_and_rgba():
+    plte = bytes([255, 0, 0, 0, 255, 0, 0, 0, 255])  # R, G, B entries
+    raw = bytes([0, 0, 1, 2])  # one row, indices 0,1,2
+    img = decode_png(_build_png(3, 1, 3, raw, plte=plte))
+    assert img[0].tolist() == [[255, 0, 0], [0, 255, 0], [0, 0, 255]]
+    # RGBA: alpha dropped
+    raw = bytes([0, 9, 8, 7, 250, 1, 2, 3, 0])
+    img = decode_png(_build_png(2, 1, 6, raw))
+    assert img[0].tolist() == [[9, 8, 7], [1, 2, 3]]
+
+
+def test_roundtrip_lossless_all_filters():
+    rng = np.random.default_rng(5)
+    img = (rng.random((17, 23, 3)) * 255).astype(np.uint8)
+    for ft in range(5):
+        dec = decode_png(encode_png(img, filter_type=ft))
+        assert np.array_equal(dec, img), f"filter {ft}"
+    g = (rng.random((9, 9)) * 255).astype(np.uint8)
+    dec = decode_png(encode_png(g))
+    assert np.array_equal(dec[..., 0], g)
+
+
+def test_crc_corruption_detected():
+    img = np.zeros((4, 4, 3), dtype=np.uint8)
+    data = bytearray(encode_png(img))
+    data[40] ^= 0xFF  # flip a byte inside IDAT
+    with pytest.raises(ValueError, match="CRC"):
+        decode_png(bytes(data))
+
+
+def test_interlace_and_16bit_raise():
+    ihdr = struct.pack(">IIBBBBB", 4, 4, 8, 0, 0, 0, 1)
+    with pytest.raises(NotImplementedError, match="Adam7"):
+        decode_png(SIG + _chunk(b"IHDR", ihdr))
+    ihdr = struct.pack(">IIBBBBB", 4, 4, 16, 0, 0, 0, 0)
+    with pytest.raises(NotImplementedError, match="depth"):
+        decode_png(SIG + _chunk(b"IHDR", ihdr))
+
+
+def test_decode_image_dispatches_png():
+    from lucene_solr_spark.functions.multimodal import decode_image
+
+    img = np.full((6, 5, 3), 77, dtype=np.uint8)
+    out = decode_image(encode_png(img))
+    assert np.array_equal(out, img)
