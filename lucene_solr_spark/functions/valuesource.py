@@ -707,16 +707,20 @@ def apply_function_query(
     """Parse a function query AND apply any dictionary joins it needs.
 
     Returns (df_with_side_relations, column).  ord()/rord() queue a
-    broadcast join against their dense_rank'd distinct-value frame;
-    every other function is a pure column expression and df is
-    returned unchanged.  Missing values (NULL field) yield NULL
-    ordinals via the left join, matching OrdFieldSource's absent-doc
-    behavior."""
+    join against their ranked distinct-value frame; every other
+    function is a pure column expression and df is returned unchanged.
+    Missing values (NULL field) yield NULL ordinals via the left join,
+    matching OrdFieldSource's absent-doc behavior.
+
+    Join strategy is left to AQE on purpose: a dictionary-sized side
+    relation broadcasts automatically when it fits, and a
+    100M-distinct dictionary at corpus scale degrades to a partitioned
+    shuffle join instead of failing on a forced broadcast hint."""
     p = _Parser(text, df, tables, searcher, payloads, payload_field, join_qfield)
     col = p.expr()
     if p.peek() is not None:
         raise ValueError(f"trailing input: {p.toks[p.pos:]}")
     out = df
     for dict_df, key in p.joins:
-        out = out.join(F.broadcast(dict_df), key, "left")
+        out = out.join(dict_df, key, "left")
     return out, col
