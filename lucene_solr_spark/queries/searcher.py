@@ -1090,11 +1090,18 @@ class IndexSearcher:
             )
             weight = self._weight(idf_sum, boost)
             _score = lambda d: self._score_col(weight, d)  # noqa: E731
+        # one union-postings frame per DISTINCT slot key — a repeated
+        # slot (same term set) reuses the first frame instead of
+        # joining an identical aggregation again
         base: DataFrame | None = None
+        built: dict[tuple[str, ...], int] = {}
         for i, slot in enumerate(q.slots):
-            live = [t for t in slot if stats[t][0] > 0]
+            live = tuple(sorted(t for t in slot if stats[t][0] > 0))
+            if live in built and i > 0:
+                continue
+            built.setdefault(live, i)
             pl = (
-                self._postings_for_terms(live)
+                self._postings_for_terms(list(live))
                 .groupBy("doc_id")
                 .agg(
                     F.sort_array(
@@ -1111,6 +1118,10 @@ class IndexSearcher:
                 )
             )
             base = pl if base is None else base.join(pl, "doc_id", "inner")
+        slot_col = {
+            i: built[tuple(sorted(t for t in slot if stats[t][0] > 0))]
+            for i, slot in enumerate(q.slots)
+        }
         if q.slop > 0:
             # sloppy multi-phrase (MultiPhraseQuery.java:55,83-90 →
             # SloppyPhraseScorer): each slot's UNION postings are one
@@ -1194,7 +1205,8 @@ class IndexSearcher:
             return F.transform(F.col(col_name), lambda x: x - F.lit(off))
 
         shifted = [
-            _shift(f"_p{i}", off) for i, off in enumerate(q.positions)
+            _shift(f"_p{slot_col[i]}", off)
+            for i, off in enumerate(q.positions)
         ]
         inter = reduce(lambda a, b: F.array_intersect(a, b), shifted)
         out = base.withColumn("freq", F.size(inter)).filter(F.col("freq") > 0)
