@@ -171,6 +171,28 @@ def synthesize_media(spark, n: int = 100, kind: str = "image") -> DataFrame:
                     samples = _audio_samples(i, rate * dur_ms // 1000, rate)
                     payload = encode_wav(samples, rate)
                     meta = (None, None, rate, dur_ms, "wav")
+                elif kind == "video":
+                    # REAL MJPEG-AVI container (functions/avi.py): each
+                    # frame a uniform EVEN brightness so the JPEG DC is
+                    # exact and per-frame values are analytic
+                    from lucene_solr_spark.functions.avi import (
+                        encode_avi_mjpeg,
+                    )
+
+                    fps = 4
+                    n_frames = 4 + i % 3
+                    w = h = 16
+                    frames = [
+                        np.full(
+                            (h, w),
+                            (i * 7 + k * 20) % 100 * 2 + 20,
+                            dtype=np.uint8,
+                        )
+                        for k in range(n_frames)
+                    ]
+                    payload = encode_avi_mjpeg(frames, fps=fps)
+                    dur_ms = n_frames * 1000 // fps
+                    meta = (w, h, None, dur_ms, "avi")
                 else:
                     w, h = 64 + i % 32, 64 + i % 16
                     payload = encode_bmp(_image_pixels(i, w, h))
@@ -306,3 +328,59 @@ def sample_video_frames(df: DataFrame, every_ms: int = 250) -> DataFrame:
         )
         .select("media_id", "frame_ts", "payload", "meta")
     )
+
+
+def sampled_frame_features(df: DataFrame, every_ms: int = 250) -> DataFrame:
+    """sample_video_frames + REAL per-frame decode: each sampled
+    timestamp maps to its container frame (idx1 random access — only
+    that frame's JPEG is decoded, not the whole video) and emits
+    (media_id, frame_ts, frame_index, mean_px).  mapInPandas,
+    partition-parallel, one Arrow batch at a time."""
+    frames = sample_video_frames(df, every_ms)
+    out_schema = (
+        "media_id long, frame_ts long, frame_index long, mean_px double"
+    )
+
+    def kernel(batches):
+        from lucene_solr_spark.functions.avi import (
+            decode_avi_frames,
+            extract_video_frame,
+        )
+
+        for pdf in batches:
+            rows = []
+            for media_id, ts, payload, meta in zip(
+                pdf["media_id"], pdf["frame_ts"], pdf["payload"], pdf["meta"]
+            ):
+                data = bytes(payload)
+                # fps from the container header only (no frame decode):
+                # walk chunks until avih
+                import struct as _s
+
+                fps = 0
+                i = 12
+                end = 8 + _s.unpack("<I", data[4:8])[0]
+                while i + 8 <= end and not fps:
+                    tag = data[i : i + 4]
+                    (size,) = _s.unpack("<I", data[i + 4 : i + 8])
+                    if tag == b"LIST":
+                        i += 12
+                        continue
+                    if tag == b"avih":
+                        usec = _s.unpack("<I", data[i + 8 : i + 12])[0]
+                        fps = round(1_000_000 / usec) if usec else 0
+                        break
+                    i += 8 + size + (size % 2)
+                dur = int(meta["duration_ms"])
+                n_frames = max(1, dur * fps // 1000)
+                idx = min(int(ts) * fps // 1000, n_frames - 1)
+                frame = extract_video_frame(data, idx)
+                rows.append(
+                    (int(media_id), int(ts), idx, float(frame.mean()))
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=["media_id", "frame_ts", "frame_index", "mean_px"],
+            )
+
+    return frames.mapInPandas(kernel, schema=out_schema)

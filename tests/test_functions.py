@@ -327,9 +327,11 @@ def test_audio_features(spark):
     assert all(r["features"][0] > 0.1 for r in rows)  # sine has energy
 
 
-def test_compressed_formats_raise():
+def test_unsupported_formats_raise():
+    # JPEG/PNG now decode for real (functions/jpeg.py, functions/png.py);
+    # formats without an in-container codec still fail loudly
     with pytest.raises(NotImplementedError):
-        decode_image(b"\xff\xd8\xffjpegdata")
+        decode_image(b"GIF89a\x01\x00\x01\x00")
 
 
 def test_video_frame_sampling(spark):
@@ -634,3 +636,25 @@ def test_minhash_lsh_hot_bucket_cap(spark):
     }
     assert {(0, 1), (0, 2), (0, 3), (1, 2), (1, 3), (2, 3)} <= clique
     assert elapsed < 120
+
+
+def test_video_real_container_roundtrip(spark):
+    """kind='video' media are REAL MJPEG-AVI containers: frame
+    sampling decodes the actual per-timestamp frame via the idx1
+    random-access path, and the decoded brightness matches the
+    synthesis closed form (uniform even values → exact JPEG DC)."""
+    from lucene_solr_spark.functions.multimodal import sampled_frame_features
+
+    media = synthesize_media(spark, 5, kind="video")
+    rows = sampled_frame_features(media, every_ms=250).collect()
+    assert rows
+    for r in rows:
+        i, idx = r["media_id"], r["frame_index"]
+        expected = (i * 7 + idx * 20) % 100 * 2 + 20
+        assert abs(r["mean_px"] - expected) < 0.5, (i, idx, r["mean_px"])
+    # every video contributes one sample per 250ms at fps=4 → one per frame
+    by_media = {}
+    for r in rows:
+        by_media.setdefault(r["media_id"], set()).add(r["frame_index"])
+    for i, idxs in by_media.items():
+        assert idxs == set(range(4 + i % 3)), (i, idxs)
