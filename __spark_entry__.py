@@ -5839,9 +5839,13 @@ _GATE_WINDOW = [
     # re-gates: previously green, code path changed this round
     "wand_topk", "sloppy_phrase", "minhash_lsh",
     "valuesource_extended", "url_classify",
-    # never gated: similarity family siblings
-    "dfr_ine", "ib_ll", "dfr_pl2", "lm_jelinek_mercer",
-    "ib_similarity", "axiomatic_f2exp", "boolean_similarity",
+    # never gated: newest codec/parser code (gate first, per the
+    # round-3 convention)
+    "jpeg_roundtrip", "png_roundtrip", "precedence_parse",
+    # never gated: similarity family siblings (dfr_pl2 / ib_ll /
+    # boolean_similarity stay strict-verified, round-5 candidates)
+    "dfr_ine", "lm_jelinek_mercer",
+    "ib_similarity", "axiomatic_f2exp",
     "sweetspot_query",
     # never gated: QParser siblings
     "complexphrase_query", "child_qparser", "facet_block_children",
