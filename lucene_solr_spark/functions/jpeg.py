@@ -257,13 +257,17 @@ def decode_jpeg(data: bytes) -> np.ndarray:
             h = (seg[1] << 8) | seg[2]
             w = (seg[3] << 8) | seg[4]
             ncomp = seg[5]
+            if not (1 <= ncomp <= 4) or h == 0 or w == 0:
+                raise ValueError("corrupt SOF0 dimensions/components")
             comps = []
             for c in range(ncomp):
                 cid = seg[6 + c * 3]
                 hv = seg[7 + c * 3]
+                hh, vv = hv >> 4, hv & 0x0F
+                if not (1 <= hh <= 4 and 1 <= vv <= 4):
+                    raise ValueError(f"corrupt sampling factors {hv:#x}")
                 comps.append(
-                    {"id": cid, "h": hv >> 4, "v": hv & 0x0F,
-                     "tq": seg[8 + c * 3]}
+                    {"id": cid, "h": hh, "v": vv, "tq": seg[8 + c * 3]}
                 )
             frame = {"h": h, "w": w, "comps": comps}
         elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
@@ -295,6 +299,14 @@ def _decode_scan(data, start, frame, scan, qt, huff_dc, huff_ac, dri):
     if frame is None:
         raise ValueError("SOS before SOF0")
     h, w, comps = frame["h"], frame["w"], frame["comps"]
+    for c in comps:
+        if c["id"] not in scan:
+            raise ValueError(f"scan missing component {c['id']}")
+        td, ta = scan[c["id"]]
+        if td not in huff_dc or ta not in huff_ac:
+            raise ValueError("scan references a missing Huffman table")
+        if c["tq"] not in qt:
+            raise ValueError("frame references a missing quant table")
     hmax = max(c["h"] for c in comps)
     vmax = max(c["v"] for c in comps)
     mcu_w, mcu_h = 8 * hmax, 8 * vmax
@@ -320,6 +332,10 @@ def _decode_scan(data, start, frame, scan, qt, huff_dc, huff_ac, dri):
                     for bx in range(c["h"]):
                         zz = np.zeros(64, dtype=np.int64)
                         t = br.decode_huff(huff_dc[td])
+                        if t > 15:
+                            raise ValueError(
+                                f"corrupt DC category {t} (spec max 15)"
+                            )
                         diff = _extend(br.receive(t), t)
                         pred[ci] += diff
                         zz[0] = pred[ci]

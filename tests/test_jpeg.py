@@ -9,6 +9,8 @@ combined encode+decode error by the quantization step.
 
 from __future__ import annotations
 
+import struct
+
 import numpy as np
 import pytest
 
@@ -206,3 +208,27 @@ def test_decode_image_dispatches_jpeg():
     img = decode_image(encode_jpeg(g))
     assert img.shape == (8, 8, 3)
     assert abs(int(img[0, 0, 0]) - 100) <= 2
+
+
+def test_fuzz_corrupt_inputs_fail_cleanly():
+    """Truncated/bit-flipped JPEG streams must raise promptly (never
+    hang, never return garbage silently on structural damage)."""
+    import numpy as np
+
+    rng = np.random.default_rng(9)
+    g = (rng.random((16, 16)) * 255).astype(np.uint8)
+    good = encode_jpeg(g)
+    for cut in (2, 10, len(good) // 2, len(good) - 3):
+        try:
+            decode_jpeg(good[:cut])
+        except (ValueError, NotImplementedError, IndexError, struct.error):
+            pass
+    for _ in range(50):
+        data = bytearray(good)
+        for _k in range(3):
+            data[rng.integers(2, len(data))] ^= int(rng.integers(1, 256))
+        try:
+            out = decode_jpeg(bytes(data))
+            assert out.dtype == np.uint8  # survived → still well-formed
+        except (ValueError, NotImplementedError, IndexError, struct.error):
+            pass

@@ -98,3 +98,26 @@ def test_decode_image_dispatches_png():
     img = np.full((6, 5, 3), 77, dtype=np.uint8)
     out = decode_image(encode_png(img))
     assert np.array_equal(out, img)
+
+
+def test_fuzz_corrupt_inputs_fail_cleanly():
+    import zlib as _z
+
+    rng = np.random.default_rng(9)
+    img = (rng.random((12, 12, 3)) * 255).astype(np.uint8)
+    good = encode_png(img)
+    for cut in (4, 12, len(good) // 2, len(good) - 2):
+        with pytest.raises(
+            (ValueError, NotImplementedError, _z.error, struct.error,
+             IndexError)
+        ):
+            decode_png(good[:cut])
+    for _ in range(50):
+        data = bytearray(good)
+        for _k in range(3):
+            data[rng.integers(8, len(data))] ^= int(rng.integers(1, 256))
+        try:
+            decode_png(bytes(data))
+        except (ValueError, NotImplementedError, _z.error, struct.error,
+                IndexError):
+            pass
