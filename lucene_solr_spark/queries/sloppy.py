@@ -495,9 +495,15 @@ def sloppy_phrase_freq_batch(
             gg = grp[jj]
             j2 = mem[gg, kk]
             dd = docs[act]
-            kj = cur[jj, dd] * n + perm[jj]
-            kj2 = cur[j2, dd] * n + perm[j2]
-            adv = np.where(kj < kj2, jj, j2)
+            # lesser(pp, pp2) compares (position, offset) ONLY — on a
+            # full tie (duplicate slot: equal adjusted position AND
+            # equal query offset) the scalar's `else j2` advances the
+            # collision partner, so strict-less here, no ord tie-break
+            # (the heap's perm rank would wrongly pick the lower ord)
+            lt = (cur[jj, dd] < cur[j2, dd]) | (
+                (cur[jj, dd] == cur[j2, dd]) & (offv[jj] < offv[j2])
+            )
+            adv = np.where(lt, jj, j2)
             exh = _advance(dd, adv)
             # exhausted: scalar returns False → main breaks → final
             # score with the CURRENT match length
