@@ -27,6 +27,12 @@ from pyspark.sql import functions as F
 def collate(col: Column | str, locale: str) -> Column:
     """The collation-key analog: a comparison-ready collated column
     (ICUCollationKeyAnalyzer's key, without materializing bytes)."""
+    if not hasattr(F, "collate"):  # pragma: no cover — Spark < 4.0
+        raise RuntimeError(
+            "ICU collation needs Spark 4.0+ (pyspark.sql.functions."
+            "collate and Catalyst's native ICU collations are absent "
+            "in 3.x)"
+        )
     c = F.col(col) if isinstance(col, str) else col
     return F.collate(c, locale)
 

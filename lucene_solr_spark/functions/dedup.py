@@ -189,6 +189,22 @@ def minhash_lsh_pairs(
     pair generation, the same documented recall trade as
     ngram_jaccard_pairs' ``max_shingle_df`` hot-shingle guard.
     Buckets at or under the cap are emitted exactly as before.
+
+    Guarantees under the guard, for downstream consumers:
+
+    - IDENTICAL-signature members of a hot bucket are ALWAYS connected
+      (the star edges are emitted unconditionally), so exact/boiler-
+      plate duplicates never split across components — a
+      ``leakage_safe_split`` over these pairs routes every copy to the
+      same train/val/test bucket regardless of cap pressure (pinned by
+      tests/test_pii.py::test_leakage_split_hot_cluster_stays_together).
+    - what CAN be lost are rep-to-rep edges in a bucket whose
+      distinct-signature population still exceeds the cap: two NEAR
+      (not identical) duplicates whose only co-occurrence is such a
+      bucket may land in different components, and a split keyed on
+      those components may then separate them across train/test.
+      Corpora where that matters should raise ``max_bucket_size`` or
+      tighten the banding before chaining into ``leakage_safe_split``.
     """
     assert num_hashes % bands == 0
     rows = num_hashes // bands

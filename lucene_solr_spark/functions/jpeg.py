@@ -309,6 +309,16 @@ def _decode_scan(data, start, frame, scan, qt, huff_dc, huff_ac, dri):
             raise ValueError("frame references a missing quant table")
     hmax = max(c["h"] for c in comps)
     vmax = max(c["v"] for c in comps)
+    for c in comps:
+        # the integer-replication upsampler needs hmax/vmax to be
+        # exact multiples of every component's factors; a legal but
+        # non-divisible stream (e.g. 3:2) must loud-fail, not produce
+        # wrongly-scaled planes
+        if hmax % c["h"] or vmax % c["v"]:
+            raise NotImplementedError(
+                f"non-integer chroma subsampling ratio (h={c['h']}/"
+                f"{hmax}, v={c['v']}/{vmax}) is not supported"
+            )
     mcu_w, mcu_h = 8 * hmax, 8 * vmax
     mcus_x = (w + mcu_w - 1) // mcu_w
     mcus_y = (h + mcu_h - 1) // mcu_h

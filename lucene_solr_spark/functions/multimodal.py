@@ -209,11 +209,11 @@ def synthesize_media(spark, n: int = 100, kind: str = "image") -> DataFrame:
 def decode_image(
     payload: bytes, width: int | None = None, height: int | None = None,
 ) -> np.ndarray:
-    """Binary payload → (H, W, 3) RGB uint8.  BMP and baseline JPEG
-    decode for real (the JPEG path is the pure-numpy T.81 baseline
-    codec in functions/jpeg.py — no external libraries); PNG/H.264
-    raise with a clear message (the Spark plumbing is
-    format-agnostic)."""
+    """Binary payload → (H, W, 3) RGB uint8.  BMP, baseline JPEG and
+    PNG decode for real (pure-numpy T.81 baseline codec in
+    functions/jpeg.py, stdlib-zlib RFC 2083 decoder in functions/
+    png.py — no external libraries); other formats (H.264, ...) raise
+    with a clear message (the Spark plumbing is format-agnostic)."""
     if bytes(payload[:2]) == b"BM":
         return decode_bmp(bytes(payload))
     if bytes(payload[:2]) == b"\xff\xd8":

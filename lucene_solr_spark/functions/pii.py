@@ -172,6 +172,13 @@ def leakage_safe_split(
     their own id — identical to ``hash_split`` for them.  The
     assignment stays a pure function of (data, rule): any engine or
     rerun reproduces it with no stored split table.
+
+    When ``pairs`` comes from ``minhash_lsh_pairs`` with its hot-bucket
+    guard engaged, identical-signature duplicates are still guaranteed
+    to share a component (the guard's star edges are unconditional),
+    but rep-to-rep edges dropped in over-cap buckets can split NEAR
+    duplicates across components — see the guard's guarantee table in
+    ``minhash_lsh_pairs``'s docstring for the exact bound.
     """
     from lucene_solr_spark.functions.dedup import connected_components
 

@@ -166,6 +166,24 @@ def strdist_edit(a, b) -> Column:
     )
 
 
+# ord()/rord() dictionary memo: (source-plan semanticHash, field,
+# reverse) → persisted ranked-dictionary frame.  Bounds executor
+# storage at one cached frame per distinct dictionary per session
+# (instead of one per evaluation) and makes repeated function-query
+# evaluation reuse the rank job entirely.
+_ORD_CACHE: dict = {}
+
+
+def clear_ordinal_cache() -> None:
+    """Unpersist and forget every memoized ord()/rord() dictionary."""
+    for frame in _ORD_CACHE.values():
+        try:
+            frame.unpersist()
+        except Exception:
+            pass
+    _ORD_CACHE.clear()
+
+
 class _Parser:
     _TOK = re.compile(r'\s*([A-Za-z_][\w.]*|-?\d+\.?\d*(?:[eE]-?\d+)?|"[^"]*"|[(),])')
 
@@ -264,13 +282,27 @@ class _Parser:
         driver round-trip is the ≤ #partitions count rows (the same
         bounded exchange assign_doc_ids uses) — never field values.
         The join is queued on ``self.joins`` and applied by
-        apply_function_query."""
+        apply_function_query.
+
+        Cache lifecycle (ADVICE r4): the ranked dictionary frame is
+        persisted ONCE per (source plan, field, direction) in a
+        module-level memo — repeated function-query evaluation in one
+        session reuses the same executor-cached frame instead of
+        accumulating a new dictionary-sized copy per call; the
+        intermediate per-partition-rank frame is unpersisted as soon
+        as the dictionary materializes.  ``clear_ordinal_cache()``
+        drops every memoized frame."""
         if self.df is None:
             raise ValueError("ord()/rord() need the DataFrame context")
         from pyspark.sql import Window
 
         name = f"__{'rord' if reverse else 'ord'}_{field}"
         if all(name not in d.columns for d, _ in self.joins):
+            memo_key = (self.df.semanticHash(), field, reverse)
+            cached = _ORD_CACHE.get(memo_key)
+            if cached is not None:
+                self.joins.append((cached, field))
+                return F.col(name)
             spark = self.df.sparkSession
             nparts = max(int(spark.sparkContext.defaultParallelism), 1)
             distinct = (
@@ -303,16 +335,30 @@ class _Parser:
             offs = spark.createDataFrame(
                 offs_rows, "__pid int, __off long, __n long"
             )
-            dict_df = local.join(F.broadcast(offs), "__pid").select(
-                field,
-                (
-                    (F.col("__n") + 1 - (F.col("__off") + F.col("__lr")))
-                    if reverse
-                    else (F.col("__off") + F.col("__lr"))
+            dict_df = (
+                local.join(F.broadcast(offs), "__pid")
+                .select(
+                    field,
+                    (
+                        (
+                            F.col("__n")
+                            + 1
+                            - (F.col("__off") + F.col("__lr"))
+                        )
+                        if reverse
+                        else (F.col("__off") + F.col("__lr"))
+                    )
+                    .cast("double")
+                    .alias(name),
                 )
-                .cast("double")
-                .alias(name),
+                .persist()
             )
+            # materialize the dictionary while `local` is hot, then
+            # drop the intermediate — only the memoized dictionary
+            # frame stays cached
+            dict_df.count()
+            local.unpersist()
+            _ORD_CACHE[memo_key] = dict_df
             self.joins.append((dict_df, field))
         return F.col(name)
 

@@ -1131,14 +1131,13 @@ class IndexSearcher:
             # touches a multi-term slot.  Without multi-term repeats,
             # pps with IDENTICAL slot keys are exactly the reference's
             # repeat groups, so the doc-parallel batch kernel applies
-            # with pseudo-term ids; with them, the per-doc generalized
-            # engine (sloppy_phrase_freq_slots — the full MTP branch:
-            # connected-component groups + iterative init) runs per
-            # candidate row, like the reference's own sequential
-            # scorer.
+            # with pseudo-term ids; WITH them, the same kernel takes
+            # the slots' term sets and runs the full MTP machinery
+            # (connected-component groups + vectorized iterative init)
+            # doc-parallel — hypothesis-gated bit-exact against the
+            # per-doc slots engine.
             from lucene_solr_spark.queries.sloppy import (
                 sloppy_phrase_freq_batch,
-                sloppy_phrase_freq_slots,
             )
 
             offs = [int(p) for p in q.positions]
@@ -1161,31 +1160,14 @@ class IndexSearcher:
             ]
             ncols = len(key_ids)
 
-            if not has_mtp:
+            tsets = [frozenset(s) for s in live_slots] if has_mtp else None
 
-                @F.pandas_udf("float")
-                def msloppy_udf(*pcols: pd.Series) -> pd.Series:
-                    cols = [c.to_numpy() for c in pcols]
-                    return pd.Series(
-                        sloppy_phrase_freq_batch(cols, offs, slop, tidx)
-                    )
-
-            else:
-                tsets = [frozenset(s) for s in live_slots]
-
-                @F.pandas_udf("float")
-                def msloppy_udf(*pcols: pd.Series) -> pd.Series:
-                    cols = [c.to_numpy() for c in pcols]
-                    out = np.zeros(len(cols[0]), dtype=np.float32)
-                    for r in range(len(out)):
-                        pls = [
-                            np.asarray(cols[tidx[j]][r], dtype=np.int64)
-                            for j in range(len(offs))
-                        ]
-                        out[r] = sloppy_phrase_freq_slots(
-                            pls, offs, slop, tsets
-                        )
-                    return pd.Series(out)
+            @F.pandas_udf("float")
+            def msloppy_udf(*pcols: pd.Series) -> pd.Series:
+                cols = [c.to_numpy() for c in pcols]
+                return pd.Series(
+                    sloppy_phrase_freq_batch(cols, offs, slop, tidx, tsets)
+                )
 
             # map slot columns onto distinct-key columns: _p{i} was
             # built per SLOT above; feed one column per distinct key

@@ -310,13 +310,27 @@ def sloppy_phrase_freq_batch(
     offsets: "list[int]",
     slop: int,
     term_idx: "list[int] | None" = None,
+    term_sets: "list[frozenset] | None" = None,
 ) -> np.ndarray:
     """Batched phraseFreq: run sloppy_phrase_freq's EXACT state machine
     over every doc at once.
 
     ``pos_cols[u]`` is an object ndarray (one per-doc position array —
-    or None — per UNIQUE term); ``offsets``/``term_idx``/``slop`` as in
+    or None — per UNIQUE term): ``offsets``/``term_idx``/``slop`` as in
     sloppy_phrase_freq.  Returns float32[D] freqs.
+
+    With ``term_sets`` (one frozenset of term identities per phrase
+    position — the MultiPhraseQuery slot shape), the kernel runs the
+    full sloppy_phrase_freq_slots machinery doc-parallel: repeat
+    groups become the connected components of the repeating-term
+    co-occurrence graph (gatherRptGroups' unionTermGroups /
+    termGroups, SloppyPhraseScorer.java:414-446), and doc init is the
+    iterative collision-resolution branch (advanceRepeatGroups MTP
+    branch:285-315) vectorized — per event, every still-colliding doc
+    advances its lesser pp at once.  ``pos_cols`` then holds one
+    column per DISTINCT slot key (union postings), ``term_idx`` maps
+    slot→column.  Equivalence vs the scalar slots engine is
+    hypothesis-gated in tests/test_sloppy.py.
 
     Doc-parallel restatement of the heap traversal: the PhraseQueue is
     one int64 key slot per PhrasePosition (``hk``; the real heap always
@@ -360,15 +374,60 @@ def sloppy_phrase_freq_batch(
         freq[alive_mask] = lens_u[u][alive_mask].astype(np.float32)
         return freq
 
-    # repeat groups (phrase positions sharing a term, offset-sorted)
-    by_term: dict[int, list[int]] = {}
-    for j, t in enumerate(term_idx):
-        by_term.setdefault(t, []).append(j)
-    rpt_groups = [
-        sorted(g, key=lambda j: offsets[j])
-        for g in by_term.values()
-        if len(g) > 1
-    ]
+    # repeat groups.  Single-term slots: phrase positions sharing a
+    # term (== sharing a postings column), offset-sorted.  With
+    # term_sets and a repeating term touching a multi-term slot
+    # (hasMultiTermRpts), groups are the connected components of the
+    # repeating-term co-occurrence graph — the scalar slots engine's
+    # gatherRptGroups MTP branch, replicated order-exactly.
+    has_multi = False
+    if term_sets is not None:
+        if len(term_sets) != n:
+            raise ValueError("term_sets must align with offsets")
+        tcnt2: dict = {}
+        for s in term_sets:
+            for t in s:
+                tcnt2[t] = tcnt2.get(t, 0) + 1
+        rpt_terms = {t for t, c in tcnt2.items() if c >= 2}
+        rpp = [j for j in range(n) if term_sets[j] & rpt_terms]
+        has_multi = any(len(term_sets[j]) > 1 for j in rpp)
+    if has_multi:
+        bb: list[set] = []
+        for j in rpp:
+            s = set(term_sets[j] & rpt_terms)
+            if s:
+                bb.append(s)
+        i0 = 0
+        while i0 < len(bb) - 1:
+            merged = False
+            j2_ = i0 + 1
+            while j2_ < len(bb):
+                if bb[i0] & bb[j2_]:
+                    bb[i0] |= bb[j2_]
+                    del bb[j2_]
+                    merged = True
+                else:
+                    j2_ += 1
+            if not merged:
+                i0 += 1
+        tg = {t: gi for gi, s in enumerate(bb) for t in s}
+        memsets: list[set] = [set() for _ in bb]
+        for j in rpp:
+            for t in term_sets[j]:
+                gi = tg.get(t)
+                if gi is not None:
+                    memsets[gi].add(j)
+        groups = [sorted(g) for g in memsets if len(g) > 1]
+        rpt_groups = [sorted(g, key=lambda j: offsets[j]) for g in groups]
+    else:
+        by_term: dict[int, list[int]] = {}
+        for j, t in enumerate(term_idx):
+            by_term.setdefault(t, []).append(j)
+        rpt_groups = [
+            sorted(g, key=lambda j: offsets[j])
+            for g in by_term.values()
+            if len(g) > 1
+        ]
     grp = np.full(n, -1, dtype=np.int64)
     rpt_ind = np.zeros(n, dtype=np.int64)
     init_k = np.zeros(n, dtype=np.int64)
@@ -376,7 +435,10 @@ def sloppy_phrase_freq_batch(
         for k, j in enumerate(g):
             grp[j] = gi
             rpt_ind[j] = k
-            init_k[j] = k
+            # MTP groups init at position 0 and resolve collisions
+            # iteratively below; single-term groups start the k-th
+            # member at its k-th position (no-collision condition)
+            init_k[j] = 0 if has_multi else k
     has_rpts = bool(rpt_groups)
 
     # advanceRepeatGroups init: the k-th group member needs a k-th
@@ -408,13 +470,7 @@ def sloppy_phrase_freq_batch(
     for j in range(n):
         cur[j] = flats[term_idx[j]][base[j] + idx[j]] - offv[j]
     end = cur.max(axis=0)
-    key0 = cur * n + perm[:, None]
     ar = np.arange(A)
-    leader = key0.argmin(axis=0)
-    hk = key0
-    hk[leader, ar] = _INF
-    nextp = hk.min(axis=0) // n
-    ml = end - cur[leader, ar]
     fq = np.zeros(A, dtype=np.float32)
     done = np.zeros(A, dtype=bool)
 
@@ -447,6 +503,57 @@ def sloppy_phrase_freq_batch(
             end[do] = np.maximum(end[do], npv)
             exh[m] = ex
         return exh
+
+    if has_multi and has_rpts:
+        # advanceRepeatGroups, multi-term branch: per group (query
+        # order), walk gi over the members; while the gi-th member
+        # collides (equal ACTUAL position with an earlier-found group
+        # member, group order), advance the lesser pp.  One vectorized
+        # event per loop step across every still-colliding doc; a doc
+        # that exhausts a list scores 0 (scalar `return 0.0` — no
+        # trailing score).  The scalar's incr/restart quirk re-enters
+        # the same gi, which this event loop reproduces by leaving gi
+        # unchanged on a collision.
+        for rg in rpt_groups:
+            rg_arr = np.asarray(rg, dtype=np.int64)
+            glen = len(rg)
+            gi_d = np.zeros(A, dtype=np.int64)
+            act0 = np.nonzero(~done)[0]
+            while act0.size:
+                jj = rg_arr[gi_d[act0]]
+                tp = cur[jj, act0] + offv[jj]
+                found = np.full(act0.size, -1, dtype=np.int64)
+                for kpos in range(glen):
+                    j2s = rg[kpos]
+                    hit = (found == -1) & (jj != j2s) & (
+                        cur[j2s, act0] + offv[j2s] == tp
+                    )
+                    found[hit] = kpos
+                no = found < 0
+                gi_d[act0[no]] += 1
+                coll = act0[~no]
+                if coll.size:
+                    jjc = jj[~no]
+                    j2c = rg_arr[found[~no]]
+                    lt = (cur[jjc, coll] < cur[j2c, coll]) | (
+                        (cur[jjc, coll] == cur[j2c, coll])
+                        & (offv[jjc] < offv[j2c])
+                    )
+                    advj = np.where(lt, jjc, j2c)
+                    exh0 = _advance(coll, advj)
+                    ed0 = coll[exh0]
+                    if ed0.size:
+                        done[ed0] = True
+                act0 = np.nonzero(~done & (gi_d < glen))[0]
+        # scalar recomputes end = max(pos) after init
+        end = cur.max(axis=0)
+
+    key0 = cur * n + perm[:, None]
+    leader = key0.argmin(axis=0)
+    hk = key0
+    hk[leader, ar] = _INF
+    nextp = hk.min(axis=0) // n
+    ml = end - cur[leader, ar]
 
     # per-group member matrix for collide()/drain lookups
     mem = None

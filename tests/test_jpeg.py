@@ -232,3 +232,23 @@ def test_fuzz_corrupt_inputs_fail_cleanly():
             assert out.dtype == np.uint8  # survived → still well-formed
         except (ValueError, NotImplementedError, IndexError, struct.error):
             pass
+
+
+def test_non_divisible_sampling_raises():
+    """ADVICE r4: a legal SOF0 whose max/component sampling ratio is
+    non-integer (3:2) must loud-fail instead of producing wrongly
+    scaled planes from the integer-replication upsampler."""
+    _, dl = _canonical_codes(*K3_DC_LUMA)
+    _, al = _canonical_codes(*K3_AC_LUMA)
+    _, dc = _canonical_codes(*K3_DC_CHROMA)
+    _, ac = _canonical_codes(*K3_AC_CHROMA)
+    out = _headers(
+        24, 24,
+        [(1, 0x33, 0), (2, 0x22, 1), (3, 0x11, 1)],
+        {0: np.full(64, 16), 1: np.full(64, 16)},
+        [(0x00, K3_DC_LUMA), (0x10, K3_AC_LUMA),
+         (0x01, K3_DC_CHROMA), (0x11, K3_AC_CHROMA)],
+    )
+    out += _pack_bits(_dc_bits(dl, al, 16)) + b"\xff\xd9"
+    with pytest.raises(NotImplementedError, match="subsampling"):
+        decode_jpeg(bytes(out))

@@ -89,3 +89,30 @@ def test_weighted_sample_deterministic_and_rate(spark):
     # a different salt draws an independent sample
     c = weighted_sample(df, {"en": 0.3}, salt="other").collect()
     assert sorted(map(tuple, a)) != sorted(map(tuple, c))
+
+
+def test_leakage_split_hot_cluster_stays_together(spark):
+    """The LSH hot-bucket guard's star edges keep every member of a
+    planted degenerate cluster (300 identical boilerplate docs + a
+    near dup reachable through the representative) in ONE connected
+    component, so leakage_safe_split routes the whole cluster to the
+    same train/val/test bucket even with the cap engaged."""
+    from lucene_solr_spark.functions.dedup import minhash_lsh_pairs
+    from lucene_solr_spark.functions.pii import leakage_safe_split
+
+    boiler = (
+        "the quick brown fox jumps over the lazy dog again and again"
+    )
+    rows = [(i, boiler) for i in range(300)]
+    rows += [(1000, "completely different text with novel words here")]
+    rows += [(1001, boiler.replace("dog", "cat"))]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    pairs = minhash_lsh_pairs(df, threshold=0.5, max_bucket_size=50)
+    out = leakage_safe_split(df, pairs).collect()
+    split = {r["doc_id"]: r["split"] for r in out}
+    cluster = {split[i] for i in range(300)} | {split[1001]}
+    assert len(cluster) == 1, cluster
+    # the unrelated doc hashes independently (own id as group key)
+    key = {r["doc_id"]: r["group_key"] for r in out}
+    assert key[1000] == 1000
+    assert len({key[i] for i in range(300)} | {key[1001]}) == 1

@@ -215,3 +215,137 @@ def test_batch_kernel_repeats_dense_collisions():
         offs = sorted(rng.sample(range(6), n_pp))
         slop = rng.randint(0, 8)
         _batch_vs_scalar([col], offs, slop, tidx)
+
+
+# ------------------------------------------- batch kernel: MTP branch
+from lucene_solr_spark.queries.sloppy import (  # noqa: E402
+    sloppy_phrase_freq_slots,
+)
+
+
+def _batch_vs_scalar_slots(cols, offsets, slop, tidx, tsets):
+    D = len(cols[0])
+    batch = sloppy_phrase_freq_batch(cols, offsets, slop, tidx, tsets)
+    for d in range(D):
+        pls = [
+            np.asarray(
+                cols[tidx[j]][d] if cols[tidx[j]][d] is not None else [],
+                dtype=np.int64,
+            )
+            for j in range(len(offsets))
+        ]
+        ref = sloppy_phrase_freq_slots(pls, offsets, slop, tsets)
+        assert batch[d] == ref, (d, ref, batch[d])
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.data())
+def test_batch_mtp_equals_scalar_slots(data):
+    """MultiPhrase slots shape: the doc-parallel kernel with term_sets
+    (connected-component repeat groups + vectorized iterative init) ==
+    the per-doc generalized slots engine, bit-for-bit, over random
+    multi-term slots incl. repeating terms that touch multi-term slots
+    (hasMultiTermRpts), duplicate offsets, and dense collisions."""
+    n_terms = data.draw(st.integers(1, 4))
+    n_pp = data.draw(st.integers(2, 4))
+    slots = [
+        frozenset(
+            data.draw(
+                st.sets(
+                    st.integers(0, n_terms - 1), min_size=1, max_size=3
+                )
+            )
+        )
+        for _ in range(n_pp)
+    ]
+    # duplicate offsets ALLOWED — pins the lesser() full-tie branch
+    offsets = [data.draw(st.integers(0, 5)) for _ in range(n_pp)]
+    slop = data.draw(st.integers(0, 6))
+    D = data.draw(st.integers(1, 10))
+    key_ids: dict = {}
+    tidx = [key_ids.setdefault(tuple(sorted(s)), len(key_ids)) for s in slots]
+    cols = []
+    for _ in range(len(key_ids)):
+        col = np.empty(D, dtype=object)
+        for d in range(D):
+            ps = data.draw(
+                st.lists(st.integers(0, 16), max_size=6, unique=True)
+            )
+            col[d] = np.array(sorted(ps), dtype=np.int64)
+        cols.append(col)
+    _batch_vs_scalar_slots(cols, offsets, slop, tidx, slots)
+
+
+def test_batch_mtp_dense_collision_stress():
+    """Dense MTP stress: repeating terms always touch a multi-term
+    slot, positions drawn from a tiny range so every doc exercises the
+    iterative init + rptStack machinery."""
+    import random
+
+    rng = random.Random(23)
+    for _ in range(80):
+        n_terms = rng.randint(2, 4)
+        n_pp = rng.randint(2, 4)
+        # force hasMultiTermRpts: slot 0 is multi-term and shares a
+        # term with slot 1
+        t0, t1 = rng.sample(range(n_terms), 2)
+        slots = [frozenset([t0, t1]), frozenset([t0])]
+        for _ in range(n_pp - 2):
+            slots.append(
+                frozenset(
+                    rng.sample(range(n_terms), rng.randint(1, n_terms))
+                )
+            )
+        offs = [rng.randint(0, 4) for _ in range(n_pp)]
+        slop = rng.randint(0, 8)
+        D = rng.randint(1, 20)
+        key_ids: dict = {}
+        tidx = [
+            key_ids.setdefault(tuple(sorted(s)), len(key_ids))
+            for s in slots
+        ]
+        cols = []
+        for _ in range(len(key_ids)):
+            col = np.empty(D, dtype=object)
+            for d in range(D):
+                col[d] = np.array(
+                    sorted(rng.sample(range(10), rng.randint(1, 7))),
+                    dtype=np.int64,
+                )
+            cols.append(col)
+        _batch_vs_scalar_slots(cols, offs, slop, tidx, list(slots))
+
+
+def test_batch_kernel_duplicate_slot_full_tie():
+    """ADVICE r4: two repeat-group pps with equal adjusted position AND
+    equal query offset (duplicate slot) must resolve via the scalar's
+    `else j2` branch, not the heap ordinal.  Deterministic pin plus a
+    randomized sweep with duplicate (term, offset) pairs."""
+    import random
+
+    # duplicate (term, offset): both pps identical → every collision is
+    # a full tie
+    col = np.empty(3, dtype=object)
+    col[0] = np.array([0, 1, 2, 5], dtype=np.int64)
+    col[1] = np.array([3, 4], dtype=np.int64)
+    col[2] = np.array([7], dtype=np.int64)
+    for slop in range(0, 6):
+        _batch_vs_scalar([col], [2, 2], slop, [0, 0])
+        _batch_vs_scalar([col], [1, 1, 3], slop, [0, 0, 0])
+
+    rng = random.Random(7)
+    for _ in range(60):
+        D = rng.randint(1, 15)
+        col = np.empty(D, dtype=object)
+        for d in range(D):
+            col[d] = np.array(
+                sorted(rng.sample(range(10), rng.randint(2, 7))),
+                dtype=np.int64,
+            )
+        n_pp = rng.randint(2, 4)
+        off0 = rng.randint(0, 3)
+        offs = [off0, off0] + [
+            rng.randint(0, 5) for _ in range(n_pp - 2)
+        ]
+        tidx = [0] * n_pp
+        _batch_vs_scalar([col], offs, rng.randint(0, 8), tidx)
