@@ -42,7 +42,7 @@ from functools import reduce
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from lucene_solr_spark.index.builder import IndexTables
@@ -190,6 +190,11 @@ class IndexSearcher:
             dead = tombstones.select("doc_id")
             self._postings = self._postings.join(dead, "doc_id", "left_anti")
             self._live_norms = self._live_norms.join(dead, "doc_id", "left_anti")
+        # float64 avgdl for exact mode; float32 path uses bm25.avgdl
+        self._avgdl32 = self.bm25.avgdl(
+            self.stats.sum_total_term_freq, self.stats.doc_count
+        )
+        self._cache32 = self.bm25.cache(self._avgdl32)
         if cache_postings:
             # Right-size the cached postings: ~2M posting rows per
             # partition (≈100-200 MB).  Over-partitioning a small index
@@ -201,12 +206,25 @@ class IndexSearcher:
             target = int(min(nrows // 2_000_000 + 1, 4096))
             if target < self._postings.rdd.getNumPartitions():
                 self._postings = self._postings.coalesce(target)
+            if self.scoring == "lucene":
+                # Materialize the BM25 norm-cache value per posting row
+                # ONCE in the cached frame (the norms-file decode the
+                # reference does per segment open).  Every per-query
+                # score expression then references a plain float column
+                # instead of carrying a 256-element array literal —
+                # measured ~0.2 s of JVM plan analysis per cold boolean
+                # query at 4 clauses, pure driver overhead.  Cost: one
+                # float per cached posting row, marginal next to the
+                # positions arrays it sits beside.
+                self._postings = self._postings.withColumn(
+                    "_c32",
+                    F.element_at(
+                        self._norm_cache_col(),
+                        F.col("norm_byte").bitwiseAND(F.lit(255))
+                        + F.lit(1),
+                    ).cast("float"),
+                )
             self._postings = self._postings.persist()
-        # float64 avgdl for exact mode; float32 path uses bm25.avgdl
-        self._avgdl32 = self.bm25.avgdl(
-            self.stats.sum_total_term_freq, self.stats.doc_count
-        )
-        self._cache32 = self.bm25.cache(self._avgdl32)
         self._avgdl64 = (
             self.stats.sum_total_term_freq / float(self.stats.doc_count)
             if self.stats.doc_count
@@ -480,6 +498,33 @@ class IndexSearcher:
         return node(v, f"{type(q).__name__} score")
 
     # ------------------------------------------------------- score kernels
+    def _norm_cache_col(self) -> Column:
+        """256-entry k1·((1−b)+b·dl/avgdl) cache as an array-literal
+        Column, built ONCE per searcher.  Building it per score column
+        costs 256 F.lit py4j round-trips; with 4 clauses per boolean
+        query that was ~0.45 s of the cold-query p50 — pure driver-side
+        plan-construction overhead.  Column expressions are unresolved
+        and plan-agnostic, so one instance serves every query."""
+        col = getattr(self, "_norm_cache_col_cached", None)
+        if col is None:
+            col = F.array(
+                *[F.lit(float(c)) for c in self._cache32.astype(np.float64)]
+            )
+            self._norm_cache_col_cached = col
+        return col
+
+    def _norm_table_col(self) -> Column:
+        """NORM_TABLE (byte315 decode) as a cached array-literal Column."""
+        col = getattr(self, "_norm_table_col_cached", None)
+        if col is None:
+            from lucene_solr_spark.scoring.bm25 import NORM_TABLE
+
+            col = F.array(
+                *[F.lit(float(v)) for v in NORM_TABLE.astype(np.float64)]
+            )
+            self._norm_table_col_cached = col
+        return col
+
     def _score_col(self, weight: float, df_in: DataFrame) -> DataFrame:
         """Append ``score`` given per-row freq/norm columns.
 
@@ -493,12 +538,15 @@ class IndexSearcher:
             # cache (BM25Similarity.java:213-217) becomes an array literal
             # indexed by norm byte.
             w32 = float(np.float32(np.float32(weight) * np.float32(self.bm25.k1 + 1)))
-            cache_arr = F.array(
-                *[F.lit(float(c)) for c in self._cache32.astype(np.float64)]
-            )
-            c = F.element_at(
-                cache_arr, F.col("norm_byte").bitwiseAND(F.lit(255)) + F.lit(1)
-            )
+            if "_c32" in df_in.columns:
+                # norm-cache value pre-materialized on the cached
+                # postings frame — plain column ref, tiny plan
+                c = F.col("_c32").cast("double")
+            else:
+                c = F.element_at(
+                    self._norm_cache_col(),
+                    F.col("norm_byte").bitwiseAND(F.lit(255)) + F.lit(1),
+                )
             f = F.col("freq").cast("double")
             num = (F.lit(w32) * f).cast("float").cast("double")
             den = (f + c).cast("float").cast("double")
@@ -510,9 +558,7 @@ class IndexSearcher:
             # byte315-encoded 1/sqrt(length)).  Same double-op-then-
             # cast-to-float emulation as the lucene branch.
             w32 = float(np.float32(weight))
-            norm_arr = F.array(
-                *[F.lit(float(byte315_to_float(i))) for i in range(256)]
-            )
+            norm_arr = self._norm_table_col()
             nrm = F.element_at(
                 norm_arr, F.col("norm_byte").bitwiseAND(F.lit(255)) + F.lit(1)
             )
@@ -712,14 +758,8 @@ class IndexSearcher:
             "doc_id", F.col("tf").alias("freq"), "norm_byte"
         )
         scored = self._score_col(weight, rows)
-        from lucene_solr_spark.scoring.bm25 import NORM_TABLE
-
-        norm_arr = F.array(
-            *[F.lit(float(v)) for v in NORM_TABLE.astype(np.float64)]
-        )
-        cache_arr = F.array(
-            *[F.lit(float(c)) for c in self._cache32.astype(np.float64)]
-        )
+        norm_arr = self._norm_table_col()
+        cache_arr = self._norm_cache_col()
         bidx = F.col("norm_byte").bitwiseAND(F.lit(255)) + F.lit(1)
         return scored.select(
             F.col("doc_id").cast("long").alias("doc_id"),
@@ -804,11 +844,13 @@ class IndexSearcher:
             df_, ttf = self.term_statistics([q.term])[q.term]
             if df_ == 0:
                 return self._empty_scored()
-            pl = self._term_postings(q.term).select(
+            tp = self._term_postings(q.term)
+            pl = tp.select(
                 "doc_id",
                 F.col("tf").alias("freq"),
                 "norm_byte",
                 "length",
+                *(["_c32"] if "_c32" in tp.columns else []),
             )
             if self._sb:
                 return self._score_col_sb(boost, df_, ttf, pl).select(
