@@ -69,6 +69,14 @@ BENCH_QUERIES = [
     "collation_sort",
     # high-df sloppy phrase — direct reading on the batched kernel
     "sloppy_phrase",
+    # round-5: remaining heavy operators (VERDICT r4 item 6) — the
+    # batched automaton matmuls, the nested JSON facet tree, the
+    # taxonomy drill-sideways multi-plan, and the MTP multiphrase
+    # branch now on the batch kernel
+    "term_automaton",
+    "json_facet_nested",
+    "drill_sideways",
+    "taxonomy_facet",
     # stream_sessionize is a correctness gate, not a throughput
     # headline: its wall is dominated by streaming-checkpoint fixed
     # costs (~20s regardless of data), which would only add noise here.

@@ -34,10 +34,15 @@ from lucene_solr_spark.index.builder import build_tables  # noqa: E402
 from lucene_solr_spark.session import get_spark  # noqa: E402
 
 BASE = "/root/testdata/sf0.1"
-OPS = ["minhash_lsh", "semantic_dedup", "wand_topk"]
+OPS = ["minhash_lsh", "semantic_dedup", "wand_topk", "substring_dedup"]
 
 
 def synth(spark, factor: int, out_dir: str) -> None:
+    """Materialize a factor× corpus, plus a PLANTED degenerate cluster
+    of 300·factor identical boilerplate docs (r4 VERDICT item 7: the
+    minhash hot-bucket guard must be exercised AT scale, in both legs,
+    proportionally — so the 10×/1× wall ratio covers the guard path
+    too, not just the clique path)."""
     docs = spark.read.parquet(os.path.join(BASE, "documents.parquet"))
     n = docs.count()
     copies = spark.range(factor).select(F.col("id").alias("_copy"))
@@ -62,7 +67,19 @@ def synth(spark, factor: int, out_dir: str) -> None:
         "source",
         F.length(perturbed).cast("int").alias("n_chars"),
     )
-    big_docs.write.mode("overwrite").parquet(
+    boiler = (
+        "breaking news subscribe to our newsletter all rights reserved "
+        "terms of service privacy policy cookie settings contact us "
+        "about advertise careers sitemap back to top share this story"
+    )
+    planted = spark.range(300 * factor).select(
+        (F.col("id") + factor * n + 1_000_000).alias("doc_id"),
+        F.lit(boiler).alias("text"),
+        F.lit("en").alias("lang"),
+        F.lit("planted").alias("source"),
+        F.lit(len(boiler)).cast("int").alias("n_chars"),
+    )
+    big_docs.unionByName(planted).write.mode("overwrite").parquet(
         os.path.join(out_dir, "documents.parquet")
     )
     emb = spark.read.parquet(os.path.join(BASE, "embeddings.parquet"))
@@ -90,11 +107,13 @@ def main() -> int:
     spark = get_spark("scale-rehearsal")
     spark.sparkContext.setLogLevel("WARN")
     out_dir = tempfile.mkdtemp(prefix="rehearsal-")
+    base_dir = tempfile.mkdtemp(prefix="rehearsal-1x-")
     try:
+        synth(spark, 1, base_dir)
         synth(spark, factor, out_dir)
         qs = entrymod.queries()
         report = []
-        for sf_dir, tag in ((BASE, "sf0.1"), (out_dir, f"{factor}x")):
+        for sf_dir, tag in ((base_dir, "sf0.1"), (out_dir, f"{factor}x")):
             docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
             docs.count()  # warm listing
             t0 = time.time()
@@ -121,6 +140,7 @@ def main() -> int:
         return 0 if ok else 1
     finally:
         shutil.rmtree(out_dir, ignore_errors=True)
+        shutil.rmtree(base_dir, ignore_errors=True)
 
 
 if __name__ == "__main__":
