@@ -514,7 +514,8 @@ class IndexSearcher:
         return col
 
     def _norm_table_col(self) -> Column:
-        """NORM_TABLE (byte315 decode) as a cached array-literal Column."""
+        """NORM_TABLE (decoded doc LENGTH, 1/byte315²) as a cached
+        array-literal Column — the wand exporter's ``dl``."""
         col = getattr(self, "_norm_table_col_cached", None)
         if col is None:
             from lucene_solr_spark.scoring.bm25 import NORM_TABLE
@@ -523,6 +524,17 @@ class IndexSearcher:
                 *[F.lit(float(v)) for v in NORM_TABLE.astype(np.float64)]
             )
             self._norm_table_col_cached = col
+        return col
+
+    def _byte315_col(self) -> Column:
+        """Raw byte315 decode (1/sqrt(len)) as a cached array-literal
+        Column — ClassicSimilarity's decodeNormValue table."""
+        col = getattr(self, "_byte315_col_cached", None)
+        if col is None:
+            col = F.array(
+                *[F.lit(float(byte315_to_float(i))) for i in range(256)]
+            )
+            self._byte315_col_cached = col
         return col
 
     def _score_col(self, weight: float, df_in: DataFrame) -> DataFrame:
@@ -558,7 +570,7 @@ class IndexSearcher:
             # byte315-encoded 1/sqrt(length)).  Same double-op-then-
             # cast-to-float emulation as the lucene branch.
             w32 = float(np.float32(weight))
-            norm_arr = self._norm_table_col()
+            norm_arr = self._byte315_col()
             nrm = F.element_at(
                 norm_arr, F.col("norm_byte").bitwiseAND(F.lit(255)) + F.lit(1)
             )

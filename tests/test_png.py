@@ -83,12 +83,94 @@ def test_crc_corruption_detected():
         decode_png(bytes(data))
 
 
-def test_interlace_and_16bit_raise():
-    ihdr = struct.pack(">IIBBBBB", 4, 4, 8, 0, 0, 0, 1)
-    with pytest.raises(NotImplementedError, match="Adam7"):
+def test_adam7_roundtrip_lossless():
+    """Adam7 interlaced encode → decode is bit-lossless for every
+    filter type, including dims not multiples of 8 (passes with empty
+    sub-grids contribute no bytes, §8.2)."""
+    rng = np.random.default_rng(5)
+    for hw in [(16, 16), (13, 9), (7, 5), (3, 2), (1, 1), (2, 10)]:
+        c = rng.integers(0, 256, (*hw, 3), dtype=np.uint8)
+        g = rng.integers(0, 256, hw, dtype=np.uint8)
+        for ft in range(5):
+            got = decode_png(encode_png(c, filter_type=ft, interlace=True))
+            assert np.array_equal(got, c), (hw, ft)
+            gg = decode_png(encode_png(g, filter_type=ft, interlace=True))
+            assert np.array_equal(gg[..., 0], g), (hw, ft)
+    # interlaced output really differs from sequential at the byte level
+    assert encode_png(c, interlace=True) != encode_png(c)
+
+
+def test_16bit_high_byte_reduction():
+    """16-bit samples reduce to their high byte: a hand-built 2×2
+    16-bit grey image and a 1×2 16-bit RGB image decode exactly."""
+    vals = [0x1234, 0x00FF, 0xFF00, 0xABCD]
+    lines = b"\x00" + struct.pack(">HH", *vals[:2])
+    lines += b"\x00" + struct.pack(">HH", *vals[2:])
+    ihdr = struct.pack(">IIBBBBB", 2, 2, 16, 0, 0, 0, 0)
+    png = (
+        SIG + _chunk(b"IHDR", ihdr)
+        + _chunk(b"IDAT", zlib.compress(lines)) + _chunk(b"IEND", b"")
+    )
+    img = decode_png(png)
+    assert img[..., 0].flatten().tolist() == [v >> 8 for v in vals]
+    rgb = [0x0102, 0x8081, 0xFFFE, 0x0001, 0x4040, 0xC0C0]
+    lines = b"\x00" + struct.pack(">6H", *rgb)
+    ihdr = struct.pack(">IIBBBBB", 2, 1, 16, 2, 0, 0, 0)
+    png = (
+        SIG + _chunk(b"IHDR", ihdr)
+        + _chunk(b"IDAT", zlib.compress(lines)) + _chunk(b"IEND", b"")
+    )
+    img = decode_png(png)
+    assert img.flatten().tolist() == [v >> 8 for v in rgb]
+
+
+def test_subbyte_depths_grey_and_palette():
+    """1/2/4-bit greyscale scale by exactly 255/(2^d−1); 4-bit palette
+    indexes unpack MSB-first."""
+    # 1-bit grey, 10 px wide: bits 1010101010 + 6 pad bits, 1 row
+    lines = b"\x00" + bytes([0b10101010, 0b10000000])
+    ihdr = struct.pack(">IIBBBBB", 10, 1, 1, 0, 0, 0, 0)
+    png = (
+        SIG + _chunk(b"IHDR", ihdr)
+        + _chunk(b"IDAT", zlib.compress(lines)) + _chunk(b"IEND", b"")
+    )
+    img = decode_png(png)
+    assert img[0, :, 0].tolist() == [255, 0] * 5
+    # 2-bit grey: samples 0,1,2,3 → 0,85,170,255
+    lines = b"\x00" + bytes([0b00011011])
+    ihdr = struct.pack(">IIBBBBB", 4, 1, 2, 0, 0, 0, 0)
+    png = (
+        SIG + _chunk(b"IHDR", ihdr)
+        + _chunk(b"IDAT", zlib.compress(lines)) + _chunk(b"IEND", b"")
+    )
+    assert decode_png(png)[0, :, 0].tolist() == [0, 85, 170, 255]
+    # 4-bit grey: 0x0 → 0, 0xF → 255, 0x8 → 136 (8·17)
+    lines = b"\x00" + bytes([0x0F, 0x80])
+    ihdr = struct.pack(">IIBBBBB", 3, 1, 4, 0, 0, 0, 0)
+    png = (
+        SIG + _chunk(b"IHDR", ihdr)
+        + _chunk(b"IDAT", zlib.compress(lines)) + _chunk(b"IEND", b"")
+    )
+    assert decode_png(png)[0, :, 0].tolist() == [0, 255, 136]
+    # 4-bit palette: indexes 1,0,2 against a 3-colour PLTE
+    plte = bytes([10, 20, 30, 40, 50, 60, 70, 80, 90])
+    lines = b"\x00" + bytes([0x10, 0x20])
+    ihdr = struct.pack(">IIBBBBB", 3, 1, 4, 3, 0, 0, 0)
+    png = (
+        SIG + _chunk(b"IHDR", ihdr) + _chunk(b"PLTE", plte)
+        + _chunk(b"IDAT", zlib.compress(lines)) + _chunk(b"IEND", b"")
+    )
+    assert decode_png(png)[0].tolist() == [
+        [40, 50, 60], [10, 20, 30], [70, 80, 90],
+    ]
+
+
+def test_illegal_depth_combo_rejected():
+    ihdr = struct.pack(">IIBBBBB", 4, 4, 4, 2, 0, 0, 0)  # 4-bit RGB
+    with pytest.raises(ValueError, match="illegal depth"):
         decode_png(SIG + _chunk(b"IHDR", ihdr))
-    ihdr = struct.pack(">IIBBBBB", 4, 4, 16, 0, 0, 0, 0)
-    with pytest.raises(NotImplementedError, match="depth"):
+    ihdr = struct.pack(">IIBBBBB", 4, 4, 16, 3, 0, 0, 0)  # 16-bit PLTE
+    with pytest.raises(ValueError, match="illegal depth"):
         decode_png(SIG + _chunk(b"IHDR", ihdr))
 
 
