@@ -5396,6 +5396,45 @@ def q_thai_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+PL_GATE_PHRASE = (
+    "studenta studenci studentach studentami uniwersytetu nauki "
+    "polskiego ksi\u0105\u017cki by\u0142 aby"
+)
+
+
+def q_polish_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PolishAnalyzer chain (analysis/pl/PolishAnalyzer.java:139-148:
+    tokenize \u2192 lowercase \u2192 pl stop \u2192 Stempel trained-table stemmer).
+    The r1-r4 documented exclusion is CLOSED in round 5: the trained
+    table ships with the reference module, so the Egothor trie runtime
+    (Trie/MultiTrie2 deserialization + getLastOnPath + Diff.apply) is
+    ported and pinned on the TestPolishAnalyzer goldens
+    (tests/test_stempel.py) \u2014 46th verified analyzer chain."""
+    from functools import partial
+
+    from lucene_solr_spark.analysis.stempel import polish_analyze_batch_flat
+
+    d = _table(spark, sf_dir, "documents")
+    t = build_tables(
+        d.select(
+            "doc_id",
+            F.concat(F.col("text"), F.lit(" " + PL_GATE_PHRASE)).alias(
+                "text"
+            ),
+        ),
+        id_col="doc_id",
+        text_col="text",
+        analyzer=partial(polish_analyze_batch_flat),
+    )
+    return (
+        t.term_stats.select(
+            "term", "df", F.col("ttf").cast("long").alias("ttf")
+        )
+        .orderBy(F.col("df").desc(), F.col("term").asc())
+        .limit(20)
+    )
+
+
 def q_wikipedia_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
     """WikipediaTokenizer (wikipedia/WikipediaTokenizerImpl.jflex) over
     deterministically-constructed wiki pages: each doc becomes
@@ -5822,6 +5861,9 @@ def entry(spark: SparkSession) -> DataFrame:
 # classification / streaming-graph / index-admin entry plus the eleven
 # structurally distinct analysis mechanisms (compound, worddelimiter,
 # hunspell, thai, wikipedia, icu-folding, phonetic, path-hierarchy,
+# the NEW round-5 stempel Polish chain (code-gates-first convention;
+# it displaces scandi_keyword_chain, whose keyword-marker+snowball
+# machinery is covered by gated siblings and stays strict-swept),
 # pattern-capture, misc token filters, auto-stopwords) -- and 5 slots
 # re-gate previously-green entries whose code paths changed THIS round
 # (the batched multi-term-repeat sloppy kernel and its tie-break-key
@@ -5863,7 +5905,7 @@ _GATE_WINDOW = [
     "compound_analysis", "worddelimiter_analysis", "common_grams",
     "phonetic_analysis", "token_filters_misc", "hunspell_analysis",
     "thai_analysis", "wikipedia_analysis", "hyphenation_compound",
-    "icu_folding", "scandi_keyword_chain", "kstem_analysis",
+    "icu_folding", "polish_analysis", "kstem_analysis",
     "pattern_capture", "auto_stopwords", "path_hierarchy",
     # re-gates: previously green, code path changed this round
     "multi_phrase_sloppy", "sloppy_phrase", "valuesource_extended",
@@ -6057,6 +6099,7 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dataset_split": q_dataset_split,
         "lm_perplexity": q_lm_perplexity,
         "thai_analysis": q_thai_analysis,
+        "polish_analysis": q_polish_analysis,
         "wikipedia_analysis": q_wikipedia_analysis,
         "hyphenation_compound": q_hyphenation_compound,
         "substring_dedup": q_substring_dedup,
@@ -10999,6 +11042,37 @@ FROM scored GROUP BY doc_id ORDER BY doc_id
         for chunk, terms in _THAI_CHUNK_MAP.items()
         for term in terms
     )
+    # PolishAnalyzer: driver-side per-token replay of the same chain
+    # (lowercase -> pl stop -> stempel for len>3) over the closed
+    # corpus vocabulary + gate phrase; the stemmer itself is pinned on
+    # the reference goldens in tests/test_stempel.py
+    from lucene_solr_spark.analysis.stempel import polish_token as _pl_tok
+
+    _pl_map = []
+    for _tok in sorted(set(_corpus_vocab + PL_GATE_PHRASE.split())):
+        _st = _pl_tok(_tok)
+        if _st is None:
+            continue
+        _pl_map.append(
+            "('" + _tok.replace("'", "''") + "','"
+            + _st.replace("'", "''") + "')"
+        )
+    sqls["polish_analysis"] = f"""
+WITH toks AS (
+  SELECT doc_id,
+         unnest(string_split(text || ' {PL_GATE_PHRASE}', ' ')) AS tok
+  FROM documents
+),
+smap(tok, stem) AS (VALUES {",".join(_pl_map)}),
+p AS (
+  SELECT t.doc_id, m.stem AS term, count(*) AS tf
+  FROM toks t JOIN smap m USING (tok) GROUP BY t.doc_id, m.stem
+)
+SELECT term, count(*) AS df, CAST(sum(tf) AS BIGINT) AS ttf
+FROM p GROUP BY term
+ORDER BY df DESC, term ASC LIMIT 20
+"""
+
     sqls["thai_analysis"] = f"""
 WITH toks AS (
   SELECT doc_id,
