@@ -241,13 +241,18 @@ def decode_jpeg(data: bytes) -> np.ndarray:
             j = 0
             while j < len(seg):
                 pq, tq = seg[j] >> 4, seg[j] & 0x0F
-                if pq != 0:
-                    raise NotImplementedError("16-bit quant tables")
-                zz = np.frombuffer(seg[j + 1 : j + 65], dtype=np.uint8)
+                if pq not in (0, 1):
+                    raise ValueError(f"corrupt DQT precision {pq}")
+                if pq:  # Pq=1: 16-bit big-endian elements (§B.4.1)
+                    zz = np.frombuffer(
+                        seg[j + 1 : j + 129], dtype=">u2"
+                    ).astype(np.int64)
+                else:
+                    zz = np.frombuffer(seg[j + 1 : j + 65], dtype=np.uint8)
                 tbl = np.zeros(64, dtype=np.int64)
                 tbl[ZIGZAG] = zz
                 qt[tq] = tbl.reshape(8, 8)
-                j += 65
+                j += 129 if pq else 65
         elif marker == 0xC4:  # DHT
             j = 0
             while j < len(seg):

@@ -329,3 +329,32 @@ def test_progressive_refinement_changes_result():
     coarse = decode_jpeg(truncated)
     assert coarse.shape == full.shape
     assert not np.array_equal(coarse, full)
+
+
+def test_16bit_quant_table():
+    """DQT with Pq=1 (16-bit big-endian elements, §B.4.1): a DC-only
+    block against a 16-bit table decodes to the closed-form value
+    dc·q00/8 + 128 with q00 = 300 (> 255, unreachable at 8-bit)."""
+    _, dl = _canonical_codes(*K3_DC_LUMA)
+    _, al = _canonical_codes(*K3_AC_LUMA)
+    out = bytearray(b"\xff\xd8")
+    q16 = np.full(64, 300, dtype=np.int64)
+    from lucene_solr_spark.functions.jpeg import ZIGZAG
+
+    zz = np.zeros(64, dtype=np.int64)
+    zz[:] = q16[ZIGZAG]
+    payload = bytes([0x10]) + b"".join(
+        int(v).to_bytes(2, "big") for v in zz
+    )
+    out += b"\xff\xdb" + (len(payload) + 2).to_bytes(2, "big") + payload
+    sof = bytes([8, 0, 8, 0, 8, 1]) + bytes([1, 0x11, 0])
+    out += b"\xff\xc0" + (len(sof) + 2).to_bytes(2, "big") + sof
+    for tag, spec in [(0x00, K3_DC_LUMA), (0x10, K3_AC_LUMA)]:
+        seg = bytes([tag]) + bytes(spec[0]) + bytes(spec[1])
+        out += b"\xff\xc4" + (len(seg) + 2).to_bytes(2, "big") + seg
+    sos = bytes([1, 1, 0x00, 0, 63, 0])
+    out += b"\xff\xda" + (len(sos) + 2).to_bytes(2, "big") + sos
+    out += _pack_bits(_dc_bits(dl, al, 2)) + b"\xff\xd9"
+    img = decode_jpeg(bytes(out))
+    # dc=2, q00=300 → 2*300/8 + 128 = 203
+    assert np.all(img == 203), img[0, 0]
