@@ -5410,8 +5410,6 @@ def q_polish_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
     (Trie/MultiTrie2 deserialization + getLastOnPath + Diff.apply) is
     ported and pinned on the TestPolishAnalyzer goldens
     (tests/test_stempel.py) \u2014 46th verified analyzer chain."""
-    from functools import partial
-
     from lucene_solr_spark.analysis.stempel import polish_analyze_batch_flat
 
     d = _table(spark, sf_dir, "documents")
@@ -5424,7 +5422,7 @@ def q_polish_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         id_col="doc_id",
         text_col="text",
-        analyzer=partial(polish_analyze_batch_flat),
+        analyzer=polish_analyze_batch_flat,
     )
     return (
         t.term_stats.select(

@@ -229,7 +229,15 @@ def decode_jpeg(data: bytes) -> np.ndarray:
         if data[i] != 0xFF:
             i += 1
             continue
+        if i + 1 >= len(data):
+            break
         marker = data[i + 1]
+        if marker == 0xFF:  # fill byte before a marker (§B.1.1.2)
+            i += 1
+            continue
+        if marker == 0x00:  # stuffed 0xFF00 residue — entropy data
+            i += 2
+            continue
         if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
             i += 2
             continue
@@ -629,6 +637,16 @@ def _decode_scan(data, start, frame, scan, qt, huff_dc, huff_ac, dri):
 def _planes_to_rgb(planes, comps, h, w, hmax, vmax) -> np.ndarray:
     """Upsample component planes to full resolution, crop, and apply
     CCIR-601 YCbCr→RGB (greyscale replicated)."""
+    for c in comps:
+        # shared guard for BOTH decode paths (baseline checks early in
+        # _decode_scan too): the integer-replication upsampler needs
+        # exact factor multiples — a 3:2 stream must loud-fail here,
+        # not silently mis-scale a progressive reconstruction
+        if hmax % c["h"] or vmax % c["v"]:
+            raise NotImplementedError(
+                f"non-integer chroma subsampling ratio (h={c['h']}/"
+                f"{hmax}, v={c['v']}/{vmax}) is not supported"
+            )
     full = []
     for ci, c in enumerate(comps):
         p = planes[ci]

@@ -298,7 +298,13 @@ class _Parser:
 
         name = f"__{'rord' if reverse else 'ord'}_{field}"
         if all(name not in d.columns for d, _ in self.joins):
-            memo_key = (self.df.semanticHash(), field, reverse)
+            # keyed by applicationId too: a memoized frame must never
+            # outlive its SparkSession (a later session would receive
+            # a DataFrame bound to a stopped context); stale-session
+            # entries are tiny driver-side handles whose executor
+            # storage died with their session
+            app_id = self.df.sparkSession.sparkContext.applicationId
+            memo_key = (app_id, self.df.semanticHash(), field, reverse)
             cached = _ORD_CACHE.get(memo_key)
             if cached is not None:
                 self.joins.append((cached, field))

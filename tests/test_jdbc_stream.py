@@ -24,9 +24,16 @@ import pytest
 
 
 def _find_driver_jar() -> str | None:
+    # bounded search: env override + the dependency-cache trees where
+    # build tools place driver jars (never the whole home directory —
+    # a recursive $HOME glob at collection time can stall for minutes)
+    env = os.environ.get("DUCKDB_JDBC_JAR")
+    if env and os.path.exists(env):
+        return env
     pats = [
-        os.path.expanduser("~/.cache/**/duckdb_jdbc-*.jar"),
-        os.path.expanduser("~/**/duckdb_jdbc-*.jar"),
+        os.path.expanduser("~/.cache/coursier/**/duckdb_jdbc-*.jar"),
+        os.path.expanduser("~/.m2/**/duckdb_jdbc-*.jar"),
+        os.path.expanduser("~/.ivy2/**/duckdb_jdbc-*.jar"),
     ]
     for p in pats:
         hits = glob.glob(p, recursive=True)

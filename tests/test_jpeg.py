@@ -358,3 +358,31 @@ def test_16bit_quant_table():
     img = decode_jpeg(bytes(out))
     # dc=2, q00=300 → 2*300/8 + 128 = 203
     assert np.all(img == 203), img[0, 0]
+
+
+def test_fill_bytes_before_markers():
+    """§B.1.1.2: any number of 0xFF fill bytes may precede a marker.
+    A progressive stream with a fill byte injected before every SOS
+    must decode IDENTICALLY (regression: the marker loop once parsed
+    the second 0xFF as a marker code and swallowed real scans)."""
+    from lucene_solr_spark.functions.jpeg import encode_jpeg_progressive
+
+    rng = np.random.default_rng(12)
+    img = rng.integers(0, 256, (16, 16, 3), dtype=np.uint8)
+    data = encode_jpeg_progressive(img)
+    want = decode_jpeg(data)
+    stuffed = bytearray()
+    i = 0
+    while i < len(data) - 1:
+        if data[i] == 0xFF and data[i + 1] == 0xDA:
+            stuffed += b"\xff\xff"  # two fill bytes before each SOS
+        stuffed.append(data[i])
+        i += 1
+    stuffed.append(data[-1])
+    got = decode_jpeg(bytes(stuffed))
+    assert np.array_equal(got, want)
+    # fill bytes in a baseline stream too
+    base = encode_jpeg(img)
+    j = base.index(b"\xff\xda")
+    base2 = base[:j] + b"\xff" + base[j:]
+    assert np.array_equal(decode_jpeg(base2), decode_jpeg(base))
