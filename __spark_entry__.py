@@ -5440,6 +5440,42 @@ def q_polish_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+MORFOLOGIK_GATE_PHRASE = "inflected1 Inflected2 niematego"
+
+
+def q_morfologik_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Morfologik FSA5 lemmatization (analysis/morfologik.py — the
+    reference module's compiled custom-dictionary fixture + the
+    MorfologikFilter surface/lowercase lookup semantics, pinned on
+    TestMorfologikFilterFactory.testExplicitDictionary).  Docs gain
+    the gate phrase: inflected1 lemmatizes, Inflected2 exercises the
+    lowercase fallback, the unknown token and every corpus token pass
+    through unchanged (the 2-entry dictionary matches nothing else)."""
+    from lucene_solr_spark.analysis.morfologik import (
+        morfologik_analyze_batch_flat,
+    )
+
+    d = _table(spark, sf_dir, "documents")
+    t = build_tables(
+        d.select(
+            "doc_id",
+            F.concat(
+                F.col("text"), F.lit(" " + MORFOLOGIK_GATE_PHRASE)
+            ).alias("text"),
+        ),
+        id_col="doc_id",
+        text_col="text",
+        analyzer=morfologik_analyze_batch_flat,
+    )
+    return (
+        t.term_stats.select(
+            "term", "df", F.col("ttf").cast("long").alias("ttf")
+        )
+        .orderBy(F.col("df").desc(), F.col("term").asc())
+        .limit(20)
+    )
+
+
 def q_wikipedia_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
     """WikipediaTokenizer (wikipedia/WikipediaTokenizerImpl.jflex) over
     deterministically-constructed wiki pages: each doc becomes
@@ -6112,6 +6148,7 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lm_perplexity": q_lm_perplexity,
         "thai_analysis": q_thai_analysis,
         "polish_analysis": q_polish_analysis,
+        "morfologik_analysis": q_morfologik_analysis,
         "wikipedia_analysis": q_wikipedia_analysis,
         "hyphenation_compound": q_hyphenation_compound,
         "substring_dedup": q_substring_dedup,
@@ -11080,6 +11117,27 @@ p AS (
   SELECT t.doc_id, m.stem AS term, count(*) AS tf
   FROM toks t JOIN smap m USING (tok) GROUP BY t.doc_id, m.stem
 )
+SELECT term, count(*) AS df, CAST(sum(tf) AS BIGINT) AS ttf
+FROM p GROUP BY term
+ORDER BY df DESC, term ASC LIMIT 20
+"""
+
+    # morfologik: whitespace tokens; only the two dictionary entries
+    # map (inflected1 directly, Inflected2 via the lowercase fallback)
+    sqls["morfologik_analysis"] = f"""
+WITH toks AS (
+  SELECT doc_id,
+         unnest(string_split(text || ' {MORFOLOGIK_GATE_PHRASE}', ' ')) AS tok
+  FROM documents
+),
+mapped AS (
+  SELECT doc_id,
+         CASE tok WHEN 'inflected1' THEN 'lemma1'
+                  WHEN 'Inflected2' THEN 'lemma2'
+                  ELSE tok END AS term
+  FROM toks
+),
+p AS (SELECT doc_id, term, count(*) AS tf FROM mapped GROUP BY doc_id, term)
 SELECT term, count(*) AS df, CAST(sum(tf) AS BIGINT) AS ttf
 FROM p GROUP BY term
 ORDER BY df DESC, term ASC LIMIT 20
