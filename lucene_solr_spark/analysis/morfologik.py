@@ -259,10 +259,14 @@ def morfologik_analyze_batch_flat(content, dictionary=None):
 
     if dictionary is None:
         dictionary = test_dictionary()
+    memo: dict = {}
     out_doc, out_terms, out_pos = [], [], []
     for di, text in enumerate(content):
         for pos, tok in enumerate((text or "").split()):
-            lemmas = morfologik_lemmas(tok, dictionary) or [tok]
+            lemmas = memo.get(tok)
+            if lemmas is None:
+                lemmas = morfologik_lemmas(tok, dictionary) or [tok]
+                memo[tok] = lemmas
             for lm in lemmas:
                 out_doc.append(di)
                 out_terms.append(lm)

@@ -299,9 +299,15 @@ def polish_token(tok: str, exclusions: frozenset = _EMPTY) -> "str | None":
 def polish_analyze_batch_flat(content, exclusions: frozenset = _EMPTY):
     """PolishAnalyzer over one Arrow batch (build_tables ``analyzer=``
     contract): StandardTokenizer → lowercase → pl stop (position gaps
-    preserved) → StempelFilter(min_length=3)."""
+    preserved) → StempelFilter(min_length=3).
+
+    Vocab-level memo (the repo's batch convention): each distinct
+    token is pushed through the trie ONCE per batch — corpus token
+    frequency follows Zipf, so the per-occurrence cost collapses to a
+    dict hit and the Python trie walk is paid per unique term."""
     import numpy as np
 
+    memo: dict = {}
     out_doc, out_terms, out_pos = [], [], []
     for di, text in enumerate(content):
         pos = -1
@@ -309,7 +315,11 @@ def polish_analyze_batch_flat(content, exclusions: frozenset = _EMPTY):
             if len(tok) > 255:
                 continue
             pos += 1
-            t = polish_token(tok, exclusions)
+            if tok in memo:
+                t = memo[tok]
+            else:
+                t = polish_token(tok, exclusions)
+                memo[tok] = t
             if t is None:
                 continue
             out_doc.append(di)
