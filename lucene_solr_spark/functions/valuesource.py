@@ -306,6 +306,12 @@ class _Parser:
             app_id = self.df.sparkSession.sparkContext.applicationId
             memo_key = (app_id, self.df.semanticHash(), field, reverse)
             cached = _ORD_CACHE.get(memo_key)
+            if cached is None:
+                # lazy purge: handles keyed to other application ids
+                # belong to stopped sessions (their executor storage
+                # is already gone) — drop them instead of accumulating
+                for k in [k for k in _ORD_CACHE if k[0] != app_id]:
+                    _ORD_CACHE.pop(k, None)
             if cached is not None:
                 self.joins.append((cached, field))
                 return F.col(name)
