@@ -194,8 +194,18 @@ class MorfologikDictionary:
 
     def lookup(self, word: str) -> list[tuple[str, str]]:
         """(lemma, tag) pairs for an inflected surface form — the
-        DictionaryLookup contract, in automaton order."""
-        wb = word.encode(self.encoding, errors="ignore")
+        DictionaryLookup contract, in automaton order.  No-match for
+        words the dictionary charset cannot encode (Java's
+        CharsetEncoder reports the unmappable char and the filter
+        passes the token through) and for words containing the
+        separator byte (DictionaryLookup rejects them — they would
+        otherwise walk into the encoded-lemma/tag region)."""
+        try:
+            wb = word.encode(self.encoding)
+        except UnicodeEncodeError:
+            return []
+        if self.separator in wb:
+            return []
         arc = self.fsa.walk(self.fsa.root(), wb + bytes([self.separator]))
         if arc is None:
             return []

@@ -75,3 +75,19 @@ def test_bad_magic_and_version():
         FSA5(b"XXXX\x05__\x02")
     with pytest.raises(NotImplementedError, match="version"):
         FSA5(b"\\fsa\x02__\x02")
+
+
+def test_unencodable_and_separator_words_no_match():
+    """Words the dictionary charset cannot encode, or containing the
+    separator byte, are no-matches (Java CharsetEncoder /
+    DictionaryLookup behavior) — never false-positive lemmas."""
+    d = _fixture_dictionary()
+    assert d.lookup("inflected1;x") == []
+    assert d.lookup(";") == []
+    # force a non-UTF8 charset to make a char unencodable
+    import copy
+
+    d2 = copy.copy(d)
+    d2.encoding = "iso-8859-2"
+    assert d2.lookup("inflected1一") == []
+    assert morfologik_lemmas("inflected1;x", d) == []
